@@ -1,0 +1,503 @@
+"""Table metadata tree: snapshots, partition specs, manifests, commit protocol.
+
+Re-expresses the reference's metadata model (reference: spec/metadata.go:55-78
+TableMetadata, spec/snapshot.go:43-76 Snapshot/refs/log, spec/manifest.go:
+101-205 DataFile entries, spec/partition.go:11-204 specs+transforms) with a
+Spark-first storage design:
+
+- table metadata = versioned JSON (``metadata/v{N}.metadata.json``) committed
+  by atomic exclusive-create, giving the same optimistic concurrency the
+  reference gets from REST assert-ref-snapshot-id requirements
+  (reference: table/table.go:163-176, catalog/rest.go:425-445);
+- each snapshot points at ONE manifest parquet file listing every live data /
+  delete file with full per-column stats. Parquet (not Avro) because at 100 TB
+  a manifest of ~1M files is itself analytic data: the scan planner can load
+  it AS a Spark DataFrame and prune distributively, while small tables prune
+  driver-side with pyarrow. (The reference's Avro manifest serde,
+  spec/avro.go:91-534, is storage detail we deliberately do not copy.)
+- snapshot ids are random 63-bit ints — fixing the reference's collision-prone
+  wall-clock-nanos ids (reference: table/table.go:301, SURVEY §2.6.8).
+
+File statistics are keyed by FIELD ID, not name (reference: spec/manifest.go:
+121-136), so schema renames never invalidate pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+import time
+import uuid as uuid_mod
+from dataclasses import dataclass, field as dc_field, replace
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..errors import CommitConflictError, NoSuchSnapshotError, ValidationError
+from ..schema import Schema, schema_from_json, schema_to_json
+
+FORMAT_VERSION = 1
+MAIN_BRANCH = "main"
+
+# snapshot operations (reference: spec/snapshot.go:12-17)
+OP_APPEND = "append"
+OP_REPLACE = "replace"
+OP_OVERWRITE = "overwrite"
+OP_DELETE = "delete"
+
+# manifest entry content (reference: spec/manifest.go:101-104)
+CONTENT_DATA = 0
+CONTENT_POSITION_DELETES = 1
+CONTENT_EQUALITY_DELETES = 2
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One partition field (reference: spec/partition.go:22-33).
+
+    ``transform`` ∈ identity | bucket[N] | truncate[W] | year | month | day |
+    hour | void (reference: spec/partition.go:11-19).
+    """
+
+    source_id: int  # field id of the source column
+    field_id: int  # partition field id, allocated from 1000 (reference: spec/partition.go:92-99)
+    transform: str
+    name: str
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    spec_id: int
+    fields: tuple[PartitionField, ...] = ()
+
+    def to_json(self) -> dict:
+        return {
+            "spec-id": self.spec_id,
+            "fields": [
+                {"source-id": f.source_id, "field-id": f.field_id, "transform": f.transform, "name": f.name}
+                for f in self.fields
+            ],
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "PartitionSpec":
+        return PartitionSpec(
+            j["spec-id"],
+            tuple(PartitionField(f["source-id"], f["field-id"], f["transform"], f["name"]) for f in j["fields"]),
+        )
+
+
+UNPARTITIONED = PartitionSpec(0, ())
+
+
+@dataclass(frozen=True)
+class SortField:
+    """Sort-order field (reference: spec/metadata.go:16-44). Metadata that the
+    write path actually honors via sortWithinPartitions (unlike the reference,
+    which never executes sort orders — SURVEY §2.5)."""
+
+    source_id: int
+    transform: str = "identity"
+    direction: str = "asc"  # asc | desc
+    null_order: str = "nulls-first"
+
+
+@dataclass(frozen=True)
+class SortOrder:
+    order_id: int
+    fields: tuple[SortField, ...] = ()
+
+    def to_json(self) -> dict:
+        return {
+            "order-id": self.order_id,
+            "fields": [
+                {"source-id": f.source_id, "transform": f.transform, "direction": f.direction, "null-order": f.null_order}
+                for f in self.fields
+            ],
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "SortOrder":
+        return SortOrder(
+            j["order-id"],
+            tuple(SortField(f["source-id"], f["transform"], f["direction"], f["null-order"]) for f in j["fields"]),
+        )
+
+
+UNSORTED = SortOrder(0, ())
+
+
+@dataclass(frozen=True)
+class DataFileEntry:
+    """One data / delete file in a manifest (reference: spec/manifest.go:101-149).
+
+    ``column_stats`` maps field-id → {"min": enc, "max": enc, "null_count": n,
+    "value_count": n} with an order-preserving JSON encoding per type (see
+    ``write.py``). Real stats, unlike the reference's approximations
+    (reference: table/writer.go:144-166 — sizes = filesize/ncols, empty bounds).
+    """
+
+    content: int  # CONTENT_*
+    file_path: str
+    file_format: str  # "parquet"
+    spec_id: int
+    schema_id: int
+    record_count: int
+    file_size: int
+    partition: dict[str, Any]  # partition field name -> encoded value
+    column_stats: dict[int, dict[str, Any]]
+    sequence_number: int
+    equality_ids: tuple[int, ...] = ()
+
+
+_MANIFEST_ARROW_SCHEMA = pa.schema(
+    [
+        ("content", pa.int32()),
+        ("file_path", pa.string()),
+        ("file_format", pa.string()),
+        ("spec_id", pa.int32()),
+        ("schema_id", pa.int32()),
+        ("record_count", pa.int64()),
+        ("file_size", pa.int64()),
+        ("partition_json", pa.string()),
+        ("stats_json", pa.string()),
+        ("sequence_number", pa.int64()),
+        ("equality_ids_json", pa.string()),
+    ]
+)
+
+
+def write_manifest(path: str, entries: list[DataFileEntry]) -> None:
+    """Write a manifest parquet file (replaces Avro serde, spec/avro.go:91-534)."""
+    cols: dict[str, list] = {n: [] for n in _MANIFEST_ARROW_SCHEMA.names}
+    for e in entries:
+        cols["content"].append(e.content)
+        cols["file_path"].append(e.file_path)
+        cols["file_format"].append(e.file_format)
+        cols["spec_id"].append(e.spec_id)
+        cols["schema_id"].append(e.schema_id)
+        cols["record_count"].append(e.record_count)
+        cols["file_size"].append(e.file_size)
+        cols["partition_json"].append(json.dumps(e.partition))
+        cols["stats_json"].append(json.dumps({str(k): v for k, v in e.column_stats.items()}))
+        cols["sequence_number"].append(e.sequence_number)
+        cols["equality_ids_json"].append(json.dumps(list(e.equality_ids)))
+    table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, compression="snappy")
+
+
+def read_manifest(path: str) -> list[DataFileEntry]:
+    """Driver-side manifest read (small/medium tables). Large tables can read
+    the same file as a Spark DataFrame and prune distributively."""
+    t = pq.read_table(path)
+    out: list[DataFileEntry] = []
+    d = t.to_pydict()
+    for i in range(t.num_rows):
+        out.append(
+            DataFileEntry(
+                content=d["content"][i],
+                file_path=d["file_path"][i],
+                file_format=d["file_format"][i],
+                spec_id=d["spec_id"][i],
+                schema_id=d["schema_id"][i],
+                record_count=d["record_count"][i],
+                file_size=d["file_size"][i],
+                partition=json.loads(d["partition_json"][i]),
+                column_stats={int(k): v for k, v in json.loads(d["stats_json"][i]).items()},
+                sequence_number=d["sequence_number"][i],
+                equality_ids=tuple(json.loads(d["equality_ids_json"][i])),
+            )
+        )
+    return out
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """Snapshot (reference: spec/snapshot.go:43-51) with summary counters
+    (reference: spec/snapshot.go:20-40) — including the removed-* counts the
+    reference never fills in (SURVEY §2.5 snapshot builder note)."""
+
+    snapshot_id: int
+    parent_snapshot_id: int | None
+    sequence_number: int
+    timestamp_ms: int
+    operation: str  # OP_*
+    manifest_path: str  # relative to table location
+    schema_id: int
+    summary: dict[str, str] = dc_field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot-id": self.snapshot_id,
+            "parent-snapshot-id": self.parent_snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest": self.manifest_path,
+            "schema-id": self.schema_id,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "Snapshot":
+        return Snapshot(
+            j["snapshot-id"], j.get("parent-snapshot-id"), j["sequence-number"], j["timestamp-ms"],
+            j["operation"], j["manifest"], j["schema-id"], j.get("summary", {}),
+        )
+
+
+@dataclass(frozen=True)
+class SnapshotRef:
+    """Branch/tag ref with retention knobs (reference: spec/snapshot.go:64-70)."""
+
+    snapshot_id: int
+    type: str = "branch"  # branch | tag
+    min_snapshots_to_keep: int | None = None
+    max_snapshot_age_ms: int | None = None
+
+    def to_json(self) -> dict:
+        out: dict[str, Any] = {"snapshot-id": self.snapshot_id, "type": self.type}
+        if self.min_snapshots_to_keep is not None:
+            out["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            out["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        return out
+
+    @staticmethod
+    def from_json(j: dict) -> "SnapshotRef":
+        return SnapshotRef(j["snapshot-id"], j.get("type", "branch"), j.get("min-snapshots-to-keep"), j.get("max-snapshot-age-ms"))
+
+
+def new_snapshot_id() -> int:
+    """Random 63-bit id (fixes reference's wall-clock ids, table/table.go:301)."""
+    return secrets.randbits(62) + 1
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+@dataclass(frozen=True)
+class TableMetadata:
+    """Full table metadata (reference: spec/metadata.go:55-78)."""
+
+    table_uuid: str
+    location: str
+    schemas: tuple[Schema, ...]
+    current_schema_id: int
+    partition_specs: tuple[PartitionSpec, ...]
+    default_spec_id: int
+    sort_orders: tuple[SortOrder, ...]
+    default_sort_order_id: int
+    properties: dict[str, str]
+    snapshots: tuple[Snapshot, ...]
+    current_snapshot_id: int | None
+    snapshot_log: tuple[dict, ...]  # {"timestamp-ms", "snapshot-id"} (reference: spec/snapshot.go:73-76)
+    metadata_log: tuple[dict, ...]
+    refs: dict[str, SnapshotRef]
+    last_sequence_number: int = 0
+    last_updated_ms: int = 0
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def current_schema(self) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == self.current_schema_id:
+                return s
+        raise ValidationError(f"current schema {self.current_schema_id} not found")
+
+    def schema_by_id(self, sid: int) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == sid:
+                return s
+        raise ValidationError(f"schema {sid} not found")
+
+    @property
+    def default_spec(self) -> PartitionSpec:
+        for s in self.partition_specs:
+            if s.spec_id == self.default_spec_id:
+                return s
+        return UNPARTITIONED
+
+    @property
+    def default_sort_order(self) -> SortOrder:
+        for s in self.sort_orders:
+            if s.order_id == self.default_sort_order_id:
+                return s
+        return UNSORTED
+
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def snapshot_by_id(self, sid: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise NoSuchSnapshotError(f"snapshot {sid} not found")
+
+    def snapshot_at(self, ts_ms: int) -> Snapshot:
+        """Latest snapshot with timestamp_ms <= ts (reference: table/table.go:98-121)."""
+        best: Snapshot | None = None
+        for s in self.snapshots:
+            if s.timestamp_ms <= ts_ms and (best is None or s.timestamp_ms > best.timestamp_ms):
+                best = s
+        if best is None:
+            raise NoSuchSnapshotError(f"no snapshot at or before {ts_ms}")
+        return best
+
+    # -- serde -------------------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "schemas": [schema_to_json(s) for s in self.schemas],
+            "current-schema-id": self.current_schema_id,
+            "partition-specs": [s.to_json() for s in self.partition_specs],
+            "default-spec-id": self.default_spec_id,
+            "sort-orders": [s.to_json() for s in self.sort_orders],
+            "default-sort-order-id": self.default_sort_order_id,
+            "properties": self.properties,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "current-snapshot-id": self.current_snapshot_id,
+            "snapshot-log": list(self.snapshot_log),
+            "metadata-log": list(self.metadata_log),
+            "refs": {k: v.to_json() for k, v in self.refs.items()},
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=j["table-uuid"],
+            location=j["location"],
+            schemas=tuple(schema_from_json(s) for s in j["schemas"]),
+            current_schema_id=j["current-schema-id"],
+            partition_specs=tuple(PartitionSpec.from_json(s) for s in j["partition-specs"]),
+            default_spec_id=j["default-spec-id"],
+            sort_orders=tuple(SortOrder.from_json(s) for s in j.get("sort-orders", [])),
+            default_sort_order_id=j.get("default-sort-order-id", 0),
+            properties=j.get("properties", {}),
+            snapshots=tuple(Snapshot.from_json(s) for s in j.get("snapshots", [])),
+            current_snapshot_id=j.get("current-snapshot-id"),
+            snapshot_log=tuple(j.get("snapshot-log", [])),
+            metadata_log=tuple(j.get("metadata-log", [])),
+            refs={k: SnapshotRef.from_json(v) for k, v in j.get("refs", {}).items()},
+            last_sequence_number=j.get("last-sequence-number", 0),
+            last_updated_ms=j.get("last-updated-ms", 0),
+        )
+
+    @staticmethod
+    def new(location: str, schema: Schema, spec: PartitionSpec = UNPARTITIONED,
+            sort_order: SortOrder = UNSORTED, properties: dict[str, str] | None = None) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=str(uuid_mod.uuid4()),
+            location=location,
+            schemas=(schema,),
+            current_schema_id=schema.schema_id,
+            partition_specs=(spec,),
+            default_spec_id=spec.spec_id,
+            sort_orders=(sort_order,),
+            default_sort_order_id=sort_order.order_id,
+            properties=properties or {},
+            snapshots=(),
+            current_snapshot_id=None,
+            snapshot_log=(),
+            metadata_log=(),
+            refs={},
+            last_sequence_number=0,
+            last_updated_ms=now_ms(),
+        )
+
+    def with_snapshot(self, snap: Snapshot, ref: str = MAIN_BRANCH) -> "TableMetadata":
+        refs = dict(self.refs)
+        refs[ref] = SnapshotRef(snap.snapshot_id, "branch")
+        md = replace(
+            self,
+            snapshots=self.snapshots + (snap,),
+            snapshot_log=self.snapshot_log + ({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snap.snapshot_id},),
+            last_sequence_number=max(self.last_sequence_number, snap.sequence_number),
+            last_updated_ms=now_ms(),
+            refs=refs,
+        )
+        if ref == MAIN_BRANCH:
+            md = replace(md, current_snapshot_id=snap.snapshot_id)
+        return md
+
+
+# ---------------------------------------------------------------------------
+# Filesystem commit protocol
+# ---------------------------------------------------------------------------
+
+
+def metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _version_of(name: str) -> int | None:
+    if name.startswith("v") and name.endswith(".metadata.json"):
+        try:
+            return int(name[1 : -len(".metadata.json")])
+        except ValueError:
+            return None
+    return None
+
+
+def current_metadata_version(location: str) -> int:
+    """Highest committed version, 0 if none."""
+    mdir = metadata_dir(location)
+    if not os.path.isdir(mdir):
+        return 0
+    best = 0
+    for name in os.listdir(mdir):
+        v = _version_of(name)
+        if v is not None and v > best:
+            best = v
+    return best
+
+
+def load_metadata(location: str) -> tuple[TableMetadata, int]:
+    v = current_metadata_version(location)
+    if v == 0:
+        raise ValidationError(f"no metadata at {location}")
+    path = os.path.join(metadata_dir(location), f"v{v}.metadata.json")
+    with open(path) as f:
+        return TableMetadata.from_json(json.load(f)), v
+
+
+def commit_metadata(location: str, md: TableMetadata, expected_version: int) -> int:
+    """Atomically commit metadata as version ``expected_version + 1``.
+
+    Exclusive-create ("x" mode) provides the optimistic-concurrency check the
+    reference delegates to REST assert-ref-snapshot-id requirements
+    (reference: table/table.go:163-176). On collision raises the retryable
+    CommitConflictError (reference: errors.go:115-123).
+    """
+    mdir = metadata_dir(location)
+    os.makedirs(mdir, exist_ok=True)
+    new_v = expected_version + 1
+    path = os.path.join(mdir, f"v{new_v}.metadata.json")
+    md = replace(
+        md,
+        metadata_log=md.metadata_log + ({"timestamp-ms": now_ms(), "metadata-file": f"v{expected_version}.metadata.json"},)
+        if expected_version > 0
+        else md.metadata_log,
+    )
+    try:
+        with open(path, "x") as f:
+            json.dump(md.to_json(), f, indent=1)
+    except FileExistsError as e:
+        raise CommitConflictError(f"metadata version {new_v} already committed at {location}") from e
+    # best-effort current pointer (readers use the version listing as truth)
+    try:
+        with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+            f.write(str(new_v))
+    except OSError:
+        pass
+    return new_v

@@ -1,0 +1,342 @@
+"""Row-level mutations: delete (copy-on-write & merge-on-read), update,
+upsert/MERGE — the reference's CRUD family re-expressed as Spark jobs.
+
+Reference behavior being re-expressed (and fixed where buggy):
+- CoW delete: per matching file, read → drop matching rows → write replacement,
+  swap in one snapshot (reference: table/delete.go:83-183). Here: ONE Spark job
+  reads only the stats-pruned candidate files, keeps non-matching rows, writes
+  replacements; untouched files are never read — the pruning the reference
+  stubs (table/insert.go:262-266) is what makes this viable at 100 TB.
+- MoR delete: write position-delete files listing (file_path, pos) of matching
+  rows (reference: table/delete.go:401-491); the scan side actually applies
+  them (scan.py), unlike the reference (SURVEY §2.6.4).
+- Update = CoW rewrite with new values on matching rows (reference:
+  table/update.go:31-238).
+- Upsert = MERGE with null-safe key equality — fixing the reference's
+  stringified composite key (fmt.Sprintf("%v"), collision-prone and
+  null-unsafe, reference: table/update.go:581-593, SURVEY §2.6.6). The
+  reference's upsert is its only join (hash key-match, table/update.go:
+  384-390); here it is a real Spark join with broadcast/AQE planning.
+
+All mutations follow the same shape: plan candidate files from manifest stats
+(metadata-only), run one distributed job over candidates, commit one snapshot
+swapping old files for new. Sequence numbers order MoR deletes vs data.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ValidationError
+from ..expr import Expression, might_match, simplify, to_column
+from .metadata import (
+    CONTENT_DATA,
+    CONTENT_POSITION_DELETES,
+    OP_DELETE,
+    OP_OVERWRITE,
+    OP_REPLACE,
+    DataFileEntry,
+)
+from .scan import _encode_filter, _stats_for_pruning, _align_to_schema
+from .write import write_data_files
+
+COPY_ON_WRITE = "copy-on-write"  # reference: table/delete.go:17-25
+MERGE_ON_READ = "merge-on-read"
+
+
+def _split_candidates(table, filter_: Expression) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """Stats-prune live data files into (candidates, untouched)."""
+    md = table.metadata
+    enc = _encode_filter(simplify(filter_), md.current_schema)
+    candidates: list[DataFileEntry] = []
+    untouched: list[DataFileEntry] = []
+    for e in table.live_entries():
+        if e.content != CONTENT_DATA:
+            continue  # superseded MoR deletes are compacted away by rewrites
+        if might_match(enc, _stats_for_pruning(e, md.current_schema)):
+            candidates.append(e)
+        else:
+            untouched.append(e)
+    return candidates, untouched
+
+
+def _other_deletes(table) -> list[DataFileEntry]:
+    return [e for e in table.live_entries() if e.content != CONTENT_DATA]
+
+
+def _read_candidates(table, candidates: list[DataFileEntry]) -> DataFrame:
+    """Read candidate files aligned to the current schema, with existing MoR
+    deletes applied so a CoW rewrite also compacts them."""
+    from .scan import FileScanTask, ScanBuilder
+
+    md = table.metadata
+    sb = ScanBuilder(table)
+    dels = _other_deletes(table)
+    groups: dict[int, list[DataFileEntry]] = {}
+    for e in candidates:
+        groups.setdefault(e.schema_id, []).append(e)
+    parts = []
+    for sid, es in groups.items():
+        file_schema = md.schema_by_id(sid) if any(s.schema_id == sid for s in md.schemas) else md.current_schema
+        paths = [e.file_path for e in es]
+        raw = table.spark.read.parquet(*paths)
+        applicable = [d for d in dels if any(
+            (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
+            or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
+            for e in es
+        )]
+        raw = sb._apply_deletes(table.spark, raw, applicable, file_schema, paths)
+        parts.append(_align_to_schema(raw, file_schema, md.current_schema))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
+    """Shared CoW machinery: rewrite candidate files without matching rows;
+    return the full surviving live-entry set (untouched + rewritten),
+    WITHOUT committing. (reference: table/delete.go:142-183 per-file loop →
+    one distributed job here)."""
+    candidates, untouched = _split_candidates(table, filter_)
+    if not candidates:
+        return table.live_entries()
+    md = table.metadata
+    seq = table._next_sequence()
+    survivors_df = _read_candidates(table, candidates).filter(~to_column(filter_) | to_column(filter_).isNull())
+    new_files = write_data_files(
+        table.spark, survivors_df, table.location, md.current_schema, md.default_spec,
+        md.default_sort_order, md.current_schema_id, seq,
+    )
+    # rewritten files have deletes applied; keep delete files only for untouched data
+    remaining_deletes = _deletes_still_needed(table, untouched)
+    return untouched + remaining_deletes + new_files
+
+
+def _deletes_still_needed(table, data_entries: list[DataFileEntry]) -> list[DataFileEntry]:
+    """Keep MoR delete files only while some live data file can still be
+    affected by them (sequence-number rules as in scan planning)."""
+    out = []
+    for d in _other_deletes(table):
+        if any(
+            (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
+            or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
+            for e in data_entries
+        ):
+            out.append(d)
+    return out
+
+
+def delete(table, filter_: Expression, mode: str = COPY_ON_WRITE):
+    """DELETE FROM … WHERE filter (reference: table/delete.go:56-79 dispatch)."""
+    if mode == COPY_ON_WRITE:
+        entries = rewrite_for_delete(table, filter_)
+        return table._commit_snapshot(OP_DELETE, entries)
+    if mode == MERGE_ON_READ:
+        return _delete_merge_on_read(table, filter_)
+    raise ValidationError(f"unknown delete mode {mode!r}")
+
+
+def _delete_merge_on_read(table, filter_: Expression):
+    """Write position-delete files for matching rows (reference:
+    table/delete.go:401-491). Positions come from Spark's _metadata.row_index
+    — computed distributively, not the reference's driver row loop."""
+    candidates, _untouched = _split_candidates(table, filter_)
+    if not candidates:
+        return table._commit_snapshot(OP_DELETE, table.live_entries())
+    md = table.metadata
+    seq = table._next_sequence()
+
+    groups: dict[int, list[DataFileEntry]] = {}
+    for e in candidates:
+        groups.setdefault(e.schema_id, []).append(e)
+    parts = []
+    for sid, es in groups.items():
+        file_schema = md.schema_by_id(sid) if any(s.schema_id == sid for s in md.schemas) else md.current_schema
+        raw = table.spark.read.parquet(*[e.file_path for e in es])
+        aligned = _align_with_pos(raw, file_schema, md)
+        parts.append(aligned)
+    all_rows = parts[0]
+    for p in parts[1:]:
+        all_rows = all_rows.unionByName(p)
+
+    # position-delete schema (file_path, pos) — reference: table/writer.go:290-293
+    deletes_df = (
+        all_rows.filter(to_column(filter_))
+        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        .orderBy("file_path", "pos")
+    )
+    del_files = write_data_files(
+        table.spark, deletes_df, table.location,
+        _pos_delete_schema(), md.default_spec.__class__(md.default_spec.spec_id, ()),  # unpartitioned
+        None, md.current_schema_id, seq, content=CONTENT_POSITION_DELETES, subdir="deletes",
+    )
+    return table._commit_snapshot(OP_DELETE, table.live_entries() + del_files)
+
+
+def _pos_delete_schema():
+    from ..schema import LONG, STRING, NestedField, Schema, StructType
+
+    return Schema(-1, StructType((
+        NestedField(2147483546, "file_path", STRING, True),
+        NestedField(2147483545, "pos", LONG, True),
+    )))
+
+
+def _align_with_pos(raw: DataFrame, file_schema, md) -> DataFrame:
+    """Align to current schema while carrying (_file, _pos) from _metadata."""
+    with_meta = raw.withColumn(
+        "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    ).withColumn("_pos", F.col("_metadata.row_index"))
+    aligned = _align_to_schema(with_meta, file_schema, md.current_schema)
+    # _align_to_schema dropped the meta cols via select; redo with them kept
+    cols = [c for c in aligned.columns]
+    return _align_to_schema_keep(with_meta, file_schema, md.current_schema)
+
+
+def _align_to_schema_keep(df: DataFrame, file_schema, current) -> DataFrame:
+    from ..schema import to_spark_type
+
+    cols = []
+    for f in current.fields:
+        old = file_schema.find_field_by_id(f.field_id)
+        spark_t = to_spark_type(f.type)
+        if old is not None and old.name in df.columns:
+            cols.append(F.col(old.name).cast(spark_t).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+    cols += [F.col("_file"), F.col("_pos")]
+    return df.select(*cols)
+
+
+def update(table, filter_: Expression, assignments: dict[str, Any]):
+    """UPDATE … SET … WHERE … as CoW rewrite (reference: table/update.go:31-238).
+
+    Like the reference, rewrite is at file granularity: non-matching rows of a
+    candidate file are rewritten unchanged (SURVEY §2.6.7) — but in one
+    distributed job with a vectorized CASE WHEN instead of a per-row driver
+    loop."""
+    md = table.metadata
+    for c in assignments:
+        if md.current_schema.find_field(c) is None:
+            raise ValidationError(f"unknown column {c!r} in update")
+    candidates, untouched = _split_candidates(table, filter_)
+    if not candidates:
+        return table._commit_snapshot(OP_REPLACE, table.live_entries())
+    seq = table._next_sequence()
+    df = _read_candidates(table, candidates)
+    cond = to_column(filter_)
+    from pyspark.sql import Column as _Col
+
+    for c, v in assignments.items():
+        val = v if isinstance(v, _Col) else F.lit(v)
+        field_type = to_spark_field_type(md.current_schema, c)
+        df = df.withColumn(c, F.when(cond, val.cast(field_type)).otherwise(F.col(c)))
+    new_files = write_data_files(
+        table.spark, df, table.location, md.current_schema, md.default_spec,
+        md.default_sort_order, md.current_schema_id, seq,
+    )
+    remaining_deletes = _deletes_still_needed(table, untouched)
+    return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
+
+
+def to_spark_field_type(schema, name: str):
+    from ..schema import to_spark_type
+
+    return to_spark_type(schema.find_field(name).type)
+
+
+def upsert(table, source: DataFrame, key_columns: list[str]):
+    """Upsert = MERGE matched→update-all, not-matched→insert
+    (reference: table/update.go:360-459)."""
+    return merge(table, source, key_columns, when_matched_update="*", when_not_matched_insert=True)
+
+
+def merge(table, source: DataFrame, on: list[str], *,
+          when_matched_update: dict[str, Any] | str | None = "*",
+          when_not_matched_insert: bool = True,
+          when_matched_delete: bool = False):
+    """MERGE INTO over the table, null-safe on composite keys.
+
+    Plan (shuffle-bounded at 100 TB):
+    1. metadata prune: candidate files = live files whose key-column stats
+       intersect the source's key min/max (computed by one tiny Spark agg);
+    2. one join job over candidates ⨝ source (AQE decides broadcast vs SMJ);
+    3. rewritten candidates + untouched files + appended new-key rows commit
+       as one snapshot.
+    """
+    md = table.metadata
+    schema = md.current_schema
+    for k in on:
+        if schema.find_field(k) is None:
+            raise ValidationError(f"merge key {k!r} not in schema")
+    if when_matched_delete and when_matched_update:
+        raise ValidationError("choose either matched-update or matched-delete")
+
+    # align source columns to table schema (names must exist)
+    src_cols = [f.name for f in schema.fields if f.name in source.columns]
+    missing_keys = [k for k in on if k not in source.columns]
+    if missing_keys:
+        raise ValidationError(f"source missing key columns {missing_keys}")
+    from ..schema import to_spark_type as _tst
+
+    source = source.select(*[
+        (F.col(f.name) if f.name in source.columns else F.lit(None)).cast(_tst(f.type)).alias(f.name)
+        for f in schema.fields
+    ])
+
+    # 1. prune candidates by source key ranges (one small agg job)
+    key_bounds = source.agg(
+        *[F.min(k).alias(f"_min_{k}") for k in on], *[F.max(k).alias(f"_max_{k}") for k in on]
+    ).collect()[0]
+    from ..expr import and_, col as ecol, ALWAYS_TRUE as _TRUE
+
+    prune_expr = _TRUE
+    for k in on:
+        lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
+        if lo is not None and hi is not None:
+            prune_expr = and_(prune_expr, ecol(k).between(lo, hi))
+    candidates, untouched = _split_candidates(table, prune_expr)
+    seq = table._next_sequence()
+
+    target = _read_candidates(table, candidates) if candidates else table.spark.createDataFrame([], table.spark_schema())
+
+    # 2. the join: null-safe equality on keys (fix of SURVEY §2.6.6);
+    # explicit _exists flags make matched/not-matched tests null-proof
+    target = target.withColumn("_t_exists", F.lit(True))
+    source = source.withColumn("_s_exists", F.lit(True))
+    joined = target.alias("t").join(source.alias("s"), on=[target[k].eqNullSafe(source[k]) for k in on], how="full_outer")
+
+    out_cols = []
+    for f in schema.fields:
+        t_c, s_c = F.col(f"t.{f.name}"), F.col(f"s.{f.name}")
+        if when_matched_update == "*":
+            val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), s_c) \
+                   .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+        elif isinstance(when_matched_update, dict) and f.name in when_matched_update:
+            from pyspark.sql import Column as _C
+
+            upd = when_matched_update[f.name]
+            upd_c = upd if isinstance(upd, _C) else F.lit(upd)
+            val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), upd_c) \
+                   .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+        else:
+            val = F.when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+        out_cols.append(val.cast(_tst(f.type)).alias(f.name))
+
+    result = joined
+    if when_matched_delete:
+        result = result.filter(~(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()))
+    if not when_not_matched_insert:
+        result = result.filter(F.col("t._t_exists").isNotNull())
+    result = result.select(*out_cols)
+
+    new_files = write_data_files(
+        table.spark, result, table.location, schema, md.default_spec,
+        md.default_sort_order, md.current_schema_id, seq,
+    )
+    remaining_deletes = _deletes_still_needed(table, untouched)
+    return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files)

@@ -1,0 +1,311 @@
+"""Scan path: snapshot resolution → manifest pruning → DataFrame.
+
+Re-expresses the reference's scan builder (reference: table/scan.go:16-98
+builder + snapshot resolution, :101-190 manifest-driven file planning) with
+the parts the reference left as stubs made real:
+
+- ``to_df()`` actually materializes (the reference's ToArrowTable returns an
+  empty table, reference: table/scan.go:202-216 TODO);
+- file pruning really evaluates the filter against per-file column stats and
+  identity-partition values (the reference's fileMightMatch/manifestMightMatch
+  always return true, reference: table/insert.go:255-266);
+- merge-on-read position deletes ARE applied, via a broadcast anti-join on
+  (file_path, row position) using Spark's ``_metadata.file_path`` /
+  ``_metadata.row_index`` hidden columns — the reference writes position
+  deletes but never applies them on scan (reference: table/scan.go:146-149,
+  SURVEY §2.6.4);
+- schema evolution: files written under older schemas are aligned to the
+  current schema by FIELD ID (rename-safe, type-widening casts, dropped/added
+  columns), then unioned.
+
+Scale notes: pruning is metadata-only (no data I/O); the files that survive
+are handed to one ``spark.read.parquet(*files)`` so Catalyst still performs
+predicate pushdown, column pruning, and vectorized reads within each file;
+delete files are typically tiny → broadcast anti-joins, no shuffle of the
+data side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import NoSuchSnapshotError
+from ..expr import ALWAYS_TRUE, ColumnStats, Expression, might_match, simplify, to_column
+from ..schema import Schema, to_spark_type
+from .metadata import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    DataFileEntry,
+    Snapshot,
+    TableMetadata,
+    read_manifest,
+)
+from .write import encode_literal
+
+POS_DELETE_FILE_COL = "file_path"  # position-delete schema (reference: table/writer.go:290-293)
+POS_DELETE_POS_COL = "pos"
+
+
+@dataclass
+class FileScanTask:
+    """Planned file (reference: table/scan.go:193-199) — with delete files
+    actually attached, unlike the reference (SURVEY §2.6.4)."""
+
+    file: DataFileEntry
+    delete_files: list[DataFileEntry] = dc_field(default_factory=list)
+
+
+def _stats_for_pruning(entry: DataFileEntry, schema: Schema) -> dict[str, ColumnStats]:
+    """Column-name-keyed stats view for ``might_match`` (names resolved from
+    field ids against the CURRENT schema, so renames don't break pruning)."""
+    out: dict[str, ColumnStats] = {}
+    for fid, s in entry.column_stats.items():
+        f = schema.find_field_by_id(fid)
+        if f is None:
+            continue
+        out[f.name] = ColumnStats(
+            min=s.get("min"), max=s.get("max"), null_count=s.get("null_count"), value_count=s.get("value_count")
+        )
+    return out
+
+
+def _encode_filter(e: Expression, schema: Schema) -> Expression:
+    """Encode filter literals into stats space (timestamps→µs etc.)."""
+    t = schema.find_field(e.column).type if e.column and schema.find_field(e.column) else None
+    return Expression(
+        op=e.op,
+        column=e.column,
+        value=encode_literal(e.value, t) if e.value is not None else None,
+        values=tuple(encode_literal(v, t) for v in e.values),
+        children=tuple(_encode_filter(c, schema) for c in e.children),
+    )
+
+
+class ScanBuilder:
+    """Fluent scan (reference: table/scan.go:16-77).
+
+    ``use_snapshot`` / ``as_of`` give time travel (reference: table/scan.go:
+    80-98: as-of beats snapshot-id beats current)."""
+
+    def __init__(self, table: "Table"):  # noqa: F821 - forward ref to table.py
+        self._table = table
+        self._snapshot_id: int | None = None
+        self._as_of: dt.datetime | int | None = None
+        self._filter: Expression = ALWAYS_TRUE
+        self._selected: list[str] | None = None
+        self._limit: int | None = None
+        self._case_sensitive = True
+
+    # -- builder ----------------------------------------------------------
+    def use_snapshot(self, snapshot_id: int) -> "ScanBuilder":
+        self._snapshot_id = snapshot_id
+        return self
+
+    def as_of(self, ts: dt.datetime | int) -> "ScanBuilder":
+        self._as_of = ts
+        return self
+
+    def filter(self, expr: Expression) -> "ScanBuilder":
+        from ..expr import and_
+
+        self._filter = and_(self._filter, expr)
+        return self
+
+    def select(self, *cols: str) -> "ScanBuilder":
+        self._selected = list(cols)
+        return self
+
+    def limit(self, n: int) -> "ScanBuilder":
+        self._limit = n
+        return self
+
+    def case_sensitive(self, flag: bool) -> "ScanBuilder":
+        self._case_sensitive = flag
+        return self
+
+    # -- planning ---------------------------------------------------------
+    def _resolve_snapshot(self) -> Snapshot | None:
+        """as-of > snapshot-id > current; None for empty table
+        (reference: table/scan.go:80-98)."""
+        md = self._table.metadata
+        if self._as_of is not None:
+            ts = self._as_of
+            if isinstance(ts, dt.datetime):
+                ts = int(ts.timestamp() * 1000)
+            return md.snapshot_at(ts)
+        if self._snapshot_id is not None:
+            return md.snapshot_by_id(self._snapshot_id)
+        return md.current_snapshot()
+
+    def plan_files(self) -> list[FileScanTask]:
+        """Manifest-driven planning with real stats pruning
+        (reference: table/scan.go:101-190, pruning stubs made real)."""
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return []
+        entries = self._table.manifest_entries(snap)
+        md = self._table.metadata
+        flt = simplify(self._filter)
+
+        data_files = [e for e in entries if e.content == CONTENT_DATA]
+        pos_deletes = [e for e in entries if e.content == CONTENT_POSITION_DELETES]
+        eq_deletes = [e for e in entries if e.content == CONTENT_EQUALITY_DELETES]
+
+        enc = _encode_filter(flt, md.current_schema)
+        tasks: list[FileScanTask] = []
+        for e in data_files:
+            if not might_match(enc, _stats_for_pruning(e, md.current_schema)):
+                continue
+            dels = [d for d in pos_deletes if d.sequence_number >= e.sequence_number]
+            dels += [d for d in eq_deletes if d.sequence_number > e.sequence_number]
+            tasks.append(FileScanTask(e, dels))
+        return tasks
+
+    # -- execution --------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        """Materialize the scan as a DataFrame (the reference's stubbed
+        ToArrowTable, table/scan.go:202-216, made real)."""
+        spark = self._table.spark
+        md = self._table.metadata
+        tasks = self.plan_files()
+        cur_schema = md.current_schema
+        spark_schema = to_spark_type(cur_schema.struct)
+
+        if not tasks:
+            df = spark.createDataFrame([], spark_schema)
+        else:
+            df = self._read_aligned(spark, md, tasks)
+
+        if self._filter is not ALWAYS_TRUE:
+            df = df.filter(to_column(self._filter))
+        if self._selected:
+            if not self._case_sensitive:
+                lower = {f.name.lower(): f.name for f in cur_schema.fields}
+                cols = [lower.get(c.lower(), c) for c in self._selected]
+            else:
+                cols = self._selected
+            df = df.select(*cols)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+    def _read_aligned(self, spark: SparkSession, md: TableMetadata, tasks: list[FileScanTask]) -> DataFrame:
+        """Read planned files grouped by writer schema, align to the current
+        schema by field id, apply MoR deletes, union."""
+        cur = md.current_schema
+
+        # group data files by (schema_id, applicable delete-file set)
+        groups: dict[tuple, list[FileScanTask]] = {}
+        for t in tasks:
+            key = (t.file.schema_id, tuple(sorted(d.file_path for d in t.delete_files)))
+            groups.setdefault(key, []).append(t)
+
+        parts: list[DataFrame] = []
+        for (schema_id, _del_key), ts in groups.items():
+            file_schema = md.schema_by_id(schema_id) if _has_schema(md, schema_id) else cur
+            paths = [t.file.file_path for t in ts]
+            dels = ts[0].delete_files
+            raw = spark.read.parquet(*paths)
+            raw = self._apply_deletes(spark, raw, dels, file_schema, paths)
+            parts.append(_align_to_schema(raw, file_schema, cur))
+
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _apply_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        delete_files: list[DataFileEntry],
+        file_schema: Schema,
+        data_paths: list[str],
+    ) -> DataFrame:
+        if not delete_files:
+            return df
+        pos = [d for d in delete_files if d.content == CONTENT_POSITION_DELETES]
+        eq = [d for d in delete_files if d.content == CONTENT_EQUALITY_DELETES]
+
+        if pos:
+            # (file, row_index) anti-join; Spark's hidden _metadata column
+            # gives a "file:///..." URI — normalize to the manifest's plain path.
+            deletes = spark.read.parquet(*[d.file_path for d in pos]).select(
+                F.regexp_replace(F.col(POS_DELETE_FILE_COL), "^file:(//)?", "").alias("_del_file"),
+                F.col(POS_DELETE_POS_COL).alias("_del_pos"),
+            )
+            df = (
+                df.withColumn("_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""))
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(deletes),
+                    on=[F.col("_file") == F.col("_del_file"), F.col("_pos") == F.col("_del_pos")],
+                    how="left_anti",
+                )
+                .drop("_file", "_pos")
+            )
+        for d in eq:
+            # equality delete: drop rows whose key tuple appears in the delete
+            # file (null-safe), only for data written before the delete
+            # (sequence filtering already done at planning time).
+            key_cols = []
+            for fid in d.equality_ids:
+                f = file_schema.find_field_by_id(fid)
+                if f is not None:
+                    key_cols.append(f.name)
+            if not key_cols:
+                continue
+            del_df = spark.read.parquet(d.file_path).select(*key_cols)
+            cond = [df[c].eqNullSafe(del_df[c]) for c in key_cols]
+            df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
+        return df
+
+    # -- counts -----------------------------------------------------------
+    def count(self) -> int:
+        """Exact filtered count via Spark (SURVEY §2.6.3 fix)."""
+        return self.to_df().count()
+
+    def metadata_count(self) -> int:
+        """The reference's Count: sum of metadata record counts over planned
+        files, CLAMPED by limit, ignoring filters and delete files
+        (reference: table/scan.go:234-250) — kept verbatim as the fast
+        metadata-only path, under an honest name."""
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return 0
+        entries = self._table.manifest_entries(snap)
+        total = sum(e.record_count for e in entries if e.content == CONTENT_DATA)
+        if self._limit is not None and total > self._limit:
+            return self._limit
+        return total
+
+
+def _has_schema(md: TableMetadata, sid: int) -> bool:
+    return any(s.schema_id == sid for s in md.schemas)
+
+
+def _align_to_schema(df: DataFrame, file_schema: Schema, current: Schema) -> DataFrame:
+    """Project a file-schema DataFrame onto the current schema by field id:
+    renames follow ids, missing columns become NULL, changed types cast
+    (int→long / float→double widening)."""
+    if file_schema.schema_id == current.schema_id:
+        # fast path: same schema — still select to fix column order and drop
+        # any stray partition-derived columns
+        names = [f.name for f in current.fields if f.name in df.columns]
+        if len(names) == len(current.fields):
+            return df.select(*names)
+    cols = []
+    for f in current.fields:
+        old = file_schema.find_field_by_id(f.field_id)
+        spark_t = to_spark_type(f.type)
+        if old is not None and old.name in df.columns:
+            cols.append(F.col(old.name).cast(spark_t).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(spark_t).alias(f.name))
+    return df.select(*cols)

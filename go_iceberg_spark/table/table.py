@@ -1,0 +1,360 @@
+"""Table facade: scans, snapshots, appends, overwrites, schema evolution.
+
+Re-expresses the reference's ``Table`` (reference: table/table.go:17-23 wrapper;
+:83-121 snapshot accessors; :134-141 refresh; :154-254 transactions+commit;
+:186-202 properties + schema evolution; :506-508 history) on the filesystem
+metadata layer in ``metadata.py``. Mutations (delete/update/upsert) live in
+``mutate.py``; the scan builder in ``scan.py``.
+
+Commit model: every operation builds the next ``TableMetadata`` and commits it
+optimistically (exclusive-create of v{N+1}); on conflict, commutable ops
+(appends) reload + retry up to ``max_retries`` — the retry loop the reference
+declares config for but never wires up (reference: config.go:93-94 vs
+table/table.go:233-254).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import CommitConflictError, ValidationError
+from ..expr import ALWAYS_TRUE, Expression
+from ..schema import (
+    IcebergType,
+    NestedField,
+    Schema,
+    StructType,
+    to_spark_type,
+)
+from .metadata import (
+    CONTENT_DATA,
+    MAIN_BRANCH,
+    OP_APPEND,
+    OP_DELETE,
+    OP_OVERWRITE,
+    OP_REPLACE,
+    DataFileEntry,
+    PartitionSpec,
+    Snapshot,
+    SnapshotRef,
+    SortOrder,
+    TableMetadata,
+    commit_metadata,
+    load_metadata,
+    new_snapshot_id,
+    now_ms,
+    read_manifest,
+    write_manifest,
+)
+from .scan import ScanBuilder
+from .write import write_data_files
+
+import os
+
+
+class Table:
+    """A loaded table: identifier + metadata + spark session
+    (reference: table/table.go:17-23)."""
+
+    def __init__(self, spark: SparkSession, identifier: tuple[str, ...], location: str,
+                 metadata: TableMetadata, version: int, max_retries: int = 3, retry_backoff_ms: int = 100):
+        self.spark = spark
+        self.identifier = identifier
+        self.location = location
+        self.metadata = metadata
+        self.version = version
+        self.max_retries = max_retries
+        self.retry_backoff_ms = retry_backoff_ms
+        self._manifest_cache: dict[str, list[DataFileEntry]] = {}
+
+    # -- loading ----------------------------------------------------------
+    @staticmethod
+    def load(spark: SparkSession, location: str, identifier: tuple[str, ...] = ()) -> "Table":
+        md, v = load_metadata(location)
+        return Table(spark, identifier or (os.path.basename(location),), location, md, v)
+
+    def refresh(self) -> "Table":
+        """Reload metadata (reference: table/table.go:134-141)."""
+        self.metadata, self.version = load_metadata(self.location)
+        self._manifest_cache.clear()
+        return self
+
+    # -- snapshot accessors (reference: table/table.go:83-121, :506-508) ---
+    @property
+    def schema(self) -> Schema:
+        return self.metadata.current_schema
+
+    def spark_schema(self):
+        return to_spark_type(self.schema.struct)
+
+    def current_snapshot(self) -> Snapshot | None:
+        return self.metadata.current_snapshot()
+
+    def snapshots(self) -> list[Snapshot]:
+        return list(self.metadata.snapshots)
+
+    def snapshot_by_id(self, sid: int) -> Snapshot:
+        return self.metadata.snapshot_by_id(sid)
+
+    def snapshot_at(self, ts: dt.datetime | int) -> Snapshot:
+        if isinstance(ts, dt.datetime):
+            ts = int(ts.timestamp() * 1000)
+        return self.metadata.snapshot_at(ts)
+
+    def history(self) -> list[dict]:
+        return list(self.metadata.snapshot_log)
+
+    def manifest_entries(self, snap: Snapshot) -> list[DataFileEntry]:
+        path = os.path.join(self.location, snap.manifest_path)
+        if path not in self._manifest_cache:
+            self._manifest_cache[path] = read_manifest(path)
+        return self._manifest_cache[path]
+
+    def live_entries(self) -> list[DataFileEntry]:
+        snap = self.current_snapshot()
+        return self.manifest_entries(snap) if snap else []
+
+    # -- scan --------------------------------------------------------------
+    def scan(self) -> ScanBuilder:
+        """Reference: Table.Scan() (table/table.go:144-146)."""
+        return ScanBuilder(self)
+
+    def to_df(self) -> DataFrame:
+        return self.scan().to_df()
+
+    # -- commit machinery --------------------------------------------------
+    def _next_sequence(self) -> int:
+        return self.metadata.last_sequence_number + 1
+
+    def _commit_snapshot(self, operation: str, entries: list[DataFileEntry],
+                         summary_extra: dict[str, str] | None = None,
+                         schema_override: Schema | None = None) -> Snapshot:
+        """Write manifest + new metadata version. ``entries`` is the FULL live
+        file set of the new snapshot (single-manifest design, metadata.py)."""
+        md = self.metadata
+        parent = md.current_snapshot()
+        seq = self._next_sequence()
+        sid = new_snapshot_id()
+        manifest_rel = os.path.join("metadata", f"snap-{sid}.parquet")
+        write_manifest(os.path.join(self.location, manifest_rel), entries)
+
+        prev = {e.file_path for e in (self.manifest_entries(parent) if parent else [])}
+        cur = {e.file_path for e in entries}
+        data_entries = [e for e in entries if e.content == CONTENT_DATA]
+        summary = {
+            "added-data-files": str(len([e for e in data_entries if e.file_path not in prev])),
+            "removed-data-files": str(len([p for p in prev if p not in cur])),
+            "total-data-files": str(len(data_entries)),
+            "total-records": str(sum(e.record_count for e in data_entries)),
+            "total-delete-files": str(len(entries) - len(data_entries)),
+            **(summary_extra or {}),
+        }
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            sequence_number=seq,
+            timestamp_ms=now_ms(),
+            operation=operation,
+            manifest_path=manifest_rel,
+            schema_id=(schema_override or md.current_schema).schema_id,
+            summary=summary,
+        )
+        new_md = md.with_snapshot(snap)
+        self.metadata = new_md
+        self.version = commit_metadata(self.location, new_md, self.version)
+        return snap
+
+    def _retrying(self, build_and_commit) -> Snapshot:
+        """Optimistic retry for commutable commits (reference: config.go:93-94
+        retry knobs, errors.go:115-123 retryability)."""
+        attempt = 0
+        while True:
+            try:
+                return build_and_commit()
+            except CommitConflictError:
+                attempt += 1
+                if attempt > self.max_retries:
+                    raise
+                time.sleep(self.retry_backoff_ms / 1000.0 * attempt)
+                self.refresh()
+
+    # -- writes ------------------------------------------------------------
+    def append(self, df: DataFrame) -> Snapshot:
+        """Append rows (reference: table/insert.go:49-109 Insert/Append).
+        Data files are written once; only the metadata commit retries."""
+        md = self.metadata
+        new_files = write_data_files(
+            self.spark, df, self.location, md.current_schema, md.default_spec,
+            md.default_sort_order, md.current_schema_id, self._next_sequence(),
+        )
+
+        def commit():
+            live = self.live_entries()
+            return self._commit_snapshot(OP_APPEND, live + new_files)
+
+        return self._retrying(commit)
+
+    insert = append  # reference: table/insert.go:163-170 alias
+
+    def overwrite(self, df: DataFrame, filter: Expression | None = None) -> Snapshot:
+        """Full or selective overwrite (reference: table/insert.go:173-252).
+
+        Selective mode must delete every row matching the filter: files whose
+        stats *might* match are rewritten (keep only non-matching rows) via
+        the CoW machinery, then the new data is appended — spec-correct, not
+        the reference's file-drop approximation (its deleteMatchingFiles drops
+        whole files whose stats match, deleting non-matching rows with them,
+        reference: table/insert.go:216-252)."""
+        if filter is None or filter is ALWAYS_TRUE:
+            new_files = write_data_files(
+                self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
+                self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
+            )
+            return self._commit_snapshot(OP_OVERWRITE, new_files)
+        from .mutate import rewrite_for_delete
+
+        surviving = rewrite_for_delete(self, filter)
+        new_files = write_data_files(
+            self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
+            self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
+        )
+        return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
+
+    # -- mutations (delegates; reference: table/delete.go, table/update.go) -
+    def delete(self, filter: Expression, mode: str = "copy-on-write") -> Snapshot:
+        from .mutate import delete as _delete
+
+        return _delete(self, filter, mode)
+
+    def update(self, filter: Expression, assignments: dict[str, Any]) -> Snapshot:
+        from .mutate import update as _update
+
+        return _update(self, filter, assignments)
+
+    def upsert(self, df: DataFrame, key_columns: list[str]) -> Snapshot:
+        from .mutate import upsert as _upsert
+
+        return _upsert(self, df, key_columns)
+
+    def merge(self, source: DataFrame, on: list[str], *,
+              when_matched_update: dict[str, Any] | str | None = "*",
+              when_not_matched_insert: bool = True,
+              when_matched_delete: bool = False) -> Snapshot:
+        from .mutate import merge as _merge
+
+        return _merge(self, source, on, when_matched_update=when_matched_update,
+                      when_not_matched_insert=when_not_matched_insert,
+                      when_matched_delete=when_matched_delete)
+
+    # -- properties & schema evolution ------------------------------------
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Reference: table/table.go:186-195."""
+        from dataclasses import replace
+
+        md = replace(self.metadata, properties={**self.metadata.properties, **props}, last_updated_ms=now_ms())
+        self.metadata = md
+        self.version = commit_metadata(self.location, md, self.version)
+
+    def remove_properties(self, keys: list[str]) -> None:
+        from dataclasses import replace
+
+        props = {k: v for k, v in self.metadata.properties.items() if k not in keys}
+        md = replace(self.metadata, properties=props, last_updated_ms=now_ms())
+        self.metadata = md
+        self.version = commit_metadata(self.location, md, self.version)
+
+    def update_schema(self) -> "SchemaUpdate":
+        """Fluent schema evolution (reference: table/table.go:198-202,
+        spec/metadata.go:308-333): appends a new schema and moves
+        current-schema-id; field ids are never reused."""
+        return SchemaUpdate(self)
+
+    # -- branching / tags ---------------------------------------------------
+    def create_tag(self, name: str, snapshot_id: int) -> None:
+        from dataclasses import replace
+
+        refs = dict(self.metadata.refs)
+        refs[name] = SnapshotRef(snapshot_id, "tag")
+        md = replace(self.metadata, refs=refs, last_updated_ms=now_ms())
+        self.metadata = md
+        self.version = commit_metadata(self.location, md, self.version)
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point main back at an older snapshot (superset of reference)."""
+        from dataclasses import replace
+
+        snap = self.metadata.snapshot_by_id(snapshot_id)
+        refs = dict(self.metadata.refs)
+        refs[MAIN_BRANCH] = SnapshotRef(snap.snapshot_id, "branch")
+        md = replace(
+            self.metadata, current_snapshot_id=snap.snapshot_id, refs=refs,
+            snapshot_log=self.metadata.snapshot_log + ({"timestamp-ms": now_ms(), "snapshot-id": snap.snapshot_id},),
+            last_updated_ms=now_ms(),
+        )
+        self.metadata = md
+        self.version = commit_metadata(self.location, md, self.version)
+
+
+class SchemaUpdate:
+    """Schema evolution builder. Allocates fresh field ids above
+    ``highest_field_id`` (reference: spec/schema.go:54-90) and commits a new
+    schema version; old data files remain readable through field-id alignment
+    in scan.py."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self._fields: list[NestedField] = list(table.schema.fields)
+        # never reuse an id, even from dropped columns of older schemas
+        self._next_id = max(s.highest_field_id() for s in table.metadata.schemas)
+
+    def _alloc(self) -> int:
+        self._next_id += 1
+        return self._next_id
+
+    def add_column(self, name: str, type_: IcebergType, required: bool = False, doc: str | None = None) -> "SchemaUpdate":
+        if any(f.name == name for f in self._fields):
+            raise ValidationError(f"column {name} already exists")
+        if required:
+            raise ValidationError("cannot add a required column to existing rows")
+        self._fields.append(NestedField(self._alloc(), name, type_, required, doc))
+        return self
+
+    def rename_column(self, old: str, new: str) -> "SchemaUpdate":
+        self._fields = [
+            NestedField(f.field_id, new, f.type, f.required, f.doc) if f.name == old else f for f in self._fields
+        ]
+        return self
+
+    def drop_column(self, name: str) -> "SchemaUpdate":
+        self._fields = [f for f in self._fields if f.name != name]
+        return self
+
+    def update_column_type(self, name: str, type_: IcebergType) -> "SchemaUpdate":
+        # permit widening (int->long, float->double) like Iceberg
+        self._fields = [
+            NestedField(f.field_id, f.name, type_, f.required, f.doc) if f.name == name else f for f in self._fields
+        ]
+        return self
+
+    def commit(self) -> Schema:
+        from dataclasses import replace
+
+        t = self.table
+        new_schema = Schema(
+            schema_id=max(s.schema_id for s in t.metadata.schemas) + 1,
+            struct=StructType(tuple(self._fields)),
+            identifier_field_ids=t.schema.identifier_field_ids,
+        )
+        md = replace(
+            t.metadata,
+            schemas=t.metadata.schemas + (new_schema,),
+            current_schema_id=new_schema.schema_id,
+            last_updated_ms=now_ms(),
+        )
+        t.metadata = md
+        t.version = commit_metadata(t.location, md, t.version)
+        return new_schema
