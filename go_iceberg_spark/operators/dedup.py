@@ -1,0 +1,271 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — all expressed with built-in Spark SQL functions (explode / groupBy /
+bit ops), no Python UDFs in any hot path, so every stage is whole-stage
+codegen'd and scales by shuffle on bounded keys.
+
+Portability contract: the hash primitive is md5-based (``portable_hash60``)
+and every constant is module-level, so a byte-identical oracle can be written
+in DuckDB SQL (see workload.py) — the correctness gate covers these operators
+end-to-end, not just row counts.
+
+Scale notes (100 TB):
+- shingle explosion is the dominant cost; shingles are hashed to int64
+  immediately so shuffles move 8-byte keys, not strings;
+- MinHash-LSH: candidate generation shuffles on (band_id, band_hash) — a
+  bounded key space — and only candidates are verified with exact Jaccard;
+- SimHash: banding on 15-bit sub-fingerprints gives the same bounded-shuffle
+  property for Hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters: k permutations over a Mersenne prime, banded b×r.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+# 16 fixed (a, b) pairs (generated once from a seeded RNG, frozen here so the
+# DuckDB oracle can embed the identical constants).
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1203077321, 528881787), (986069351, 1341478609), (775089911, 1110514769),
+    (1674551133, 1252641969), (961145417, 1091103043), (905457971, 1822021031),
+    (1665283911, 720073801), (1153894701, 481640153), (1016285551, 1167319231),
+    (1277422031, 1952194023), (1436943335, 606787989), (1346645429, 1943670541),
+    (1877367877, 1177913777), (1168323917, 646574771), (1269351193, 591514441),
+    (1805145261, 1700292593),
+]
+MINHASH_K = len(MINHASH_COEFFS)
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS  # 4 rows per band
+
+SIMHASH_BITS = 60  # fits in the 15-hex-digit md5 prefix
+SIMHASH_BAND_BITS = 15
+SIMHASH_NUM_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+
+def portable_hash60(c) -> F.Column:
+    """60-bit hash of a string column: int64 of the first 15 hex digits of
+    md5. Identical in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(text, n: int) -> F.Column:
+    """Distinct character n-grams of a string column as an array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def word_shingles(text, n: int) -> F.Column:
+    """Distinct word n-grams (space-joined) of a string column."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct value tuple; report group size.
+    Exact dedup = hash groupBy — one shuffle on the dedup key."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).cast("long").alias("dup_count")
+    ).select(id_col, *cols, "dup_count")
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
+    sh = char_shingles(F.col(text_col), n) if mode == "char" else word_shingles(F.col(text_col), n)
+    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_shingle")).withColumn(
+        "_h", portable_hash60(F.col("_shingle"))
+    ).select("_id", "_h").distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word", threshold: float = 0.6
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Exact algorithm: |A∩B| via self-join on shingle hash, |A|,|B| from per-doc
+    counts; Jaccard = c / (|A|+|B|-c). The shingle self-join shuffles on the
+    8-byte hash; skew on ultra-common shingles is handled by AQE skew-join.
+    For web-scale corpora prefer ``minhash_lsh_pairs`` (candidates only)."""
+    sh = _shingle_table(df, id_col, text_col, n, mode).cache()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="_h")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn("jaccard", (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word") -> DataFrame:
+    """Per-id MinHash signature columns ``mh_0..mh_{k-1}``:
+    mh_j = min over shingles of ((a_j * (h % P) + b_j) % P)."""
+    sh = _shingle_table(df, id_col, text_col, n, mode)
+    hp = F.col("_h") % MINHASH_PRIME
+    aggs = [
+        F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word", threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: ids sharing any band of the
+    signature become candidates; candidates are verified with exact Jaccard.
+
+    Candidate generation is a groupBy on (band_id, band_hash) — documents
+    never self-join on raw shingles, which is what makes this the scale path.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n=n, mode=mode)
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh_{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                F.col(id_col).alias("_id"),
+                F.lit(band).alias("_band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("_bh"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard: count common shingles per pair
+    sh = _shingle_table(df, id_col, text_col, n, mode)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    sha = sh.withColumnRenamed("_id", "id_a")
+    shb = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_h", "_hb")
+    common = (
+        cand.join(sha, "id_a")
+        .join(shb.withColumnRenamed("_hb", "_h"), on=["id_b", "_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn("jaccard", (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over whitespace tokens: bit i of the fingerprint is 1
+    iff more token-hashes have bit i set than not. Pure bit arithmetic on
+    int64 — JVM-side end to end."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("_tok"),
+    ).withColumn("_h", portable_hash60(F.col("_tok")))
+    # per (id, bit): vote = sum(±1); bit positions unrolled as literals since
+    # shiftright needs a foldable shift amount in the Python API
+    bit_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bit"),
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("vote"),
+            )
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    bits = toks.select("_id", F.explode(bit_structs).alias("bv")).select(
+        "_id", F.col("bv.bit").alias("_bit"), F.col("bv.vote").alias("_vote")
+    )
+    votes = bits.groupBy("_id", "_bit").agg(F.sum("_vote").alias("_v"))
+    fp = votes.groupBy("_id").agg(
+        F.sum(
+            F.expr("CASE WHEN _v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT)) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+    return fp.select(F.col("_id").alias(id_col), "simhash")
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates share at least one 15-bit band (pigeonhole: distance <= 3 over
+    4 bands guarantees an identical band); verification is
+    ``bit_count(a XOR b)``."""
+    fp = simhash(df, id_col, text_col)
+    bands = []
+    for band in range(SIMHASH_NUM_BANDS):
+        bands.append(
+            fp.select(
+                F.col(id_col).alias("_id"),
+                F.col("simhash").alias("_fp"),
+                F.lit(band).alias("_band"),
+                F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("_bh"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    pairs = (
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("_fpa"), F.col("b._fp").alias("_fpb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.9
+) -> DataFrame:
+    """Pairs (a < b) with cosine(vec_a, vec_b) >= threshold — brute force
+    O(n²/2) via self-join; intended for verification / small partitions. The
+    scale path buckets by LSH first (similarity.py)."""
+    from .similarity import cosine_expr
+
+    norm = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", cosine_expr(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
+    )

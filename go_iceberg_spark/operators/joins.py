@@ -1,0 +1,96 @@
+"""Join operators Spark lacks as single calls: as-of join and range join.
+
+The reference has NO join machinery at all (its only join is the upsert
+key-match, reference: table/update.go:384-390 — SURVEY §2.7); these are part
+of the engine's north-star relational surface, implemented as compositions of
+built-in DataFrame ops chosen for 100 TB behavior:
+
+- as-of join: the naive formulation is an inequality join (quadratic blowup;
+  Spark plans BroadcastNestedLoop). Instead we use the union + windowed
+  last_value pattern: tag both sides, union, and carry the most recent right
+  row forward within each key partition — ONE shuffle by key, no row
+  explosion, scales linearly.
+- range join: equality on a coarse time bucket (right intervals exploded to
+  the buckets they overlap) turns the inequality join into an equi-join +
+  residual filter — shuffle on (key, bucket) instead of a nested loop. Each
+  matching pair appears exactly once because the left row's own bucket is
+  unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row of
+    the same key with ``right_ts <= left_ts`` (DuckDB/pandas ``merge_asof``
+    semantics). Right columns come back suffixed; rows with no earlier right
+    row keep NULLs."""
+    right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
+
+    # the carried payload is ONE struct (never null for right rows), so a
+    # matched right row whose individual columns are NULL still shadows older
+    # rows — last(ignorenulls) over per-column values would wrongly skip it.
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    payload_t = "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("_asof_side"),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(None).cast(payload_t).alias("_asof_payload"),
+    )
+    rhs = right.select(
+        *[F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        F.lit(0).alias("_asof_side"),
+        F.col(right_ts).alias("_asof_ts"),
+        payload.alias("_asof_payload"),
+    )
+
+    u = lhs.unionByName(rhs)
+    # right rows sort before left rows at equal ts so "<=" matches win
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof_payload", F.last(F.col("_asof_payload"), ignorenulls=True).over(w))
+    out = u.filter(F.col("_asof_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_asof_payload.{c}"))
+    return out.drop("_asof_side", "_asof_ts", "_asof_payload")
+
+
+def range_join_days(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+) -> DataFrame:
+    """Equi-join on key + day bucket with residual range filter:
+    pairs (l, r) with same key and ``r.lo <= l.ts <= r.hi``.
+
+    The right side is exploded to one row per day its interval overlaps, so
+    the join is a plain shuffled equi-join on (key, day) — no nested loop.
+    Interval lengths bound the explosion factor (days per interval)."""
+    r = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.to_date(right_lo), F.to_date(right_hi), F.expr("interval 1 day"))),
+    )
+    l = left.withColumn("_bucket", F.to_date(left_ts))
+    joined = l.join(r, on=[*on, "_bucket"], how="inner").filter(
+        (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) <= F.col(right_hi))
+    )
+    return joined.drop("_bucket")

@@ -1,0 +1,111 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched Pandas functions over
+``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features / NotImplementedError for real codecs) — but the
+Spark-side plumbing is real and tested: schema conventions, Arrow batch
+transfer of binary columns, batch-shaped UDF signatures, and partition-size
+control for memory-bounded media batches.
+
+Scale notes (100 TB of media): binary payloads dominate partition size, so
+``media_repartition`` sizes partitions by BYTES (payload sum), not row count;
+decode stages use ``mapInPandas`` so one task streams batches instead of
+materializing a partition of blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# schema convention for a multimodal asset column group
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def attach_media(df: DataFrame, text_to_bytes_col: str, media_type: str = "image", fmt: str = "raw") -> DataFrame:
+    """Test helper: materialize an opaque binary payload column + metadata
+    struct from an existing column (deterministic; no codecs involved)."""
+    return df.withColumn("media_bytes", F.encode(F.col(text_to_bytes_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic fake 'decoded' feature vector: bytes of sha256 digest
+    scaled to [0,1). Stands in for a real decode→embed pipeline; REPLACE with
+    a codec-backed implementation where libraries are available."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(df: DataFrame, id_col: str, bytes_col: str = "media_bytes") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Output: (id, n_bytes, sha256, features array<double>). The decode is the
+    deterministic stub above; the Arrow batch path, schema, and memory shape
+    are production-real."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sha256", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bytes_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "features": payloads.map(lambda b: _fake_decode_features(bytes(b))),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+
+
+def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes"):
+    """Real image decode — requires PIL/opencv, absent in this container."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; use extract_features() "
+        "for the deterministic stub pipeline"
+    )
+
+
+def media_repartition(df: DataFrame, bytes_col: str, target_partition_bytes: int = 256 * 1024 * 1024) -> DataFrame:
+    """Repartition media rows so each task holds ~target bytes of payload —
+    sampling-based estimate of mean payload size; prevents OOM on skewed
+    blob sizes at scale."""
+    row = df.select(F.avg(F.length(F.col(bytes_col))).alias("avg"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if not row["n"]:
+        return df
+    total = (row["avg"] or 1) * row["n"]
+    parts = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(parts)

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, plus a random-hyperplane LSH
+bucketed variant as the scale path. Dot products use built-in higher-order
+functions (``zip_with`` + ``aggregate``) — JVM-side, no Python in the loop.
+
+Scale notes (100 TB): brute force is O(|Q|·|N|) — fine when the query set is
+small enough to broadcast (the planner broadcasts it explicitly). The LSH
+variant buckets both sides by hyperplane sign bits so each query only scans
+its bucket; planes come from the same md5-based portable hash as dedup.py so
+the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+LSH_PLANES = 8  # 2^8 = 256 buckets
+PLANE_MOD = 2001  # plane component ∈ [-1, 1] in steps of 1/1000
+
+
+def dot_expr(a, b) -> F.Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_expr(a, b) -> F.Column:
+    return (dot_expr(a, b) / (norm_expr(a) * norm_expr(b))).cast("double")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k; ties broken by
+    neighbor id so results are deterministic. Self-matches are excluded.
+    The query side is broadcast: the corpus is scanned once, no shuffle of
+    the corpus, and the per-query top-k is a window over a small partition."""
+    qid = query_id_col or id_col
+    q = F.broadcast(queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _plane_component(j: int, d) -> F.Column:
+    """Deterministic pseudo-random plane component in [-1, 1]:
+    (portable_hash60('plane_<j>_<d>') % 2001 - 1000) / 1000 — reproducible in
+    DuckDB with the same string formula."""
+    key = F.concat(F.lit(f"plane_{j}_"), d.cast("string"))
+    return ((portable_hash60(key) % PLANE_MOD) - (PLANE_MOD - 1) / 2) / F.lit(1000.0)
+
+
+def lsh_bucket_expr(vec, n_planes: int = LSH_PLANES) -> F.Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(v · plane_j)."""
+    dim = F.size(vec)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x.cast("double") * _plane_component(j, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-ranks within the bucket. Join is an equi-join on bucket id —
+    the corpus shuffles once by bucket, never nested-loops."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        lsh_bucket_expr(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        lsh_bucket_expr(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: deterministic coarse centroids (the
+    ``n_lists`` lowest-id corpus vectors), each vector assigned to its nearest
+    centroid list; queries probe the ``n_probe`` nearest lists and re-rank
+    exactly. Centroid assignment is a broadcast join against n_lists rows."""
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc()).limit(n_lists)
+        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+    )
+
+    def assign(df: DataFrame, idc: str, vc: str, keep_n: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn("_d", cosine_expr(F.col(vc), F.col("_cent_v")))
+        w = Window.partitionBy(idc).orderBy(F.col("_d").desc(), F.col("_cent_id").asc())
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep_n)
+            .drop("_cent_v", "_d", "_r")
+        )
+
+    c = assign(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv", 1)
+    q = assign(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv", n_probe)
+    scored = (
+        c.join(F.broadcast(q), on="_cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

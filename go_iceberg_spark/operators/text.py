@@ -1,0 +1,105 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All built-in Spark SQL functions (regexp / split /
+higher-order) — whole-stage codegen'd, linear scans, no shuffle except the
+final aggregation a caller may add. Each has an exact DuckDB-SQL twin in
+workload.py so the correctness gate pins the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword-voting heuristic;
+# frozen constants shared with the SQL oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "value", "table"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "it": ("il", "la", "gli", "e", "è", "un", "una", "di"),
+}
+LANG_ORDER = tuple(LANG_STOPWORDS)  # deterministic tie-break order
+
+
+def tokens_expr(text) -> Column:
+    """Whitespace tokens of trimmed text; empty string → [] (not [''])."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count_expr(text) -> Column:
+    return F.size(tokens_expr(text)).cast("long")
+
+
+def bpe_ish_token_count_expr(text) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND word/non-word
+    boundaries (a cheap BPE proxy): count of maximal runs of word chars plus
+    individual punctuation chars."""
+    # count word-char runs + non-space-non-word chars
+    word_runs = F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"), lambda x: F.length(x) > 0))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return (word_runs + punct).cast("long")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_toks = F.size(toks)
+    en_stop = list(LANG_STOPWORDS["en"])
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(en_stop)))
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.when(n_toks > 0, (F.length(F.regexp_replace(text, r"\s", "")) / n_toks)).otherwise(F.lit(0.0)).cast("double").alias("mean_token_len"),
+        (F.length(F.regexp_replace(text, r"[^.!?,;:]", "")) / F.greatest(F.length(text), F.lit(1))).cast("double").alias("punct_ratio"),
+        F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0)).cast("double").alias("stopword_ratio"),
+        (F.length(F.regexp_replace(text, r"[^A-Z]", "")) / F.greatest(F.length(text), F.lit(1))).cast("double").alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length documents and sane
+    stopword presence, penalizes punctuation soup. Formula is frozen and
+    mirrored in the SQL oracle."""
+    feats = quality_features(df, id_col, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - F.col("punct_ratio") * F.lit(10.0), F.lit(0.0))
+    return feats.select(
+        F.col(id_col),
+        ((length_term * F.lit(0.4) + stop_term * F.lit(0.4)) * punct_pen + F.lit(0.2) * punct_pen).cast("double").alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-voting language ID: predicted language = argmax over
+    languages of (# tokens in that language's stopword set), ties broken by
+    LANG_ORDER; 'und' (undetermined) when no stopword hits at all."""
+    toks = tokens_expr(F.col(text_col))
+
+    def score(stopwords: tuple[str, ...]) -> Column:
+        # closure factory: a 2-arg lambda would be misread as (elem, index)
+        words = list(stopwords)
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+    scores = [score(sw).alias(f"_s_{lang}") for lang, sw in LANG_STOPWORDS.items()]
+    scored = df.select(F.col(id_col), *scores)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties → apply last
+        pred = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased text with whitespace
+    runs collapsed — a deterministic rolling-hash stand-in that two engines
+    can agree on byte-for-byte."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

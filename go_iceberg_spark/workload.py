@@ -1,0 +1,987 @@
+"""The declared query corpus: every entry pairs a Spark implementation with a
+byte-equivalent DuckDB oracle SQL string (None only for ops SQL cannot
+express). This is the correctness gate for SURVEY.md §2's inventory plus the
+north-star LLM-pipeline operators.
+
+Determinism rules used throughout (so order-insensitive value-hashes match):
+- monetary aggregates are computed in double and round()ed to 2/4 decimals
+  at the very end, identically in both engines (raw parallel double sums
+  differ in the last ulp between engines; rounding collapses that, and both
+  engines then hold identical float64 bits);
+- every LIMIT is preceded by a total order (explicit tie-breaks);
+- counts are BIGINT/long on both sides; year()/length() etc. cast to the same
+  width on both sides;
+- all hash-bearing operators (minhash, simhash, LSH planes, fingerprints) use
+  the md5-based ``portable_hash60`` primitive so DuckDB reproduces them
+  bit-for-bit — the oracle SQL for those is GENERATED from the same frozen
+  constants the Spark implementation uses (dedup.MINHASH_COEFFS etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .expr import and_, col as C, eq, not_, to_column
+from .operators import dedup as D
+from .operators import joins as J
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table. Parquet TIMESTAMP(NANOS) columns (events.ts)
+    are read as long and truncated to microseconds — exactly what DuckDB 1.0
+    does on read, so both engines see identical values."""
+    path = f"{sf_dir}/{name}.parquet"
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema_arrow
+    ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views (for spark.sql queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, bench: bool = False):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+DEC2 = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (Spark-native capabilities the reference lacks, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1(spark, sf):
+    """TPC-H Q1-style pricing summary: hash aggregate with partial (map-side)
+    combine — one shuffle on the 4-group key."""
+    l = load(spark, sf, "lineitem").filter(F.col("l_shipdate") < "1998-09-03")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+        F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    bench=True,
+)
+def q3(spark, sf):
+    """TPC-H Q3-style: small dims broadcast; the lineitem side never
+    shuffles for the join, only for the final aggregate."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    l = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    bench=True,
+)
+def q5(spark, sf):
+    """TPC-H Q5-style six-way join; every dim side broadcast, lineitem
+    streams through a single stage."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    bench=True,
+)
+def q6(spark, sf):
+    """TPC-H Q6-style: pure scan+filter+agg — filters push to the parquet
+    reader (PushedFilters), no shuffle beyond the final single-row combine."""
+    l = load(spark, sf, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_semi_customers_with_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_subquery(spark, sf):
+    """Catalyst decorrelates the subquery into an aggregate + join."""
+    register_views(spark, sf)
+    return spark.sql(
+        "SELECT o_orderkey FROM orders o WHERE o_totalprice > "
+        "(SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+    )
+
+
+@query(
+    "agg_distinct_per_priority",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_q(spark, sf):
+    l = load(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_q(spark, sf):
+    l = load(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+@query(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+    bench=True,
+)
+def window_rank(spark, sf):
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@query(
+    "window_running_and_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+           round(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+    FROM orders
+    """,
+    bench=True,
+)
+def window_running(spark, sf):
+    o = load(spark, sf, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(wo), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(wo), 2).alias("next_price"),
+    )
+
+
+@query(
+    "sort_topk_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    bench=True,
+)
+def sort_topk(spark, sf):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no full sort, no shuffle of the full table."""
+    l = load(spark, sf, "lineitem")
+    return (
+        l.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", F.round(F.col("l_extendedprice"), 2).alias("l_extendedprice"))
+        .limit(100)
+    )
+
+
+@query(
+    "set_union_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def set_union(spark, sf):
+    a = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = load(spark, sf, "orders").filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark, sf):
+    a = load(spark, sf, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except(spark, sf):
+    a = load(spark, sf, "customer").select("c_custkey")
+    b = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "scalar_string_math_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 12) AS name12,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           round(abs(p_retailprice - 1000.0), 2) AS price_dev,
+           CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+           coalesce(nullif(p_size, 5), -1) AS size_adj
+    FROM part
+    """,
+)
+def scalar_funcs(spark, sf):
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 12).alias("name12"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dev"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("long").alias("price_bucket"),
+        F.coalesce(F.nullif(F.col("p_size"), F.lit(5)), F.lit(-1)).alias("size_adj"),
+    )
+
+
+@query(
+    "scalar_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+)
+def date_funcs(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expression-DSL scan semantics (the reference's ScanBuilder surface, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project_dsl",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag IN ('A','R') AND l_shipdate IS NOT NULL
+    """,
+)
+def scan_dsl(spark, sf):
+    """Expression DSL (reference: table/expression.go) → Catalyst filter with
+    parquet pushdown; projection applied as in ScanBuilder.Select."""
+    l = load(spark, sf, "lineitem")
+    e = and_(C("l_quantity").between(10, 20), C("l_returnflag").isin("A", "R"), C("l_shipdate").is_not_null())
+    return l.filter(to_column(e)).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("l_quantity"), 2).alias("l_quantity"), "l_returnflag"
+    )
+
+
+@query(
+    "filter_not_three_valued_logic",
+    """
+    SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS rf
+    FROM lineitem WHERE NOT (nullif(l_returnflag, 'N') = 'R')
+    """,
+)
+def filter_3vl(spark, sf):
+    """SQL three-valued logic probe (SURVEY §2.6.1): rows where rf IS NULL are
+    dropped by NOT(rf='R') — the documented divergence from the reference's
+    two-valued row interpreter (reference: table/delete.go:344-346)."""
+    l = load(spark, sf, "lineitem").withColumn("rf", F.nullif(F.col("l_returnflag"), F.lit("N")))
+    return l.filter(to_column(not_(eq("rf", "R")))).select("l_orderkey", "l_linenumber", "rf")
+
+
+@query(
+    "filter_starts_with",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE 'a%' OR NOT (p_name LIKE 'b%' OR p_name IS NULL) AND p_name >= 'w'
+    """,
+)
+def filter_startswith(spark, sf):
+    """StartsWith / NotStartsWith — ops the reference's evaluator silently
+    mishandles (defaults to true, reference: table/delete.go:324-326)."""
+    p = load(spark, sf, "part")
+    from .expr import or_
+
+    e = or_(C("p_name").starts_with("a"), and_(C("p_name").not_starts_with("b"), C("p_name").gte("w")))
+    return p.filter(to_column(e)).select("p_partkey", "p_name")
+
+
+@query(
+    "filter_not_in",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_notin(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.filter(to_column(C("o_orderpriority").not_in("1-URGENT", "2-HIGH"))).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins & windows (events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_purchase_to_view",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS view_event_id, r.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    bench=True,
+)
+def asof_q(spark, sf):
+    """As-of join via union + windowed carry-forward (operators/joins.py) —
+    one shuffle by key, no inequality-join explosion."""
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    out = J.asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+                      right_cols=["event_id", "value"], suffix="_v")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_v").alias("view_event_id"), F.col("value_v").alias("view_value"),
+    )
+
+
+@query(
+    "range_join_errors_followups",
+    """
+    SELECT r.event_id AS error_id, l.event_id AS other_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') r
+    JOIN events l ON l.user_id = r.user_id
+                 AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 1 HOUR
+                 AND l.event_id <> r.event_id
+    """,
+)
+def range_q(spark, sf):
+    """Range join via day-bucket equi-join + residual filter (operators/
+    joins.py) — shuffles on (user, day) instead of nested-looping."""
+    ev = load(spark, sf, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id",
+                F.col("ts").alias("_lo"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("_hi"))
+    )
+    out = J.range_join_days(
+        ev.select(F.col("event_id").alias("other_id"), "user_id", "ts"),
+        errors, on=["user_id"], left_ts="ts", right_lo="_lo", right_hi="_hi",
+    )
+    return out.filter(F.col("other_id") != F.col("error_id")).select("error_id", "other_id")
+
+
+@query(
+    "tumbling_window_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def tumbling_q(spark, sf):
+    """Tumbling time window via F.window (same operator Structured Streaming
+    uses; here in batch)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "session_window_30min",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_q(spark, sf):
+    """Session windows (30-min gap) via F.session_window — the same stateful
+    operator Structured Streaming uses for sessionization."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal (north-star operators)
+# ---------------------------------------------------------------------------
+
+# augmented corpus with planted exact + near duplicates, expressible in both
+# engines so dedup operators have non-trivial work to find
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+    UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' zz qq' AS text FROM documents WHERE doc_id % 25 = 1
+"""
+
+
+def _corpus(spark, sf) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 25 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    near = d.filter(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.concat(F.col("text"), F.lit(" zz qq")).alias("text")
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM corpus GROUP BY text
+    """,
+    bench=True,
+)
+def dedup_exact_q(spark, sf):
+    return D.exact_dedup(_corpus(spark, sf), ["text"], "doc_id").select("doc_id", "dup_count")
+
+
+@query(
+    "dedup_fingerprint",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS n
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_fp_q(spark, sf):
+    fp = X.fingerprint(_corpus(spark, sf), "doc_id", "text")
+    return fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n"))
+
+
+def _shingle_sql(n: int = 3) -> str:
+    """DuckDB SQL for the distinct word-3-gram shingle-hash table, mirroring
+    dedup.word_shingles + portable_hash60 exactly."""
+    return f"""
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i+1 : i+{n}], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - {n}, 0))) AS i FROM toks)),
+    shingles AS (
+      SELECT DISTINCT doc_id AS _id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS _h FROM grams)
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_shingle_sql(3)},
+    sizes AS (SELECT _id, count(*) AS sz FROM shingles GROUP BY _id),
+    common AS (
+      SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
+      FROM shingles a JOIN shingles b ON a._h = b._h AND a._id < b._id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+    FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8
+    """,
+)
+def jaccard_q(spark, sf):
+    return D.jaccard_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.8)
+
+
+def _minhash_oracle_sql() -> str:
+    """Generate the MinHash-LSH oracle from the SAME frozen constants the
+    Spark implementation uses (dedup.MINHASH_COEFFS / LSH_BANDS)."""
+    P = D.MINHASH_PRIME
+    mh_cols = ",\n      ".join(
+        f"min(({a} * (_h % {P}) + {b}) % {P}) AS mh_{j}" for j, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    band_rows = []
+    for band in range(D.LSH_BANDS):
+        cols = [f"mh_{band * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)]
+        bh = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT _id, {band} AS _band, {bh} AS _bh FROM sig")
+    bands_sql = "\n      UNION ALL ".join(band_rows)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_shingle_sql(3)},
+    sig AS (SELECT _id, {mh_cols} FROM shingles GROUP BY _id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b ON a._band = b._band AND a._bh = b._bh AND a._id < b._id),
+    sizes AS (SELECT _id, count(*) AS sz FROM shingles GROUP BY _id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS cc
+      FROM cand c JOIN shingles sa ON sa._id = c.id_a JOIN shingles sb ON sb._id = c.id_b AND sa._h = sb._h
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) AS jaccard
+    FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+    WHERE CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) >= 0.6
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle_sql(), bench=True)
+def minhash_q(spark, sf):
+    """MinHash+LSH near-dup: banded candidate generation + exact Jaccard
+    verify — the web-scale dedup path (candidates only, no all-pairs join)."""
+    return D.minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.6)
+
+
+def _simhash_oracle_sql() -> str:
+    B, BB, NB = D.SIMHASH_BITS, D.SIMHASH_BAND_BITS, D.SIMHASH_NUM_BANDS
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT _id, simhash, {band} AS _band, (simhash >> {band * BB}) & {(1 << BB) - 1} AS _bh FROM fp"
+        for band in range(NB)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT DISTINCT doc_id AS _id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS _h
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM corpus)),
+    votes AS (
+      SELECT _id, i AS bit, sum(CASE WHEN (_h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM toks, generate_series(0, {B - 1}) AS gs(i) GROUP BY 1, 2),
+    fp AS (
+      SELECT _id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM votes GROUP BY _id),
+    bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b, a.simhash AS fa, b.simhash AS fb
+      FROM bands a JOIN bands b ON a._band = b._band AND a._bh = b._bh AND a._id < b._id)
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+
+@query("dedup_simhash", _simhash_oracle_sql(), bench=True)
+def simhash_q(spark, sf):
+    out = D.simhash_pairs(_corpus(spark, sf), "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_DOT_SQL = "list_sum(list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+@query(
+    "similarity_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """,
+    bench=True,
+)
+def cosine_topk_q(spark, sf):
+    """Exact brute-force cosine top-k, query side broadcast (the baseline ANN
+    path; LSH/IVF below are the scale paths)."""
+    emb = load(spark, sf, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5)
+
+
+def _lsh_topk_oracle_sql() -> str:
+    planes = D.__dict__  # noqa: F841 - constants below come from similarity
+    n_planes = S.LSH_PLANES
+    # bucket bit j: sign of sum_d v[d+1] * plane(j, d)
+    proj = lambda j, v: (  # noqa: E731
+        f"list_sum(list_transform(generate_series(1, len({v})), i -> CAST({v}[i] AS DOUBLE) * "
+        f"((('0x' || substr(md5('plane_{j}_' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % {S.PLANE_MOD} - 1000) / 1000.0)))"
+    )
+    bucket = lambda v: " + ".join(f"(CASE WHEN {proj(j, v)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes))  # noqa: E731
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ({bucket('embedding')}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, ({bucket('embedding')}) AS bucket
+          FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {_cosine_sql('q.qv', 'c.cv')} AS cos
+      FROM c JOIN q ON c.bucket = q.bucket WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("similarity_lsh_topk", _lsh_topk_oracle_sql())
+def lsh_topk_q(spark, sf):
+    """Random-hyperplane LSH ANN: bucket equi-join + in-bucket rerank."""
+    emb = load(spark, sf, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def emb_dedup_q(spark, sf):
+    out = D.embedding_near_dup_pairs(load(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b")
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", X.token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> lower(x) IN ({', '.join("'" + w + "'" for w in X.LANG_STOPWORDS['en'])}))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\\s+')) END AS stopword_ratio
+      FROM documents)
+    SELECT doc_id,
+           (least(n_tokens / 50.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.4)
+             * greatest(1.0 - punct_ratio * 10.0, 0.0)
+             + 0.2 * greatest(1.0 - punct_ratio * 10.0, 0.0) AS quality
+    FROM feats
+    """,
+)
+def quality_q(spark, sf):
+    return X.quality_score(load(spark, sf, "documents"), "doc_id", "text")
+
+
+def _langid_oracle_sql() -> str:
+    score_cols = []
+    for lang, sw in X.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_cols.append(
+            f"len(list_filter(toks, x -> lower(x) IN ({inlist}))) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in X.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in X.LANG_ORDER:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH toks_t AS (
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    scored AS (SELECT doc_id, {", ".join(score_cols)} FROM toks_t)
+    SELECT doc_id, CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS pred_lang FROM scored
+    """
+
+
+@query("text_lang_id", _langid_oracle_sql())
+def langid_q(spark, sf):
+    return X.lang_id(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "multimodal_extract_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           ('0x' || substr(sha256(text), 1, 2))::INT / 255.0 AS feat_0
+    FROM documents
+    """,
+)
+def multimodal_q(spark, sf):
+    """Binary media column → mapInPandas feature extraction (Arrow batch
+    path); the decode is the documented deterministic stub."""
+    d = M.attach_media(load(spark, sf, "documents"), "text")
+    feats = M.extract_features(d, "doc_id")
+    return feats.select(
+        "doc_id", "n_bytes", "sha256",
+        (F.element_at("features", 1)).alias("feat_0"),
+    )
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in QUERIES.items() if v.bench}
