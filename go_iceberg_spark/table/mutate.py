@@ -25,6 +25,7 @@ swapping old files for new. Sequence numbers order MoR deletes vs data.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -81,7 +82,7 @@ def _read_candidates(table, candidates: list[DataFileEntry]) -> DataFrame:
     parts = []
     for sid, es in groups.items():
         file_schema = md.schema_by_id(sid) if any(s.schema_id == sid for s in md.schemas) else md.current_schema
-        paths = [e.file_path for e in es]
+        paths = [os.path.join(table.location, e.file_path) for e in es]
         raw = table.spark.read.parquet(*paths)
         applicable = [d for d in dels if any(
             (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
@@ -156,8 +157,8 @@ def _delete_merge_on_read(table, filter_: Expression):
     parts = []
     for sid, es in groups.items():
         file_schema = md.schema_by_id(sid) if any(s.schema_id == sid for s in md.schemas) else md.current_schema
-        raw = table.spark.read.parquet(*[e.file_path for e in es])
-        aligned = _align_with_pos(raw, file_schema, md)
+        raw = table.spark.read.parquet(*[os.path.join(table.location, e.file_path) for e in es])
+        aligned = _align_with_pos(raw, file_schema, md, table.location)
         parts.append(aligned)
     all_rows = parts[0]
     for p in parts[1:]:
@@ -186,14 +187,14 @@ def _pos_delete_schema():
     )))
 
 
-def _align_with_pos(raw: DataFrame, file_schema, md) -> DataFrame:
-    """Align to current schema while carrying (_file, _pos) from _metadata."""
-    with_meta = raw.withColumn(
-        "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-    ).withColumn("_pos", F.col("_metadata.row_index"))
-    aligned = _align_to_schema(with_meta, file_schema, md.current_schema)
-    # _align_to_schema dropped the meta cols via select; redo with them kept
-    cols = [c for c in aligned.columns]
+def _align_with_pos(raw: DataFrame, file_schema, md, location: str) -> DataFrame:
+    """Align to current schema while carrying (_file, _pos) from _metadata;
+    _file uses the manifest's table-relative path convention."""
+    from .scan import _rel_file_expr
+
+    with_meta = raw.withColumn("_file", _rel_file_expr(location)).withColumn(
+        "_pos", F.col("_metadata.row_index")
+    )
     return _align_to_schema_keep(with_meta, file_schema, md.current_schema)
 
 
@@ -288,17 +289,26 @@ def merge(table, source: DataFrame, on: list[str], *,
         for f in schema.fields
     ])
 
-    # 1. prune candidates by source key ranges (one small agg job)
+    # 1. prune candidates by source key ranges (one small agg job);
+    # NULL-safe: if the source contains NULL keys, files holding NULL-key
+    # rows must stay candidates (eqNullSafe matches NULL = NULL)
     key_bounds = source.agg(
-        *[F.min(k).alias(f"_min_{k}") for k in on], *[F.max(k).alias(f"_max_{k}") for k in on]
+        *[F.min(k).alias(f"_min_{k}") for k in on],
+        *[F.max(k).alias(f"_max_{k}") for k in on],
+        *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
     ).collect()[0]
-    from ..expr import and_, col as ecol, ALWAYS_TRUE as _TRUE
+    from ..expr import ALWAYS_TRUE as _TRUE
+    from ..expr import and_, col as ecol, is_null as eis_null, or_
 
     prune_expr = _TRUE
     for k in on:
         lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
+        has_nulls = (key_bounds[f"_nulls_{k}"] or 0) > 0
         if lo is not None and hi is not None:
-            prune_expr = and_(prune_expr, ecol(k).between(lo, hi))
+            rng = ecol(k).between(lo, hi)
+            prune_expr = and_(prune_expr, or_(rng, eis_null(k)) if has_nulls else rng)
+        elif has_nulls:
+            prune_expr = and_(prune_expr, eis_null(k))
     candidates, untouched = _split_candidates(table, prune_expr)
     seq = table._next_sequence()
 

@@ -28,6 +28,7 @@ data side.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -85,6 +86,13 @@ def _encode_filter(e: Expression, schema: Schema) -> Expression:
         values=tuple(encode_literal(v, t) for v in e.values),
         children=tuple(_encode_filter(c, schema) for c in e.children),
     )
+
+
+def _rel_file_expr(location: str):
+    """Relative-to-table-location path of the current row's source file,
+    derived from the _metadata.file_path URI."""
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    return F.substring(norm, len(location.rstrip("/")) + 2, 1 << 30)
 
 
 class ScanBuilder:
@@ -207,9 +215,10 @@ class ScanBuilder:
             groups.setdefault(key, []).append(t)
 
         parts: list[DataFrame] = []
+        loc = self._table.location
         for (schema_id, _del_key), ts in groups.items():
             file_schema = md.schema_by_id(schema_id) if _has_schema(md, schema_id) else cur
-            paths = [t.file.file_path for t in ts]
+            paths = [os.path.join(loc, t.file.file_path) for t in ts]
             dels = ts[0].delete_files
             raw = spark.read.parquet(*paths)
             raw = self._apply_deletes(spark, raw, dels, file_schema, paths)
@@ -233,15 +242,17 @@ class ScanBuilder:
         pos = [d for d in delete_files if d.content == CONTENT_POSITION_DELETES]
         eq = [d for d in delete_files if d.content == CONTENT_EQUALITY_DELETES]
 
+        loc = self._table.location
         if pos:
             # (file, row_index) anti-join; Spark's hidden _metadata column
-            # gives a "file:///..." URI — normalize to the manifest's plain path.
-            deletes = spark.read.parquet(*[d.file_path for d in pos]).select(
-                F.regexp_replace(F.col(POS_DELETE_FILE_COL), "^file:(//)?", "").alias("_del_file"),
+            # gives a "file:///..." URI — normalize to the manifest's
+            # table-relative path convention.
+            deletes = spark.read.parquet(*[os.path.join(loc, d.file_path) for d in pos]).select(
+                F.col(POS_DELETE_FILE_COL).alias("_del_file"),
                 F.col(POS_DELETE_POS_COL).alias("_del_pos"),
             )
             df = (
-                df.withColumn("_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""))
+                df.withColumn("_file", _rel_file_expr(loc))
                 .withColumn("_pos", F.col("_metadata.row_index"))
                 .join(
                     F.broadcast(deletes),
@@ -261,7 +272,7 @@ class ScanBuilder:
                     key_cols.append(f.name)
             if not key_cols:
                 continue
-            del_df = spark.read.parquet(d.file_path).select(*key_cols)
+            del_df = spark.read.parquet(os.path.join(loc, d.file_path)).select(*key_cols)
             cond = [df[c].eqNullSafe(del_df[c]) for c in key_cols]
             df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
         return df

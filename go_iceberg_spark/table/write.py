@@ -258,7 +258,9 @@ def write_data_files(
         entries.append(
             DataFileEntry(
                 content=content,
-                file_path=r["file_path"],
+                # paths are stored RELATIVE to the table location so that
+                # rename_table stays a pure metadata move
+                file_path=os.path.relpath(r["file_path"], location),
                 file_format="parquet",
                 spec_id=spec.spec_id,
                 schema_id=schema_id,

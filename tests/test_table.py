@@ -1,0 +1,264 @@
+"""Table-format end-to-end tests: CRUD, snapshots, time travel, MoR deletes,
+schema evolution, partition pruning, catalog DDL — the correctness oracle the
+reference never had (SURVEY §5: its table/ package is untested)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import go_iceberg_spark.expr as E
+from go_iceberg_spark.errors import (
+    NoSuchSnapshotError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+from go_iceberg_spark.schema import LONG, STRING, from_spark_schema
+from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+
+def users_df(spark, n=100):
+    return spark.range(0, n).selectExpr(
+        "id",
+        "concat('User ', id) AS name",
+        "CASE WHEN id % 2 = 1 THEN NULL ELSE concat('u', id, '@x.com') END AS email",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS created_at",
+    )
+
+
+@pytest.fixture()
+def users(spark, catalog):
+    df = users_df(spark)
+    schema = from_spark_schema(df.schema, identifier_fields=("id",))
+    t = catalog.create_table("db", "users", schema)
+    t.append(df)
+    return t
+
+
+def test_create_load_drop(spark, catalog, users):
+    assert catalog.table_exists("db", "users")
+    t2 = catalog.load_table("db", "users")
+    assert t2.scan().count() == 100
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table("db", "users", users.schema)
+    catalog.drop_table("db", "users")
+    assert not catalog.table_exists("db", "users")
+    with pytest.raises(TableNotFoundError):
+        catalog.load_table("db", "users")
+
+
+def test_scan_filter_select_limit(users):
+    df = users.scan().filter(E.col("id").gt(89)).select("id", "name").to_df()
+    assert df.columns == ["id", "name"]
+    assert df.count() == 10
+    assert users.scan().filter(E.col("id").gt(89)).limit(3).to_df().count() == 3
+    # case-insensitive select (reference: table/scan.go:68-71)
+    df = users.scan().select("ID", "NAME").case_sensitive(False).to_df()
+    assert df.columns == ["id", "name"]
+
+
+def test_null_filters(users):
+    # emails NULL on odd ids (FIXTURES F1)
+    assert users.scan().filter(E.col("email").is_null()).count() == 50
+    assert users.scan().filter(E.col("email").is_not_null()).count() == 50
+
+
+def test_counts(users):
+    # metadata_count ignores filters (reference: table/scan.go:234-250);
+    # count is exact (SURVEY §2.6.3)
+    sb = users.scan().filter(E.col("id").lt(10))
+    assert sb.count() == 10
+    assert sb.metadata_count() == 100
+    assert users.scan().limit(7).metadata_count() == 7  # limit clamp
+
+
+def test_append_accumulates(spark, users):
+    users.append(users_df(spark, 50).withColumn("id", F.col("id") + 1000))
+    assert users.scan().count() == 150
+    snaps = users.snapshots()
+    assert len(snaps) == 2
+    assert snaps[1].parent_snapshot_id == snaps[0].snapshot_id
+    assert snaps[1].sequence_number == snaps[0].sequence_number + 1
+    assert users.current_snapshot().summary["total-records"] == "150"
+
+
+def test_overwrite_full(spark, users):
+    users.overwrite(users_df(spark, 10))
+    assert users.scan().count() == 10
+    assert users.current_snapshot().operation == "overwrite"
+
+
+def test_overwrite_selective_rewrites_rows(spark, users):
+    """Selective overwrite deletes ONLY matching rows — spec-correct, unlike
+    the reference's whole-file drop (table/insert.go:216-252)."""
+    users.overwrite(users_df(spark, 5).withColumn("id", F.col("id") + 500), filter=E.col("id").lt(10))
+    ids = sorted(r.id for r in users.to_df().select("id").collect())
+    assert ids == list(range(10, 100)) + [500, 501, 502, 503, 504]
+
+
+def test_delete_cow(users):
+    users.delete(E.col("id").gte(50))
+    assert users.scan().count() == 50
+    assert users.current_snapshot().operation == "delete"
+    assert sorted(r.id for r in users.to_df().collect()) == list(range(50))
+
+
+def test_delete_mor_position(users):
+    before = users.current_snapshot()
+    users.delete(E.col("id").isin(1, 2, 3), mode="merge-on-read")
+    assert users.scan().count() == 97
+    assert sorted(r.id for r in users.scan().filter(E.col("id").lt(5)).to_df().collect()) == [0, 4]
+    # MoR: original data files untouched, delete file added
+    entries = users.live_entries()
+    assert any(e.content == 1 for e in entries)
+    # time travel to before still sees all rows
+    assert users.scan().use_snapshot(before.snapshot_id).to_df().count() == 100
+
+
+def test_update(users):
+    users.update(E.eq("id", 1), {"name": "Updated"})
+    rows = users.scan().filter(E.eq("id", 1)).select("name").to_df().collect()
+    assert [r.name for r in rows] == ["Updated"]
+    assert users.scan().count() == 100
+
+
+def test_upsert_composite_null_safe(spark, catalog):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "t1", "b")], "id long, tenant string, v string"
+    )
+    schema = from_spark_schema(df.schema, identifier_fields=("id", "tenant"))
+    t = catalog.create_table("db", "kv", schema)
+    t.append(df)
+    src = spark.createDataFrame(
+        [(1, None, "a2"), (3, "t2", "c")], "id long, tenant string, v string"
+    )
+    # NULL-safe composite keys: (1, NULL) matches (1, NULL) — fixes the
+    # reference's stringified-key join (SURVEY §2.6.6)
+    t.upsert(src, ["id", "tenant"])
+    rows = {(r.id, r.tenant): r.v for r in t.to_df().collect()}
+    assert rows == {(1, None): "a2", (2, "t1"): "b", (3, "t2"): "c"}
+
+
+def test_merge_delete_mode(spark, users):
+    src = users_df(spark, 5)
+    users.merge(src, ["id"], when_matched_update=None, when_matched_delete=True,
+                when_not_matched_insert=False)
+    assert users.scan().count() == 95
+    assert sorted(r.id for r in users.to_df().collect()) == list(range(5, 100))
+
+
+def test_time_travel(spark, users):
+    s1 = users.current_snapshot()
+    users.delete(E.col("id").gte(10))
+    s2 = users.current_snapshot()
+    assert users.scan().use_snapshot(s1.snapshot_id).to_df().count() == 100
+    assert users.scan().use_snapshot(s2.snapshot_id).to_df().count() == 10
+    # as-of timestamp: latest snapshot <= ts (reference: table/table.go:98-121)
+    assert users.scan().as_of(s1.timestamp_ms).to_df().count() == 100
+    with pytest.raises(NoSuchSnapshotError):
+        users.scan().as_of(s1.timestamp_ms - 10_000).to_df()
+    assert [h["snapshot-id"] for h in users.history()] == [s1.snapshot_id, s2.snapshot_id]
+
+
+def test_rollback(users):
+    s1 = users.current_snapshot()
+    users.delete(E.col("id").gte(10))
+    users.rollback_to(s1.snapshot_id)
+    assert users.scan().count() == 100
+
+
+def test_schema_evolution_rename_add_drop(spark, users):
+    # rename keeps old files readable via field-id alignment
+    users.update_schema().rename_column("name", "full_name").add_column("score", LONG).commit()
+    df = users.to_df()
+    assert "full_name" in df.columns and "score" in df.columns
+    row = df.filter(F.col("id") == 0).collect()[0]
+    assert row.full_name == "User 0" and row.score is None
+    # write under the new schema; both generations unioned on read
+    users.append(
+        users_df(spark, 5).withColumn("id", F.col("id") + 200)
+        .withColumnRenamed("name", "full_name").withColumn("score", F.lit(7))
+    )
+    assert users.scan().count() == 105
+    got = {r.id: r.score for r in users.to_df().filter(F.col("id").isin(0, 200)).collect()}
+    assert got == {0: None, 200: 7}
+    # drop column
+    users.update_schema().drop_column("email").commit()
+    assert "email" not in users.to_df().columns
+
+
+def test_schema_evolution_type_widening(users):
+    users.update_schema().update_column_type("id", LONG).commit()  # already long: no-op widen
+    assert users.scan().count() == 100
+
+
+def test_partitioned_writes_and_pruning(spark, catalog):
+    df = users_df(spark, 100).withColumn("bucket_key", F.col("id") % 10)
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["bucket_key"], 1000, "identity", "bucket_key"),))
+    t = catalog.create_table("db", "parted", schema, spec=spec)
+    t.append(df)
+    # identity-partitioned: pruning by stats keeps only matching partition files
+    sb = t.scan().filter(E.eq("bucket_key", 3))
+    tasks = sb.plan_files()
+    all_tasks = t.scan().plan_files()
+    assert 0 < len(tasks) < len(all_tasks)
+    assert sb.count() == 10
+
+
+def test_stats_pruning_reduces_files(spark, catalog):
+    df = users_df(spark, 1000)
+    t = catalog.create_table("db", "pruned", from_spark_schema(df.schema))
+    # write as several snapshots to get disjoint id ranges per file set
+    for lo in range(0, 1000, 250):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 250)))
+    tasks = t.scan().filter(E.col("id").lt(250)).plan_files()
+    all_tasks = t.scan().plan_files()
+    assert len(tasks) < len(all_tasks)
+    assert t.scan().filter(E.col("id").lt(250)).count() == 250
+
+
+def test_properties_and_tags(users):
+    users.set_properties({"owner": "me"})
+    assert users.metadata.properties["owner"] == "me"
+    users.remove_properties(["owner"])
+    assert "owner" not in users.metadata.properties
+    s = users.current_snapshot()
+    users.create_tag("v1", s.snapshot_id)
+    assert users.metadata.refs["v1"].snapshot_id == s.snapshot_id
+
+
+def test_namespaces(catalog):
+    catalog.create_namespace("a.b", {"k": "v"})
+    assert catalog.namespace_exists("a.b")
+    assert catalog.namespace_properties("a.b") == {"k": "v"}
+    assert ("a", "b") in catalog.list_namespaces()
+    catalog.drop_namespace("a.b")
+    assert not catalog.namespace_exists("a.b")
+
+
+def test_rename_table(spark, catalog, users):
+    catalog.rename_table("db", "users", "db", "users2")
+    assert catalog.table_exists("db", "users2")
+    assert not catalog.table_exists("db", "users")
+    assert catalog.load_table("db", "users2").scan().count() == 100
+
+
+def test_refresh_and_concurrent_append(spark, catalog, users):
+    # a second handle appends; first handle refreshes and sees it
+    t2 = catalog.load_table("db", "users")
+    t2.append(users_df(spark, 10).withColumn("id", F.col("id") + 5000))
+    assert users.refresh().scan().count() == 110
+
+
+def test_optimistic_conflict_retry(spark, catalog, users):
+    """Stale handle: commit hits a version conflict, retries with reloaded
+    metadata, and both appends survive (reference: config.go:93-94 retry
+    knobs, actually wired here)."""
+    stale = catalog.load_table("db", "users")
+    users.append(users_df(spark, 10).withColumn("id", F.col("id") + 7000))
+    stale.append(users_df(spark, 10).withColumn("id", F.col("id") + 8000))
+    assert stale.scan().count() == 120
