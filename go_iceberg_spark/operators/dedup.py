@@ -80,9 +80,17 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     ).select(id_col, *cols, "dup_count")
 
 
+def _spread(df: DataFrame, key) -> DataFrame:
+    """Repartition on the doc key before CPU-heavy per-row work (explode +
+    md5). Input file layout must not cap parallelism: a corpus read as a
+    handful of splits would otherwise run the dominant stage on a handful of
+    cores. Shuffling raw docs is ~10-100x cheaper than the shingle+hash work."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
     sh = char_shingles(F.col(text_col), n) if mode == "char" else word_shingles(F.col(text_col), n)
-    return df.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_shingle")).withColumn(
+    return _spread(df, id_col).select(F.col(id_col).alias("_id"), F.explode(sh).alias("_shingle")).withColumn(
         "_h", portable_hash60(F.col("_shingle"))
     ).select("_id", "_h").distinct()
 
@@ -136,42 +144,68 @@ def minhash_lsh_pairs(
     Candidate generation is a groupBy on (band_id, band_hash) — documents
     never self-join on raw shingles, which is what makes this the scale path.
     """
-    sig = minhash_signatures(df, id_col, text_col, n=n, mode=mode)
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = [F.col(f"mh_{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sig.select(
-                F.col(id_col).alias("_id"),
-                F.lit(band).alias("_band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("_bh"),
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
-    a, b = allb.alias("a"), allb.alias("b")
-    cand = (
-        a.join(b, on=["_band", "_bh"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    # verify candidates with exact Jaccard: count common shingles per pair
+    # ONE shingle pass computes, per doc: the 16 minhash values AND the full
+    # shingle-hash set (for exact-Jaccard verification). Band rows come from
+    # one explode over an array of 4 structs; bucket-mates become candidate
+    # pairs via groupBy(bucket) + collect_list + double-explode — no
+    # self-join, so the shingle subtree appears ONCE in the physical plan
+    # (the naive union-of-bands self-join duplicated it 24x).
     sh = _shingle_table(df, id_col, text_col, n, mode)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    sha = sh.withColumnRenamed("_id", "id_a")
-    shb = sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_h", "_hb")
-    common = (
-        cand.join(sha, "id_a")
-        .join(shb.withColumnRenamed("_hb", "_h"), on=["id_b", "_h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    hp = F.col("_h") % MINHASH_PRIME
+    sig_aggs = [
+        F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sig = sh.groupBy("_id").agg(
+        F.collect_set("_h").alias("_hs"), F.count(F.lit(1)).alias("_sz"), *sig_aggs
     )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("_band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{band * LSH_ROWS + r}").cast("string")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("_bh"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    bandrows = sig.select("_id", "_hs", "_sz", F.explode(band_structs).alias("_b")).select(
+        "_id", "_hs", "_sz", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh")
+    )
+    # bucket-mates -> pairs; hot buckets produce k^2 pairs (inherent to LSH);
+    # the bucket key space is bounded so the shuffle is on small keys.
+    grp = (
+        bandrows.groupBy("_band", "_bh")
+        .agg(F.collect_list(F.struct("_id", "_hs", "_sz")).alias("_xs"))
+        .filter(F.size("_xs") > 1)
+    )
+    pairs = (
+        grp.select(F.explode("_xs").alias("_a"), "_xs")
+        .select("_a", F.explode("_xs").alias("_bx"))
+        .filter(F.col("_a._id") < F.col("_bx._id"))
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_bx._id").alias("id_b"),
+            F.col("_a._hs").alias("_hsa"),
+            F.col("_a._sz").alias("_sza"),
+            F.col("_bx._hs").alias("_hsb"),
+            F.col("_bx._sz").alias("_szb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verification inline: |A∩B| via array_intersect on the
+    # carried shingle sets — no extra joins, no second shingle pass.
     out = (
-        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-        .withColumn("jaccard", (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"))
+        pairs.withColumn("_common", F.size(F.array_intersect("_hsa", "_hsb")))
+        .withColumn(
+            "jaccard",
+            (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -181,34 +215,29 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens: bit i of the fingerprint is 1
     iff more token-hashes have bit i set than not. Pure bit arithmetic on
-    int64 — JVM-side end to end."""
-    toks = df.select(
+    int64 — JVM-side end to end.
+
+    One shuffle: groupBy(id) with 60 conditional sums (ones-count per bit
+    position) + a token count; bit i of the fingerprint is set iff
+    2*ones_i > n (same vote-sum > 0 semantics, without materializing a
+    60x-exploded (id, bit, vote) table). Partial aggregation makes the
+    shuffle width 61 longs per id regardless of document length."""
+    toks = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("_tok"),
     ).withColumn("_h", portable_hash60(F.col("_tok")))
-    # per (id, bit): vote = sum(±1); bit positions unrolled as literals since
-    # shiftright needs a foldable shift amount in the Python API
-    bit_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bit"),
-                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .alias("vote"),
-            )
-            for i in range(SIMHASH_BITS)
-        ]
-    )
-    bits = toks.select("_id", F.explode(bit_structs).alias("bv")).select(
-        "_id", F.col("bv.bit").alias("_bit"), F.col("bv.vote").alias("_vote")
-    )
-    votes = bits.groupBy("_id", "_bit").agg(F.sum("_vote").alias("_v"))
-    fp = votes.groupBy("_id").agg(
-        F.sum(
-            F.expr("CASE WHEN _v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT)) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
-    )
-    return fp.select(F.col("_id").alias(id_col), "simhash")
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
+    fp_expr = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.lit(2) * F.col(f"_s{i}") > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    return agg.select(F.col("_id").alias(id_col), fp_expr.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3) -> DataFrame:
@@ -217,33 +246,41 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int
     Candidates share at least one 15-bit band (pigeonhole: distance <= 3 over
     4 bands guarantees an identical band); verification is
     ``bit_count(a XOR b)``."""
+    # same no-self-join shape as minhash_lsh_pairs: band rows via one explode,
+    # bucket-mates via groupBy + collect_list + double-explode; the fingerprint
+    # subtree appears once in the plan and the fingerprints ride along in the
+    # collected structs so verification needs no join at all.
     fp = simhash(df, id_col, text_col)
-    bands = []
-    for band in range(SIMHASH_NUM_BANDS):
-        bands.append(
-            fp.select(
-                F.col(id_col).alias("_id"),
-                F.col("simhash").alias("_fp"),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("_band"),
                 F.shiftright(F.col("simhash"), band * SIMHASH_BAND_BITS)
                 .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
                 .alias("_bh"),
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
-    a, b = allb.alias("a"), allb.alias("b")
+            for band in range(SIMHASH_NUM_BANDS)
+        ]
+    )
+    bandrows = fp.select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_fp"), F.explode(band_structs).alias("_b")
+    ).select("_id", "_fp", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh"))
+    grp = (
+        bandrows.groupBy("_band", "_bh")
+        .agg(F.collect_list(F.struct("_id", "_fp")).alias("_xs"))
+        .filter(F.size("_xs") > 1)
+    )
     pairs = (
-        a.join(b, on=["_band", "_bh"])
-        .filter(F.col("a._id") < F.col("b._id"))
+        grp.select(F.explode("_xs").alias("_a"), "_xs")
+        .select("_a", F.explode("_xs").alias("_bx"))
+        .filter(F.col("_a._id") < F.col("_bx._id"))
         .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("_fpa"), F.col("b._fp").alias("_fpb"),
+            F.col("_a._id").alias("id_a"), F.col("_bx._id").alias("id_b"),
+            F.col("_a._fp").alias("_fpa"), F.col("_bx._fp").alias("_fpb"),
         )
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
     return pairs
