@@ -268,12 +268,14 @@ def join_semi(spark, sf):
     "join_anti_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def join_anti(spark, sf):
+    """Anti join: customers with no order above 300k (non-empty at every sf,
+    unlike 'no orders at all' — the generator gives every customer orders)."""
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -539,16 +541,17 @@ def filter_3vl(spark, sf):
     "filter_starts_with",
     """
     SELECT p_partkey, p_name FROM part
-    WHERE p_name LIKE 'a%' OR NOT (p_name LIKE 'b%' OR p_name IS NULL) AND p_name >= 'w'
+    WHERE p_name LIKE 's%' OR NOT (p_name LIKE 'b%' OR p_name IS NULL) AND p_name >= 'r'
     """,
 )
 def filter_startswith(spark, sf):
     """StartsWith / NotStartsWith — ops the reference's evaluator silently
-    mishandles (defaults to true, reference: table/delete.go:324-326)."""
+    mishandles (defaults to true, reference: table/delete.go:324-326).
+    Prefixes chosen to match real generator names ('small …', 'red …')."""
     p = load(spark, sf, "part")
     from .expr import or_
 
-    e = or_(C("p_name").starts_with("a"), and_(C("p_name").not_starts_with("b"), C("p_name").gte("w")))
+    e = or_(C("p_name").starts_with("s"), and_(C("p_name").not_starts_with("b"), C("p_name").gte("r")))
     return p.filter(to_column(e)).select("p_partkey", "p_name")
 
 
@@ -981,6 +984,320 @@ def multimodal_q(spark, sf):
         "doc_id", "n_bytes", "sha256",
         (F.element_at("features", 1)).alias("feat_0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage widening: outer joins, pivot, percentiles, grouping
+# sets, range-frame windows, array functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_outer_full",
+    """
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier WHERE s_suppkey < 40 GROUP BY s_nationkey)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, c.n_cust AS n_cust, s.n_supp AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_outer_full(spark, sf):
+    """FULL OUTER join of two aggregates; the supplier side is restricted so
+    both null-padded sides actually occur."""
+    c = load(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust"))
+    s = (load(spark, sf, "supplier").filter(F.col("s_suppkey") < 40)
+         .groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count(F.lit(1)).alias("n_supp")))
+    return (c.join(s, on="nationkey", how="full_outer")
+            .select("nationkey", "n_cust", "n_supp"))
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@query(
+    "pivot_priority_by_year",
+    "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    )
+    + " FROM orders GROUP BY 1",
+)
+def pivot_priority_by_year(spark, sf):
+    """Pivot (orders per priority per year) — groupBy().pivot() with explicit
+    values so no extra distinct-values job runs; absent cells coalesced to 0
+    to match SQL's count FILTER."""
+    o = load(spark, sf, "orders").withColumn("o_year", F.year("o_orderdate").cast("int"))
+    p = o.groupBy("o_year").pivot("o_orderpriority", _PRIORITIES).count()
+    return p.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(a)
+          for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)],
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf):
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear interpolation)."""
+    l = load(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+
+@query("grouping_sets_flag_status", _GROUPING_SETS_SQL)
+def grouping_sets_q(spark, sf):
+    """Explicit GROUPING SETS (rollup/cube cousins are separate queries)."""
+    register_views(spark, sf)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "window_range_ntile",
+    """
+    SELECT o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_close,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+           round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS pr
+    FROM orders
+    """,
+)
+def window_range_ntile(spark, sf):
+    """RANGE-frame window (value-based frame, not row-based) + ntile +
+    percent_rank; ntile's order-by carries a unique tiebreak so tile
+    assignment is deterministic."""
+    o = load(spark, sf, "orders")
+    w_range = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    w_tile = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_pr = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w_range).alias("n_close"),
+        F.ntile(4).over(w_tile).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w_pr), 6).alias("pr"),
+    )
+
+
+@query(
+    "scalar_array_functions",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+           list_contains(string_split_regex(trim(text), '\s+'), 'the') AS has_the,
+           array_to_string(list_sort(string_split_regex(trim(text), '\s+'))[1:3], '-') AS first3,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def scalar_array_functions(spark, sf):
+    """Array function family: split/size/contains/sort/slice/distinct —
+    all JVM-side builtins."""
+    d = load(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "the").alias("has_the"),
+        F.concat_ws("-", F.slice(F.array_sort(words), 1, 3)).alias("first3"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "embedding_centroid_per_bucket",
+    """
+    SELECT vec_id % 8 AS bucket, CAST(g - 1 AS INT) AS pos,
+           round(avg(CAST(embedding[g] AS DOUBLE)), 6) AS avg_val
+    FROM embeddings, generate_series(1, 64) AS t(g)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid(spark, sf):
+    """Element-wise centroid of embedding vectors per bucket via posexplode +
+    positional aggregate — the distributed way to average array columns (no
+    per-row UDF, shuffle key is (bucket, pos))."""
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select((F.col("vec_id") % 8).alias("bucket"), F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("bucket", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("avg_val"))
+        .select("bucket", F.col("pos").cast("int").alias("pos"), "avg_val")
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.cv")
+    cos_qc = _cosine_sql("q.embedding", "c.cv")
+    cos_qn = _cosine_sql("qa.qv", "ca.cv2")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+    ca AS (
+      SELECT neighbor_id, cv2, cent_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+    qa AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE r <= 2),
+    scored AS (
+      SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cs
+      FROM ca JOIN qa USING (cent_id) WHERE ca.neighbor_id <> qa.query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("similarity_ivf_topk", _ivf_oracle_sql())
+def ivf_topk_q(spark, sf):
+    """IVF-flat ANN: deterministic coarse centroids, corpus assigned to
+    nearest list (broadcast join vs n_lists rows), queries probe 2 lists."""
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                      id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Table-layer queries: CRUD + time travel + metadata count through the
+# engine's own table format (reference: table/{insert,delete,update}.go,
+# scan.go:80-98, scan.go:234-250). Each builds a scratch table under /tmp,
+# mutates it through the public API, and returns the scanned result — so the
+# driver's oracle gate covers the table layer end-to-end, not just the
+# relational operators.
+# ---------------------------------------------------------------------------
+
+
+def _scratch_table(spark, name: str, df: DataFrame):
+    import tempfile
+
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+
+    wh = tempfile.mkdtemp(prefix=f"gis_{name}_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), name, from_spark_schema(df.schema))
+    t.append(df)
+    return t
+
+
+_CRUD_COLS = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "crud_delete_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def crud_delete_scan(spark, sf):
+    """Copy-on-write DELETE through the table layer, then scan
+    (reference: table/delete.go:83-139)."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "del", base)
+    t.delete(C("o_totalprice").gt(200000.0))
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "crud_update_scan",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def crud_update_scan(spark, sf):
+    """UPDATE ... SET ... WHERE through the table layer
+    (reference: table/update.go:31-101)."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "upd", base)
+    t.update(C("o_orderpriority").eq("1-URGENT"), {"o_totalprice": 0.0})
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "crud_upsert_scan",
+    """
+    WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 2000),
+         s AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, o_orderpriority
+               FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+           coalesce(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def crud_upsert_scan(spark, sf):
+    """UPSERT (MERGE: update matched keys, insert new ones) through the table
+    layer (reference: table/update.go:360-459, with null-safe keys)."""
+    o = load(spark, sf, "orders")
+    tgt = o.filter(F.col("o_orderkey") < 2000).select(*_CRUD_COLS)
+    src = (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+           .select("o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"), "o_orderpriority"))
+    t = _scratch_table(spark, "ups", tgt)
+    t.upsert(src, ["o_orderkey"])
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "time_travel_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def time_travel_scan(spark, sf):
+    """Append twice, scan the FIRST snapshot by id — snapshot-pinned reads
+    (reference: table/scan.go:80-98, table/table.go:98-121)."""
+    o = load(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") < 1000).select(*_CRUD_COLS)
+    b2 = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "tt", b1)
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(b2)
+    return t.scan().use_snapshot(snap1).to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "metadata_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_orderkey < 2000",
+)
+def metadata_count_q(spark, sf):
+    """The reference's metadata-only Count (sum of manifest record counts, no
+    data scan — reference: table/scan.go:234-250), surfaced as a 1-row frame."""
+    base = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000).select(
+        "l_orderkey", "l_quantity")
+    t = _scratch_table(spark, "cnt", base)
+    n = t.scan().metadata_count()
+    return spark.createDataFrame([(int(n),)], "n_rows long")
 
 
 def bench_queries() -> dict[str, QuerySpec]:
