@@ -99,6 +99,82 @@ def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes"):
     )
 
 
+def resize_images(
+    df: DataFrame, id_col: str, bytes_col: str = "media_bytes", *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize over mapInPandas. The pixel resample is a deterministic
+    stub (codecs absent here): output payload is a truncated/cycled byte
+    buffer of exactly width*height*3 bytes, so downstream batch shapes,
+    memory budgeting, and schema are production-real. Swap `_stub_resize`
+    for a PIL/cv2 call where codecs exist."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media_bytes", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    target = width * height * 3
+
+    def _stub_resize(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(target)
+        reps = target // len(payload) + 1
+        return (payload * reps)[:target]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media_bytes": pdf[bytes_col].map(lambda b: _stub_resize(bytes(b))),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, bytes_col: str = "media_bytes", *, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling over mapInPandas: one output row per sampled
+    frame (id, frame_idx, frame_bytes, offset). The 'frame' extraction is a
+    deterministic stub (fixed-stride byte slices standing in for keyframe
+    decode); the fan-out shape — one input row to max_frames output rows,
+    exploded inside the Arrow batch — is the production pattern for
+    ffmpeg-backed sampling."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), False),
+            T.StructField("byte_offset", T.LongType(), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, offs = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(payload)
+                n = min(max_frames, max(1, len(b) // every_n_bytes))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    frames.append(b[off : off + every_n_bytes])
+                    offs.append(off)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_bytes": frames, "byte_offset": pd.Series(offs, dtype="int64")}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+
+
 def media_repartition(df: DataFrame, bytes_col: str, target_partition_bytes: int = 256 * 1024 * 1024) -> DataFrame:
     """Repartition media rows so each task holds ~target bytes of payload —
     sampling-based estimate of mean payload size; prevents OOM on skewed

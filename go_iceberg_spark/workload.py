@@ -904,13 +904,21 @@ def emb_dedup_q(spark, sf):
     """
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> length(x) > 0))
+                + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_bpe_ish
     FROM documents
     """,
 )
 def token_count_q(spark, sf):
+    """Whitespace token count + sub-word-ish count (word-char runs + punct
+    chars — the cheap BPE proxy)."""
     d = load(spark, sf, "documents")
-    return d.select("doc_id", X.token_count_expr(F.col("text")).alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        X.token_count_expr(F.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count_expr(F.col("text")).alias("n_bpe_ish"),
+    )
 
 
 @query(
@@ -983,6 +991,55 @@ def multimodal_q(spark, sf):
     return feats.select(
         "doc_id", "n_bytes", "sha256",
         (F.element_at("features", 1)).alias("feat_0"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           sha256(substr(repeat(text, (768 // octet_length(encode(text))) + 1), 1, 768)) AS sha,
+           CAST(768 AS BIGINT) AS n_bytes, 16 AS width, 16 AS height
+    FROM documents
+    """,
+)
+def multimodal_resize_q(spark, sf):
+    """Image-resize plumbing over mapInPandas: output payload is exactly
+    w*h*3 bytes (cycled-byte stub standing in for the pixel resample; text is
+    ASCII so the DuckDB oracle reproduces the cycling with repeat+substr)."""
+    d = M.attach_media(load(spark, sf, "documents"), "text")
+    r = M.resize_images(d, "doc_id", width=16, height=16)
+    return r.select(
+        "doc_id", F.sha2(F.col("media_bytes"), 256).alias("sha"),
+        F.octet_length("media_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("int").alias("width"), F.col("height").cast("int").alias("height"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+    f AS (SELECT doc_id, text, L, g - 1 AS frame_idx, (g - 1) * 256 AS byte_offset
+          FROM d, generate_series(1, 8) t(g)
+          WHERE g <= least(8, greatest(1, L // 256)))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, CAST(byte_offset AS BIGINT) AS byte_offset,
+           CAST(least(256, L - byte_offset) AS BIGINT) AS n_frame_bytes,
+           sha256(substr(text, CAST(byte_offset AS INT) + 1, 256)) AS frame_sha
+    FROM f
+    """,
+)
+def multimodal_frame_sample_q(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled frame, exploded
+    inside the Arrow batch (the ffmpeg-backed pattern with a byte-slice
+    stub). Frame payloads verified via sha256 against the oracle's substr."""
+    d = M.attach_media(load(spark, sf, "documents"), "text")
+    fr = M.sample_frames(d, "doc_id", every_n_bytes=256, max_frames=8)
+    return fr.select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        F.octet_length("frame_bytes").cast("long").alias("n_frame_bytes"),
+        F.sha2(F.col("frame_bytes"), 256).alias("frame_sha"),
     )
 
 
