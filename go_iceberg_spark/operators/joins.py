@@ -94,3 +94,34 @@ def range_join_days(
         (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) <= F.col(right_hi))
     )
     return joined.drop("_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    salt_buckets: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew: the LEFT (big, skewed) side gets a
+    deterministic salt derived from ``salt_source`` (any left column that
+    varies within a join key — e.g. a line number or row id), and the RIGHT
+    side is replicated ``salt_buckets`` times, so one hot key's rows spread
+    over ``salt_buckets`` reducers instead of one straggler task.
+
+    Results are identical to ``left.join(right, on, how)`` — salting only
+    changes the shuffle distribution. AQE's skew-join split handles sort-merge
+    skew automatically; explicit salting is for the cases AQE cannot split
+    (aggregating joins, storage-partitioned inputs, streaming joins).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # the replicated right side would emit each unmatched right row
+        # salt_buckets times under right/full outer joins
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    if salt_source is None:
+        salt_source = next(c for c in left.columns if c not in on)
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).cast("int"))
+    r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")

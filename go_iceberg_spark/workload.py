@@ -1240,6 +1240,125 @@ def ivf_topk_q(spark, sf):
                       id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
 
 
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'small%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14(spark, sf):
+    """TPC-H Q14-style promo revenue: fact-dim join (part broadcasts) +
+    conditional aggregate."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01"))
+    p = load(spark, sf, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type").startswith("small"), _rev()).otherwise(F.lit(0.0))
+    return j.agg(F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias("promo_revenue"))
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def q18(spark, sf):
+    """TPC-H Q18-style large-volume customers: semi join against a HAVING
+    aggregate, then re-aggregate."""
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    big = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_q")).filter(F.col("_q") > 150)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+def _kmv_oracle_sql(k: int = 64) -> str:
+    return f"""
+    WITH h AS (SELECT DISTINCT o_orderpriority,
+                      ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+               FROM orders),
+    r AS (SELECT o_orderpriority, hv,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY hv) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n_exact
+          FROM h)
+    SELECT o_orderpriority, n_exact,
+           CASE WHEN n_exact >= {k}
+                THEN round(({k} - 1) / (CAST(max(CASE WHEN rn = {k} THEN hv END) AS DOUBLE) / 1152921504606846976.0), 2)
+                ELSE CAST(n_exact AS DOUBLE) END AS n_estimate
+    FROM r GROUP BY o_orderpriority, n_exact
+    """
+
+
+@query("sketch_kmv_distinct", _kmv_oracle_sql())
+def sketch_kmv_q(spark, sf):
+    """KMV distinct-count sketch (deterministic, cross-engine reproducible —
+    unlike HLL) vs the exact count, per order priority."""
+    from .operators import sketch as K
+
+    o = load(spark, sf, "orders")
+    return K.kmv_distinct(o, ["o_orderpriority"], "o_custkey", k=64).select(
+        "o_orderpriority", "n_exact", "n_estimate")
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_q(spark, sf):
+    """Salted big-big equi-join (skew pattern): left side salted on line
+    number, right side replicated 8x; identical results to the plain join —
+    only the shuffle distribution changes."""
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    j = J.salted_join(l, o.select("l_orderkey", "o_orderpriority"), ["l_orderkey"],
+                      salt_buckets=8, salt_source="l_linenumber")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+
+
+@query(
+    "rollup_time_bucket",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY ROLLUP (day, hour)
+    ORDER BY day NULLS FIRST, hour NULLS FIRST
+    """,
+)
+def rollup_time_bucket_q(spark, sf):
+    """Hypertable-style multi-granularity time rollup: (day, hour) -> day ->
+    grand total in one pass (partial aggregates reused across levels).
+    Day rendered as an ISO string so both engines emit the same type."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .withColumn("hour", F.hour("ts").cast("int"))
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Table-layer queries: CRUD + time travel + metadata count through the
 # engine's own table format (reference: table/{insert,delete,update}.go,

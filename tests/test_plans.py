@@ -1,0 +1,80 @@
+"""Plan-shape contracts: the 100 TB design assertions from README §Scale.
+
+Results staying correct is not enough — these tests fail when a plan
+regresses (a broadcast turns into a shuffle join, a filter stops reaching
+the scan, an LSH pipeline starts duplicating its shingle subtree)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_iceberg_spark.plans import inspect as P
+from go_iceberg_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(name, spark):
+    return QUERIES[name].fn(spark, SF)
+
+
+def test_dim_joins_broadcast(spark):
+    """TPC-H-style joins broadcast their dimension sides."""
+    P.assert_broadcasts(q("q3_shipping_priority", spark), at_least=2)
+    P.assert_broadcasts(q("q5_local_supplier_volume", spark), at_least=3)
+    P.assert_broadcasts(q("q10_returned_items", spark), at_least=2)
+
+
+def test_no_cartesian_products(spark):
+    for name in ["q3_shipping_priority", "q18_large_volume_customers",
+                 "join_salted_skew", "asof_join_purchase_to_view",
+                 "range_join_errors_followups"]:
+        P.assert_no_cartesian(q(name, spark))
+
+
+def test_filters_reach_parquet_scan(spark):
+    """Predicate pushdown: the scan itself carries the filter."""
+    P.assert_filter_pushed(q("q6_forecast_revenue", spark), "l_shipdate")
+    P.assert_filter_pushed(q("filter_not_in", spark), "o_orderpriority")
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    df = q("q6_forecast_revenue", spark)
+    schemas = P.read_schemas(df)
+    assert schemas, "no ReadSchema found in plan"
+    for s in schemas:
+        assert "l_returnflag" not in s, f"unpruned scan reads l_returnflag: {s}"
+
+
+def test_minhash_plan_single_shingle_subtree(spark):
+    """The LSH pipeline computes the explode+md5 shingle stage once; the old
+    union-of-bands self-join shape duplicated it 24x."""
+    df = q("dedup_minhash_lsh", spark)
+    # Generate nodes: shingle explode + band explode + pair double-explode
+    P.assert_max_op(df, "Generate", 5)
+    assert P.count_op(df, "Scan parquet") <= 3, "documents scanned more than 3x"
+
+
+def test_asof_join_is_window_not_join(spark):
+    """The as-of join must use the union+window pattern (one shuffle), not an
+    inequality join (BroadcastNestedLoop / CartesianProduct)."""
+    df = q("asof_join_purchase_to_view", spark)
+    plan = P.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_result_equals_plain_join(spark):
+    """Salting changes the shuffle, never the result."""
+    from go_iceberg_spark.operators.joins import salted_join
+    from go_iceberg_spark.workload import load
+
+    l = load(spark, SF, "lineitem")
+    o = load(spark, SF, "orders").withColumnRenamed("o_orderkey", "l_orderkey") \
+        .select("l_orderkey", "o_orderpriority")
+    plain = l.join(o, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(l, o, ["l_orderkey"], salt_buckets=4, salt_source="l_linenumber") \
+        .groupBy("o_orderpriority").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
