@@ -36,15 +36,23 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineite
           "events", "documents", "embeddings")
 
 
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table. Parquet TIMESTAMP(NANOS) columns (events.ts)
     are read as long and truncated to microseconds — exactly what DuckDB 1.0
-    does on read, so both engines see identical values."""
+    does on read, so both engines see identical values. The driver-side
+    footer inspection is cached per path (it would otherwise add a local
+    metadata read to every query invocation)."""
     path = f"{sf_dir}/{name}.parquet"
-    import pyarrow.parquet as pq
+    ns_cols = _NS_COLS_CACHE.get(path)
+    if ns_cols is None:
+        import pyarrow.parquet as pq
 
-    schema = pq.ParquetFile(path).schema_arrow
-    ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+        schema = pq.ParquetFile(path).schema_arrow
+        ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+        _NS_COLS_CACHE[path] = ns_cols
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -54,10 +62,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_VIEWS_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all testdata tables as temp views (for spark.sql queries)."""
+    """Register all testdata tables as temp views (for spark.sql queries);
+    skipped when this session's views already point at this sf_dir (views
+    are session-global, so only the LAST registered sf_dir is live)."""
+    if _VIEWS_REGISTERED.get(id(spark)) == sf_dir:
+        return
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[id(spark)] = sf_dir
 
 
 @dataclass
@@ -643,6 +659,45 @@ def tumbling_q(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
+
+
+_STREAM_SEQ_HOLDER = [0]
+
+
+@query(
+    "streaming_tumbling_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_q(spark, sf):
+    """A REAL Structured Streaming job, not a batch stand-in: file-stream the
+    events table, tumbling-window aggregate, complete-mode memory sink,
+    availableNow trigger. Deterministic: complete mode re-emits the full
+    state, so after the stream drains the result equals the batch aggregate
+    (no watermark -> no late-row drops)."""
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema  # ts surfaces as long under the conf
+    # the file stream source needs a directory; glob-filter to the one table
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    if str(sch["ts"].dataType) == "LongType()":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_tumbling_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 @query(
