@@ -61,7 +61,8 @@ class Table:
     (reference: table/table.go:17-23)."""
 
     def __init__(self, spark: SparkSession, identifier: tuple[str, ...], location: str,
-                 metadata: TableMetadata, version: int, max_retries: int = 3, retry_backoff_ms: int = 100):
+                 metadata: TableMetadata, version: int, max_retries: int = 3, retry_backoff_ms: int = 100,
+                 committer=None, loader=None):
         self.spark = spark
         self.identifier = identifier
         self.location = location
@@ -70,6 +71,12 @@ class Table:
         self.max_retries = max_retries
         self.retry_backoff_ms = retry_backoff_ms
         self._manifest_cache: dict[str, list[DataFileEntry]] = {}
+        # pluggable metadata pointer I/O: local filesystem by default; a
+        # catalog service (catalog/rest.py) swaps these so the COMMIT runs
+        # server-side while data/manifest files stay on shared storage
+        # (reference: catalog/rest.go:425-445 CommitTable)
+        self._commit_fn = committer or (lambda md, v: commit_metadata(self.location, md, v))
+        self._load_fn = loader or (lambda: load_metadata(self.location))
 
     # -- loading ----------------------------------------------------------
     @staticmethod
@@ -79,7 +86,7 @@ class Table:
 
     def refresh(self) -> "Table":
         """Reload metadata (reference: table/table.go:134-141)."""
-        self.metadata, self.version = load_metadata(self.location)
+        self.metadata, self.version = self._load_fn()
         self._manifest_cache.clear()
         return self
 
@@ -164,8 +171,8 @@ class Table:
             summary=summary,
         )
         new_md = md.with_snapshot(snap)
+        self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
-        self.version = commit_metadata(self.location, new_md, self.version)
         return snap
 
     def _retrying(self, build_and_commit) -> Snapshot:
@@ -256,16 +263,16 @@ class Table:
         from dataclasses import replace
 
         md = replace(self.metadata, properties={**self.metadata.properties, **props}, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
         self.metadata = md
-        self.version = commit_metadata(self.location, md, self.version)
 
     def remove_properties(self, keys: list[str]) -> None:
         from dataclasses import replace
 
         props = {k: v for k, v in self.metadata.properties.items() if k not in keys}
         md = replace(self.metadata, properties=props, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
         self.metadata = md
-        self.version = commit_metadata(self.location, md, self.version)
 
     def update_schema(self) -> "SchemaUpdate":
         """Fluent schema evolution (reference: table/table.go:198-202,
@@ -280,8 +287,8 @@ class Table:
         refs = dict(self.metadata.refs)
         refs[name] = SnapshotRef(snapshot_id, "tag")
         md = replace(self.metadata, refs=refs, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
         self.metadata = md
-        self.version = commit_metadata(self.location, md, self.version)
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point main back at an older snapshot (superset of reference)."""
@@ -295,8 +302,8 @@ class Table:
             snapshot_log=self.metadata.snapshot_log + ({"timestamp-ms": now_ms(), "snapshot-id": snap.snapshot_id},),
             last_updated_ms=now_ms(),
         )
+        self.version = self._commit_fn(md, self.version)
         self.metadata = md
-        self.version = commit_metadata(self.location, md, self.version)
 
 
 class SchemaUpdate:
@@ -355,6 +362,6 @@ class SchemaUpdate:
             current_schema_id=new_schema.schema_id,
             last_updated_ms=now_ms(),
         )
+        t.version = t._commit_fn(md, t.version)
         t.metadata = md
-        t.version = commit_metadata(t.location, md, t.version)
         return new_schema

@@ -1,0 +1,110 @@
+"""REST catalog end-to-end: client + in-process service + Spark data path.
+
+Port of the reference's REST catalog surface (reference: catalog/rest.go) —
+namespaces/tables CRUD, rename, OAuth/bearer auth, and the commit protocol
+with optimistic-concurrency 409s surfacing as retryable CommitConflictError.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.catalog.rest import RESTCatalog
+from go_iceberg_spark.catalog.rest_server import serve_background
+from go_iceberg_spark.errors import (
+    CommitConflictError,
+    NamespaceAlreadyExistsError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+    ValidationError,
+)
+from go_iceberg_spark.schema import from_spark_schema
+
+
+@pytest.fixture()
+def service(tmp_path):
+    srv, uri = serve_background(str(tmp_path / "wh"))
+    yield uri
+    srv.shutdown()
+
+
+@pytest.fixture()
+def rcat(spark, service):
+    return RESTCatalog(spark, service)
+
+
+def proto_df(spark, n=5, offset=0):
+    return spark.createDataFrame([Row(id=i, name=f"u{i}") for i in range(offset, offset + n)])
+
+
+def test_namespace_lifecycle(rcat):
+    rcat.create_namespace(("db",), {"owner": "tests"})
+    assert rcat.namespace_exists(("db",))
+    assert rcat.namespace_properties(("db",)) == {"owner": "tests"}
+    assert ("db",) in rcat.list_namespaces()
+    with pytest.raises(NamespaceAlreadyExistsError):
+        rcat.create_namespace(("db",))
+    rcat.drop_namespace(("db",))
+    assert not rcat.namespace_exists(("db",))
+
+
+def test_table_crud_and_spark_data_path(spark, rcat):
+    df = proto_df(spark)
+    t = rcat.create_table(("db",), "users", from_spark_schema(df.schema))
+    t.append(df)
+    assert sorted(r.id for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+    # a second client handle sees the committed data through the service
+    t2 = rcat.load_table(("db",), "users")
+    assert t2.to_df().count() == 5
+    assert rcat.list_tables(("db",)) == ["users"]
+    with pytest.raises(TableAlreadyExistsError):
+        rcat.create_table(("db",), "users", from_spark_schema(df.schema))
+    rcat.rename_table(("db",), "users", ("db",), "users2")
+    assert rcat.table_exists(("db",), "users2") and not rcat.table_exists(("db",), "users")
+    rcat.drop_table(("db",), "users2")
+    with pytest.raises(TableNotFoundError):
+        rcat.load_table(("db",), "users2")
+
+
+def test_commit_conflict_and_retry(spark, rcat):
+    df = proto_df(spark)
+    t1 = rcat.create_table(("db",), "c", from_spark_schema(df.schema))
+    t1.append(df)
+    t2 = rcat.load_table(("db",), "c")
+    # two handles at the same base version: first commit wins, second conflicts
+    t1.set_properties({"a": "1"})
+    with pytest.raises(CommitConflictError):
+        t2.set_properties({"b": "2"})
+    # appends retry through the conflict automatically (commutable op)
+    t2.append(proto_df(spark, offset=100))
+    t1.refresh()
+    assert t1.to_df().count() == 10
+
+
+def test_mutations_through_rest(spark, rcat):
+    df = proto_df(spark, n=10)
+    t = rcat.create_table(("db",), "m", from_spark_schema(df.schema))
+    t.append(df)
+    t.delete(gi.lt("id", 3))
+    t.update(gi.eq("id", 5), {"name": "five"})
+    rows = {r.id: r.name for r in t.to_df().collect()}
+    assert sorted(rows) == [3, 4, 5, 6, 7, 8, 9] and rows[5] == "five"
+    # time travel still works on a REST-committed table
+    first = t.snapshots()[0]
+    assert t.scan().use_snapshot(first.snapshot_id).to_df().count() == 10
+
+
+def test_bearer_auth_and_oauth(spark, tmp_path):
+    srv, uri = serve_background(str(tmp_path / "sec"), token="sekrit")
+    try:
+        with pytest.raises(ValidationError, match="401|bearer"):
+            RESTCatalog(spark, uri)  # no token
+        ok = RESTCatalog(spark, uri, token="sekrit")
+        ok.create_namespace(("db",))
+        # oauth client-credentials exchange returns the working token
+        ok2 = RESTCatalog(spark, uri, credential="id:secret")
+        assert ok2.namespace_exists(("db",))
+    finally:
+        srv.shutdown()
