@@ -1286,7 +1286,7 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-@query("similarity_ivf_topk", _ivf_oracle_sql())
+@query("similarity_ivf_topk", _ivf_oracle_sql(), bench=True)
 def ivf_topk_q(spark, sf):
     """IVF-flat ANN: deterministic coarse centroids, corpus assigned to
     nearest list (broadcast join vs n_lists rows), queries probe 2 lists."""
@@ -1303,6 +1303,7 @@ def ivf_topk_q(spark, sf):
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
+    bench=True,
 )
 def q14(spark, sf):
     """TPC-H Q14-style promo revenue: fact-dim join (part broadcasts) +
@@ -1324,6 +1325,7 @@ def q14(spark, sf):
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
     GROUP BY c_custkey, o_orderkey
     """,
+    bench=True,
 )
 def q18(spark, sf):
     """TPC-H Q18-style large-volume customers: semi join against a HAVING
@@ -1377,6 +1379,7 @@ def sketch_kmv_q(spark, sf):
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
+    bench=True,
 )
 def join_salted_q(spark, sf):
     """Salted big-big equi-join (skew pattern): left side salted on line
@@ -1399,6 +1402,7 @@ def join_salted_q(spark, sf):
     FROM events GROUP BY ROLLUP (day, hour)
     ORDER BY day NULLS FIRST, hour NULLS FIRST
     """,
+    bench=True,
 )
 def rollup_time_bucket_q(spark, sf):
     """Hypertable-style multi-granularity time rollup: (day, hour) -> day ->
@@ -1515,6 +1519,72 @@ def time_travel_scan(spark, sf):
     snap1 = t.current_snapshot().snapshot_id
     t.append(b2)
     return t.scan().use_snapshot(snap1).to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "crud_delete_mor_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def crud_delete_mor_scan(spark, sf):
+    """MERGE-ON-READ delete: a position-delete file is written and applied at
+    scan time (the read-side merge the reference writes but never applies —
+    SURVEY §2.6.4). Same oracle as the CoW variant: both modes must produce
+    identical results."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "mor", base)
+    t.delete(C("o_totalprice").gt(200000.0), mode="merge-on-read")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "crud_overwrite_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, -1.0 AS o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority = '1-URGENT'
+    """,
+)
+def crud_overwrite_scan(spark, sf):
+    """Selective overwrite (reference: table/insert.go:216-252): rows
+    matching the filter are replaced by the new batch in ONE snapshot."""
+    o = load(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    repl = (o.filter((F.col("o_orderkey") < 3000) & (F.col("o_orderpriority") == "1-URGENT"))
+            .select("o_orderkey", F.lit(-1.0).alias("o_totalprice"), "o_orderpriority"))
+    t = _scratch_table(spark, "ovw", base)
+    t.overwrite(repl, C("o_orderpriority").eq("1-URGENT"))
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
+    "crud_schema_evolution_scan",
+    """
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_comment
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'batch2' AS o_comment
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    """,
+)
+def crud_schema_evolution_scan(spark, sf):
+    """Schema evolution mid-table: add a column, append under the new schema,
+    scan unions both file generations (old rows NULL-padded) — field-ID-based
+    evolution (reference: table/table.go:198-202, spec/metadata.go:308-333)."""
+    from .schema import STRING
+
+    o = load(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice")
+    b2 = (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+          .select("o_orderkey", "o_totalprice", F.lit("batch2").alias("o_comment")))
+    t = _scratch_table(spark, "evo", b1)
+    t.update_schema().add_column("o_comment", STRING).commit()
+    t.append(b2)
+    return t.to_df().select("o_orderkey", "o_totalprice", "o_comment")
 
 
 @query(
