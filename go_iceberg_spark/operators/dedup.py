@@ -306,3 +306,46 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )
+
+
+def keep_greedy(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Greedy dedup keep-list: drop every row that has a LOWER-id near-dup
+    (pairs carry id_a < id_b, so dropping all id_b keeps exactly the minimal
+    representative of each star). One anti-join — the standard single-pass
+    policy when full transitive closure isn't required."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def connected_components(pairs: DataFrame, *, max_iterations: int = 15) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node ends labeled with the smallest id reachable from
+    it. Returns (id, component).
+
+    Each iteration is one shuffle (groupBy on node id) propagating labels
+    across edges both directions; iterations needed = graph diameter in
+    min-label steps (near-dup clusters are shallow stars — converges in 2-3).
+    The driver-side loop only checks a per-iteration convergence count;
+    labels stay distributed. Spark-first shape of the union-find the
+    reference never had."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = both.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.id)
+            .groupBy("src").agg(F.min("component").alias("_nbr"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias("component"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component")).count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth per iteration
+        if changed == 0:
+            break
+    return labels

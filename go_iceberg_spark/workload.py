@@ -1098,6 +1098,37 @@ def multimodal_frame_sample_q(spark, sf):
     )
 
 
+def _minhash_keep_oracle_sql() -> str:
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pairs AS ({_minhash_oracle_sql()})
+    SELECT c.doc_id FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@query("dedup_minhash_keep_list", _minhash_keep_oracle_sql())
+def dedup_keep_q(spark, sf):
+    """End-to-end dedup POLICY, not just pair discovery: greedy keep-list
+    dropping every doc with a lower-id near-dup (one anti-join over the
+    MinHash-LSH pairs)."""
+    c = _corpus(spark, sf)
+    pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
+    return D.keep_greedy(c, pairs, "doc_id").select("doc_id")
+
+
+@query("dedup_connected_components", None)
+def dedup_cc_q(spark, sf):
+    """Connected components over the near-dup graph via iterative min-label
+    propagation — a genuinely iterative distributed algorithm (driver loop
+    only checks convergence counts), hence no single-statement SQL oracle:
+    the driver records the rows-only check. Covered by value assertions in
+    tests/test_plans.py::test_connected_components_semantics."""
+    c = _corpus(spark, sf)
+    pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
+    return D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage widening: outer joins, pivot, percentiles, grouping
 # sets, range-frame windows, array functions

@@ -78,3 +78,24 @@ def test_salted_join_result_equals_plain_join(spark):
     salted = salted_join(l, o, ["l_orderkey"], salt_buckets=4, salt_source="l_linenumber") \
         .groupBy("o_orderpriority").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_connected_components_semantics(spark):
+    """Exact labels on a constructed graph: two chains and an isolated pair.
+    Chain 1-2-3-4 (diameter > 1 forces multiple propagation iterations)."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.dedup import connected_components, keep_greedy
+
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+        Row(id_a=10, id_b=11),
+        Row(id_a=20, id_b=21), Row(id_a=20, id_b=22),
+    ])
+    labels = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]])
+    kept = sorted(r.doc_id for r in keep_greedy(docs, pairs, "doc_id").collect())
+    # greedy drops every id_b: 2,3,4,11,21,22 dropped; 99 untouched (no pairs)
+    assert kept == [1, 10, 20, 99]
