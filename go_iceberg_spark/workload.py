@@ -239,6 +239,57 @@ def q6(spark, sf):
 
 
 @query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name < n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark, sf):
+    """TPC-H Q7-style volume shipping: 5-way join with the nation dim joined
+    TWICE under different roles (both broadcast); theta condition on the two
+    nation names prunes symmetric pairs."""
+    s = load(spark, sf, "supplier")
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf, "nation").select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == l.l_orderkey)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    # exact decimal arithmetic end to end: inputs carry <= 2 decimal digits,
+    # so casting THEM to decimal is unambiguous (casting the double PRODUCT
+    # rounds half-cases differently across engines); multiply and sum are
+    # then exact and order-independent
+    vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    # round the DECIMAL (exact .5 cases round half-up identically in both
+    # engines), THEN cast to double — rounding the double instead diverges
+    # when the exact sum ends in .xx5
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")).agg(
+        F.round(F.sum(vol), 2).cast("double").alias("revenue")
+    )
+
+
+@query(
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
