@@ -1,0 +1,199 @@
+"""Table maintenance: snapshot expiry, data-file compaction, orphan cleanup,
+and Iceberg-style metadata tables as DataFrames.
+
+The reference declares the remove-snapshots update vocabulary
+(reference: catalog/catalog.go:131-280) and a target-file-size config its
+writer never honors (reference: config.go:92, table/writer.go:57-59 single
+file per write); these are the operational counterparts a production table
+needs — equivalents of Iceberg's ``expire_snapshots`` and
+``rewrite_data_files`` procedures.
+
+Scale notes: compaction reads only LIVE files (manifest-driven) and rewrites
+them distributed through the normal write path, honoring the target file
+size via write.py's size-based repartitioning; expiry is metadata-only plus
+local file deletes of now-unreachable data (object-store deletes at scale).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import ValidationError
+from .metadata import MAIN_BRANCH, now_ms
+from .write import write_data_files
+
+
+def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
+                     retain_last: int = 1) -> list[str]:
+    """Drop snapshots older than the cutoff (keeping at least the latest
+    ``retain_last`` and the current snapshot), then delete data/manifest
+    files no longer reachable from any retained snapshot. Returns the
+    deleted file paths (relative)."""
+    if retain_last < 1:
+        raise ValidationError("retain_last must be >= 1")
+    md = table.metadata
+    snaps = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
+    if isinstance(older_than, dt.datetime):
+        older_than = int(older_than.timestamp() * 1000)
+    cutoff = older_than if older_than is not None else now_ms() + 1
+    current_id = md.current_snapshot_id
+    keep = {s.snapshot_id for s in snaps[-retain_last:]}
+    if current_id is not None:
+        keep.add(current_id)
+    retained = tuple(s for s in snaps if s.snapshot_id in keep or s.timestamp_ms >= cutoff)
+    if len(retained) == len(snaps):
+        return []
+
+    kept_files: set[str] = set()
+    kept_manifests: set[str] = set()
+    for s in retained:
+        kept_manifests.add(s.manifest_path)
+        kept_files |= {e.file_path for e in table.manifest_entries(s)}
+    doomed_files: set[str] = set()
+    doomed_manifests: set[str] = set()
+    for s in snaps:
+        if s not in retained:
+            doomed_manifests.add(s.manifest_path)
+            doomed_files |= {e.file_path for e in table.manifest_entries(s)}
+    doomed_files -= kept_files
+    doomed_manifests -= kept_manifests
+
+    # fix parent pointers across the removal gap, keep refs valid
+    retained_ids = {s.snapshot_id for s in retained}
+    fixed = []
+    prev_id = None
+    for s in retained:
+        fixed.append(replace(s, parent_snapshot_id=prev_id if s.parent_snapshot_id not in retained_ids else s.parent_snapshot_id))
+        prev_id = s.snapshot_id
+    refs = {name: r for name, r in md.refs.items()
+            if r.snapshot_id in retained_ids or name == MAIN_BRANCH}
+    new_md = replace(
+        md, snapshots=tuple(fixed), refs=refs,
+        snapshot_log=tuple(e for e in md.snapshot_log if e["snapshot-id"] in retained_ids),
+        last_updated_ms=now_ms(),
+    )
+    table.version = table._commit_fn(new_md, table.version)
+    table.metadata = new_md
+    table._manifest_cache.clear()
+
+    deleted = []
+    for rel in sorted(doomed_files | doomed_manifests):
+        try:
+            os.remove(os.path.join(table.location, rel))
+            deleted.append(rel)
+        except OSError:
+            pass
+    return deleted
+
+
+def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024,
+                       min_input_files: int = 2):
+    """Compaction (Iceberg ``rewrite_data_files``): read all live data files,
+    rewrite them as right-sized files, commit ONE replace snapshot. No-op if
+    fewer than ``min_input_files`` data files exist. MoR delete files are
+    applied during the read, so compaction also collapses them."""
+    from .metadata import CONTENT_DATA, OP_REPLACE
+
+    live = table.live_entries()
+    data_files = [e for e in live if e.content == CONTENT_DATA]
+    if len(data_files) < min_input_files:
+        return None
+    df = table.to_df()  # scan applies MoR deletes -> compaction materializes them
+    md = table.metadata
+    new_entries = write_data_files(
+        table.spark, df, table.location, md.current_schema, md.default_spec,
+        md.default_sort_order, md.current_schema_id, table._next_sequence(),
+        target_file_size=target_file_size_bytes,
+    )
+    return table._commit_snapshot(OP_REPLACE, new_entries,
+                                  summary_extra={"compacted-input-files": str(len(live))})
+
+
+def remove_orphan_files(table) -> list[str]:
+    """Delete files under data/ not referenced by ANY snapshot (aborted-write
+    leftovers). Returns deleted relative paths."""
+    referenced: set[str] = set()
+    for s in table.snapshots():
+        referenced |= {e.file_path for e in table.manifest_entries(s)}
+    data_dir = os.path.join(table.location, "data")
+    deleted = []
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            if fn.startswith((".", "_")):
+                continue  # Hadoop committer artifacts (.crc, _SUCCESS), not data
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, table.location)
+            if rel not in referenced:
+                try:
+                    os.remove(full)
+                    deleted.append(rel)
+                except OSError:
+                    pass
+    return sorted(deleted)
+
+
+# -- metadata tables (Iceberg's tbl.snapshots / tbl.files / tbl.history) -----
+
+
+def snapshots_df(table) -> DataFrame:
+    """The table's snapshots as a DataFrame (Iceberg ``tbl.snapshots``)."""
+    schema = T.StructType([
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType(), True),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("total_records", T.LongType(), True),
+        T.StructField("total_data_files", T.LongType(), True),
+    ])
+    rows = [
+        (s.snapshot_id, s.parent_snapshot_id, s.sequence_number,
+         dt.datetime.fromtimestamp(s.timestamp_ms / 1000, tz=dt.timezone.utc).replace(tzinfo=None),
+         s.operation,
+         int(s.summary.get("total-records", 0)), int(s.summary.get("total-data-files", 0)))
+        for s in table.snapshots()
+    ]
+    return table.spark.createDataFrame(rows, schema)
+
+
+def files_df(table) -> DataFrame:
+    """Live data/delete files with stats (Iceberg ``tbl.files``)."""
+    schema = T.StructType([
+        T.StructField("content", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("partition", T.StringType()),
+    ])
+    import json as _json
+
+    rows = [
+        (e.content, e.file_path, e.file_format, e.record_count, e.file_size,
+         e.sequence_number, _json.dumps(e.partition))
+        for e in table.live_entries()
+    ]
+    return table.spark.createDataFrame(rows, schema)
+
+
+def history_df(table) -> DataFrame:
+    """Snapshot log (Iceberg ``tbl.history``)."""
+    schema = T.StructType([
+        T.StructField("made_current_at", T.TimestampType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("is_current", T.BooleanType()),
+    ])
+    cur = table.current_snapshot()
+    rows = [
+        (dt.datetime.fromtimestamp(e["timestamp-ms"] / 1000, tz=dt.timezone.utc).replace(tzinfo=None),
+         e["snapshot-id"], cur is not None and e["snapshot-id"] == cur.snapshot_id)
+        for e in table.history()
+    ]
+    return table.spark.createDataFrame(rows, schema)

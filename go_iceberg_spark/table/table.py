@@ -305,6 +305,37 @@ class Table:
         self.version = self._commit_fn(md, self.version)
         self.metadata = md
 
+    # -- maintenance (Iceberg procedure equivalents; table/maintenance.py) --
+    def expire_snapshots(self, **kwargs) -> list[str]:
+        from .maintenance import expire_snapshots
+
+        return expire_snapshots(self, **kwargs)
+
+    def rewrite_data_files(self, **kwargs):
+        from .maintenance import rewrite_data_files
+
+        return rewrite_data_files(self, **kwargs)
+
+    def remove_orphan_files(self) -> list[str]:
+        from .maintenance import remove_orphan_files
+
+        return remove_orphan_files(self)
+
+    def snapshots_df(self) -> DataFrame:
+        from .maintenance import snapshots_df
+
+        return snapshots_df(self)
+
+    def files_df(self) -> DataFrame:
+        from .maintenance import files_df
+
+        return files_df(self)
+
+    def history_df(self) -> DataFrame:
+        from .maintenance import history_df
+
+        return history_df(self)
+
 
 class SchemaUpdate:
     """Schema evolution builder. Allocates fresh field ids above

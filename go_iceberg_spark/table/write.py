@@ -28,6 +28,7 @@ import decimal
 import json
 import os
 import re
+import shutil
 import uuid as uuid_mod
 from typing import Any
 
@@ -218,6 +219,22 @@ def write_data_files(
     if part_cols:
         # co-locate rows of one partition into few tasks → few, large files
         df = df.repartition(*[F.col(c) for c in part_cols])
+    else:
+        # honor the target file size for unpartitioned writes when Catalyst
+        # can estimate the input (parquet-scan-rooted plans): without this,
+        # every input partition becomes a file no matter how small (the
+        # reference's writer ignores its size config the same way —
+        # table/writer.go:57-59). Parallelized local data reports UNKNOWN
+        # (Long.MaxValue) and is handled by post-write consolidation below.
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            cur = df.rdd.getNumPartitions()
+            if 0 < est < (1 << 50):
+                want = max(1, min(cur, est // target_file_size + 1))
+                if want < cur:
+                    df = df.coalesce(int(want))
+        except Exception:
+            pass  # estimation is best-effort; never fail a write over it
     if sort_order and sort_order.fields:
         sort_exprs = []
         for sf in sort_order.fields:
@@ -243,6 +260,24 @@ def write_data_files(
                 paths.append(os.path.join(root, fn))
     if not paths:
         return []
+
+    # post-write small-file consolidation (unpartitioned only): when the
+    # written output is far below target size per file, rewrite it once into
+    # right-sized files. Triggers exactly when data is small (so the second
+    # pass is cheap) and never when files are already near target.
+    if not part_cols and len(paths) > 1:
+        total = sum(os.path.getsize(p) for p in paths)
+        want = max(1, int(total // target_file_size) + 1)
+        if want <= len(paths) // 2:
+            merged_dir = out_dir + "-c"
+            spark.read.parquet(out_dir).coalesce(want).write.mode("overwrite").parquet(merged_dir)
+            shutil.rmtree(out_dir)
+            os.rename(merged_dir, out_dir)
+            paths = []
+            for root, _dirs, files in os.walk(out_dir):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        paths.append(os.path.join(root, fn))
     sc = spark.sparkContext
     n_slices = max(1, min(len(paths), sc.defaultParallelism))
     raw = (

@@ -1,0 +1,93 @@
+"""Table maintenance: snapshot expiry, compaction, orphan cleanup, metadata
+tables — the operational surface (Iceberg expire_snapshots /
+rewrite_data_files / remove_orphan_files procedure equivalents)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.table import maintenance as MX
+
+
+def mk(spark, catalog, name, batches=4, rows=50):
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df0 = spark.createDataFrame([Row(id=0, v=0.0)])
+    t = catalog.create_table("db", name, from_spark_schema(df0.schema))
+    for b in range(batches):
+        t.append(spark.createDataFrame(
+            [Row(id=b * rows + i, v=float(i)) for i in range(rows)]))
+    return t
+
+
+def test_expire_snapshots(spark, catalog):
+    t = mk(spark, catalog, "exp", batches=4)
+    assert len(t.snapshots()) == 4
+    deleted = MX.expire_snapshots(t, retain_last=2)
+    assert len(t.snapshots()) == 2
+    # current data is fully intact
+    assert t.to_df().count() == 200
+    # files only reachable from dropped snapshots were removed from disk;
+    # files still referenced by retained snapshots survive
+    assert all(not os.path.exists(os.path.join(t.location, p)) for p in deleted)
+    live = {e.file_path for e in t.live_entries()}
+    assert all(os.path.exists(os.path.join(t.location, p)) for p in live)
+    # expiring everything but current is idempotent from here
+    assert MX.expire_snapshots(t, retain_last=2) == []
+
+
+def test_expire_keeps_current_and_rejects_zero(spark, catalog):
+    t = mk(spark, catalog, "exp2", batches=3)
+    MX.expire_snapshots(t, retain_last=1)
+    assert len(t.snapshots()) == 1
+    assert t.snapshots()[0].snapshot_id == t.current_snapshot().snapshot_id
+    with pytest.raises(gi.ValidationError):
+        MX.expire_snapshots(t, retain_last=0)
+
+
+def test_rewrite_data_files_compacts(spark, catalog):
+    t = mk(spark, catalog, "cpt", batches=5, rows=20)
+    before = t.to_df()
+    n_files_before = len([e for e in t.live_entries() if e.content == 0])
+    assert n_files_before >= 5
+    snap = MX.rewrite_data_files(t, min_input_files=2)
+    assert snap is not None and snap.operation == "replace"
+    n_files_after = len([e for e in t.live_entries() if e.content == 0])
+    assert n_files_after < n_files_before
+    # contents identical after compaction
+    assert sorted(map(tuple, t.to_df().collect())) == sorted(map(tuple, before.collect()))
+
+
+def test_compaction_materializes_mor_deletes(spark, catalog):
+    t = mk(spark, catalog, "cptm", batches=3, rows=30)
+    t.delete(gi.lt("id", 10), mode="merge-on-read")
+    assert any(e.content != 0 for e in t.live_entries())  # delete file present
+    MX.rewrite_data_files(t, min_input_files=1)
+    assert all(e.content == 0 for e in t.live_entries())  # deletes collapsed
+    assert t.to_df().count() == 80
+
+
+def test_remove_orphan_files(spark, catalog):
+    t = mk(spark, catalog, "orp", batches=2)
+    orphan = os.path.join(t.location, "data", "orphan-000.parquet")
+    spark.createDataFrame([Row(id=1, v=1.0)]).coalesce(1).write.mode("overwrite").parquet(orphan)
+    deleted = MX.remove_orphan_files(t)
+    assert deleted and all("orphan-000" in p for p in deleted)
+    assert t.to_df().count() == 100
+
+
+def test_metadata_tables(spark, catalog):
+    t = mk(spark, catalog, "meta", batches=3)
+    snaps = MX.snapshots_df(t)
+    assert snaps.count() == 3
+    assert snaps.filter(F.col("operation") == "append").count() == 3
+    files = MX.files_df(t)
+    assert files.count() == len(t.live_entries())
+    assert files.agg(F.sum("record_count")).collect()[0][0] == 150
+    hist = MX.history_df(t)
+    assert hist.filter("is_current").count() == 1
