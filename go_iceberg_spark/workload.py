@@ -1232,27 +1232,55 @@ def pivot_priority_by_year(spark, sf):
     )
 
 
-@query(
-    "agg_percentiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_percentiles(spark, sf):
-    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``, both linear interpolation)."""
-    l = load(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+_PERCENTILES_SQL = """
+    WITH s AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), p AS (
+      SELECT 50 AS pp UNION ALL SELECT 90 UNION ALL SELECT 99
+    ), b AS (
+      SELECT s.rf, p.pp, max(s.n) AS n,
+             max(CASE WHEN s.rn = CAST(floor(p.pp * (s.n - 1) / 100.0) AS BIGINT)
+                      THEN s.cents END) AS c_lo,
+             max(CASE WHEN s.rn = CAST(floor(p.pp * (s.n - 1) / 100.0) AS BIGINT)
+                               + (CASE WHEN (p.pp * (s.n - 1)) % 100 = 0 THEN 0 ELSE 1 END)
+                      THEN s.cents END) AS c_hi
+      FROM s CROSS JOIN p
+      GROUP BY s.rf, p.pp
+    ), v AS (
+      SELECT rf, pp, n,
+             CAST(floor((c_lo * 100 + ((pp * (n - 1)) % 100) * (coalesce(c_hi, c_lo) - c_lo)
+                         + 50) / 100.0) AS BIGINT) AS rc
+      FROM b
     )
+    SELECT rf AS l_returnflag,
+           CAST(max(CASE WHEN pp = 50 THEN rc END) AS DOUBLE) / 100 AS p50,
+           CAST(max(CASE WHEN pp = 90 THEN rc END) AS DOUBLE) / 100 AS p90,
+           CAST(max(CASE WHEN pp = 99 THEN rc END) AS DOUBLE) / 100 AS p99,
+           max(n) AS n
+    FROM v GROUP BY rf
+    """
+
+
+@query("agg_percentiles", _PERCENTILES_SQL)
+def agg_percentiles(spark, sf):
+    """Exact linear-interpolated p50/p90/p99 computed in integer cents so the
+    result is bit-identical across engines. Native ``percentile`` /
+    ``quantile_cont`` interpolate in double and ROUND the result differently
+    at the half-cent boundary (Spark rounds the shortest decimal repr, DuckDB
+    the binary value), so a .xx5 midpoint flips the last cent between
+    engines. Here the interpolation position p*(n-1) has denominator 100, so
+    c_lo*100 + m*(c_hi-c_lo) is an exact integer in 1/100-cent units and
+    half-up rounding is integer (+50, floor-div 100); the only double op left
+    is cents/100.0, identical IEEE in both engines.
+
+    Scale: one shuffle-sort per group key (any exact percentile needs it);
+    at 100 TB use approx_percentile instead (t-digest, map-side combine)."""
+    register_views(spark, sf)
+    return spark.sql(_PERCENTILES_SQL)
 
 
 _GROUPING_SETS_SQL = """
