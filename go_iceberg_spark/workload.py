@@ -1711,5 +1711,280 @@ def metadata_count_q(spark, sf):
     return spark.createDataFrame([(int(n),)], "n_rows long")
 
 
+# ---------------------------------------------------------------------------
+# Relational widening round 2: the remaining TPC-H query shapes expressible on
+# the driver's reduced schemas (no partsupp / commitdate / receiptdate /
+# shipmode / phone columns exist, so q2/q9-cost/q11/q12/q16/q20/q21 keep their
+# join-and-subquery SHAPE but swap in available columns).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4(spark, sf):
+    """TPC-H Q4-style order-priority checking: correlated EXISTS becomes a
+    left-semi join with a non-equi conjunct (l_shipdate > o_orderdate) — one
+    shuffle on orderkey, priorities aggregate after."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+    l = load(spark, sf, "lineitem")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8(spark, sf):
+    """TPC-H Q8-style national market share: 8-way star join — every dim
+    (part, supplier, customer, nation x2, region) broadcasts, orders is
+    date-filtered then broadcast too, so lineitem never shuffles before the
+    2-group aggregate."""
+    p = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = _rev()
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9(spark, sf):
+    """TPC-H Q9-style product-type profit (no partsupp table exists, so unit
+    cost is modeled as 0.1 * p_retailprice): dims broadcast, lineitem's only
+    shuffle is the (nation, year) aggregate."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark, sf):
+    """TPC-H Q13-style customer order-count distribution: pre-aggregate
+    orders per custkey (one shuffle), broadcast the small per-customer counts
+    back to customer for the left join, re-aggregate on the count."""
+    c = load(spark, sf, "customer")
+    per = load(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return (
+        c.join(F.broadcast(per), c.c_custkey == per.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15(spark, sf):
+    """TPC-H Q15-style top supplier: revenue-per-supplier aggregate reused
+    twice (argmax via broadcast of the 1-row max, not a window over the full
+    set); revenue rounded BEFORE the max/equality so both engines compare
+    identical doubles."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = l.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 4)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17(spark, sf):
+    """TPC-H Q17-style small-quantity-order revenue: the correlated average
+    subquery becomes a per-part pre-aggregate (2k rows) broadcast back onto
+    lineitem — no repeated subquery execution; threshold rounded to 4
+    decimals on both engines so the strict < compares identical doubles."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    thresh = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("_qty_thresh"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresh), l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark, sf):
+    """TPC-H Q19-style disjunctive join predicates: the OR-of-ANDs stays a
+    post-join filter over the broadcast part join (Catalyst cannot split a
+    disjunction across sides, but the common p_partkey equi-key still drives
+    the hash join; per-side IN/range prefilters are implied by the OR arms)."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    arm1 = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11))
+    arm2 = ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20))
+    arm3 = ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22(spark, sf):
+    """TPC-H Q22-style global sales opportunity (no phone column, so the
+    country-code group becomes market segment; "no orders" becomes "no orders
+    since 1998" — every customer in the testdata has at least one order):
+    uncorrelated scalar-average subquery broadcast as a 1-row cross join +
+    NOT EXISTS as a left-anti join against the date-filtered orders;
+    threshold rounded to 2 decimals on both engines."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("_avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in QUERIES.items() if v.bench}
