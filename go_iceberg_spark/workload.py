@@ -1986,5 +1986,71 @@ def q22(spark, sf):
     )
 
 
+@query(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_q(spark, sf):
+    """Streaming exact dedup — a REAL Structured Streaming job with
+    dropDuplicates state (the training-pipeline 'emit each key once'
+    pattern): file-stream the events table, keep the first arrival per
+    (user_id, event_type), append-mode memory sink, availableNow trigger.
+    Deterministic because only the key columns are emitted."""
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    dedup = src.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_dedup_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        dedup.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, df, total_tf,
+           round(total_tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM stats, n
+    ORDER BY tfidf DESC, term LIMIT 25
+    """,
+)
+def text_tfidf_q(spark, sf):
+    """Corpus-level TF-IDF (training-data text analysis): tokenize with the
+    same [^a-z]+ split on both engines, per-(doc,term) TF, document frequency,
+    idf = ln(N/df) — all shuffles keyed on term; the 1-row corpus size
+    broadcasts. Top-25 with a term tie-break for a total order."""
+    d = load(spark, sf, "documents")
+    tok = (d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        stats.join(F.broadcast(n))
+        .select("term", "df", "total_tf",
+                F.round(F.col("total_tf") * F.log(F.col("_n_docs").cast("double") / F.col("df")), 4)
+                .alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), F.col("term"))
+        .limit(25)
+    )
+
+
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in QUERIES.items() if v.bench}
