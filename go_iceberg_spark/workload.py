@@ -2052,5 +2052,66 @@ def text_tfidf_q(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Source/sink format coverage beyond Parquet: the reference's DataFile format
+# enum admits PARQUET | AVRO | ORC (reference spec/manifest.go:101-149); Spark
+# reads/writes ORC natively (Avro needs the external spark-avro package — not
+# in this container), plus CSV/JSON for ingest pipelines. Each query writes a
+# slice through the alternate format and reads it back, so the oracle match
+# proves a lossless roundtrip, not just that the writer ran.
+# ---------------------------------------------------------------------------
+
+_RT_ORACLE = """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem WHERE l_orderkey < 5000 GROUP BY l_returnflag
+"""
+
+
+def _roundtrip_base(spark, sf):
+    return (load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 5000)
+            .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"))
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"))
+
+
+@query("source_orc_roundtrip", _RT_ORACLE)
+def source_orc_q(spark, sf):
+    """ORC sink + source (reference DataFile format enum includes ORC):
+    distributed write, vectorized columnar read with pushdown, aggregate."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="gis_orc_") + "/data"
+    _roundtrip_base(spark, sf).write.mode("overwrite").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
+@query("source_csv_roundtrip", _RT_ORACLE)
+def source_csv_q(spark, sf):
+    """CSV sink + source with an EXPLICIT read schema (no inference — a
+    schema scan over 100 TB of text would double the read)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="gis_csv_") + "/data"
+    base = _roundtrip_base(spark, sf)
+    base.write.mode("overwrite").option("header", "true").csv(path)
+    return _roundtrip_agg(spark.read.schema(base.schema).option("header", "true").csv(path))
+
+
+@query("source_json_roundtrip", _RT_ORACLE)
+def source_json_q(spark, sf):
+    """JSON-lines sink + source with an explicit read schema (same
+    no-inference rule as CSV)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="gis_json_") + "/data"
+    base = _roundtrip_base(spark, sf)
+    base.write.mode("overwrite").json(path)
+    return _roundtrip_agg(spark.read.schema(base.schema).json(path))
+
+
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in QUERIES.items() if v.bench}
