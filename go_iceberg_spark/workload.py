@@ -1766,6 +1766,7 @@ def q4(spark, sf):
     ) all_nations
     GROUP BY o_year ORDER BY o_year
     """,
+    bench=True,
 )
 def q8(spark, sf):
     """TPC-H Q8-style national market share: 8-way star join — every dim
@@ -2029,6 +2030,7 @@ def streaming_dedup_q(spark, sf):
     FROM stats, n
     ORDER BY tfidf DESC, term LIMIT 25
     """,
+    bench=True,
 )
 def text_tfidf_q(spark, sf):
     """Corpus-level TF-IDF (training-data text analysis): tokenize with the
