@@ -157,14 +157,16 @@ def q1(spark, sf):
     bench=True,
 )
 def q3(spark, sf):
-    """TPC-H Q3-style: small dims broadcast; the lineitem side never
-    shuffles for the join, only for the final aggregate."""
+    """TPC-H Q3-style. orders/customer scale with the data volume, so they
+    carry NO broadcast hint — AQE picks broadcast when the runtime size
+    allows and falls back to shuffle joins at scale (a forced hint here is
+    an executor OOM at 100x)."""
     c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-03-15")
     l = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -189,8 +191,9 @@ def q3(spark, sf):
     bench=True,
 )
 def q5(spark, sf):
-    """TPC-H Q5-style six-way join; every dim side broadcast, lineitem
-    streams through a single stage."""
+    """TPC-H Q5-style six-way join. Only the genuinely bounded dims
+    (nation, region) keep broadcast hints; orders/customer/supplier grow
+    with scale factor and are left to AQE's size-based choice."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -200,9 +203,9 @@ def q5(spark, sf):
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -309,7 +312,7 @@ def q10(spark, sf):
     n = load(spark, sf, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
@@ -1769,10 +1772,10 @@ def q4(spark, sf):
     bench=True,
 )
 def q8(spark, sf):
-    """TPC-H Q8-style national market share: 8-way star join — every dim
-    (part, supplier, customer, nation x2, region) broadcasts, orders is
-    date-filtered then broadcast too, so lineitem never shuffles before the
-    2-group aggregate."""
+    """TPC-H Q8-style national market share: 8-way star join. Bounded dims
+    (part filtered to one type, supplier, nation x2, region) broadcast;
+    orders and customer scale with data volume so they carry no hint and
+    AQE chooses shuffle vs broadcast from runtime sizes."""
     p = load(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
     l = load(spark, sf, "lineitem")
     s = load(spark, sf, "supplier")
@@ -1786,9 +1789,9 @@ def q8(spark, sf):
     r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     j = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -1852,13 +1855,14 @@ def q9(spark, sf):
 )
 def q13(spark, sf):
     """TPC-H Q13-style customer order-count distribution: pre-aggregate
-    orders per custkey (one shuffle), broadcast the small per-customer counts
-    back to customer for the left join, re-aggregate on the count."""
+    orders per custkey (one shuffle), left-join back to customer. The
+    per-customer counts have |customer| cardinality — fact-derived, so no
+    broadcast hint; AQE decides from the runtime size."""
     c = load(spark, sf, "customer")
     per = load(spark, sf, "orders").groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("_n"))
     return (
-        c.join(F.broadcast(per), c.c_custkey == per.o_custkey, "left")
+        c.join(per, c.c_custkey == per.o_custkey, "left")
         .select(F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -1909,16 +1913,19 @@ def q15(spark, sf):
 )
 def q17(spark, sf):
     """TPC-H Q17-style small-quantity-order revenue: the correlated average
-    subquery becomes a per-part pre-aggregate (2k rows) broadcast back onto
-    lineitem — no repeated subquery execution; threshold rounded to 4
-    decimals on both engines so the strict < compares identical doubles."""
+    subquery becomes a per-part pre-aggregate computed only over lineitems
+    of the brand-filtered parts (part itself broadcasts — one bounded dim
+    after the brand filter), then joined back on partkey. The per-part
+    threshold is fact-derived (|part| cardinality), so it carries no
+    broadcast hint; threshold rounded to 4 decimals on both engines so the
+    strict < compares identical doubles."""
     l = load(spark, sf, "lineitem")
     p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
-    thresh = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    thresh = lp.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.round(0.2 * F.avg("l_quantity"), 4).alias("_qty_thresh"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(thresh), l.l_partkey == F.col("_pk"))
+        lp.join(thresh, lp.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )

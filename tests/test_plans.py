@@ -26,6 +26,34 @@ def test_dim_joins_broadcast(spark):
     P.assert_broadcasts(q("q10_returned_items", spark), at_least=2)
 
 
+def test_fact_sides_never_force_broadcast(spark):
+    """100 TB contract: orders/customer/fact-derived aggregates must carry NO
+    explicit broadcast hint (a forced fact broadcast is an OOM at scale).
+    With size-based broadcasting disabled, every BroadcastHashJoin left in
+    the static plan comes from an explicit hint — so the count per query
+    must equal the number of genuinely bounded dims we hint, no more."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected_hinted_dims = {
+            "q3_shipping_priority": 0,   # orders+customer unhinted
+            "q5_local_supplier_volume": 2,   # nation, region
+            "q8_market_share": 5,   # part, supplier, nation x2, region
+            "q10_returned_items": 1,   # nation
+            "q13_customer_distribution": 0,  # per-customer agg unhinted
+            # brand-filtered part, hinted once; the lineitem-x-part subtree
+            # feeds both the threshold agg and the final join, so the one
+            # hint materializes as two BroadcastHashJoin instances
+            "q17_small_quantity_revenue": 2,
+        }
+        for name, n_dims in expected_hinted_dims.items():
+            df = q(name, spark)
+            n = P.count_op(df, "BroadcastHashJoin")
+            assert n == n_dims, f"{name}: {n} broadcast joins from hints, want {n_dims}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_no_cartesian_products(spark):
     for name in ["q3_shipping_priority", "q18_large_volume_customers",
                  "join_salted_skew", "asof_join_purchase_to_view",
