@@ -13,13 +13,14 @@ the DuckDB oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash60
-
 LSH_PLANES = 8  # 2^8 = 256 buckets
 PLANE_MOD = 2001  # plane component ∈ [-1, 1] in steps of 1/1000
+MAX_LSH_DIM = 1024  # planes precomputed up to this embedding dimension
 
 
 def dot_expr(a, b) -> F.Column:
@@ -70,25 +71,34 @@ def cosine_topk(
     )
 
 
-def _plane_component(j: int, d) -> F.Column:
+def _plane_value(j: int, d: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1]:
-    (portable_hash60('plane_<j>_<d>') % 2001 - 1000) / 1000 — reproducible in
-    DuckDB with the same string formula."""
-    key = F.concat(F.lit(f"plane_{j}_"), d.cast("string"))
-    return ((portable_hash60(key) % PLANE_MOD) - (PLANE_MOD - 1) / 2) / F.lit(1000.0)
+    (portable_hash60('plane_<j>_<d>') % 2001 - 1000) / 1000. Same md5 formula
+    the DuckDB oracle embeds — evaluated ONCE here at import, not per row
+    (the previous per-row `conv(substr(md5(...)))` tree paid planes x dim
+    md5 calls for every vector; these are compile-time constants)."""
+    h = int(hashlib.md5(f"plane_{j}_{d}".encode()).hexdigest()[:15], 16)
+    return ((h % PLANE_MOD) - (PLANE_MOD - 1) / 2) / 1000.0
+
+
+_PLANES: list[list[float]] = [
+    [_plane_value(j, d) for d in range(MAX_LSH_DIM)] for j in range(LSH_PLANES)
+]
 
 
 def lsh_bucket_expr(vec, n_planes: int = LSH_PLANES) -> F.Column:
-    """Random-hyperplane LSH bucket id: bit j = sign(v · plane_j)."""
-    dim = F.size(vec)
-    bucket = F.lit(0).cast("long")
+    """Random-hyperplane LSH bucket id: bit j = sign(v · plane_j). Each plane
+    is a single array *literal* sliced to the vector's length, so the dot
+    product is pure zip_with/aggregate arithmetic with zero hashing."""
+    oversized = F.when(
+        F.size(vec) > MAX_LSH_DIM,
+        F.raise_error(F.lit(f"lsh_bucket_expr supports dim <= {MAX_LSH_DIM}")),
+    )
+    bucket = F.coalesce(oversized.cast("long"), F.lit(0).cast("long"))
     for j in range(n_planes):
+        plane = F.slice(F.lit(_PLANES[j]), F.lit(1), F.size(vec))
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x.cast("double") * _plane_component(j, i),
-            ),
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -848,10 +848,14 @@ def _shingle_sql(n: int = 3) -> str:
     f"""
     WITH corpus AS ({_CORPUS_SQL}),
     {_shingle_sql(3)},
-    sizes AS (SELECT _id, count(*) AS sz FROM shingles GROUP BY _id),
+    shingle_df AS (SELECT _h, count(*) AS df FROM shingles GROUP BY _h),
+    kept AS (
+      SELECT s._id, s._h FROM shingles s JOIN shingle_df USING (_h)
+      WHERE df <= {D.JACCARD_MAX_SHINGLE_DF}),
+    sizes AS (SELECT _id, count(*) AS sz FROM kept GROUP BY _id),
     common AS (
       SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
-      FROM shingles a JOIN shingles b ON a._h = b._h AND a._id < b._id
+      FROM kept a JOIN kept b ON a._h = b._h AND a._id < b._id
       GROUP BY 1, 2)
     SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
     FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
@@ -1171,12 +1175,31 @@ def dedup_keep_q(spark, sf):
     return D.keep_greedy(c, pairs, "doc_id").select("doc_id")
 
 
-@query("dedup_connected_components", None)
+def _cc_oracle_sql() -> str:
+    """Recursive oracle for min-label propagation: the component of a node is
+    the minimum id reachable from it, which DuckDB computes as a recursive
+    transitive closure (UNION dedups visited (node, label) states, so cycles
+    terminate) over the same LSH-verified pair graph."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    walk (src, lbl) AS (
+      SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src)
+    SELECT src AS doc_id, min(lbl) AS component FROM walk GROUP BY src
+    """
+
+
+@query("dedup_connected_components", _cc_oracle_sql())
 def dedup_cc_q(spark, sf):
     """Connected components over the near-dup graph via iterative min-label
-    propagation — a genuinely iterative distributed algorithm (driver loop
-    only checks convergence counts), hence no single-statement SQL oracle:
-    the driver records the rows-only check. Covered by value assertions in
+    propagation (driver loop only checks convergence counts; labels stay
+    distributed). The DuckDB oracle expresses the same fixpoint as a
+    recursive transitive closure. Also covered by exact value assertions in
     tests/test_plans.py::test_connected_components_semantics."""
     c = _corpus(spark, sf)
     pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
