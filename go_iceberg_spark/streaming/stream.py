@@ -95,6 +95,24 @@ def sessionize(events: DataFrame, ts_col: str, key: str, gap: str = "30 minutes"
     )
 
 
+def dedup_within_watermark(events: DataFrame, ts_col: str, keys: list[str],
+                           delay: str = "1 hour") -> DataFrame:
+    """Streaming dedup with BOUNDED state: keep the first arrival per key,
+    but let the state for a key expire once the watermark passes its event
+    time + ``delay``. The unbounded twin (plain ``dropDuplicates``) keeps
+    every key ever seen — state grows forever in a real job; this variant's
+    state is capped at (keys arriving within the watermark horizon).
+
+    The trade: a duplicate arriving later than ``delay`` after the original
+    is re-emitted (its state has been evicted). That is the standard
+    training-pipeline contract — dedup within a time budget, exact dedup
+    only in batch."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 # -- custom stateful operator (applyInPandasWithState) ----------------------
 
 _STATE_SCHEMA = "max_value double, n long"

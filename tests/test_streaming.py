@@ -96,6 +96,54 @@ def test_sessionize_stream(spark, events_table, tmp_path):
     assert got == batch > 0
 
 
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT state for keys whose event
+    time + delay has fallen behind the watermark — the bounded-state fix for
+    plain dropDuplicates (which keeps every key forever). Three micro-batches
+    hours apart: by the last batch, batch-1 key state (expiry 01:00) is far
+    behind the watermark (12:00), so the final state row count must be the
+    recent keys only, not all keys ever seen."""
+    src_dir = tmp_path / "wm_src"
+    src_dir.mkdir()
+
+    def write_batch(name, lo, n, ts):
+        spark.range(lo, lo + n).selectExpr(
+            "id AS user_id", f"timestamp'{ts}' AS ts", "'click' AS event_type"
+        ).coalesce(1).write.parquet(str(src_dir / name))
+
+    write_batch("b1", 0, 30, "2024-01-01 00:00:00")
+    write_batch("b2", 100, 20, "2024-01-01 12:00:00")
+    write_batch("b3", 200, 20, "2024-01-01 13:00:00")
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src_dir) + "/*")
+    )
+    dedup = ST.dedup_within_watermark(src, "ts", ["user_id", "event_type"], delay="1 hour")
+    q = (
+        dedup.writeStream.format("memory").queryName("wm_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    # every key emitted exactly once (no duplicates within any batch)
+    assert spark.sql("SELECT count(*) AS n FROM wm_dedup").collect()[0].n == 70
+
+    state_totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators") and p["stateOperators"][0].get("numRowsTotal") is not None
+    ]
+    assert state_totals, "no state-operator metrics recorded"
+    # bounded: batch-1's 30 keys evicted once the watermark passed their
+    # expiry; unbounded dropDuplicates state would end at 70
+    assert state_totals[-1] < 70, f"state not bounded: {state_totals}"
+    assert max(state_totals) < 70, f"state never evicted: {state_totals}"
+
+
 def test_stateful_running_max(spark, events_table, tmp_path):
     src = ST.read_stream(spark, events_table).select("user_id", "value")
     out = ST.running_max_stream(src)
