@@ -1564,13 +1564,30 @@ def rollup_time_bucket_q(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def _scratch_table(spark, name: str, df: DataFrame):
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dirs for table-layer queries, all under ONE session-scoped
+    root removed at interpreter exit — repeated parity/bench runs must not
+    leak /tmp data (one rmtree instead of per-query cleanup so a query's
+    result DataFrame can still be lazily evaluated after the fn returns)."""
+    import atexit
+    import shutil
     import tempfile
 
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="gis_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
+def _scratch_table(spark, name: str, df: DataFrame):
     from .catalog.catalog import FilesystemCatalog
     from .schema import from_spark_schema
 
-    wh = tempfile.mkdtemp(prefix=f"gis_{name}_")
+    wh = _scratch_dir(f"gis_{name}_")
     cat = FilesystemCatalog(spark, wh)
     cat.create_namespace(("scratch",))
     t = cat.create_table(("scratch",), name, from_spark_schema(df.schema))
@@ -2149,9 +2166,7 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
 def source_orc_q(spark, sf):
     """ORC sink + source (reference DataFile format enum includes ORC):
     distributed write, vectorized columnar read with pushdown, aggregate."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="gis_orc_") + "/data"
+    path = _scratch_dir("gis_orc_") + "/data"
     _roundtrip_base(spark, sf).write.mode("overwrite").orc(path)
     return _roundtrip_agg(spark.read.orc(path))
 
@@ -2160,9 +2175,7 @@ def source_orc_q(spark, sf):
 def source_csv_q(spark, sf):
     """CSV sink + source with an EXPLICIT read schema (no inference — a
     schema scan over 100 TB of text would double the read)."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="gis_csv_") + "/data"
+    path = _scratch_dir("gis_csv_") + "/data"
     base = _roundtrip_base(spark, sf)
     base.write.mode("overwrite").option("header", "true").csv(path)
     return _roundtrip_agg(spark.read.schema(base.schema).option("header", "true").csv(path))
@@ -2172,9 +2185,7 @@ def source_csv_q(spark, sf):
 def source_json_q(spark, sf):
     """JSON-lines sink + source with an explicit read schema (same
     no-inference rule as CSV)."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="gis_json_") + "/data"
+    path = _scratch_dir("gis_json_") + "/data"
     base = _roundtrip_base(spark, sf)
     base.write.mode("overwrite").json(path)
     return _roundtrip_agg(spark.read.schema(base.schema).json(path))
@@ -2192,14 +2203,12 @@ def partitioned_scan_pruning_q(spark, sf):
     gate (reference stubs manifestMightMatch/fileMightMatch — always true,
     insert.go:255-266; here the planner actually prunes): only the matching
     partition's files are opened, and the result still hash-matches."""
-    import tempfile
-
     from .catalog.catalog import FilesystemCatalog
     from .schema import from_spark_schema
     from .table.metadata import PartitionField, PartitionSpec
 
     base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000).select(*_CRUD_COLS)
-    wh = tempfile.mkdtemp(prefix="gis_part_")
+    wh = _scratch_dir("gis_part_")
     cat = FilesystemCatalog(spark, wh)
     cat.create_namespace(("scratch",))
     schema = from_spark_schema(base.schema)
