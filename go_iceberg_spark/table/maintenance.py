@@ -50,16 +50,26 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     if len(retained) == len(snaps):
         return []
 
+    def _manifest_paths(s) -> set[str]:
+        """A snapshot's manifest files — for the avro wire format that is the
+        manifest LIST plus every member manifest it references."""
+        paths = {s.manifest_path}
+        if s.manifest_path.endswith(".avro"):
+            from .manifest_avro import member_manifest_paths
+
+            paths |= set(member_manifest_paths(table.location, s.manifest_path))
+        return paths
+
     kept_files: set[str] = set()
     kept_manifests: set[str] = set()
     for s in retained:
-        kept_manifests.add(s.manifest_path)
+        kept_manifests |= _manifest_paths(s)
         kept_files |= {e.file_path for e in table.manifest_entries(s)}
     doomed_files: set[str] = set()
     doomed_manifests: set[str] = set()
     for s in snaps:
         if s not in retained:
-            doomed_manifests.add(s.manifest_path)
+            doomed_manifests |= _manifest_paths(s)
             doomed_files |= {e.file_path for e in table.manifest_entries(s)}
     doomed_files -= kept_files
     doomed_manifests -= kept_manifests

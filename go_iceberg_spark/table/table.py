@@ -118,7 +118,13 @@ class Table:
     def manifest_entries(self, snap: Snapshot) -> list[DataFileEntry]:
         path = os.path.join(self.location, snap.manifest_path)
         if path not in self._manifest_cache:
-            self._manifest_cache[path] = read_manifest(path)
+            if snap.manifest_path.endswith(".avro"):
+                # Iceberg wire format: manifest LIST -> manifests -> entries
+                from .manifest_avro import read_avro_manifest_tree
+
+                self._manifest_cache[path] = read_avro_manifest_tree(self.location, snap.manifest_path)
+            else:
+                self._manifest_cache[path] = read_manifest(path)
         return self._manifest_cache[path]
 
     def live_entries(self) -> list[DataFileEntry]:
@@ -146,8 +152,20 @@ class Table:
         parent = md.current_snapshot()
         seq = self._next_sequence()
         sid = new_snapshot_id()
-        manifest_rel = os.path.join("metadata", f"snap-{sid}.parquet")
-        write_manifest(os.path.join(self.location, manifest_rel), entries)
+        if md.properties.get("manifest-format", "parquet") == "avro":
+            # Iceberg wire format (manifest list + per-(content,schema)
+            # manifests) for external-reader interop
+            from .manifest_avro import write_avro_manifests
+
+            manifest_rel = write_avro_manifests(
+                self.location, "metadata", entries,
+                snapshot_id=sid, sequence_number=seq,
+                spec=md.default_spec,
+                schemas_by_id={s.schema_id: s for s in md.schemas},
+            )
+        else:
+            manifest_rel = os.path.join("metadata", f"snap-{sid}.parquet")
+            write_manifest(os.path.join(self.location, manifest_rel), entries)
 
         prev = {e.file_path for e in (self.manifest_entries(parent) if parent else [])}
         cur = {e.file_path for e in entries}
