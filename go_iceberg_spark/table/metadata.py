@@ -38,7 +38,11 @@ import pyarrow.parquet as pq
 from ..errors import CommitConflictError, NoSuchSnapshotError, ValidationError
 from ..schema import Schema, schema_from_json, schema_to_json
 
-FORMAT_VERSION = 1
+# The engine writes V2 metadata: it uses sequence numbers, delete-file
+# content types, and multi-schema lists — all V2 concepts. V1 documents
+# (single `schema`, flat `partition-spec`, no sort orders) are migrated on
+# read (reference: spec/metadata.go:161-184 ParseTableMetadata).
+FORMAT_VERSION = 2
 MAIN_BRANCH = "main"
 
 # snapshot operations (reference: spec/snapshot.go:12-17)
@@ -243,9 +247,14 @@ class Snapshot:
 
     @staticmethod
     def from_json(j: dict) -> "Snapshot":
+        # V1 snapshots carry no sequence-number (implicitly 0) and may omit
+        # schema-id; operation may live inside summary (Iceberg V1 layout).
+        summary = j.get("summary", {})
+        op = j.get("operation") or summary.get("operation", OP_APPEND)
         return Snapshot(
-            j["snapshot-id"], j.get("parent-snapshot-id"), j["sequence-number"], j["timestamp-ms"],
-            j["operation"], j["manifest"], j["schema-id"], j.get("summary", {}),
+            j["snapshot-id"], j.get("parent-snapshot-id"), j.get("sequence-number", 0),
+            j["timestamp-ms"], op, j.get("manifest") or j.get("manifest-list", ""),
+            j.get("schema-id", 0), summary,
         )
 
 
@@ -374,13 +383,28 @@ class TableMetadata:
 
     @staticmethod
     def from_json(j: dict) -> "TableMetadata":
+        """Parse metadata, migrating V1 documents to the V2 model on read
+        (reference: spec/metadata.go:161-184): single ``schema`` wraps into
+        ``schemas``, flat ``partition-spec`` fields wrap into spec 0, missing
+        sort orders default to unsorted, snapshots get sequence-number 0."""
+        version = j.get("format-version", 2)
+        if version not in (1, 2):
+            raise ValidationError(f"unsupported format-version {version} (supported: 1, 2)")
+        j = dict(j)
+        if version == 1:
+            if j.get("schema") is not None and not j.get("schemas"):
+                j["schemas"] = [j["schema"]]
+                j["current-schema-id"] = j["schema"].get("schema-id", 0)
+            if j.get("partition-spec") and not j.get("partition-specs"):
+                j["partition-specs"] = [{"spec-id": 0, "fields": j["partition-spec"]}]
+                j["default-spec-id"] = 0
         return TableMetadata(
             table_uuid=j["table-uuid"],
             location=j["location"],
             schemas=tuple(schema_from_json(s) for s in j["schemas"]),
             current_schema_id=j["current-schema-id"],
-            partition_specs=tuple(PartitionSpec.from_json(s) for s in j["partition-specs"]),
-            default_spec_id=j["default-spec-id"],
+            partition_specs=tuple(PartitionSpec.from_json(s) for s in j.get("partition-specs", [{"spec-id": 0, "fields": []}])),
+            default_spec_id=j.get("default-spec-id", 0),
             sort_orders=tuple(SortOrder.from_json(s) for s in j.get("sort-orders", [])),
             default_sort_order_id=j.get("default-sort-order-id", 0),
             properties=j.get("properties", {}),

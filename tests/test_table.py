@@ -262,3 +262,72 @@ def test_optimistic_conflict_retry(spark, catalog, users):
     users.append(users_df(spark, 10).withColumn("id", F.col("id") + 7000))
     stale.append(users_df(spark, 10).withColumn("id", F.col("id") + 8000))
     assert stale.scan().count() == 120
+
+
+def test_v1_metadata_migration_roundtrip(spark, warehouse):
+    """A hand-written V1 metadata document (single `schema`, flat
+    `partition-spec`, no sort orders, snapshot without sequence-number)
+    loads through the V1->V2 migration shim (reference:
+    spec/metadata.go:161-184 ParseTableMetadata) and the next commit
+    re-stamps it as format-version 2."""
+    import json
+    import os
+
+    from go_iceberg_spark.table.metadata import (
+        TableMetadata,
+        commit_metadata,
+        load_metadata,
+    )
+    from go_iceberg_spark.table.table import Table
+
+    loc = os.path.join(warehouse, "db", "legacy")
+    v1_doc = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": loc,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "name", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [
+            {"source-id": 1, "field-id": 1000, "transform": "bucket[4]", "name": "id_bucket"}
+        ],
+        "properties": {"owner": "legacy"},
+        "snapshots": [],
+        "current-snapshot-id": None,
+    }
+    os.makedirs(os.path.join(loc, "metadata"))
+    with open(os.path.join(loc, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(v1_doc, f)
+
+    md, version = load_metadata(loc)
+    assert version == 1
+    assert md.current_schema.find_field("name") is not None
+    assert md.default_spec.spec_id == 0
+    assert md.default_spec.fields[0].transform == "bucket[4]"
+    assert md.default_sort_order.order_id == 0
+    assert md.properties == {"owner": "legacy"}
+
+    # table works end-to-end on the migrated metadata; commits are V2
+    t = Table(spark, ("db", "legacy"), loc, md, version)
+    from pyspark.sql import Row
+
+    t.append(spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")]))
+    assert t.to_df().count() == 2
+    with open(os.path.join(loc, "metadata", "v2.metadata.json")) as f:
+        committed = json.load(f)
+    assert committed["format-version"] == 2
+    assert committed["schemas"][0]["fields"][0]["name"] == "id"
+
+
+def test_unsupported_format_version_rejected():
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.metadata import TableMetadata
+
+    with _pytest.raises(ValidationError, match="format-version"):
+        TableMetadata.from_json({"format-version": 3, "table-uuid": "x", "location": "y", "schemas": []})
