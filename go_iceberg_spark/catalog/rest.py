@@ -1,7 +1,7 @@
 """REST catalog client (reference: catalog/rest.go:76-509).
 
-Speaks the protocol served by ``rest_server.py`` (Iceberg-REST-shaped; see
-that module's docstring for the one documented deviation on commit bodies).
+Speaks the protocol served by ``rest_server.py``, committing with the
+Iceberg REST requirements/updates vocabulary (``commit_protocol.py``).
 Auth mirrors the reference: a static bearer ``token``, or OAuth2
 client-credentials (``credential="id:secret"`` -> POST /v1/oauth/tokens,
 reference: catalog/rest.go:456-477). The warehouse location comes from
@@ -119,23 +119,42 @@ class RESTCatalog(Catalog):
 
     def _attach(self, ns, name: str, md: TableMetadata, version: int) -> Table:
         """Build a Table whose metadata pointer I/O goes through the service."""
-        seg = self._ns_seg(ns)
+        from .commit_protocol import main_ref_requirement, metadata_updates
 
-        def committer(new_md: TableMetadata, expected_version: int) -> int:
-            out = self._req(
-                "POST", f"/v1/namespaces/{seg}/tables/{name}/commit",
-                {"expected-version": expected_version, "metadata": new_md.to_json()},
-                not_found=TableNotFoundError, conflict=CommitConflictError,
-            )
-            return out["version"]
+        seg = self._ns_seg(ns)
 
         def loader() -> tuple[TableMetadata, int]:
             out = self._req("GET", f"/v1/namespaces/{seg}/tables/{name}",
                             not_found=TableNotFoundError)
             return TableMetadata.from_json(out["metadata"]), out["version"]
 
-        return Table(self.spark, (*_norm_ns(ns), name), md.location, md, version,
-                     committer=committer, loader=loader)
+        table = Table(self.spark, (*_norm_ns(ns), name), md.location, md, version,
+                      loader=loader)
+
+        def committer(new_md: TableMetadata, expected_version: int) -> int:
+            # Iceberg REST commit: requirements asserted server-side +
+            # update actions diffed from the metadata this mutation was
+            # built on (reference: catalog/rest.go:425-445 CommitTable,
+            # catalog/catalog.go:131-280 vocabulary). At committer-call
+            # time table.metadata is still that base — Table swaps it to
+            # new_md only after the commit succeeds.
+            base = table.metadata
+            out = self._req(
+                "POST", f"/v1/namespaces/{seg}/tables/{name}/commit",
+                {
+                    "identifier": {"namespace": list(_norm_ns(ns)), "name": name},
+                    "requirements": [
+                        {"type": "assert-table-uuid", "uuid": base.table_uuid},
+                        main_ref_requirement(base),
+                    ],
+                    "updates": metadata_updates(base, new_md),
+                },
+                not_found=TableNotFoundError, conflict=CommitConflictError,
+            )
+            return out["version"]
+
+        table._commit_fn = committer
+        return table
 
     def create_table(self, ns, name: str, schema: Schema, spec: PartitionSpec = UNPARTITIONED,
                      sort_order: SortOrder = UNSORTED, properties: dict | None = None) -> Table:

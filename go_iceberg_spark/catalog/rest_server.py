@@ -15,13 +15,15 @@ protocol assumes). Endpoints:
     POST   /v1/namespaces/{ns}/tables     (create: name + metadata document)
     GET|HEAD|DELETE /v1/namespaces/{ns}/tables/{t}
     POST   /v1/namespaces/{ns}/tables/{t}/commit
-           {"expected-version": N, "metadata": {...}} -> 409 on conflict
+           {"requirements": [...], "updates": [...]}  (Iceberg wire shape;
+           requirement failure or CAS race -> 409). The pre-protocol body
+           {"expected-version": N, "metadata": {...}} is still accepted.
     POST   /v1/tables/rename
 
-Deviation from the Iceberg REST spec, documented: commits carry the full new
-metadata document + expected version instead of a requirements/updates list —
-the reference's only auto-requirement is assert-ref-snapshot-id(main)
-(reference: table/table.go:163-176), which the version check subsumes.
+Commit vocabulary (assert-create / assert-table-uuid / assert-ref-snapshot-id
+/ ... requirements; add-snapshot / set-snapshot-ref / add-schema / ... update
+actions) lives in ``commit_protocol.py``
+(reference: catalog/catalog.go:131-280).
 
 Namespace path segments are joined with the %1F unit separator, as in the
 Iceberg REST spec.
@@ -42,7 +44,7 @@ from ..table.metadata import (
     current_metadata_version,
     load_metadata,
 )
-from ..errors import CommitConflictError
+from ..errors import CommitConflictError, RequirementFailedError
 
 _NS_FILE = ".namespace.json"
 UNIT_SEP = "\x1f"
@@ -222,6 +224,21 @@ class _Handler(BaseHTTPRequestHandler):
         if current_metadata_version(loc) == 0:
             return self._error(404, f"table {ns}.{name} not found")
         body = self._body()
+        if "requirements" in body or "updates" in body:
+            # Iceberg REST wire shape: assert requirements against the
+            # service's current metadata, apply update actions to it
+            # (reference: catalog/catalog.go:131-280)
+            from .commit_protocol import apply_updates, check_requirements
+
+            base, base_v = load_metadata(loc)
+            try:
+                check_requirements(base, body.get("requirements", []))
+                md = apply_updates(base, body.get("updates", []))
+                v = commit_metadata(loc, md, base_v)
+            except (RequirementFailedError, CommitConflictError) as e:
+                return self._error(409, str(e))
+            return self._send(200, {"metadata-location": loc,
+                                    "metadata": md.to_json(), "version": v})
         md = TableMetadata.from_json(body["metadata"])
         try:
             v = commit_metadata(loc, md, int(body["expected-version"]))

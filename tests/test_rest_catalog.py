@@ -71,15 +71,25 @@ def test_table_crud_and_spark_data_path(spark, rcat):
 def test_commit_conflict_and_retry(spark, rcat):
     df = proto_df(spark)
     t1 = rcat.create_table(("db",), "c", from_spark_schema(df.schema))
-    t1.append(df)
-    t2 = rcat.load_table(("db",), "c")
-    # two handles at the same base version: first commit wins, second conflicts
-    t1.set_properties({"a": "1"})
+    t2 = rcat.load_table(("db",), "c")  # base: main -> None
+    t1.append(df)  # main moves; t2 is now stale
+    # stale handle, retries disabled: assert-ref-snapshot-id fails -> conflict
+    t2.max_retries = 0
     with pytest.raises(CommitConflictError):
-        t2.set_properties({"b": "2"})
-    # appends retry through the conflict automatically (commutable op)
-    t2.append(proto_df(spark, offset=100))
+        t2.append(proto_df(spark, offset=100))
+    # with retries the refresh resolves it (commutable op)
+    t2.max_retries = 3
+    t2.append(proto_df(spark, offset=200))
+    # concurrent property updates MERGE under the requirements/updates
+    # protocol (both main-ref assertions hold) instead of false-conflicting
+    # on a whole-metadata CAS
     t1.refresh()
+    t3 = rcat.load_table(("db",), "c")
+    t1.set_properties({"a": "1"})
+    t3.set_properties({"b": "2"})
+    t1.refresh()
+    assert t1.metadata.properties["a"] == "1"
+    assert t1.metadata.properties["b"] == "2"
     assert t1.to_df().count() == 10
 
 
@@ -108,3 +118,81 @@ def test_bearer_auth_and_oauth(spark, tmp_path):
         assert ok2.namespace_exists(("db",))
     finally:
         srv.shutdown()
+
+
+def test_iceberg_wire_commit_shapes(spark, service, rcat):
+    """Drive the commit endpoint with raw Iceberg requirement/update wire
+    shapes (reference: catalog/catalog.go:131-280): a snapshot lands via
+    add-snapshot + set-snapshot-ref, a failed assert-ref-snapshot-id is a
+    409, and property updates apply."""
+    import requests
+
+    t = rcat.create_table("db", "wire", from_spark_schema(proto_df(spark).schema))
+    t.append(proto_df(spark))
+    snap = t.current_snapshot()
+    url = f"{service}/v1/namespaces/db/tables/wire/commit"
+
+    # requirement failure: stale main snapshot id -> 409, nothing applied
+    r = requests.post(url, json={
+        "requirements": [
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 12345}
+        ],
+        "updates": [{"action": "set-properties", "updates": {"x": "1"}}],
+    })
+    assert r.status_code == 409
+    assert "assert-ref-snapshot-id" in r.json()["error"]["message"]
+    assert "x" not in t.refresh().metadata.properties
+
+    # uuid requirement failure -> 409
+    r = requests.post(url, json={
+        "requirements": [{"type": "assert-table-uuid", "uuid": "not-the-uuid"}],
+        "updates": [],
+    })
+    assert r.status_code == 409
+
+    # correct requirements: set-properties + a ref re-point (rollback shape)
+    r = requests.post(url, json={
+        "requirements": [
+            {"type": "assert-table-uuid", "uuid": t.metadata.table_uuid},
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": snap.snapshot_id},
+        ],
+        "updates": [
+            {"action": "set-properties", "updates": {"owner": "wire-test"}},
+            {"action": "set-snapshot-ref", "ref-name": "audit",
+             "snapshot-id": snap.snapshot_id, "type": "tag"},
+        ],
+    })
+    assert r.status_code == 200
+    assert r.json()["metadata"]["properties"]["owner"] == "wire-test"
+    t.refresh()
+    assert t.metadata.properties["owner"] == "wire-test"
+    assert t.metadata.refs["audit"].type == "tag"
+
+    # unknown requirement type -> 400-family, not applied silently
+    r = requests.post(url, json={
+        "requirements": [{"type": "assert-moon-phase"}], "updates": []})
+    assert r.status_code in (400, 500)
+
+
+def test_wire_commit_full_crud_through_client(spark, rcat):
+    """The client now commits via requirements/updates for every mutation
+    class: snapshot-producing ops, schema evolution, properties, rollback,
+    tags. Exercise each and confirm the service state matches."""
+    t = rcat.create_table("db", "full", from_spark_schema(proto_df(spark).schema))
+    t.append(proto_df(spark))
+    t.delete(gi.eq("id", 3))
+    assert sorted(r.id for r in t.to_df().collect()) == [0, 1, 2, 4]
+
+    first = t.snapshots()[0]
+    t.create_tag("v1", first.snapshot_id)
+    t.set_properties({"team": "data"})
+    t.remove_properties(["team"])
+    from go_iceberg_spark.schema import STRING
+
+    t.update_schema().add_column("extra", STRING).commit()
+    assert t.refresh().schema.find_field("extra") is not None
+
+    t.rollback_to(first.snapshot_id)
+    assert sorted(r.id for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
+    assert t.refresh().metadata.refs["v1"].snapshot_id == first.snapshot_id
