@@ -166,9 +166,19 @@ _MANIFEST_ARROW_SCHEMA = pa.schema(
         ("record_count", pa.int64()),
         ("file_size", pa.int64()),
         ("partition_json", pa.string()),
-        ("stats_json", pa.string()),
         ("sequence_number", pa.int64()),
         ("equality_ids_json", pa.string()),
+        # per-field stats as index-aligned parallel arrays: planners prune on
+        # a single field by list position without parsing a JSON blob per
+        # entry, and Spark can evaluate bound predicates with array
+        # higher-order functions when the manifest is read as a DataFrame
+        # (table/planning.py). Bound values are individually JSON-encoded
+        # scalars in the order-preserving stats encoding (write.py).
+        ("stats_fids", pa.list_(pa.int32())),
+        ("stats_min_json", pa.list_(pa.string())),
+        ("stats_max_json", pa.list_(pa.string())),
+        ("stats_null_counts", pa.list_(pa.int64())),
+        ("stats_value_counts", pa.list_(pa.int64())),
     ]
 )
 
@@ -185,37 +195,56 @@ def write_manifest(path: str, entries: list[DataFileEntry]) -> None:
         cols["record_count"].append(e.record_count)
         cols["file_size"].append(e.file_size)
         cols["partition_json"].append(json.dumps(e.partition))
-        cols["stats_json"].append(json.dumps({str(k): v for k, v in e.column_stats.items()}))
         cols["sequence_number"].append(e.sequence_number)
         cols["equality_ids_json"].append(json.dumps(list(e.equality_ids)))
+        fids = sorted(e.column_stats)
+        cols["stats_fids"].append(fids)
+        cols["stats_min_json"].append([json.dumps(e.column_stats[f].get("min")) for f in fids])
+        cols["stats_max_json"].append([json.dumps(e.column_stats[f].get("max")) for f in fids])
+        cols["stats_null_counts"].append([e.column_stats[f].get("null_count") for f in fids])
+        cols["stats_value_counts"].append([e.column_stats[f].get("value_count") for f in fids])
     table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(table, path, compression="snappy")
 
 
+def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
+    """Build one DataFileEntry from ``to_pydict`` columns (either layout)."""
+    if "stats_json" in d:  # legacy blob layout (pre-columnar manifests)
+        stats = {int(k): v for k, v in json.loads(d["stats_json"][i]).items()}
+    else:
+        stats = {
+            int(fid): {
+                "min": json.loads(d["stats_min_json"][i][j]),
+                "max": json.loads(d["stats_max_json"][i][j]),
+                "null_count": d["stats_null_counts"][i][j],
+                "value_count": d["stats_value_counts"][i][j],
+            }
+            for j, fid in enumerate(d["stats_fids"][i])
+        }
+    return DataFileEntry(
+        content=d["content"][i],
+        file_path=d["file_path"][i],
+        file_format=d["file_format"][i],
+        spec_id=d["spec_id"][i],
+        schema_id=d["schema_id"][i],
+        record_count=d["record_count"][i],
+        file_size=d["file_size"][i],
+        partition=json.loads(d["partition_json"][i]),
+        column_stats=stats,
+        sequence_number=d["sequence_number"][i],
+        equality_ids=tuple(json.loads(d["equality_ids_json"][i])),
+    )
+
+
 def read_manifest(path: str) -> list[DataFileEntry]:
-    """Driver-side manifest read (small/medium tables). Large tables can read
-    the same file as a Spark DataFrame and prune distributively."""
+    """Driver-side full manifest read (small/medium tables, mutations that
+    need every live entry). Scans over large manifests use the pruned
+    readers in ``planning.py`` instead, which decode stats only for
+    filter-referenced fields and only materialize surviving entries."""
     t = pq.read_table(path)
-    out: list[DataFileEntry] = []
     d = t.to_pydict()
-    for i in range(t.num_rows):
-        out.append(
-            DataFileEntry(
-                content=d["content"][i],
-                file_path=d["file_path"][i],
-                file_format=d["file_format"][i],
-                spec_id=d["spec_id"][i],
-                schema_id=d["schema_id"][i],
-                record_count=d["record_count"][i],
-                file_size=d["file_size"][i],
-                partition=json.loads(d["partition_json"][i]),
-                column_stats={int(k): v for k, v in json.loads(d["stats_json"][i]).items()},
-                sequence_number=d["sequence_number"][i],
-                equality_ids=tuple(json.loads(d["equality_ids_json"][i])),
-            )
-        )
-    return out
+    return [_entry_from_columns(d, i) for i in range(t.num_rows)]
 
 
 @dataclass(frozen=True)

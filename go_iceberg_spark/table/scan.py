@@ -153,27 +153,67 @@ class ScanBuilder:
 
     def plan_files(self) -> list[FileScanTask]:
         """Manifest-driven planning with real stats pruning
-        (reference: table/scan.go:101-190, pruning stubs made real)."""
+        (reference: table/scan.go:101-190, pruning stubs made real).
+
+        Three metadata-scale tiers (table/planning.py): snapshot-level bounds
+        can skip the manifest read entirely; manifests already cached or
+        small are pruned in memory; large columnar manifests go through the
+        lazy driver reader or, above DISTRIBUTED_THRESHOLD entries, a Spark
+        job over the entry DataFrame."""
         snap = self._resolve_snapshot()
         if snap is None:
             return []
-        entries = self._table.manifest_entries(snap)
         md = self._table.metadata
         flt = simplify(self._filter)
+        enc = _encode_filter(flt, md.current_schema)
 
+        from .planning import summary_might_match
+
+        bounds = snap.summary.get("bounds")
+        if bounds is not None and not summary_might_match(bounds, enc, md.current_schema):
+            return []
+
+        entries = self._pruned_entries(snap, enc, md)
         data_files = [e for e in entries if e.content == CONTENT_DATA]
         pos_deletes = [e for e in entries if e.content == CONTENT_POSITION_DELETES]
         eq_deletes = [e for e in entries if e.content == CONTENT_EQUALITY_DELETES]
 
-        enc = _encode_filter(flt, md.current_schema)
         tasks: list[FileScanTask] = []
         for e in data_files:
-            if not might_match(enc, _stats_for_pruning(e, md.current_schema)):
-                continue
             dels = [d for d in pos_deletes if d.sequence_number >= e.sequence_number]
             dels += [d for d in eq_deletes if d.sequence_number > e.sequence_number]
             tasks.append(FileScanTask(e, dels))
         return tasks
+
+    # entry counts below this use (and fill) the table's full-entry cache;
+    # above it, scans do a pruned read per planning call instead of holding
+    # every entry in driver memory
+    _CACHE_ENTRY_LIMIT = 10_000
+
+    def _pruned_entries(self, snap, enc: Expression, md: TableMetadata) -> list[DataFileEntry]:
+        """Data entries surviving stats pruning, plus ALL delete entries."""
+        import pyarrow.parquet as pq
+
+        from .planning import (
+            DISTRIBUTED_THRESHOLD,
+            plan_distributed,
+            prune_manifest_driver,
+        )
+
+        table = self._table
+        path = os.path.join(table.location, snap.manifest_path)
+        cached = path in table._manifest_cache
+        if not cached and not snap.manifest_path.endswith(".avro"):
+            n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
+            if n > DISTRIBUTED_THRESHOLD:
+                return plan_distributed(table.spark, path, enc, md.current_schema)
+            if n > self._CACHE_ENTRY_LIMIT:
+                return prune_manifest_driver(path, enc, md.current_schema)
+        entries = table.manifest_entries(snap)
+        return [
+            e for e in entries
+            if e.content != CONTENT_DATA or might_match(enc, _stats_for_pruning(e, md.current_schema))
+        ]
 
     # -- execution --------------------------------------------------------
     def to_df(self) -> DataFrame:
@@ -290,8 +330,17 @@ class ScanBuilder:
         snap = self._resolve_snapshot()
         if snap is None:
             return 0
-        entries = self._table.manifest_entries(snap)
-        total = sum(e.record_count for e in entries if e.content == CONTENT_DATA)
+        path = os.path.join(self._table.location, snap.manifest_path)
+        if path not in self._table._manifest_cache and not snap.manifest_path.endswith(".avro"):
+            # column-pruned footer read: two int64 columns, never the stats
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["content", "record_count"])
+            d = t.to_pydict()
+            total = sum(rc for c, rc in zip(d["content"], d["record_count"]) if c == CONTENT_DATA)
+        else:
+            entries = self._table.manifest_entries(snap)
+            total = sum(e.record_count for e in entries if e.content == CONTENT_DATA)
         if self._limit is not None and total > self._limit:
             return self._limit
         return total

@@ -178,6 +178,13 @@ class Table:
             "total-delete-files": str(len(entries) - len(data_entries)),
             **(summary_extra or {}),
         }
+        # snapshot-wide column bounds: the manifest-list-level summary that
+        # lets scans skip the manifest read when the filter is out of range
+        # (planning.py; reference keeps per-manifest partition summaries,
+        # spec/manifest.go:152-205)
+        from .planning import summary_bounds
+
+        summary["bounds"] = summary_bounds(entries)
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=parent.snapshot_id if parent else None,
