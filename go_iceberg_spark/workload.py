@@ -2206,6 +2206,22 @@ def source_csv_q(spark, sf):
     return _roundtrip_agg(spark.read.schema(base.schema).option("header", "true").csv(path))
 
 
+@query("source_avro_roundtrip", _RT_ORACLE)
+def source_avro_q(spark, sf):
+    """Avro data-file sink + source (reference DataFile format enum includes
+    AVRO, spec/manifest.go:101-149, but the reference never implements the
+    serde). No spark-avro jar in this container, so the engine's own OCF
+    serde (avro.py) runs distributed via Arrow-batched mapInPandas
+    (io/avro_data.py): one OCF per partition out, file-list-parallel read
+    back."""
+    from .io.avro_data import read_avro_files, write_avro_files
+
+    path = _scratch_dir("gis_avro_") + "/data"
+    base = _roundtrip_base(spark, sf)
+    write_avro_files(base, path)
+    return _roundtrip_agg(read_avro_files(spark, path, base.schema))
+
+
 @query("source_json_roundtrip", _RT_ORACLE)
 def source_json_q(spark, sf):
     """JSON-lines sink + source with an explicit read schema (same

@@ -286,3 +286,55 @@ def test_avro_table_expiry_removes_member_manifests(spark, catalog, tmp_path):
     for m in old_members:
         assert not os.path.exists(os.path.join(t.location, m))
     assert t.scan().count() == 20
+
+
+class TestAvroDataFiles:
+    """Avro DATA-file source/sink (io/avro_data.py): distributed OCF write
+    and read over every supported primitive, plus Java-Avro cross-check."""
+
+    def test_roundtrip_all_types(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import Row
+
+        from go_iceberg_spark.io.avro_data import read_avro_files, write_avro_files
+
+        rows = [
+            Row(i=i, big=i * 10**12, f=float(i) / 3, txt=f"r{i}", ok=(i % 2 == 0),
+                raw=bytes([i % 256, 1]), d=dt.date(2026, 1, 1) + dt.timedelta(days=i),
+                ts=dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(seconds=i))
+            for i in range(100)
+        ] + [Row(i=None, big=None, f=None, txt=None, ok=None, raw=None, d=None, ts=None)]
+        df = spark.createDataFrame(rows).repartition(4)
+        path = str(tmp_path / "avro_data")
+        nfiles = write_avro_files(df, path)
+        assert 1 <= nfiles <= 4
+
+        back = read_avro_files(spark, path, df.schema)
+        a = sorted([tuple(r) for r in df.collect()], key=repr)
+        b = sorted([tuple(r) for r in back.collect()], key=repr)
+        assert a == b
+
+    def test_java_avro_reads_data_files(self, spark, tmp_path):
+        """Spark's bundled Java Avro library parses our OCF data files —
+        proof the wire bytes are spec-correct, not merely self-consistent."""
+        from pyspark.sql import Row
+
+        from go_iceberg_spark.io.avro_data import write_avro_files
+
+        df = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(25)]).coalesce(1)
+        path = str(tmp_path / "javacheck")
+        write_avro_files(df, path)
+        import os
+
+        fname = [f for f in os.listdir(path) if f.endswith(".avro")][0]
+        jvm = spark.sparkContext._jvm
+        jfile = jvm.java.io.File(os.path.join(path, fname))
+        datum = jvm.org.apache.avro.generic.GenericDatumReader()
+        reader = jvm.org.apache.avro.file.DataFileReader(jfile, datum)
+        seen = []
+        while reader.hasNext():
+            rec = reader.next()
+            seen.append((rec.get("k"), str(rec.get("name"))))
+        reader.close()
+        assert sorted(seen) == [(i, f"n{i}") for i in range(25)]
