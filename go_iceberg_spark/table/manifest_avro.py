@@ -74,7 +74,9 @@ def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
             return struct.pack("<d", float(enc_val))
         if n == "string":
             return str(enc_val).encode("utf-8")
-        return None  # uuid/binary: bounds not collected
+        if n in ("binary", "fixed"):
+            return bytes.fromhex(enc_val)  # engine stat space stores hex
+        return None  # uuid: bounds not collected
     if isinstance(t, DecimalType):
         unscaled = int(decimal.Decimal(str(enc_val)).scaleb(t.scale).to_integral_value())
         length = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement minimal
@@ -100,6 +102,8 @@ def bound_from_bytes(t: IcebergType, raw: bytes | None) -> Any:
             return struct.unpack("<d", raw)[0]
         if n == "string":
             return raw.decode("utf-8")
+        if n in ("binary", "fixed"):
+            return raw.hex()
         return None
     if isinstance(t, DecimalType):
         unscaled = int.from_bytes(raw, "big", signed=True)

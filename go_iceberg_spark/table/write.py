@@ -104,7 +104,9 @@ def encode_stat(v: Any) -> Any:
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, (bytes, bytearray)):
-        return None  # binary bounds: skip (base64 is not order-preserving)
+        # hex is order-isomorphic to the underlying bytes (digit alphabet is
+        # ascending and prefix rule matches), so binary columns prune too
+        return bytes(v).hex()
     if isinstance(v, (bool, int, float, str)):
         return v
     return None
