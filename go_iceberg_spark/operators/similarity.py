@@ -22,6 +22,21 @@ LSH_PLANES = 8  # 2^8 = 256 buckets
 PLANE_MOD = 2001  # plane component ∈ [-1, 1] in steps of 1/1000
 MAX_LSH_DIM = 1024  # planes precomputed up to this embedding dimension
 
+# query sides are broadcast only below this Catalyst size estimate; a bigger
+# query set would OOM executors as a forced broadcast, so it falls back to a
+# shuffle join and AQE picks the strategy
+MAX_BROADCAST_QUERY_BYTES = 64 << 20
+
+
+def _broadcast_if_small(q: DataFrame) -> DataFrame:
+    """Broadcast hint guarded by the optimizer's size estimate (no job is
+    triggered). Identical results either way — only the join strategy moves."""
+    try:
+        est = int(q._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - estimate unavailable -> be safe, no hint
+        return q
+    return F.broadcast(q) if est <= MAX_BROADCAST_QUERY_BYTES else q
+
 
 def dot_expr(a, b) -> F.Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen'd)."""
@@ -56,7 +71,7 @@ def cosine_topk(
     The query side is broadcast: the corpus is scanned once, no shuffle of
     the corpus, and the per-query top-k is a window over a small partition."""
     qid = query_id_col or id_col
-    q = F.broadcast(queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")))
+    q = _broadcast_if_small(queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.crossJoin(q)
@@ -127,7 +142,7 @@ def lsh_topk(
         lsh_bucket_expr(F.col(vec_col), n_planes).alias("_bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), on="_bucket")
+        c.join(_broadcast_if_small(q), on="_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
     )
@@ -170,7 +185,7 @@ def ivf_topk(
     c = assign(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv", 1)
     q = assign(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv", n_probe)
     scored = (
-        c.join(F.broadcast(q), on="_cent_id")
+        c.join(_broadcast_if_small(q), on="_cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
     )
