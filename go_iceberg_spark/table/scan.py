@@ -301,18 +301,22 @@ class ScanBuilder:
                 )
                 .drop("_file", "_pos")
             )
+        # equality deletes: drop rows whose key tuple appears in a delete file
+        # (null-safe), only for data written before the delete (sequence
+        # filtering already done at planning time). Files sharing a key set
+        # are unioned into ONE anti-join — n delete files with the same
+        # equality_ids cost one join, not n.
+        by_key: dict[tuple[str, ...], list[DataFileEntry]] = {}
         for d in eq:
-            # equality delete: drop rows whose key tuple appears in the delete
-            # file (null-safe), only for data written before the delete
-            # (sequence filtering already done at planning time).
-            key_cols = []
-            for fid in d.equality_ids:
-                f = file_schema.find_field_by_id(fid)
-                if f is not None:
-                    key_cols.append(f.name)
-            if not key_cols:
-                continue
-            del_df = spark.read.parquet(os.path.join(loc, d.file_path)).select(*key_cols)
+            key_cols = tuple(
+                f.name for fid in d.equality_ids
+                if (f := file_schema.find_field_by_id(fid)) is not None
+            )
+            if key_cols:
+                by_key.setdefault(key_cols, []).append(d)
+        for key_cols, ds in by_key.items():
+            del_df = spark.read.parquet(
+                *[os.path.join(loc, d.file_path) for d in ds]).select(*key_cols)
             cond = [df[c].eqNullSafe(del_df[c]) for c in key_cols]
             df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
         return df

@@ -357,3 +357,17 @@ def test_binary_column_bounds_prune(spark, catalog):
     # and the row filter still returns the right rows on an in-range probe
     got = t.scan().filter(E.eq("key", bytes([200, 3]))).to_df().collect()
     assert [r.id for r in got] == [103]
+
+
+def test_equality_delete_multi_file_consolidated(spark, catalog, users):
+    """Two equality-delete commits with the same key set: both apply on scan
+    (the scan unions same-key-set delete files into one anti-join)."""
+    from go_iceberg_spark.table.metadata import CONTENT_EQUALITY_DELETES
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    delete_equality(users, spark.createDataFrame([(1,), (2,)], "id long"), ["id"])
+    delete_equality(users, spark.createDataFrame([(3,), (4,)], "id long"), ["id"])
+    eq_files = [e for e in users.live_entries() if e.content == CONTENT_EQUALITY_DELETES]
+    assert len(eq_files) == 2
+    ids = sorted(r.id for r in users.to_df().collect())
+    assert ids == [0] + list(range(5, 100))
