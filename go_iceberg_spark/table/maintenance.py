@@ -93,9 +93,13 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     table._manifest_cache.clear()
 
     deleted = []
+    loc = os.path.abspath(table.location)
     for rel in sorted(doomed_files | doomed_manifests):
+        full = os.path.join(table.location, rel)
+        if not os.path.abspath(full).startswith(loc + os.sep):
+            continue  # external file registered via add_files — not ours to delete
         try:
-            os.remove(os.path.join(table.location, rel))
+            os.remove(full)
             deleted.append(rel)
         except OSError:
             pass

@@ -232,6 +232,24 @@ class Table:
 
     insert = append  # reference: table/insert.go:163-170 alias
 
+    def add_files(self, paths: list[str]) -> Snapshot:
+        """Zero-copy import of existing parquet files (Iceberg ``add_files``
+        procedure; the reference has no equivalent): one metadata commit
+        registers the files with footer-harvested stats — no data rewrite.
+        Files stay where they are; expiry will not delete them."""
+        from .write import register_data_files
+
+        md = self.metadata
+        new_files = register_data_files(
+            self.spark, paths, md.current_schema, md.current_schema_id,
+            self._next_sequence(),
+        )
+
+        def commit():
+            return self._commit_snapshot(OP_APPEND, self.live_entries() + new_files)
+
+        return self._retrying(commit)
+
     def overwrite(self, df: DataFrame, filter: Expression | None = None) -> Snapshot:
         """Full or selective overwrite (reference: table/insert.go:173-252).
 

@@ -1640,6 +1640,39 @@ def crud_avro_manifest_scan(spark, sf):
 
 
 @query(
+    "crud_add_files_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 150000)
+    """,
+)
+def crud_add_files_scan(spark, sf):
+    """Zero-copy import (Iceberg add_files; no reference equivalent): plain
+    parquet written OUTSIDE any table registers via one metadata commit with
+    footer-harvested stats, then a CoW delete mutates the imported data and
+    the scan matches the oracle. Also asserts imported stats actually prune."""
+    import os as _os
+
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    ext = _scratch_dir("gis_addf_") + "/ext"
+    base.write.parquet(ext)
+    files = [_os.path.join(ext, f) for f in _os.listdir(ext) if f.endswith(".parquet")]
+
+    wh = _scratch_dir("gis_addf_t_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), "imported", from_spark_schema(base.schema))
+    t.add_files(files)
+    if t.scan().filter(C("o_orderkey").gt(10**9)).plan_files():
+        raise AssertionError("imported footer stats did not prune")
+    t.delete(C("o_totalprice").gt(150000.0))
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "crud_update_scan",
     """
     SELECT o_orderkey,

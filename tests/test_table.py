@@ -371,3 +371,47 @@ def test_equality_delete_multi_file_consolidated(spark, catalog, users):
     assert len(eq_files) == 2
     ids = sorted(r.id for r in users.to_df().collect())
     assert ids == [0] + list(range(5, 100))
+
+
+def test_add_files_zero_copy_import(spark, catalog, tmp_path):
+    """Iceberg add_files equivalent: existing parquet registers in one
+    metadata commit, scans prune on its footer stats, and snapshot expiry
+    never deletes files outside the table tree."""
+    ext = str(tmp_path / "external")
+    spark.range(0, 1000).selectExpr("id", "concat('U', id) AS name").repartition(4) \
+        .write.parquet(ext)
+    import os
+
+    files = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")]
+
+    proto = spark.createDataFrame([], "id long, name string")
+    t = catalog.create_table("db", "imported", from_spark_schema(proto.schema))
+    t.add_files(files)
+    assert t.scan().count() == 1000
+    # stats came from footers -> pruning works
+    assert t.scan().filter(E.gt("id", 10**6)).plan_files() == []
+    # engine-written data coexists with imported files
+    t.append(spark.createDataFrame([(5000, "X")], "id long, name string"))
+    assert t.scan().count() == 1001
+    # delete across imported data (CoW rewrites into the table tree)
+    t.delete(E.col("id").lt(10))
+    assert t.scan().count() == 991
+
+    # expiry must not touch the external originals
+    from go_iceberg_spark.table.maintenance import expire_snapshots
+
+    expire_snapshots(t, retain_last=1)
+    assert all(os.path.exists(f) for f in files)
+    assert t.refresh().scan().count() == 991
+
+    # schema mismatch is rejected up front
+    bad = str(tmp_path / "bad")
+    spark.range(3).write.parquet(bad)
+    badfiles = [os.path.join(bad, f) for f in os.listdir(bad) if f.endswith(".parquet")]
+    t2 = catalog.create_table("db", "imported2", from_spark_schema(proto.schema))
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+
+    with _pytest.raises(ValidationError, match="lack table columns"):
+        t2.add_files(badfiles)
