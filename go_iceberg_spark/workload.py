@@ -755,6 +755,64 @@ def streaming_tumbling_q(spark, sf):
 
 
 @query(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join_q(spark, sf):
+    """Stream-stream interval join, the canonical Structured Streaming join:
+    views and purchases stream independently, watermarked 1 hour each, inner
+    join on user within [view.ts, view.ts + 24h]. The watermark + time bound
+    let Spark evict join state (bounded memory at 100 TB/day feeds);
+    availableNow drains everything in order, so append output equals the
+    batch interval join and the oracle can grade it."""
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    nanos = str(sch["ts"].dataType) == "LongType()"
+
+    def side(event_type, prefix):
+        src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+        if nanos:
+            src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        return (
+            src.filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                    F.col("value").alias(f"{prefix}_value"))
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"), F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.round(F.col("p_value"), 2).alias("purchase_value"),
+    )
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_ijoin_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "session_window_30min",
     """
     WITH marked AS (
