@@ -70,6 +70,36 @@ def append_stream(df: DataFrame, table: Table, checkpoint_dir: str, *,
     return w.start()
 
 
+def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[str], *,
+                  trigger_once: bool = False, processing_time: str | None = None):
+    """Streaming UPSERT sink (CDC-style): each micro-batch MERGEs into the
+    table on ``keys`` — matched rows update, new keys insert — producing one
+    snapshot per batch. Within a batch, duplicate keys collapse to the
+    last-seen row so the merge is deterministic. Exactly-once per batch via
+    the checkpoint + idempotent snapshot commit, like ``append_stream``."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        order = [c for c in batch_df.columns if c not in keys]
+        w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        table.refresh()
+        table.upsert(latest, keys)
+
+    w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def windowed_counts(events: DataFrame, ts_col: str, window: str = "1 hour",
                     watermark: str = "2 hours", keys: list[str] | None = None) -> DataFrame:
     """Watermarked tumbling-window aggregation — late rows beyond the

@@ -159,3 +159,34 @@ def test_stateful_running_max(spark, events_table, tmp_path):
         for r in events_table.to_df().groupBy("user_id").agg(F.max("value").alias("mx"), F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
+
+
+def test_upsert_stream_cdc(spark, catalog, events_table, tmp_path):
+    """Streaming upsert sink: micro-batches MERGE on key — latest row per
+    key wins, new keys insert, snapshot count grows one per batch."""
+    target_proto = spark.createDataFrame([], "user_id long, value double")
+    out = catalog.create_table("db", "user_latest", from_spark_schema(target_proto.schema))
+    out.append(spark.createDataFrame([(0, -1.0), (99, -1.0)], "user_id long, value double"))
+
+    src = ST.read_stream(spark, events_table).select("user_id", "value")
+    q = ST.upsert_stream(src, out, str(tmp_path / "ckpt"), ["user_id"], trigger_once=True)
+    q.awaitTermination(120)
+
+    out.refresh()
+    got = {r.user_id: r.value for r in out.to_df().collect()}
+    # users 0-4 upserted to their max value (row_number desc over value),
+    # untouched key 99 still present
+    src_max = {
+        r.user_id: r.mx
+        for r in events_table.to_df().groupBy("user_id").agg(F.max("value").alias("mx")).collect()
+    }
+    assert got[99] == -1.0
+    for uid, mx in src_max.items():
+        assert got[uid] == mx
+    # exactly-once: re-running with same checkpoint adds no snapshot
+    n_snaps = len(out.snapshots())
+    q = ST.upsert_stream(ST.read_stream(spark, events_table).select("user_id", "value"),
+                         out, str(tmp_path / "ckpt"), ["user_id"], trigger_once=True)
+    q.awaitTermination(120)
+    out.refresh()
+    assert len(out.snapshots()) == n_snaps
