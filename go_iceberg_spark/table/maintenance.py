@@ -107,11 +107,16 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
 
 
 def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024,
-                       min_input_files: int = 2):
+                       min_input_files: int = 2, zorder_by: list[str] | None = None):
     """Compaction (Iceberg ``rewrite_data_files``): read all live data files,
     rewrite them as right-sized files, commit ONE replace snapshot. No-op if
     fewer than ``min_input_files`` data files exist. MoR delete files are
-    applied during the read, so compaction also collapses them."""
+    applied during the read, so compaction also collapses them.
+
+    ``zorder_by`` clusters the rewrite on a Z-order curve over the given
+    (numeric/temporal) columns — Iceberg's zorder rewrite strategy: each
+    output file then covers a narrow range in EVERY listed dimension, so
+    multi-column filters prune files that a single-column sort cannot."""
     from .metadata import CONTENT_DATA, OP_REPLACE
 
     live = table.live_entries()
@@ -120,13 +125,62 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
         return None
     df = table.to_df()  # scan applies MoR deletes -> compaction materializes them
     md = table.metadata
+    summary = {"compacted-input-files": str(len(live))}
+    if zorder_by:
+        df = _zorder_cluster(df, zorder_by)
+        summary["zorder-by"] = ",".join(zorder_by)
     new_entries = write_data_files(
         table.spark, df, table.location, md.current_schema, md.default_spec,
-        md.default_sort_order, md.current_schema_id, table._next_sequence(),
+        md.default_sort_order if not zorder_by else None,
+        md.current_schema_id, table._next_sequence(),
         target_file_size=target_file_size_bytes,
     )
-    return table._commit_snapshot(OP_REPLACE, new_entries,
-                                  summary_extra={"compacted-input-files": str(len(live))})
+    return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
+
+
+_ZORDER_BITS = 8  # 256 bins per dimension
+
+
+def _zorder_cluster(df, cols: list[str]):
+    """Range-partition + sort ``df`` by an interleaved-bit Z-value over
+    ``cols``. Bins come from one global min/max agg (a single cheap job) +
+    ``width_bucket``; bit interleaving is a constant-folded expression, so
+    the whole thing is two shuffles (agg + range partition) at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..errors import ValidationError
+
+    nbins = 1 << _ZORDER_BITS
+    for c in cols:
+        if c not in df.columns:
+            raise ValidationError(f"zorder_by column {c!r} not in table")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+
+    binned = []
+    for c in cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            binned.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(nbins)) - 1
+        binned.append(F.least(F.greatest(F.coalesce(b, F.lit(0)), F.lit(0)),
+                              F.lit(nbins - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(_ZORDER_BITS):
+        for j, b in enumerate(binned):
+            z = z + F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                                bit * len(binned) + j)
+    n_parts = max(2, df.rdd.getNumPartitions())
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_parts, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
 
 
 def remove_orphan_files(table) -> list[str]:

@@ -91,3 +91,40 @@ def test_metadata_tables(spark, catalog):
     assert files.agg(F.sum("record_count")).collect()[0][0] == 150
     hist = MX.history_df(t)
     assert hist.filter("is_current").count() == 1
+
+
+def test_zorder_rewrite_improves_multidim_pruning(spark, catalog):
+    """Z-order rewrite: after clustering on (x, y), a conjunctive filter on
+    both dimensions plans strictly fewer files than the natural layout."""
+    import go_iceberg_spark.expr as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    # natural layout: rows arrive ordered by id, so every file spans the
+    # full range of BOTH x and y -> no file can be pruned
+    def chunk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "CAST(id % 200 AS LONG) AS x", "CAST((id * 7919) % 200 AS LONG) AS y"
+        ).coalesce(1)
+
+    t = catalog.create_table("db", "zorder", from_spark_schema(chunk(0, 1).schema))
+    for lo in range(0, 40_000, 10_000):
+        t.append(chunk(lo, lo + 10_000))
+
+    flt = E.and_(E.and_(E.gte("x", 10), E.lt("x", 20)),
+                 E.and_(E.gte("y", 10), E.lt("y", 20)))
+    before = len(t.scan().filter(flt).plan_files())
+    n_all_before = len(t.scan().plan_files())
+    assert before == n_all_before  # nothing prunable in natural layout
+
+    snap = t.rewrite_data_files(zorder_by=["x", "y"], target_file_size_bytes=64 * 1024)
+    assert snap is not None and snap.summary["zorder-by"] == "x,y"
+    t.refresh()
+    n_all = len(t.scan().plan_files())
+    after = len(t.scan().filter(flt).plan_files())
+    assert n_all >= 2
+    assert after < n_all, f"zorder did not prune: {after}/{n_all}"
+    # rows unchanged
+    assert t.scan().count() == 40_000
+    assert t.scan().filter(flt).count() == spark.sql(
+        "SELECT count(*) FROM range(40000) WHERE id % 200 BETWEEN 10 AND 19 "
+        "AND (id * 7919) % 200 BETWEEN 10 AND 19").collect()[0][0]
