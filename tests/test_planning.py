@@ -156,3 +156,38 @@ def test_scan_uses_bounds_short_circuit(spark, catalog):
     assert "bounds" in t.current_snapshot().summary
     assert t.scan().filter(gi.gt("id", 10**6)).plan_files() == []
     assert len(t.scan().filter(gi.gt("id", 25)).plan_files()) >= 1
+
+
+def test_legacy_blob_manifest_still_reads_and_prunes(tmp_path):
+    """Manifests written before the columnar-stats layout (stats_json blob
+    per entry) still read and prune — tables from older engine versions keep
+    working without a rewrite."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_iceberg_spark.table.metadata import read_manifest
+
+    entries = make_entries(20, with_deletes=False)
+    cols = {
+        "content": [e.content for e in entries],
+        "file_path": [e.file_path for e in entries],
+        "file_format": ["parquet"] * 20,
+        "spec_id": [0] * 20,
+        "schema_id": [0] * 20,
+        "record_count": [e.record_count for e in entries],
+        "file_size": [e.file_size for e in entries],
+        "partition_json": ["{}"] * 20,
+        "stats_json": [json.dumps({str(k): v for k, v in e.column_stats.items()})
+                       for e in entries],
+        "sequence_number": [1] * 20,
+        "equality_ids_json": ["[]"] * 20,
+    }
+    p = str(tmp_path / "legacy.parquet")
+    pq.write_table(pa.table(cols), p)
+
+    got = read_manifest(p)
+    assert got == entries
+    pruned = prune_manifest_driver(p, enc(gt("x", 100)), SCHEMA)
+    assert sorted(e.file_path for e in pruned) == sorted(e.file_path for e in entries[10:])
