@@ -164,12 +164,17 @@ def ivf_topk(
     n_lists: int = 8,
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: deterministic coarse centroids (the
-    ``n_lists`` lowest-id corpus vectors), each vector assigned to its nearest
+    """IVF-flat approximate top-k: deterministic coarse centroids — the
+    ``n_lists`` corpus vectors whose md5(id) sorts lowest, a hash-spread
+    pseudo-random sample (lowest-ID seeds cluster when ids correlate with
+    content; a hash order cannot) — each vector assigned to its nearest
     centroid list; queries probe the ``n_probe`` nearest lists and re-rank
-    exactly. Centroid assignment is a broadcast join against n_lists rows."""
+    exactly. Centroid assignment is a broadcast join against n_lists rows.
+    The md5-of-id order is reproducible in any engine, so the DuckDB oracle
+    derives the identical centroid set."""
     cents = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc()).limit(n_lists)
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_lists)
         .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
     )
 

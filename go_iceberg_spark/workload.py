@@ -1460,7 +1460,8 @@ def _ivf_oracle_sql() -> str:
     cos_qc = _cosine_sql("q.embedding", "c.cv")
     cos_qn = _cosine_sql("qa.qv", "ca.cv2")
     return f"""
-    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
     ca AS (
       SELECT neighbor_id, cv2, cent_id FROM (
         SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cent_id,
