@@ -115,6 +115,15 @@ class ScanBuilder:
         self._snapshot_id = snapshot_id
         return self
 
+    def use_ref(self, name: str) -> "ScanBuilder":
+        """Read a branch or tag head (write-audit-publish: audit the staged
+        branch before fast-forwarding main)."""
+        ref = self._table.metadata.refs.get(name)
+        if ref is None:
+            raise NoSuchSnapshotError(f"ref {name!r} does not exist")
+        self._snapshot_id = ref.snapshot_id
+        return self
+
     def as_of(self, ts: dt.datetime | int) -> "ScanBuilder":
         self._as_of = ts
         return self

@@ -145,11 +145,17 @@ class Table:
 
     def _commit_snapshot(self, operation: str, entries: list[DataFileEntry],
                          summary_extra: dict[str, str] | None = None,
-                         schema_override: Schema | None = None) -> Snapshot:
+                         schema_override: Schema | None = None,
+                         ref: str = MAIN_BRANCH) -> Snapshot:
         """Write manifest + new metadata version. ``entries`` is the FULL live
-        file set of the new snapshot (single-manifest design, metadata.py)."""
+        file set of the new snapshot (single-manifest design, metadata.py).
+        ``ref`` targets a branch: only that ref moves; main (and the table's
+        read view) is untouched until a fast_forward publishes it."""
         md = self.metadata
-        parent = md.current_snapshot()
+        if ref == MAIN_BRANCH or ref not in md.refs:
+            parent = md.current_snapshot()
+        else:
+            parent = md.snapshot_by_id(md.refs[ref].snapshot_id)
         seq = self._next_sequence()
         sid = new_snapshot_id()
         if md.properties.get("manifest-format", "parquet") == "avro":
@@ -195,7 +201,7 @@ class Table:
             schema_id=(schema_override or md.current_schema).schema_id,
             summary=summary,
         )
-        new_md = md.with_snapshot(snap)
+        new_md = md.with_snapshot(snap, ref=ref)
         self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
         return snap
@@ -324,6 +330,82 @@ class Table:
         return SchemaUpdate(self)
 
     # -- branching / tags ---------------------------------------------------
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a branch ref at the given (default: current) snapshot —
+        the staging half of write-audit-publish."""
+        from dataclasses import replace
+
+        if snapshot_id is None:
+            cur = self.metadata.current_snapshot()
+            if cur is None:
+                raise ValidationError("cannot branch an empty table")
+            snapshot_id = cur.snapshot_id
+        else:
+            self.metadata.snapshot_by_id(snapshot_id)  # validate
+        refs = dict(self.metadata.refs)
+        refs[name] = SnapshotRef(snapshot_id, "branch")
+        md = replace(self.metadata, refs=refs, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
+        self.metadata = md
+
+    def append_to_branch(self, name: str, df: DataFrame) -> Snapshot:
+        """Append onto a branch: the write stacks on the BRANCH head and only
+        the branch ref moves — main readers never see it until
+        ``fast_forward`` publishes (write-audit-publish staging)."""
+        md = self.metadata
+        if name not in md.refs:
+            raise ValidationError(f"branch {name!r} does not exist")
+        new_files = write_data_files(
+            self.spark, df, self.location, md.current_schema, md.default_spec,
+            md.default_sort_order, md.current_schema_id, self._next_sequence(),
+        )
+
+        def commit():
+            ref = self.metadata.refs.get(name)
+            if ref is None:
+                raise ValidationError(f"branch {name!r} disappeared")
+            base = self.manifest_entries(self.metadata.snapshot_by_id(ref.snapshot_id))
+            return self._commit_snapshot(OP_APPEND, base + new_files, ref=name)
+
+        return self._retrying(commit)
+
+    def fast_forward(self, to_ref: str, from_ref: str) -> None:
+        """Publish: point ``to_ref`` at ``from_ref``'s head. Fast-forward
+        only — ``to_ref``'s current head must be an ancestor of the new head
+        (diverged refs need a rebase/merge, which this engine does not fake)."""
+        from dataclasses import replace
+
+        md = self.metadata
+        if from_ref not in md.refs:
+            raise ValidationError(f"ref {from_ref!r} does not exist")
+        new_head = md.refs[from_ref].snapshot_id
+        old = md.refs.get(to_ref)
+        if old is not None and old.snapshot_id != new_head:
+            # ancestry walk: old head must appear on new head's parent chain
+            seen = set()
+            cur: int | None = new_head
+            while cur is not None and cur not in seen:
+                if cur == old.snapshot_id:
+                    break
+                seen.add(cur)
+                cur = md.snapshot_by_id(cur).parent_snapshot_id
+            else:
+                cur = None
+            if cur != old.snapshot_id:
+                raise ValidationError(
+                    f"{to_ref!r} is not an ancestor of {from_ref!r} — not a fast-forward")
+        refs = dict(md.refs)
+        refs[to_ref] = SnapshotRef(new_head, "branch")
+        new_md = replace(md, refs=refs, last_updated_ms=now_ms())
+        if to_ref == MAIN_BRANCH:
+            new_md = replace(
+                new_md, current_snapshot_id=new_head,
+                snapshot_log=new_md.snapshot_log
+                + ({"timestamp-ms": now_ms(), "snapshot-id": new_head},),
+            )
+        self.version = self._commit_fn(new_md, self.version)
+        self.metadata = new_md
+
     def create_tag(self, name: str, snapshot_id: int) -> None:
         from dataclasses import replace
 

@@ -415,3 +415,30 @@ def test_add_files_zero_copy_import(spark, catalog, tmp_path):
 
     with _pytest.raises(ValidationError, match="lack table columns"):
         t2.add_files(badfiles)
+
+
+def test_write_audit_publish(spark, users):
+    """WAP: stage appends on a branch, audit via use_ref, fast-forward main
+    to publish; diverged refs refuse to fast-forward."""
+    from go_iceberg_spark.errors import ValidationError
+
+    users.create_branch("audit")
+    users.append_to_branch("audit", users_df(spark, 10).withColumn("id", F.col("id") + 1000))
+    users.append_to_branch("audit", users_df(spark, 5).withColumn("id", F.col("id") + 2000))
+
+    # main readers see nothing staged
+    assert users.scan().count() == 100
+    # audit readers see the staged state
+    assert users.scan().use_ref("audit").to_df().count() == 115
+
+    users.fast_forward("main", "audit")
+    assert users.scan().count() == 115
+    assert users.current_snapshot().snapshot_id == users.metadata.refs["audit"].snapshot_id
+
+    # diverge: write to main, then to the branch -> publish must refuse
+    users.append(users_df(spark, 1).withColumn("id", F.col("id") + 3000))
+    users.append_to_branch("audit", users_df(spark, 1).withColumn("id", F.col("id") + 4000))
+    with pytest.raises(ValidationError, match="not a fast-forward"):
+        users.fast_forward("main", "audit")
+    # main unaffected by the refused publish
+    assert users.scan().count() == 116
