@@ -46,6 +46,9 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     keep = {s.snapshot_id for s in snaps[-retain_last:]}
     if current_id is not None:
         keep.add(current_id)
+    # every branch/tag head stays live (Iceberg ref retention): expiring a
+    # staged WAP branch's head out from under its ref would corrupt the ref
+    keep |= {r.snapshot_id for r in md.refs.values()}
     retained = tuple(s for s in snaps if s.snapshot_id in keep or s.timestamp_ms >= cutoff)
     if len(retained) == len(snaps):
         return []

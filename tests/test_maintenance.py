@@ -128,3 +128,34 @@ def test_zorder_rewrite_improves_multidim_pruning(spark, catalog):
     assert t.scan().filter(flt).count() == spark.sql(
         "SELECT count(*) FROM range(40000) WHERE id % 200 BETWEEN 10 AND 19 "
         "AND (id * 7919) % 200 BETWEEN 10 AND 19").collect()[0][0]
+
+
+def test_expire_retains_ref_heads(spark, catalog):
+    """Snapshots referenced by branch/tag refs survive expiry even when age
+    or retain_last would drop them."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark.expr as E
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.maintenance import expire_snapshots
+
+    df = spark.createDataFrame([Row(id=i) for i in range(10)])
+    t = catalog.create_table("db", "refkeep", from_spark_schema(df.schema))
+    t.append(df)
+    first = t.current_snapshot()
+    t.create_tag("v1", first.snapshot_id)
+    t.create_branch("wip")
+    t.append_to_branch("wip", spark.createDataFrame([Row(id=100)]))
+    wip_head = t.metadata.refs["wip"].snapshot_id
+    t.delete(E.lt("id", 3))
+    t.delete(E.lt("id", 5))
+
+    expire_snapshots(t, retain_last=1)
+    t.refresh()
+    ids = {s.snapshot_id for s in t.snapshots()}
+    assert first.snapshot_id in ids  # tag head kept
+    assert wip_head in ids  # branch head kept
+    assert t.metadata.refs["v1"].snapshot_id == first.snapshot_id
+    # staged branch still readable after expiry
+    assert t.scan().use_ref("wip").to_df().count() == 11
+    assert t.scan().count() == 5
