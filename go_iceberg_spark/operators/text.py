@@ -103,3 +103,40 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     can agree on byte-for-byte."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals for training-data quality filtering
+    (Rae et al. 2021 §A1.1): per document, the fraction of word occurrences
+    that are repeats (1 - distinct/total) and the fraction of word bigrams
+    taken by the single most frequent bigram. High values flag boilerplate
+    and degenerate repetition.
+
+    All built-ins: split/explode + two aggregations — per-doc keyed shuffles,
+    linear in corpus size, no Python in the loop."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    words = (
+        base.select(F.col(id_col), F.explode("_t").alias("_w"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("_w").alias("_du"), F.count(F.lit(1)).alias("_nw"))
+    )
+    bigrams = (
+        base.select(
+            F.col(id_col),
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            ).alias("_bgs"),
+        )
+        .select(F.col(id_col), F.explode("_bgs").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_topc"), F.sum("_c").alias("_total"))
+    )
+    return words.join(bigrams, id_col).select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - F.col("_du") / F.col("_nw"), 4).alias("dup_word_frac"),
+        F.round(F.col("_topc") / F.col("_total"), 4).alias("top_bigram_frac"),
+    )

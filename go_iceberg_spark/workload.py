@@ -1117,6 +1117,32 @@ def quality_q(spark, sf):
     return X.quality_score(load(spark, sf, "documents"), "doc_id", "text")
 
 
+@query(
+    "text_repetition_scores",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    words AS (
+      SELECT doc_id, count(DISTINCT w) AS du, count(*) AS nw
+      FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    tops AS (
+      SELECT doc_id, max(c) AS topc, sum(c) AS total
+      FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id)
+    SELECT w.doc_id AS doc_id,
+           round(1.0 - du * 1.0 / nw, 4) AS dup_word_frac,
+           round(topc * 1.0 / total, 4) AS top_bigram_frac
+    FROM words w JOIN tops USING (doc_id)
+    """,
+)
+def text_repetition_q(spark, sf):
+    """Gopher-style repetition quality signals (duplicate-word fraction +
+    top-bigram fraction) — boilerplate/degenerate-text filters for a
+    training-data pipeline (operators/text.py repetition_scores)."""
+    return X.repetition_scores(load(spark, sf, "documents"), "doc_id", "text")
+
+
 def _langid_oracle_sql() -> str:
     score_cols = []
     for lang, sw in X.LANG_STOPWORDS.items():
