@@ -1,0 +1,76 @@
+"""Deterministic sampling and sequence packing for dataset mixing.
+
+A training-data pipeline needs reproducible sampling — "10% of source A,
+40% of source B" must yield the SAME rows on every run, on any engine, at
+any parallelism. Random samplers (Bernoulli/reservoir) cannot promise that
+across engines, so both operators here key off the md5-based
+``portable_hash60`` (dedup.py): the decision for a row is a pure function
+of its id, which also makes the DuckDB oracle reproduce selections
+bit-for-bit.
+
+Scale notes (100 TB): hash sampling is a stateless filter — no shuffle at
+all, fully pushed into the scan stage. Packing shards the corpus by hash
+first, then runs the running-sum window WITHIN each shard — a global
+unpartitioned window would serialize the corpus through one task; per-shard
+windows keep every executor busy and each bin id is (shard, local_bin), the
+same layout a per-worker packer would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_pct: int, *, salt: str = "sample") -> DataFrame:
+    """Keep ~rate_pct% of rows, chosen by ``portable_hash60(salt || id) %
+    100 < rate_pct``. Deterministic, engine-portable, and stable under
+    re-partitioning; different salts give independent samples."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be 0..100, got {rate_pct}")
+    h = portable_hash60(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    return df.filter(F.pmod(h, F.lit(100)) < rate_pct)
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
+                           rates_pct: dict[str, int], *, default_pct: int = 0,
+                           salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling ("mix sources at different rates"):
+    each stratum value keeps its own percentage, unlisted strata keep
+    ``default_pct``. One stateless filter — no shuffle, no collect."""
+    h = F.pmod(portable_hash60(
+        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(100))
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(h < rate)
+
+
+def pack_by_token_budget(df: DataFrame, id_col: str, token_col: str,
+                         budget: int, *, n_shards: int = 64) -> DataFrame:
+    """Greedy sequence packing: assign documents to bins of ~``budget``
+    tokens for LLM sample packing. Documents are sharded by hash(id), then
+    packed in id order within each shard — bin id = (shard, local bin from
+    the exclusive running token sum). Output adds ``shard``, ``bin_id``
+    (globally unique = shard * large + local), and ``bin_offset`` (tokens
+    before this doc in its bin)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = F.pmod(portable_hash60(F.col(id_col).cast("string")), F.lit(n_shards))
+    w = (Window.partitionBy("_shard").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    local_bin = F.floor(cum / F.lit(budget))
+    return (
+        df.withColumn("_shard", shard)
+        .withColumn("_cum", cum)
+        .select(
+            "*",
+            F.col("_shard").alias("shard"),
+            (F.col("_shard") * F.lit(1_000_000_000) + local_bin).alias("bin_id"),
+            F.pmod(F.col("_cum"), F.lit(budget)).alias("bin_offset"),
+        )
+        .drop("_shard", "_cum")
+    )

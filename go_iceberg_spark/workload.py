@@ -1143,6 +1143,59 @@ def text_repetition_q(spark, sf):
     return X.repetition_scores(load(spark, sf, "documents"), "doc_id", "text")
 
 
+@query(
+    "sample_stratified_mix",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE ('0x' || substr(md5('mix_' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 <
+          CASE o_orderpriority WHEN '1-URGENT' THEN 50 WHEN '2-HIGH' THEN 20 ELSE 5 END
+    """,
+)
+def sample_stratified_q(spark, sf):
+    """Deterministic dataset mixing (operators/sampling.py): keep 50% of
+    URGENT, 20% of HIGH, 5% of everything else, decided by portable hash of
+    the row id — reproducible on any engine at any parallelism, and a pure
+    stateless filter (no shuffle, no RNG state)."""
+    from .operators.sampling import stratified_hash_sample
+
+    o = load(spark, sf, "orders")
+    return stratified_hash_sample(
+        o, "o_orderkey", "o_orderpriority",
+        {"1-URGENT": 50, "2-HIGH": 20}, default_pct=5, salt="mix",
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "pack_token_budget_bins",
+    """
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+          FROM d),
+    c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM s)
+    SELECT doc_id, n_tokens, shard,
+           shard * 1000000000 + cum // 2048 AS bin_id,
+           cum % 2048 AS bin_offset
+    FROM c
+    """,
+)
+def pack_token_budget_q(spark, sf):
+    """LLM sample packing (operators/sampling.py): documents sharded by
+    hash, greedily packed into ~2048-token bins within each shard via a
+    per-shard running-sum window — no global window serializing the corpus
+    through one task."""
+    from .operators.sampling import pack_by_token_budget
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", X.token_count_expr(F.col("text")).alias("n_tokens"))
+    return pack_by_token_budget(d, "doc_id", "n_tokens", 2048, n_shards=8).select(
+        "doc_id", "n_tokens", "shard", "bin_id", "bin_offset")
+
+
 def _langid_oracle_sql() -> str:
     score_cols = []
     for lang, sw in X.LANG_STOPWORDS.items():
