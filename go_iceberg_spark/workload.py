@@ -2231,6 +2231,298 @@ def q22(spark, sf):
 
 
 @query(
+    "q2_min_cost_supplier",
+    """
+    WITH eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 2) AS supply_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+        AND l_suppkey IN (SELECT s_suppkey FROM eur)
+      GROUP BY l_partkey, l_suppkey),
+    mn AS (SELECT l_partkey AS _pk, min(supply_cost) AS _mc
+           FROM cost GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+    FROM cost JOIN mn ON l_partkey = _pk AND supply_cost = _mc
+              JOIN eur ON l_suppkey = s_suppkey
+              JOIN part ON p_partkey = l_partkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark, sf):
+    """TPC-H Q2-style minimum-cost supplier (no partsupp table exists, so the
+    part-supplier catalog is derived from lineitem and supply cost is the
+    average observed unit price, rounded to 2 decimals BEFORE the per-part
+    min/equality so both engines compare identical doubles): region-filtered
+    suppliers and size/type-filtered parts both broadcast; the only fact
+    shuffles are the (part, supplier) cost aggregate and the per-part min —
+    the correlated min subquery of the original becomes an aggregate + join
+    back, the distributed argmin pattern. Ref surface: the reference has no
+    joins at all (SURVEY §2.7, reference table/update.go:384-390 is its only
+    key-match)."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    eur = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(load(spark, sf, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(eur.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
+             .alias("supply_cost"))
+    )
+    mn = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_mc"))
+    return (
+        cost.join(mn, (cost.l_partkey == F.col("_pk"))
+                  & (cost.supply_cost == F.col("_mc")))
+        .join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              cost.l_partkey == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_part_values",
+    """
+    WITH ger AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_7'),
+    val AS (SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+            FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM ger)
+            GROUP BY l_partkey)
+    SELECT l_partkey, part_value FROM val
+    WHERE part_value > (SELECT round(sum(part_value) * 0.001, 2) FROM val)
+    """,
+)
+def q11(spark, sf):
+    """TPC-H Q11-style important stock (no partsupp: part value is the
+    shipped l_extendedprice * l_quantity from one nation's suppliers):
+    nation-filtered supplier keys broadcast into a semi-join, one per-part
+    aggregate, and the uncorrelated total-value scalar broadcast as a 1-row
+    cross join — the aggregate is computed once and reused for both the rows
+    and the threshold. Per-part values rounded to 2 decimals before the
+    threshold compare so both engines hold identical doubles."""
+    ger = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(load(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        load(spark, sf, "lineitem")
+        .join(F.broadcast(ger), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
+             .alias("part_value"))
+    )
+    thresh = val.agg(F.round(F.sum("part_value") * 0.001, 2).alias("_thresh"))
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("_thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+             AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12(spark, sf):
+    """TPC-H Q12-style priority shipping (the testdata lineitem has no
+    l_shipmode/l_commitdate/l_receiptdate, so the group key is l_linestatus
+    and the date window filters l_shipdate): both join sides are fact-sized
+    — no broadcast hint, the year filter prunes lineitem at the scan
+    (PushedFilters), and AQE picks the join strategy. The CASE-sum pair is
+    one conditional aggregate pass."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+    o = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark, sf):
+    """TPC-H Q16-style supplier-part relationship count (no partsupp: the
+    relation is the observed lineitem pairs; the 'complaints' exclusion
+    becomes negative account balance): part filter broadcast, excluded
+    suppliers broadcast into an anti-join (NOT IN is safe here — s_suppkey
+    is never null), then one distinct-count aggregate keyed by the part
+    attributes. count(DISTINCT) shuffles (brand, type, size, suppkey) once,
+    then merges — no row explosion."""
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey, round(sum(l_quantity), 2) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'SMALL'
+        AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey),
+    pt AS (SELECT l_partkey AS _pk, round(0.5 * sum(qty), 2) AS _half
+           FROM sq GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM sq JOIN pt ON l_partkey = _pk
+                        WHERE qty > _half)
+    ORDER BY s_name
+    """,
+)
+def q20(spark, sf):
+    """TPC-H Q20-style potential promotion (no partsupp availqty: a supplier
+    qualifies when it shipped MORE THAN HALF of some filtered part's total
+    1995 volume — the same correlated-threshold semi-join shape): per
+    (supplier, part) quantities aggregated once, per-part half-totals
+    derived from that same aggregate, qualifying suppliers semi-joined into
+    the nation-filtered supplier dim. Quantities rounded to 2 before the
+    strict compare. Both sq and pt are fact-derived — no broadcast hints;
+    the final semi-join's left side is a bounded dim."""
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01"))
+    p = load(spark, sf, "part").filter(F.col("p_type") == "SMALL")
+    sq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.round(0.5 * F.sum("qty"), 2).alias("_half"))
+    dominant = (
+        sq.join(pt, (sq.l_partkey == F.col("_pk")) & (F.col("qty") > F.col("_half")))
+        .select("l_suppkey")
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(load(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_20'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q21(spark, sf):
+    """TPC-H Q21-style waiting suppliers (no l_receiptdate/l_commitdate: the
+    'kept the order waiting' lineitem is one shipped no earlier than every
+    OTHER supplier's latest shipment in a multi-supplier finalized order).
+    The correlated EXISTS / NOT EXISTS pair is decorrelated into per-order
+    window aggregates over the (order, supplier) max-shipdate relation: for
+    each supplier the latest other-supplier shipdate is max1 (or max2 when
+    this supplier uniquely holds max1) — O(lineitem) + two bounded shuffles,
+    no per-row subquery, no self-join explosion."""
+    l = load(spark, sf, "lineitem")
+    os = l.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("_smax"))
+    w = Window.partitionBy("l_orderkey")
+    os = (
+        os.withColumn("_nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("_mx1", F.max("_smax").over(w))
+        .withColumn("_nmx", F.sum(F.when(F.col("_smax") == F.col("_mx1"), 1)
+                                  .otherwise(0)).over(w))
+        .withColumn("_mx2", F.max(F.when(F.col("_smax") < F.col("_mx1"),
+                                         F.col("_smax"))).over(w))
+        .withColumn(
+            "_other_max",
+            F.when((F.col("_smax") < F.col("_mx1")) | (F.col("_nmx") > 1),
+                   F.col("_mx1")).otherwise(F.col("_mx2")))
+        .select("l_orderkey", "l_suppkey", "_nsupp", "_other_max")
+    )
+    sup = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(load(spark, sf, "nation").filter(F.col("n_name") == "NATION_20")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey, "left_semi")
+        .join(os, ["l_orderkey", "l_suppkey"])
+        .filter((F.col("_nsupp") > 1) & (F.col("l_shipdate") >= F.col("_other_max")))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
     "streaming_dedup_events",
     "SELECT DISTINCT user_id, event_type FROM events",
 )
