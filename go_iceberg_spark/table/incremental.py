@@ -1,0 +1,245 @@
+"""Incremental and changelog (CDC) reads over the snapshot lineage.
+
+The reference has no incremental surface at all — its scan always reads one
+resolved snapshot (reference: table/scan.go:80-98). These are the two read
+shapes the Iceberg ecosystem layers on top of the same metadata tree, and
+that a training-data pipeline consuming a continuously-appended table needs:
+
+- ``incremental_append_scan``: rows ADDED between two snapshots (Iceberg's
+  ``start-snapshot-id``/``end-snapshot-id`` read). Planning is a lineage
+  walk; each snapshot contributes the data files present in its manifest
+  but not its parent's — a driver-side set difference over file paths, then
+  one vectorized parquet read per writer-schema group. No shuffle at all.
+
+- ``changelog_scan``: row-level inserts AND deletes per snapshot (Iceberg's
+  ``create_changelog_view`` procedure). Copy-on-write rewrites copy every
+  surviving row into new files, so the raw file diff shows them as
+  delete+insert pairs; carryover elimination removes those pairs with two
+  ``exceptAll`` passes — multiset semantics, fully distributed, no driver
+  row materialization. Merge-on-read delete files are resolved to the rows
+  they suppress by replaying them against the files that were live when the
+  delete committed.
+
+At 100 TB the scan cost is proportional to the files touched by the snapshot
+range, never the table size; the only shuffles are the exceptAll diffs in
+the CoW changelog path, each bounded by the size of one snapshot's rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..errors import ValidationError
+from ..schema import to_spark_type
+from .metadata import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    OP_APPEND,
+    DataFileEntry,
+    Snapshot,
+)
+from .scan import (
+    POS_DELETE_FILE_COL,
+    POS_DELETE_POS_COL,
+    _align_to_schema,
+    _rel_file_expr,
+)
+
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_ORDINAL_COL = "_change_ordinal"
+
+
+def snapshots_between(table, from_snapshot_id: int | None, to_snapshot_id: int | None) -> list[Snapshot]:
+    """Snapshot lineage (from, to]: walk parent pointers back from ``to``
+    until ``from`` (exclusive), oldest first. ``None`` from = table start;
+    ``None`` to = current."""
+    md = table.metadata
+    if to_snapshot_id is None:
+        cur = md.current_snapshot()
+        if cur is None:
+            return []
+        to_snapshot_id = cur.snapshot_id
+    by_id = {s.snapshot_id: s for s in table.snapshots()}
+    if to_snapshot_id not in by_id:
+        raise ValidationError(f"unknown to_snapshot_id {to_snapshot_id}")
+    if from_snapshot_id is not None and from_snapshot_id not in by_id:
+        raise ValidationError(f"unknown from_snapshot_id {from_snapshot_id}")
+    chain: list[Snapshot] = []
+    cursor: int | None = to_snapshot_id
+    while cursor is not None and cursor != from_snapshot_id:
+        snap = by_id.get(cursor)
+        if snap is None:  # expired ancestor — range no longer reconstructible
+            raise ValidationError(
+                f"snapshot {cursor} in range is no longer retained")
+        chain.append(snap)
+        cursor = snap.parent_snapshot_id
+    if from_snapshot_id is not None and cursor != from_snapshot_id:
+        raise ValidationError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor of {to_snapshot_id}")
+    chain.reverse()
+    return chain
+
+
+def _entry_diff(table, snap: Snapshot) -> tuple[list[DataFileEntry], list[DataFileEntry]]:
+    """(added, removed) entries of one snapshot vs its parent — the manifest
+    is the full live set (single-manifest design), so the delta is a path
+    set difference."""
+    cur = {e.file_path: e for e in table.manifest_entries(snap)}
+    if snap.parent_snapshot_id is None:
+        return list(cur.values()), []
+    parent = table.snapshot_by_id(snap.parent_snapshot_id)
+    prev = {e.file_path: e for e in table.manifest_entries(parent)}
+    added = [e for p, e in cur.items() if p not in prev]
+    removed = [e for p, e in prev.items() if p not in cur]
+    return added, removed
+
+
+def _read_entries(table, entries: list[DataFileEntry], with_lineage: bool = False) -> DataFrame | None:
+    """Read data-file entries aligned to the current schema (by field id,
+    same rules as scan-side ``_align_to_schema``). With ``with_lineage`` the
+    ``_file``/``_pos`` identity columns are kept so position deletes can be
+    resolved against the result."""
+    md = table.metadata
+    cur = md.current_schema
+    groups: dict[int, list[DataFileEntry]] = {}
+    for e in entries:
+        if e.content == CONTENT_DATA:
+            groups.setdefault(e.schema_id, []).append(e)
+    if not groups:
+        return None
+    parts = []
+    for schema_id, es in groups.items():
+        try:
+            file_schema = md.schema_by_id(schema_id)
+        except Exception:
+            file_schema = cur
+        raw = table.spark.read.parquet(*[os.path.join(table.location, e.file_path) for e in es])
+        if not with_lineage:
+            parts.append(_align_to_schema(raw, file_schema, cur))
+            continue
+        aligned = []
+        for f in cur.fields:
+            old = file_schema.find_field_by_id(f.field_id)
+            spark_t = to_spark_type(f.type)
+            if old is not None and old.name in raw.columns:
+                aligned.append(F.col(old.name).cast(spark_t).alias(f.name))
+            else:
+                aligned.append(F.lit(None).cast(spark_t).alias(f.name))
+        parts.append(raw.select(
+            *aligned,
+            _rel_file_expr(table.location).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def incremental_append_scan(
+    table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    ignore_non_append: bool = False,
+) -> DataFrame:
+    """Rows appended in (from, to]. Raises on overwrite/delete/replace
+    snapshots in the range (their row-level effect is not an append) unless
+    ``ignore_non_append``, which skips them — Iceberg's incremental append
+    scan contract."""
+    spark = table.spark
+    chain = snapshots_between(table, from_snapshot_id, to_snapshot_id)
+    added_entries: list[DataFileEntry] = []
+    for snap in chain:
+        if snap.operation != OP_APPEND:
+            if ignore_non_append:
+                continue
+            raise ValidationError(
+                f"snapshot {snap.snapshot_id} is {snap.operation!r}, not append; "
+                "pass ignore_non_append=True to skip it")
+        added, _ = _entry_diff(table, snap)
+        added_entries.extend(added)
+    df = _read_entries(table, added_entries)
+    if df is None:
+        return spark.createDataFrame([], to_spark_type(table.metadata.current_schema.struct))
+    return df
+
+
+def changelog_scan(
+    table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level change stream for (from, to]: current-schema columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_change_ordinal`` (0-based
+    position of the snapshot within the range). CoW carryover rows are
+    eliminated per snapshot; MoR delete files are replayed against the data
+    files that were live at commit time."""
+    spark = table.spark
+    md = table.metadata
+    cols = [f.name for f in md.current_schema.fields]
+    chain = snapshots_between(table, from_snapshot_id, to_snapshot_id)
+
+    parts: list[DataFrame] = []
+    for ordinal, snap in enumerate(chain):
+        added, removed = _entry_diff(table, snap)
+        ins = _read_entries(table, [e for e in added if e.content == CONTENT_DATA])
+        dels = _read_entries(table, [e for e in removed if e.content == CONTENT_DATA])
+        if ins is not None and dels is not None:
+            # CoW rewrite: surviving rows appear on both sides — net them out
+            ins_net = ins.select(*cols).exceptAll(dels.select(*cols))
+            del_net = dels.select(*cols).exceptAll(ins.select(*cols))
+        else:
+            ins_net = ins.select(*cols) if ins is not None else None
+            del_net = dels.select(*cols) if dels is not None else None
+
+        # MoR: delete files added in this snapshot suppress rows of files
+        # that remain live — resolve them to concrete rows
+        pos_files = [e for e in added if e.content == CONTENT_POSITION_DELETES]
+        eq_files = [e for e in added if e.content == CONTENT_EQUALITY_DELETES]
+        if pos_files or eq_files:
+            live_data = [e for e in table.manifest_entries(snap) if e.content == CONTENT_DATA]
+            if pos_files:
+                target = _read_entries(table, live_data, with_lineage=True)
+                if target is not None:
+                    pd_df = spark.read.parquet(
+                        *[os.path.join(table.location, e.file_path) for e in pos_files]
+                    ).select(F.col(POS_DELETE_FILE_COL).alias("_del_file"),
+                             F.col(POS_DELETE_POS_COL).alias("_del_pos"))
+                    hit = target.join(
+                        F.broadcast(pd_df),
+                        on=[F.col("_file") == F.col("_del_file"),
+                            F.col("_pos") == F.col("_del_pos")],
+                        how="inner").select(*cols)
+                    del_net = hit if del_net is None else del_net.unionByName(hit)
+            for e in eq_files:
+                key_cols = [
+                    f.name for fid in e.equality_ids
+                    if (f := md.current_schema.find_field_by_id(fid)) is not None
+                ]
+                if not key_cols:
+                    continue
+                older = [d for d in live_data if d.sequence_number < e.sequence_number]
+                target = _read_entries(table, older)
+                if target is None:
+                    continue
+                keys = spark.read.parquet(
+                    os.path.join(table.location, e.file_path)).select(*key_cols)
+                hit = target.join(F.broadcast(keys), on=key_cols, how="left_semi").select(*cols)
+                del_net = hit if del_net is None else del_net.unionByName(hit)
+
+        for change_type, df in (("insert", ins_net), ("delete", del_net)):
+            if df is not None:
+                parts.append(df.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
+                             .withColumn(CHANGE_ORDINAL_COL, F.lit(ordinal)))
+
+    if not parts:
+        base = spark.createDataFrame([], to_spark_type(md.current_schema.struct))
+        return (base.withColumn(CHANGE_TYPE_COL, F.lit(""))
+                .withColumn(CHANGE_ORDINAL_COL, F.lit(0)).limit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -254,6 +254,57 @@ def files_df(table) -> DataFrame:
     return table.spark.createDataFrame(rows, schema)
 
 
+def partitions_df(table) -> DataFrame:
+    """Per-partition file/record rollup (Iceberg ``tbl.partitions``): one
+    row per live partition tuple with file count, record count, and total
+    bytes — the planning input for compaction and skew decisions. Aggregated
+    from manifest entries on the driver (entry counts are metadata-scale,
+    bounded by file count, not row count)."""
+    import json as _json
+
+    schema = T.StructType([
+        T.StructField("partition", T.StringType()),
+        T.StructField("file_count", T.LongType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("total_size_in_bytes", T.LongType()),
+    ])
+    agg: dict[str, list[int]] = {}
+    for e in table.live_entries():
+        if e.content != 0:  # data files only
+            continue
+        key = _json.dumps(e.partition, sort_keys=True)
+        row = agg.setdefault(key, [0, 0, 0])
+        row[0] += 1
+        row[1] += e.record_count
+        row[2] += e.file_size
+    rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+    return table.spark.createDataFrame(rows, schema)
+
+
+def manifests_df(table) -> DataFrame:
+    """Manifest files of the current snapshot (Iceberg ``tbl.manifests``):
+    path, length, and per-content entry counts."""
+    import os as _os
+
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("added_data_files_count", T.LongType()),
+        T.StructField("added_delete_files_count", T.LongType()),
+    ])
+    snap = table.current_snapshot()
+    rows = []
+    if snap is not None:
+        full = _os.path.join(table.location, snap.manifest_path)
+        entries = table.manifest_entries(snap)
+        n_data = sum(1 for e in entries if e.content == 0)
+        n_del = sum(1 for e in entries if e.content != 0)
+        rows.append((snap.manifest_path,
+                     _os.path.getsize(full) if _os.path.exists(full) else 0,
+                     n_data, n_del))
+    return table.spark.createDataFrame(rows, schema)
+
+
 def history_df(table) -> DataFrame:
     """Snapshot log (Iceberg ``tbl.history``)."""
     schema = T.StructType([

@@ -461,6 +461,36 @@ class Table:
 
         return history_df(self)
 
+    def partitions_df(self) -> DataFrame:
+        from .maintenance import partitions_df
+
+        return partitions_df(self)
+
+    def manifests_df(self) -> DataFrame:
+        from .maintenance import manifests_df
+
+        return manifests_df(self)
+
+    def incremental_scan(self, from_snapshot_id: int | None = None,
+                         to_snapshot_id: int | None = None,
+                         ignore_non_append: bool = False) -> DataFrame:
+        """Rows appended in (from, to] — Iceberg's incremental append read.
+        No reference counterpart (its scan is always one snapshot,
+        reference: table/scan.go:80-98)."""
+        from .incremental import incremental_append_scan
+
+        return incremental_append_scan(self, from_snapshot_id, to_snapshot_id,
+                                       ignore_non_append=ignore_non_append)
+
+    def changes(self, from_snapshot_id: int | None = None,
+                to_snapshot_id: int | None = None) -> DataFrame:
+        """Row-level CDC stream for (from, to]: schema columns plus
+        ``_change_type`` / ``_change_ordinal``, CoW carryover eliminated,
+        MoR delete files replayed to rows."""
+        from .incremental import changelog_scan
+
+        return changelog_scan(self, from_snapshot_id, to_snapshot_id)
+
 
 class SchemaUpdate:
     """Schema evolution builder. Allocates fresh field ids above

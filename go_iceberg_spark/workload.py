@@ -1871,6 +1871,57 @@ def time_travel_scan(spark, sf):
 
 
 @query(
+    "incremental_append_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    """,
+)
+def incremental_append_scan_q(spark, sf):
+    """Incremental read (Iceberg start/end-snapshot-id; no reference
+    counterpart — its scan is always one snapshot, reference:
+    table/scan.go:80-98): three appends, then read only the rows added
+    AFTER the first snapshot. Planning walks the lineage and diffs
+    manifests — cost scales with the files added in the range, not the
+    table."""
+    o = load(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") < 1000).select(*_CRUD_COLS)
+    b2 = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(*_CRUD_COLS)
+    b3 = o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "incr", b1)
+    snap1 = t.current_snapshot().snapshot_id
+    t.append(b2)
+    t.append(b3)
+    return t.incremental_scan(from_snapshot_id=snap1).select(*_CRUD_COLS)
+
+
+@query(
+    "changelog_cdc_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority,
+           'insert' AS _change_type, 0 AS _change_ordinal
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority,
+           'delete' AS _change_type, 1 AS _change_ordinal
+    FROM orders WHERE o_orderkey < 2000 AND o_totalprice > 200000
+    """,
+)
+def changelog_cdc_scan_q(spark, sf):
+    """Row-level CDC changelog (Iceberg create_changelog_view; no reference
+    counterpart): append a batch, copy-on-write delete some rows, then read
+    the change stream. The CoW rewrite copies every surviving row into new
+    files, so the raw file diff would report them as delete+insert pairs —
+    carryover elimination (two exceptAll passes, fully distributed) reduces
+    snapshot 2 to exactly the deleted rows."""
+    o = load(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") < 2000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "cdc", base)
+    t.delete(C("o_totalprice").gt(200000.0))
+    return t.changes().select(*_CRUD_COLS, "_change_type", "_change_ordinal")
+
+
+@query(
     "crud_delete_mor_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders

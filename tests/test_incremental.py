@@ -1,0 +1,104 @@
+"""Incremental append scan + row-level changelog over the snapshot lineage
+(Iceberg start/end-snapshot-id reads and create_changelog_view; no reference
+counterpart — its scan always reads one resolved snapshot, reference:
+table/scan.go:80-98)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.errors import ValidationError
+from go_iceberg_spark.table.transaction import delete_equality
+
+
+def mk(spark, catalog, name, first):
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame(first)
+    t = catalog.create_table("db", name, from_spark_schema(df.schema))
+    t.append(df)
+    return t
+
+
+def rows_of(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_incremental_appends_only_range(spark, catalog):
+    t = mk(spark, catalog, "incr", [Row(id=i, v=float(i)) for i in range(5)])
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5, 8)]))
+    s2 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8, 10)]))
+
+    assert rows_of(t.incremental_scan(from_snapshot_id=s1), "id") == [(i,) for i in range(5, 10)]
+    assert rows_of(t.incremental_scan(from_snapshot_id=s1, to_snapshot_id=s2), "id") == \
+        [(i,) for i in range(5, 8)]
+    # full-history read: from=None includes the first snapshot
+    assert rows_of(t.incremental_scan(), "id") == [(i,) for i in range(10)]
+
+
+def test_incremental_rejects_non_append(spark, catalog):
+    t = mk(spark, catalog, "incr_rej", [Row(id=i, v=float(i)) for i in range(5)])
+    s1 = t.current_snapshot().snapshot_id
+    t.delete(gi.lt("id", 2))
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]))
+    with pytest.raises(ValidationError):
+        t.incremental_scan(from_snapshot_id=s1)
+    # opting out skips the delete snapshot but keeps the later append
+    assert rows_of(t.incremental_scan(from_snapshot_id=s1, ignore_non_append=True), "id") == [(100,)]
+
+
+def test_incremental_validates_lineage(spark, catalog):
+    t = mk(spark, catalog, "incr_val", [Row(id=1, v=1.0)])
+    with pytest.raises(ValidationError):
+        t.incremental_scan(from_snapshot_id=999)
+
+
+def test_changelog_cow_carryover_eliminated(spark, catalog):
+    t = mk(spark, catalog, "cdc_cow", [Row(id=i, v=float(i)) for i in range(6)])
+    t.delete(gi.lt("id", 2))  # CoW: rewrites the file, 4 rows survive
+    ch = t.changes()
+    ins = rows_of(ch.filter("_change_type = 'insert'"), "_change_ordinal", "id")
+    dels = rows_of(ch.filter("_change_type = 'delete'"), "_change_ordinal", "id")
+    assert ins == [(0, i) for i in range(6)]  # surviving rows NOT re-reported
+    assert dels == [(1, 0), (1, 1)]
+
+
+def test_changelog_mor_position_delete_rows(spark, catalog):
+    t = mk(spark, catalog, "cdc_mor", [Row(id=i, v=float(i)) for i in range(6)])
+    t.delete(gi.gte("id", 4), mode="merge-on-read")
+    ch = t.changes()
+    dels = rows_of(ch.filter("_change_type = 'delete'"), "_change_ordinal", "id")
+    assert dels == [(1, 4), (1, 5)]
+    # scan agrees with the replayed changelog
+    assert rows_of(t.to_df(), "id") == [(i,) for i in range(4)]
+
+
+def test_changelog_mor_equality_delete_rows(spark, catalog):
+    t = mk(spark, catalog, "cdc_eq", [Row(id=i, v=float(i)) for i in range(6)])
+    delete_equality(t, spark.createDataFrame([Row(id=1), Row(id=3)]), ["id"])
+    ch = t.changes()
+    dels = rows_of(ch.filter("_change_type = 'delete'"), "_change_ordinal", "id")
+    assert dels == [(1, 1), (1, 3)]
+
+
+def test_changelog_range_is_exclusive_inclusive(spark, catalog):
+    t = mk(spark, catalog, "cdc_rng", [Row(id=1, v=1.0)])
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=2, v=2.0)]))
+    ch = t.changes(from_snapshot_id=s1)
+    assert rows_of(ch, "_change_type", "_change_ordinal", "id") == [("insert", 0, 2)]
+
+
+def test_partitions_and_manifests_metadata_tables(spark, catalog):
+    t = mk(spark, catalog, "meta_pm", [Row(id=i, v=float(i)) for i in range(4)])
+    t.append(spark.createDataFrame([Row(id=10, v=1.0)]))
+    parts = t.partitions_df().collect()
+    assert sum(p.record_count for p in parts) == 5
+    assert sum(p.file_count for p in parts) >= 2
+    man = t.manifests_df().collect()
+    assert len(man) == 1 and man[0].added_data_files_count >= 2
+    assert man[0].length > 0
