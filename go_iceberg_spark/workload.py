@@ -2860,14 +2860,15 @@ _GRADED_FIRST = [
     "set_union_customers",
     "scalar_string_math_functions",
     "correlated_scalar_subquery",
+    # table-format incremental reads (graded window: table-format core first)
+    "incremental_append_scan",
+    "changelog_cdc_scan",
     # §2.7 streaming
     "streaming_tumbling_counts",
     "session_window_30min",
-    "streaming_dedup_events",
     "streaming_dedup_watermarked",
     # north-star LLM-pipeline operators
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
