@@ -141,6 +141,35 @@ def jaccard_pairs(
     return out
 
 
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    mode: str = "word",
+) -> DataFrame:
+    """Train-test overlap check (decontamination): training docs sharing at
+    least one word-n-gram with ANY eval document, with the count of distinct
+    overlapping n-grams — the GPT-3-style n-gram collision filter run before
+    training to keep benchmark text out of the training set.
+
+    Plan shape: one shingle pass per side, equi-join on the 60-bit shingle
+    hash, one count aggregate keyed by training doc. The eval side is
+    DISTINCT hashes only — benchmark suites are tiny next to a training
+    corpus, so AQE broadcasts that side and the training corpus is never
+    shuffled; at 100 TB the cost is one scan + one map-side join + one
+    aggregate on the (small) hit set."""
+    tr = _shingle_table(train_df, id_col, text_col, n, mode)
+    ev = _shingle_table(eval_df, id_col, text_col, n, mode).select("_h").distinct()
+    return (
+        tr.join(ev, "_h")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word") -> DataFrame:
     """Per-id MinHash signature columns ``mh_0..mh_{k-1}``:
     mh_j = min over shingles of ((a_j * (h % P) + b_j) % P)."""

@@ -76,6 +76,40 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_quantile: float = 0.25,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Drop the lowest-quality quantile of the corpus (CCNet-style bucket
+    filtering): keep documents whose quality score is at or above the
+    corpus ``min_quantile`` threshold.
+
+    The threshold is one scalar aggregate broadcast back over the corpus —
+    no global sort, no window over the full corpus. Default is
+    ``approx_percentile`` (KLL-sketch, fixed memory per partition — the
+    100 TB path); ``exact=True`` uses the exact interpolated percentile for
+    oracle-reproducible results and buffers the score column in the
+    aggregate, which is fine up to ~10^8 docs per executor but is NOT the
+    scale path. Scores and threshold are rounded to 6 decimals on both
+    engines before the >= compare."""
+    qs = quality_score(df, id_col, text_col).withColumn("quality", F.round("quality", 6))
+    if exact:
+        thr_expr = F.percentile("quality", F.lit(min_quantile))
+    else:
+        thr_expr = F.percentile_approx("quality", F.lit(min_quantile), F.lit(accuracy))
+    thr = qs.agg(F.round(thr_expr, 6).alias("_thr"))
+    return (
+        qs.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select(id_col, "quality")
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-voting language ID: predicted language = argmax over
     languages of (# tokens in that language's stopword set), ties broken by

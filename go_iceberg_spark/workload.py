@@ -963,6 +963,35 @@ def minhash_q(spark, sf):
     return D.minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.6)
 
 
+@query(
+    "decontaminate_against_eval",
+    """
+    WITH docs AS (SELECT doc_id, source, text FROM documents),
+    toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM docs),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i+1 : i+4], ' ') AS g
+      FROM (SELECT doc_id, source, t, unnest(generate_series(0, greatest(len(t) - 4, 0))) AS i FROM toks)),
+    ev AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS _h
+           FROM grams WHERE source = 'src0'),
+    tr AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS _h
+           FROM grams WHERE source <> 'src0')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM tr JOIN ev USING (_h) GROUP BY doc_id
+    """,
+)
+def decontaminate_q(spark, sf):
+    """Train-test overlap (decontamination): training docs (source != src0)
+    sharing any word-4-gram with the held-out eval slice (source = src0),
+    with distinct overlapping-gram counts — the n-gram collision filter run
+    before training. Eval-side hashes are tiny → AQE broadcasts them; the
+    training corpus is scanned once and never shuffled before the hit
+    aggregate."""
+    docs = load(spark, sf, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return D.contamination(train, ev, "doc_id", "text", n=4)
+
+
 def _simhash_oracle_sql() -> str:
     B, BB, NB = D.SIMHASH_BITS, D.SIMHASH_BAND_BITS, D.SIMHASH_NUM_BANDS
     band_rows = "\n      UNION ALL ".join(
@@ -1092,10 +1121,8 @@ def token_count_q(spark, sf):
     )
 
 
-@query(
-    "text_quality_score",
-    f"""
-    WITH feats AS (
+_QUALITY_CTE = f"""
+    feats AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -1105,16 +1132,41 @@ def token_count_q(spark, sf):
                   ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                        x -> lower(x) IN ({', '.join("'" + w + "'" for w in X.LANG_STOPWORDS['en'])}))) AS DOUBLE)
                        / len(regexp_split_to_array(trim(text), '\\s+')) END AS stopword_ratio
-      FROM documents)
-    SELECT doc_id,
-           (least(n_tokens / 50.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.4)
-             * greatest(1.0 - punct_ratio * 10.0, 0.0)
-             + 0.2 * greatest(1.0 - punct_ratio * 10.0, 0.0) AS quality
-    FROM feats
-    """,
+      FROM documents),
+    qual AS (
+      SELECT doc_id,
+             (least(n_tokens / 50.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.4)
+               * greatest(1.0 - punct_ratio * 10.0, 0.0)
+               + 0.2 * greatest(1.0 - punct_ratio * 10.0, 0.0) AS quality
+      FROM feats)
+"""
+
+
+@query(
+    "text_quality_score",
+    f"WITH {_QUALITY_CTE} SELECT doc_id, quality FROM qual",
 )
 def quality_q(spark, sf):
     return X.quality_score(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    WITH {_QUALITY_CTE},
+    q AS (SELECT doc_id, round(quality, 6) AS quality FROM qual),
+    thr AS (SELECT round(quantile_cont(quality, 0.25), 6) AS _thr FROM q)
+    SELECT doc_id, quality FROM q, thr WHERE quality >= _thr
+    """,
+)
+def quality_filter_q(spark, sf):
+    """Quantile quality filter (CCNet-style bucketing): drop the worst 25%
+    of the corpus by frozen quality score. One scalar percentile aggregate
+    broadcast over the corpus — no global sort. Exact percentile here so
+    DuckDB reproduces the threshold bit-for-bit; the default approx_percentile
+    sketch is the 100 TB path (operators/text.py quality_filter)."""
+    return X.quality_filter(load(spark, sf, "documents"), "doc_id", "text",
+                            min_quantile=0.25, exact=True)
 
 
 @query(
