@@ -2626,6 +2626,37 @@ def q21(spark, sf):
 
 
 @query(
+    "streaming_snapshot_source",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def streaming_snapshot_source_q(spark, sf):
+    """Snapshot-replay streaming SOURCE (Python Data Source API,
+    streaming/source.py): two committed appends drained through
+    spark.readStream.format("table_snapshots") with an availableNow
+    trigger. Offsets are snapshot ids, each micro-batch is the files added
+    by the snapshots in range — committed data only, uncommitted files in
+    the data dir are invisible (unlike a raw file-glob stream)."""
+    from .streaming.source import read_snapshot_stream
+
+    o = load(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") < 1000).select(*_CRUD_COLS)
+    b2 = o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "snapsrc", b1)
+    t.append(b2)
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"snapshot_source_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        read_snapshot_stream(spark, t)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(*_CRUD_COLS)
+
+
+@query(
     "streaming_dedup_events",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

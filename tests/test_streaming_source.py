@@ -1,0 +1,81 @@
+"""Snapshot-replay Structured Streaming source (Python Data Source API):
+committed-only reads, exactly-once across restarts, non-append handling,
+and schema evolution mid-stream."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.streaming.source import read_snapshot_stream
+
+
+@pytest.fixture()
+def table(spark, catalog):
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)])
+    t = catalog.create_table("db", "snapsrc", from_spark_schema(df.schema))
+    t.append(df)
+    return t
+
+
+def drain(spark, t, ckpt, sink, **options):
+    s = read_snapshot_stream(spark, t, **options)
+    q = (s.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return sorted(r.id for r in spark.read.parquet(sink).collect())
+
+
+def test_committed_only_and_exactly_once_restart(spark, table, tmp_path):
+    t = table
+    t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4, 6)]))
+    # an uncommitted file in data/ must never be read
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([Row(id=999, v=9.9)]).coalesce(1).write.parquet(stage)
+    os.rename(glob.glob(stage + "/*.parquet")[0],
+              os.path.join(t.location, "data", "orphan-uncommitted.parquet"))
+
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    assert drain(spark, t, ckpt, sink) == list(range(6))
+    # restart from the same checkpoint: ONLY the new snapshot's rows arrive
+    t.append(spark.createDataFrame([Row(id=6, v=6.0)]))
+    assert drain(spark, t, ckpt, sink) == list(range(7))
+
+
+def test_non_append_raises_and_skip_option(spark, table, tmp_path):
+    t = table
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    assert drain(spark, t, ckpt, sink) == list(range(4))
+    t.delete(gi.lt("id", 2))
+    with pytest.raises(Exception, match="append-only|skip-non-append"):
+        drain(spark, t, ckpt, sink)
+    shutil.rmtree(ckpt + "_skip", ignore_errors=True)
+    # skip option continues past the delete without emitting anything new
+    assert drain(spark, t, ckpt, sink, **{"skip-non-append": "true"}) == list(range(4))
+
+
+def test_start_snapshot_id_option(spark, table, tmp_path):
+    t = table
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=7, v=7.0)]))
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    assert drain(spark, t, ckpt, sink, **{"start-snapshot-id": s1}) == [7]
+
+
+def test_schema_evolution_mid_stream(spark, table, tmp_path):
+    t = table
+    t.update_schema().add_column("tag", gi.STRING).commit()
+    t.refresh()
+    t.append(spark.createDataFrame([Row(id=10, v=1.0, tag="x")]))
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    drain(spark, t, ckpt, sink)
+    out = spark.read.parquet(sink)
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows[10] == "x" and rows[0] is None  # old files aligned, null-filled
