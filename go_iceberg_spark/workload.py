@@ -2362,9 +2362,11 @@ def q2(spark, sf):
     """TPC-H Q2-style minimum-cost supplier (no partsupp table exists, so the
     part-supplier catalog is derived from lineitem and supply cost is the
     average observed unit price, rounded to 2 decimals BEFORE the per-part
-    min/equality so both engines compare identical doubles): region-filtered
-    suppliers and size/type-filtered parts both broadcast; the only fact
-    shuffles are the (part, supplier) cost aggregate and the per-part min —
+    min/equality so both engines compare identical doubles): the size/type-
+    filtered part dim is hint-broadcast; supplier-derived sides (region-
+    filtered suppliers grow linearly with SF) carry NO hint — AQE decides.
+    The only fact shuffles are the (part, supplier) cost aggregate and the
+    per-part min —
     the correlated min subquery of the original becomes an aggregate + join
     back, the distributed argmin pattern. Ref surface: the reference has no
     joins at all (SURVEY §2.7, reference table/update.go:384-390 is its only
@@ -2382,7 +2384,7 @@ def q2(spark, sf):
     )
     cost = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(eur.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(eur.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
              .alias("supply_cost"))
@@ -2392,7 +2394,7 @@ def q2(spark, sf):
     return (
         cost.join(mn, (cost.l_partkey == F.col("_pk"))
                   & (cost.supply_cost == F.col("_mc")))
-        .join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+        .join(eur, cost.l_suppkey == eur.s_suppkey)
         .join(F.broadcast(p.select("p_partkey", "p_brand")),
               cost.l_partkey == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
@@ -2416,7 +2418,8 @@ def q2(spark, sf):
 def q11(spark, sf):
     """TPC-H Q11-style important stock (no partsupp: part value is the
     shipped l_extendedprice * l_quantity from one nation's suppliers):
-    nation-filtered supplier keys broadcast into a semi-join, one per-part
+    nation-filtered supplier keys semi-join WITHOUT a hint (supplier grows
+    with SF; AQE broadcasts at small scale), one per-part
     aggregate, and the uncorrelated total-value scalar broadcast as a 1-row
     cross join — the aggregate is computed once and reused for both the rows
     and the threshold. Per-part values rounded to 2 decimals before the
@@ -2429,7 +2432,7 @@ def q11(spark, sf):
     )
     val = (
         load(spark, sf, "lineitem")
-        .join(F.broadcast(ger), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(ger, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
              .alias("part_value"))
@@ -2491,8 +2494,9 @@ def q16(spark, sf):
     """TPC-H Q16-style supplier-part relationship count (no partsupp: the
     relation is the observed lineitem pairs; the 'complaints' exclusion
     becomes negative account balance): part filter broadcast, excluded
-    suppliers broadcast into an anti-join (NOT IN is safe here — s_suppkey
-    is never null), then one distinct-count aggregate keyed by the part
+    suppliers anti-joined without a hint (supplier-derived, scales with SF —
+    NOT IN is safe here, s_suppkey is never null), then one distinct-count
+    aggregate keyed by the part
     attributes. count(DISTINCT) shuffles (brand, type, size, suppkey) once,
     then merges — no row explosion."""
     l = load(spark, sf, "lineitem")
@@ -2502,7 +2506,7 @@ def q16(spark, sf):
     bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -2615,7 +2619,7 @@ def q21(spark, sf):
     )
     o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
-        l.join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        l.join(sup, l.l_suppkey == sup.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey, "left_semi")
         .join(os, ["l_orderkey", "l_suppkey"])
         .filter((F.col("_nsupp") > 1) & (F.col("l_shipdate") >= F.col("_other_max")))
