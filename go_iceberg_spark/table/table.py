@@ -221,6 +221,20 @@ class Table:
                 self.refresh()
 
     # -- writes ------------------------------------------------------------
+    def _target_file_size(self) -> int:
+        """``write.target-file-size-bytes`` table property (Iceberg name;
+        reference default: table/insert.go:51), else the 128 MB default."""
+        from .write import DEFAULT_TARGET_FILE_SIZE
+
+        raw = self.metadata.properties.get("write.target-file-size-bytes")
+        return int(raw) if raw else DEFAULT_TARGET_FILE_SIZE
+
+    def _distribution_mode(self) -> str:
+        """``write.distribution-mode`` property: none (default) | range
+        (range-shuffle on the sort key before the local sort, for disjoint
+        per-file bounds)."""
+        return self.metadata.properties.get("write.distribution-mode", "none")
+
     def append(self, df: DataFrame) -> Snapshot:
         """Append rows (reference: table/insert.go:49-109 Insert/Append).
         Data files are written once; only the metadata commit retries."""
@@ -228,6 +242,8 @@ class Table:
         new_files = write_data_files(
             self.spark, df, self.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self._next_sequence(),
+            target_file_size=self._target_file_size(),
+            distribution_mode=self._distribution_mode(),
         )
 
         def commit():
@@ -269,6 +285,8 @@ class Table:
             new_files = write_data_files(
                 self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
                 self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
+                target_file_size=self._target_file_size(),
+            distribution_mode=self._distribution_mode(),
             )
             return self._commit_snapshot(OP_OVERWRITE, new_files)
         from .mutate import rewrite_for_delete
@@ -277,6 +295,8 @@ class Table:
         new_files = write_data_files(
             self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
             self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
+            target_file_size=self._target_file_size(),
+            distribution_mode=self._distribution_mode(),
         )
         return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
 
@@ -312,6 +332,37 @@ class Table:
         from dataclasses import replace
 
         md = replace(self.metadata, properties={**self.metadata.properties, **props}, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
+        self.metadata = md
+
+    def replace_sort_order(self, *columns: str | tuple[str, str]) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY: set the default sort order that
+        every subsequent write honors via sortWithinPartitions (clustering
+        within each task, no global shuffle — tightens per-file min/max
+        bounds so point/range scans prune more files). Each column is a name
+        or ``(name, "asc"|"desc")``. The reference stores sort orders but
+        never executes them (SURVEY §2.5); here they steer the writer."""
+        from dataclasses import replace
+
+        from .metadata import SortField, SortOrder
+
+        fields = []
+        for c in columns:
+            name, direction = (c, "asc") if isinstance(c, str) else c
+            f = self.metadata.current_schema.find_field(name)
+            if f is None:
+                raise ValidationError(f"sort column {name!r} not in schema")
+            if direction not in ("asc", "desc"):
+                raise ValidationError(f"sort direction {direction!r} must be asc|desc")
+            fields.append(SortField(
+                f.field_id, "identity", direction,
+                "nulls-first" if direction == "asc" else "nulls-last"))
+        order_id = max((s.order_id for s in self.metadata.sort_orders), default=0) + 1
+        order = SortOrder(order_id, tuple(fields))
+        md = replace(self.metadata,
+                     sort_orders=(*self.metadata.sort_orders, order),
+                     default_sort_order_id=order_id,
+                     last_updated_ms=now_ms())
         self.version = self._commit_fn(md, self.version)
         self.metadata = md
 

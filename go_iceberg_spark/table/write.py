@@ -58,6 +58,8 @@ _TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
 
 PARTITION_COL_PREFIX = "_p_"
 
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # reference: table/insert.go:51
+
 
 def transform_column(transform: str, source: Column, source_type: IcebergType) -> Column:
     """Partition transform → Spark expression (reference: spec/partition.go:11-19).
@@ -197,9 +199,10 @@ def write_data_files(
     sort_order: SortOrder | None,
     schema_id: int,
     sequence_number: int,
-    target_file_size: int = 128 * 1024 * 1024,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     content: int = CONTENT_DATA,
     subdir: str = "data",
+    distribution_mode: str = "none",
 ) -> list[DataFileEntry]:
     """Write ``df`` as parquet data files under the table location and return
     manifest entries with real stats. The write itself is fully distributed;
@@ -248,6 +251,13 @@ def write_data_files(
             c = c.desc() if sf.direction == "desc" else c.asc()
             sort_exprs.append(c)
         if sort_exprs:
+            if distribution_mode == "range" and not part_cols:
+                # Iceberg write.distribution-mode=range: range-shuffle on the
+                # sort key so each task owns a disjoint key range — per-file
+                # min/max become disjoint and point scans prune to ~1 file.
+                # Without it sortWithinPartitions only clusters locally and
+                # shuffled input still gives every file full-domain bounds.
+                df = df.repartitionByRange(df.rdd.getNumPartitions(), *sort_exprs)
             df = df.sortWithinPartitions(*sort_exprs)
 
     writer = df.write.mode("append")

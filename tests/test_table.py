@@ -442,3 +442,49 @@ def test_write_audit_publish(spark, users):
         users.fast_forward("main", "audit")
     # main unaffected by the refused publish
     assert users.scan().count() == 116
+
+
+def test_replace_sort_order_tightens_pruning(spark, catalog):
+    """WRITE ORDERED BY: after replace_sort_order, appended files are
+    clustered on the sort key, so a point-range scan prunes to fewer files
+    than the same data written unsorted."""
+    import random
+
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    rng = random.Random(7)
+    rows = [Row(id=i, v=float(i)) for i in range(2000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows).repartition(8)
+
+    def files_hit(t):
+        return len(t.scan().filter(E.col("id").lt(100)).plan_files())
+
+    proto = spark.createDataFrame([rows[0]])
+    # tiny target size: keep one file per write task so bounds are testable
+    props = {"write.target-file-size-bytes": "1024",
+             "write.distribution-mode": "range"}
+    t_unsorted = catalog.create_table("db", "unsorted_w", from_spark_schema(proto.schema),
+                                      properties={"write.target-file-size-bytes": "1024"})
+    t_unsorted.append(df)
+    t_sorted = catalog.create_table("db", "sorted_w", from_spark_schema(proto.schema),
+                                    properties=props)
+    t_sorted.replace_sort_order("id")
+    assert t_sorted.metadata.default_sort_order.fields[0].direction == "asc"
+    t_sorted.append(df)
+
+    n_total = len(t_sorted.scan().plan_files())
+    assert n_total > 1, "need multiple files for the pruning comparison"
+    # shuffled data: every unsorted file spans ~the full id range -> no pruning
+    assert files_hit(t_unsorted) == len(t_unsorted.scan().plan_files())
+    # range distribution + local sort -> disjoint per-file bounds -> a point
+    # range hits strictly fewer files than live in the table
+    assert files_hit(t_sorted) < n_total
+    # result identical either way
+    assert t_sorted.to_df().count() == 2000
+
+    with __import__("pytest").raises(Exception):
+        t_sorted.replace_sort_order("missing_col")
