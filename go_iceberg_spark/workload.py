@@ -1923,6 +1923,47 @@ def time_travel_scan(spark, sf):
 
 
 @query(
+    "sorted_write_pruned_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey >= 2500
+    """,
+)
+def sorted_write_pruned_scan_q(spark, sf):
+    """WRITE ORDERED BY + range distribution: rows written through a table
+    with a committed sort order land in files with disjoint o_orderkey
+    bounds, so the range scan must touch fewer files than live in the table
+    (asserted) — the reference stores sort orders but never executes them
+    (SURVEY §2.5)."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000) \
+        .select(*_CRUD_COLS).repartition(8)
+    t = _scratch_table_sorted(spark, "sortw", base)
+    n_all = len(t.scan().plan_files())
+    tasks = t.scan().filter(
+        and_(C("o_orderkey").lt(3000), C("o_orderkey").gte(2500))).plan_files()
+    if n_all > 1 and not len(tasks) < n_all:
+        raise AssertionError(f"sorted write did not prune: {len(tasks)}/{n_all}")
+    return (t.scan().filter(and_(C("o_orderkey").lt(3000), C("o_orderkey").gte(2500)))
+            .to_df().select(*_CRUD_COLS))
+
+
+def _scratch_table_sorted(spark, name: str, df: DataFrame):
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+
+    wh = _scratch_dir(f"gis_{name}_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(
+        ("scratch",), name, from_spark_schema(df.schema),
+        properties={"write.target-file-size-bytes": "65536",
+                    "write.distribution-mode": "range"})
+    t.replace_sort_order("o_orderkey")
+    t.append(df)
+    return t
+
+
+@query(
     "incremental_append_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
