@@ -200,3 +200,136 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m small codes; answer top-k
+# with asymmetric distance computation (ADC) against the codes only.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace -> one byte-ish code each
+
+
+def l2sq_expr(a, b) -> F.Column:
+    """Σ (aᵢ-bᵢ)² via zip_with + aggregate (whole-stage codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Deterministic PQ codebooks: for subspace j, the centroids are the
+    j-th subvectors of the ``k`` corpus vectors whose md5("pq<j>:" || id)
+    sorts lowest — the same hash-spread seeding as IVF (engine-reproducible,
+    so the DuckDB oracle derives identical codebooks; real deployments train
+    codebooks offline with k-means and the rest of the pipeline is
+    unchanged). Returns (subspace, code, center) with m*k rows total."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        seeds = (
+            corpus.orderBy(
+                F.md5(F.concat(F.lit(f"pq{j}:"), F.col(id_col).cast("string"))).asc(),
+                F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+        )
+        w = Window.orderBy(
+            F.md5(F.concat(F.lit(f"pq{j}:"), F.col("_sid").cast("string"))).asc(),
+            F.col("_sid").asc())
+        parts.append(
+            seeds.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
+            .select(F.lit(j).cast("int").alias("subspace"), "code",
+                    F.slice(F.col("_sv"), j * sub + 1, sub).alias("center"))
+        )
+    books = parts[0]
+    for p in parts[1:]:
+        books = books.unionByName(p)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Assign each vector its nearest centroid code per subspace (L2 on the
+    subvector): output (id, subspace, code) — m small ints instead of
+    ``dim`` floats, the 100 TB memory story for ANN serving. One broadcast
+    cross join against the m*k codebook rows, then argmin as a min_by
+    aggregate — map-side combine reduces each vector to m rows before the
+    shuffle (a row_number window would shuffle all m*k scored rows)."""
+    sub = dim // m
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(books))
+        .withColumn("_sv", F.slice(F.col(vec_col), F.col("subspace") * sub + 1, sub))
+        .withColumn("_d", l2sq_expr(F.col("_sv"), F.col("center")))
+    )
+    return (
+        scored.groupBy(F.col(id_col), F.col("subspace"))
+        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+        .select(F.col(id_col), "subspace", "code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: corpus vectors live only as m codes; each
+    query computes a tiny distance table to every (subspace, code) center
+    (|Q|·m·k rows, broadcast), and the approximate distance of a corpus
+    vector is the SUM of table lookups for its codes — one broadcast join on
+    (subspace, code) plus one aggregate keyed by (query, vector). The full
+    corpus embedding column is read once to encode and never joined again:
+    at scale the codes table is ~dim·32/m/log2(k) times smaller than the
+    vectors."""
+    books = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=n_codes)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    sub = dim // m
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .join(F.broadcast(books))
+        .withColumn("_qs", F.slice(F.col("_qv"), F.col("subspace") * sub + 1, sub))
+        .select("query_id", "subspace", "code",
+                l2sq_expr(F.col("_qs"), F.col("center")).alias("_d"))
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(_broadcast_if_small(qtab), on=["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_d"), 6).alias("_approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

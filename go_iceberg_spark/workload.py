@@ -1621,6 +1621,62 @@ def ivf_topk_q(spark, sf):
                       id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
 
 
+def _pq_oracle_sql(m: int = 4, k_codes: int = 16, dim: int = 64) -> str:
+    sub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+                f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+                f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))")
+
+    book_rows = "\n      UNION ALL ".join(
+        f"""SELECT {j} AS subspace, code, center FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5('pq{j}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+               embedding[{j * sub + 1}:{(j + 1) * sub}] AS center
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5('pq{j}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}))"""
+        for j in range(m)
+    )
+    return f"""
+    WITH books AS ({book_rows}),
+    sliced AS (
+      SELECT e.vec_id, b.subspace, b.code,
+             {l2(f"e.embedding[b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}]", "b.center")} AS _d
+      FROM embeddings e CROSS JOIN books b),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace ORDER BY _d, code) AS r
+        FROM sliced) WHERE r = 1),
+    qtab AS (
+      SELECT q.vec_id AS query_id, b.subspace, b.code,
+             {l2(f"q.embedding[b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}]", "b.center")} AS _d
+      FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 5),
+    scored AS (
+      SELECT qtab.query_id, codes.vec_id AS neighbor_id, round(sum(qtab._d), 6) AS _approx
+      FROM codes JOIN qtab USING (subspace, code)
+      WHERE codes.vec_id <> qtab.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY _approx, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("similarity_pq_topk", _pq_oracle_sql())
+def pq_topk_q(spark, sf):
+    """Product-quantization ANN (ADC): corpus compressed to m=4 codes per
+    vector via deterministic hash-seeded codebooks, queries score against a
+    broadcast distance table and rank by summed lookups — the memory-bound
+    ANN path (codes are ~60x smaller than the float vectors; the embedding
+    column is read once to encode and never joined again)."""
+    emb = load(spark, sf, "embeddings")
+    return S.pq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                     id_col="vec_id", vec_col="embedding", dim=64, k=5)
+
+
 @query(
     "q14_promo_revenue",
     """
