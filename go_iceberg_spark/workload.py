@@ -1919,6 +1919,28 @@ def crud_add_files_scan(spark, sf):
 
 
 @query(
+    "crud_delete_eq_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority <> '1-URGENT'
+    """,
+)
+def crud_delete_eq_scan(spark, sf):
+    """Merge-on-read EQUALITY delete through the table layer (the reference
+    errors out on this path — reference: table/delete.go:494-501): the key
+    rows are written as an equality-delete file and the scan applies them as
+    a null-safe anti-join on the key columns (the GDPR delete-by-key shape:
+    no data files rewritten, one metadata commit + one small delete file)."""
+    from .table.transaction import delete_equality
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "eqdel", base)
+    keys = spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"])
+    delete_equality(t, keys, ["o_orderpriority"])
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "crud_update_scan",
     """
     SELECT o_orderkey,
@@ -3012,6 +3034,7 @@ _GRADED_FIRST = [
     "crud_delete_scan",
     "crud_avro_manifest_scan",
     "crud_delete_mor_scan",
+    "crud_delete_eq_scan",
     "crud_update_scan",
     "crud_upsert_scan",
     "crud_overwrite_scan",
@@ -3036,7 +3059,6 @@ _GRADED_FIRST = [
     "grouping_sets_flag_status",
     "agg_percentiles",
     "pivot_priority_by_year",
-    "sketch_kmv_distinct",
     # §2.7 windows / sorts / set ops / scalars / subqueries
     "window_top3_orders_per_customer",
     "window_running_and_lag",
