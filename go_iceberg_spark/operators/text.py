@@ -76,6 +76,27 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters: emails before bare domains; patterns are RE2/Java-common
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses with fixed placeholder
+    tokens — the pre-training PII pass. Patterns are frozen module constants
+    written in the regex subset Java (Spark) and RE2 (DuckDB) share, so the
+    oracle applies the identical chain. Pure regexp_replace chain: JVM-side,
+    linear, no shuffle."""
+    out = out_col or text_col
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out, col)
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

@@ -964,6 +964,68 @@ def minhash_q(spark, sf):
 
 
 @query(
+    "scalar_json_functions",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_json_q(spark, sf):
+    """JSON scalar functions: extract a field from the events props JSON
+    column and aggregate — get_json_object runs JVM-side inside codegen, no
+    UDF."""
+    e = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("sum_k"),
+             F.round(F.avg(k), 4).alias("avg_k"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "text_pii_redaction",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'reach user' || CAST(doc_id AS VARCHAR) || ' at u' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com or +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 re: ' || text AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}', '<PHONE>', 'g'),
+             '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS text
+    FROM synth
+    """,
+)
+def pii_redaction_q(spark, sf):
+    """PII scrub (emails/phones/IPv4 → placeholder tokens, the pre-training
+    redaction pass): PII is synthesized deterministically from doc_id so the
+    patterns actually fire on this corpus, then the frozen regex chain
+    (operators/text.py PII_PATTERNS, Java/RE2-common subset) redacts it
+    identically in both engines."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit(" at u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 re: "), F.col("text"),
+        ).alias("text"),
+    )
+    return X.redact_pii(d, "text")
+
+
+@query(
     "decontaminate_against_eval",
     """
     WITH docs AS (SELECT doc_id, source, text FROM documents),
