@@ -335,6 +335,39 @@ class Table:
         self.version = self._commit_fn(md, self.version)
         self.metadata = md
 
+    def update_partition_spec(self, *fields: str | tuple[str, str]) -> None:
+        """Partition evolution (ALTER TABLE ... REPLACE PARTITION FIELD):
+        commit a NEW default partition spec; existing data files keep their
+        original spec (each manifest entry records its spec_id and partition
+        tuple), only future writes lay out by the new one. Scans stay
+        correct across the boundary because pruning is per-entry stats- and
+        partition-value-based, never global-layout-based. Each field is a
+        column name (identity) or ``(name, transform)`` with transform ∈
+        identity | year | month | day | hour | bucket[N] | truncate[W]."""
+        from dataclasses import replace
+
+        from .metadata import PartitionField, PartitionSpec
+
+        used = [f.field_id for s in self.metadata.partition_specs for f in s.fields]
+        next_fid = max(used, default=999) + 1
+        pfs = []
+        for spec_field in fields:
+            name, transform = (spec_field, "identity") if isinstance(spec_field, str) else spec_field
+            src = self.metadata.current_schema.find_field(name)
+            if src is None:
+                raise ValidationError(f"partition source column {name!r} not in schema")
+            pname = name if transform == "identity" else f"{name}_{transform.split('[')[0]}"
+            pfs.append(PartitionField(src.field_id, next_fid, transform, pname))
+            next_fid += 1
+        spec_id = max(s.spec_id for s in self.metadata.partition_specs) + 1
+        spec = PartitionSpec(spec_id, tuple(pfs))
+        md = replace(self.metadata,
+                     partition_specs=(*self.metadata.partition_specs, spec),
+                     default_spec_id=spec_id,
+                     last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
+        self.metadata = md
+
     def replace_sort_order(self, *columns: str | tuple[str, str]) -> None:
         """ALTER TABLE ... WRITE ORDERED BY: set the default sort order that
         every subsequent write honors via sortWithinPartitions (clustering

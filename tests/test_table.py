@@ -488,3 +488,52 @@ def test_replace_sort_order_tightens_pruning(spark, catalog):
 
     with __import__("pytest").raises(Exception):
         t_sorted.replace_sort_order("missing_col")
+
+
+def test_partition_evolution(spark, catalog):
+    """REPLACE PARTITION FIELD: old files keep their spec, new writes lay
+    out by the new one, and scans prune across the boundary."""
+    import os
+
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df1 = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 else "b", v=float(i)) for i in range(100)])
+    t = catalog.create_table("db", "pevolve", from_spark_schema(df1.schema))
+    t.append(df1)
+    assert t.metadata.default_spec.spec_id == 0
+
+    t.update_partition_spec("grp")
+    assert t.metadata.default_spec.spec_id == 1
+    assert [f.transform for f in t.metadata.default_spec.fields] == ["identity"]
+    t.append(spark.createDataFrame(
+        [Row(id=100 + i, grp="a" if i % 2 else "b", v=float(i)) for i in range(100)]))
+
+    # new files carry the new spec + a partition tuple; old files keep spec 0
+    by_spec = {}
+    for e in t.live_entries():
+        by_spec.setdefault(e.spec_id, []).append(e)
+    assert set(by_spec) == {0, 1}
+    assert all(e.partition.get("grp") in ("a", "b") for e in by_spec[1])
+    assert all(e.partition == {} for e in by_spec[0])
+    # new data is physically laid out under partition dirs
+    assert any("grp=" in e.file_path for e in by_spec[1])
+
+    # scan across the boundary: correct rows, and the partition filter prunes
+    # at least the non-matching NEW files
+    out = t.scan().filter(E.eq("grp", "a")).to_df()
+    assert out.count() == 100
+    tasks = t.scan().filter(E.eq("grp", "a")).plan_files()
+    new_hit = [tk for tk in tasks if tk.file.spec_id == 1]
+    assert all(tk.file.partition.get("grp") == "a" for tk in new_hit)
+    assert len(tasks) < len(t.live_entries())
+
+    # evolving with a transform
+    t.update_partition_spec(("v", "bucket[4]"))
+    assert t.metadata.default_spec.fields[0].transform == "bucket[4]"
+
+    with __import__("pytest").raises(Exception):
+        t.update_partition_spec("missing")
