@@ -40,7 +40,6 @@ from ..table.metadata import (
     Snapshot,
     TableMetadata,
     load_metadata,
-    read_manifest,
 )
 
 try:  # pragma: no cover - exercised through Spark
@@ -54,11 +53,9 @@ FORMAT_NAME = "table_snapshots"
 
 
 def _manifest_entries(location: str, snap: Snapshot) -> list[DataFileEntry]:
-    if snap.manifest_path.endswith(".avro"):
-        from ..table.manifest_avro import read_avro_manifest_tree
+    from ..table.metadata import read_manifest_tree
 
-        return read_avro_manifest_tree(location, snap.manifest_path)
-    return read_manifest(os.path.join(location, snap.manifest_path))
+    return read_manifest_tree(location, snap.manifest_path)
 
 
 def _lineage(md: TableMetadata, from_id: int | None, to_id: int | None) -> list[Snapshot]:

@@ -54,13 +54,21 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
         return []
 
     def _manifest_paths(s) -> set[str]:
-        """A snapshot's manifest files — for the avro wire format that is the
-        manifest LIST plus every member manifest it references."""
+        """A snapshot's manifest files — for the avro wire format and the
+        JSON manifest-list layout that is the LIST plus every member
+        manifest it references (members are shared across snapshots; the
+        kept/doomed set difference below keeps reused ones alive)."""
+        from .metadata import MANIFEST_LIST_SUFFIX, read_manifest_list
+
         paths = {s.manifest_path}
         if s.manifest_path.endswith(".avro"):
             from .manifest_avro import member_manifest_paths
 
             paths |= set(member_manifest_paths(table.location, s.manifest_path))
+        elif s.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+            lp = os.path.join(table.location, s.manifest_path)
+            if os.path.exists(lp):
+                paths |= {m["path"] for m in read_manifest_list(lp)}
         return paths
 
     kept_files: set[str] = set()
@@ -295,13 +303,18 @@ def manifests_df(table) -> DataFrame:
     snap = table.current_snapshot()
     rows = []
     if snap is not None:
-        full = _os.path.join(table.location, snap.manifest_path)
-        entries = table.manifest_entries(snap)
-        n_data = sum(1 for e in entries if e.content == 0)
-        n_del = sum(1 for e in entries if e.content != 0)
-        rows.append((snap.manifest_path,
-                     _os.path.getsize(full) if _os.path.exists(full) else 0,
-                     n_data, n_del))
+        from .metadata import MANIFEST_LIST_SUFFIX
+
+        if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+            groups = table._manifest_members(snap)
+        else:
+            groups = [(snap.manifest_path, table.manifest_entries(snap))]
+        for rel, entries in groups:
+            full = _os.path.join(table.location, rel)
+            n_data = sum(1 for e in entries if e.content == 0)
+            n_del = sum(1 for e in entries if e.content != 0)
+            rows.append((rel, _os.path.getsize(full) if _os.path.exists(full) else 0,
+                         n_data, n_del))
     return table.spark.createDataFrame(rows, schema)
 
 

@@ -237,6 +237,44 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
     )
 
 
+MANIFEST_LIST_SUFFIX = ".manifest-list.json"
+
+
+def write_manifest_list(path: str, members: list[dict]) -> None:
+    """Manifest list: JSON array of {"path": <rel manifest>, "n": <entries>}.
+    The list is O(commits since last compaction); member manifests are
+    immutable and REUSED across snapshots — an append commit writes one new
+    member for the added files instead of rewriting the full live set
+    (single-manifest design made incremental; Iceberg's manifest-list role,
+    reference: spec/manifest.go:152-205)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(members, f)
+    os.replace(tmp, path)
+
+
+def read_manifest_list(path: str) -> list[dict]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_manifest_tree(location: str, manifest_rel: str) -> list[DataFileEntry]:
+    """Entries of a snapshot regardless of manifest layout: Iceberg Avro OCF
+    tree, JSON manifest list of parquet members, or a legacy single parquet
+    manifest."""
+    if manifest_rel.endswith(".avro"):
+        from .manifest_avro import read_avro_manifest_tree
+
+        return read_avro_manifest_tree(location, manifest_rel)
+    path = os.path.join(location, manifest_rel)
+    if manifest_rel.endswith(MANIFEST_LIST_SUFFIX):
+        out: list[DataFileEntry] = []
+        for m in read_manifest_list(path):
+            out.extend(read_manifest(os.path.join(location, m["path"])))
+        return out
+    return read_manifest(path)
+
+
 def read_manifest(path: str) -> list[DataFileEntry]:
     """Driver-side full manifest read (small/medium tables, mutations that
     need every live entry). Scans over large manifests use the pruned

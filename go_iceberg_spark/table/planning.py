@@ -364,14 +364,19 @@ def _stats_predicate(flt: Expression, schema: Schema):
     return build(flt)
 
 
-def plan_distributed(spark, path: str, flt: Expression, schema: Schema) -> list[DataFileEntry]:
-    """Prune a huge manifest with a Spark job: filter the entry DataFrame by
-    the stats predicate, collect only survivors, build entries from them."""
+def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Schema) -> list[DataFileEntry]:
+    """Prune a huge manifest (or manifest-list members) with a Spark job:
+    filter the entry DataFrame by the stats predicate, collect only
+    survivors, build entries from them."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    paths = path if isinstance(path, list) else [path]
+    df = spark.read.parquet(*paths)
     if "stats_json" in df.columns:  # legacy manifest: no array columns
-        return prune_manifest_driver(path, flt, schema)
+        out: list[DataFileEntry] = []
+        for p in paths:
+            out.extend(prune_manifest_driver(p, flt, schema))
+        return out
     pred = _stats_predicate(flt, schema)
     rows = df.filter((F.col("content") != CONTENT_DATA) | pred).collect()
     cols = {name: [r[name] for r in rows] for name in df.columns}

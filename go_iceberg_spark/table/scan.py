@@ -203,6 +203,7 @@ class ScanBuilder:
         """Data entries surviving stats pruning, plus ALL delete entries."""
         import pyarrow.parquet as pq
 
+        from .metadata import MANIFEST_LIST_SUFFIX, read_manifest_list
         from .planning import (
             DISTRIBUTED_THRESHOLD,
             plan_distributed,
@@ -213,11 +214,20 @@ class ScanBuilder:
         path = os.path.join(table.location, snap.manifest_path)
         cached = path in table._manifest_cache
         if not cached and not snap.manifest_path.endswith(".avro"):
-            n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
+            if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+                members = read_manifest_list(path)
+                n = sum(m["n"] for m in members)
+                mpaths = [os.path.join(table.location, m["path"]) for m in members]
+            else:
+                n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
+                mpaths = [path]
             if n > DISTRIBUTED_THRESHOLD:
-                return plan_distributed(table.spark, path, enc, md.current_schema)
+                return plan_distributed(table.spark, mpaths, enc, md.current_schema)
             if n > self._CACHE_ENTRY_LIMIT:
-                return prune_manifest_driver(path, enc, md.current_schema)
+                out: list[DataFileEntry] = []
+                for p in mpaths:
+                    out.extend(prune_manifest_driver(p, enc, md.current_schema))
+                return out
         entries = table.manifest_entries(snap)
         return [
             e for e in entries
@@ -348,9 +358,18 @@ class ScanBuilder:
             # column-pruned footer read: two int64 columns, never the stats
             import pyarrow.parquet as pq
 
-            t = pq.read_table(path, columns=["content", "record_count"])
-            d = t.to_pydict()
-            total = sum(rc for c, rc in zip(d["content"], d["record_count"]) if c == CONTENT_DATA)
+            from .metadata import MANIFEST_LIST_SUFFIX, read_manifest_list
+
+            if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+                mpaths = [os.path.join(self._table.location, m["path"])
+                          for m in read_manifest_list(path)]
+            else:
+                mpaths = [path]
+            total = 0
+            for p in mpaths:
+                t = pq.read_table(p, columns=["content", "record_count"])
+                d = t.to_pydict()
+                total += sum(rc for c, rc in zip(d["content"], d["record_count"]) if c == CONTENT_DATA)
         else:
             entries = self._table.manifest_entries(snap)
             total = sum(e.record_count for e in entries if e.content == CONTENT_DATA)

@@ -33,6 +33,7 @@ from ..schema import (
 from .metadata import (
     CONTENT_DATA,
     MAIN_BRANCH,
+    MANIFEST_LIST_SUFFIX,
     OP_APPEND,
     OP_DELETE,
     OP_OVERWRITE,
@@ -48,7 +49,9 @@ from .metadata import (
     new_snapshot_id,
     now_ms,
     read_manifest,
+    read_manifest_list,
     write_manifest,
+    write_manifest_list,
 )
 from .scan import ScanBuilder
 from .write import write_data_files
@@ -123,9 +126,31 @@ class Table:
                 from .manifest_avro import read_avro_manifest_tree
 
                 self._manifest_cache[path] = read_avro_manifest_tree(self.location, snap.manifest_path)
+            elif snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+                out: list[DataFileEntry] = []
+                for mrel, mentries in self._manifest_members(snap):
+                    out.extend(mentries)
+                self._manifest_cache[path] = out
             else:
                 self._manifest_cache[path] = read_manifest(path)
         return self._manifest_cache[path]
+
+    def _manifest_members(self, snap: Snapshot) -> list[tuple[str, list[DataFileEntry]]]:
+        """(member rel path, entries) per member manifest — members are
+        immutable, so they cache individually and survive across commits
+        that reuse them. A legacy single-manifest snapshot is one member."""
+        if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+            members = read_manifest_list(os.path.join(self.location, snap.manifest_path))
+            rels = [m["path"] for m in members]
+        else:
+            rels = [snap.manifest_path]
+        out = []
+        for rel in rels:
+            mpath = os.path.join(self.location, rel)
+            if mpath not in self._manifest_cache:
+                self._manifest_cache[mpath] = read_manifest(mpath)
+            out.append((rel, self._manifest_cache[mpath]))
+        return out
 
     def live_entries(self) -> list[DataFileEntry]:
         snap = self.current_snapshot()
@@ -170,8 +195,7 @@ class Table:
                 schemas_by_id={s.schema_id: s for s in md.schemas},
             )
         else:
-            manifest_rel = os.path.join("metadata", f"snap-{sid}.parquet")
-            write_manifest(os.path.join(self.location, manifest_rel), entries)
+            manifest_rel = self._write_manifest_tree(parent, entries, sid)
 
         prev = {e.file_path for e in (self.manifest_entries(parent) if parent else [])}
         cur = {e.file_path for e in entries}
@@ -205,6 +229,57 @@ class Table:
         self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
         return snap
+
+    # append commits stay O(added files); compaction bounds list length so
+    # planning never walks an unbounded member chain
+    MANIFEST_COMPACT_THRESHOLD = 32
+
+    def _write_manifest_tree(self, parent: Snapshot | None,
+                             entries: list[DataFileEntry], sid: int) -> str:
+        """Write the snapshot's manifests incrementally: parent members whose
+        entries all survive are REUSED (no I/O), partially-surviving members
+        are rewritten filtered, and added files land in one new member —
+        metadata write cost is O(changed + added), not O(live files). Entries
+        are identified by file path (data files are immutable; every rewrite
+        produces new paths). When the member list exceeds
+        MANIFEST_COMPACT_THRESHOLD the tree is compacted into one manifest."""
+        cur_by_path = {e.file_path: e for e in entries}
+        members: list[dict] = []
+        covered: set[str] = set()
+        part = 0
+        if parent is not None and not parent.manifest_path.endswith(".avro"):
+            for mrel, mentries in self._manifest_members(parent):
+                surv = [e for e in mentries if e.file_path in cur_by_path]
+                if not surv:
+                    continue
+                if len(surv) == len(mentries):
+                    members.append({"path": mrel, "n": len(surv)})
+                else:
+                    rel = os.path.join("metadata", f"m-{sid}-{part}.parquet")
+                    part += 1
+                    write_manifest(os.path.join(self.location, rel), surv)
+                    self._manifest_cache[os.path.join(self.location, rel)] = surv
+                    members.append({"path": rel, "n": len(surv)})
+                covered.update(e.file_path for e in surv)
+        elif parent is not None:
+            # avro parent (manifest-format flipped): fold its full set below
+            pass
+        added = [e for e in entries if e.file_path not in covered]
+        if added or not members:
+            rel = os.path.join("metadata", f"m-{sid}-add.parquet")
+            write_manifest(os.path.join(self.location, rel), added)
+            self._manifest_cache[os.path.join(self.location, rel)] = added
+            members.append({"path": rel, "n": len(added)})
+
+        if len(members) > self.MANIFEST_COMPACT_THRESHOLD:
+            rel = os.path.join("metadata", f"m-{sid}-compact.parquet")
+            write_manifest(os.path.join(self.location, rel), entries)
+            self._manifest_cache[os.path.join(self.location, rel)] = list(entries)
+            members = [{"path": rel, "n": len(entries)}]
+
+        manifest_rel = os.path.join("metadata", f"snap-{sid}{MANIFEST_LIST_SUFFIX}")
+        write_manifest_list(os.path.join(self.location, manifest_rel), members)
+        return manifest_rel
 
     def _retrying(self, build_and_commit) -> Snapshot:
         """Optimistic retry for commutable commits (reference: config.go:93-94

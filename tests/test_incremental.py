@@ -99,6 +99,9 @@ def test_partitions_and_manifests_metadata_tables(spark, catalog):
     parts = t.partitions_df().collect()
     assert sum(p.record_count for p in parts) == 5
     assert sum(p.file_count for p in parts) >= 2
+    # incremental manifest layout: one member per append commit, each
+    # reporting its own entries
     man = t.manifests_df().collect()
-    assert len(man) == 1 and man[0].added_data_files_count >= 2
-    assert man[0].length > 0
+    assert len(man) == 2
+    assert sum(m.added_data_files_count for m in man) >= 2
+    assert all(m.length > 0 for m in man)
