@@ -185,3 +185,20 @@ class FilesystemCatalog(Catalog):
 
     def table_exists(self, ns, name: str) -> bool:
         return current_metadata_version(self._table_path(ns, name)) > 0
+
+
+def register_sql_views(catalog: Catalog, spark: SparkSession, ns: tuple[str, ...],
+                       prefix: str = "") -> list[str]:
+    """Expose every table of a namespace to ``spark.sql`` as temp views named
+    ``<prefix><table>`` (the SQL entry point: scans resolve through the
+    engine's snapshot + pruning machinery, and Catalyst sees an ordinary
+    DataFrame, so joins/aggregates/windows over engine tables plan exactly
+    like native reads). Views bind the CURRENT snapshot at registration
+    time; re-register after commits to advance — the same semantics as a
+    database view over a point-in-time scan."""
+    names = []
+    for name in catalog.list_tables(ns):
+        t = catalog.load_table(ns, name)
+        t.to_df().createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+    return names

@@ -537,3 +537,34 @@ def test_partition_evolution(spark, catalog):
 
     with __import__("pytest").raises(Exception):
         t.update_partition_spec("missing")
+
+
+def test_register_sql_views(spark, catalog):
+    """spark.sql works over engine tables through registered views, with
+    engine-level pruning intact underneath."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.catalog.catalog import register_sql_views
+    from go_iceberg_spark.schema import from_spark_schema
+
+    a = spark.createDataFrame([Row(id=i, grp="g%d" % (i % 3), v=float(i)) for i in range(30)])
+    b = spark.createDataFrame([Row(grp="g%d" % i, label="L%d" % i) for i in range(3)])
+    t1 = catalog.create_table("db", "facts", from_spark_schema(a.schema))
+    t1.append(a)
+    t2 = catalog.create_table("db", "dims", from_spark_schema(b.schema))
+    t2.append(b)
+
+    views = register_sql_views(catalog, spark, ("db",), prefix="gi_")
+    assert set(views) >= {"gi_facts", "gi_dims"}
+    out = spark.sql("""
+        SELECT label, count(*) AS n, round(sum(v), 2) AS sv
+        FROM gi_facts JOIN gi_dims USING (grp)
+        GROUP BY label ORDER BY label
+    """).collect()
+    assert [r.label for r in out] == ["L0", "L1", "L2"]
+    assert sum(r.n for r in out) == 30
+    # views bind the registration-time snapshot; re-register to advance
+    t1.append(spark.createDataFrame([Row(id=99, grp="g0", v=1.0)]))
+    assert spark.sql("SELECT count(*) AS c FROM gi_facts").collect()[0].c == 30
+    register_sql_views(catalog, spark, ("db",), prefix="gi_")
+    assert spark.sql("SELECT count(*) AS c FROM gi_facts").collect()[0].c == 31
