@@ -964,6 +964,93 @@ def minhash_q(spark, sf):
 
 
 @query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS event_type, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_q(spark, sf):
+    """Ordered conversion funnel (view -> click after it -> purchase after
+    that): each stage is a user-keyed pre-aggregate joined back to the
+    filtered events on user_id — per-stage cost is one shuffle on the user
+    key, no event self-join, no window over the full stream. Stage inputs
+    shrink monotonically, so AQE broadcasts the later stages' user sets."""
+    e = load(spark, sf, "events")
+
+    def stage(event_type: str, prev, prev_t: str, out_t: str):
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    rows = [(1, "view", v), (2, "click", c), (3, "purchase", p)]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(stg).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"), "users")
+        for stg, name, df in rows
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cw,
+             CAST(floor(date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS INT)
+               AS week_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cw, week_offset
+    ORDER BY cw, week_offset
+    """,
+)
+def cohort_q(spark, sf):
+    """Weekly cohort retention matrix: cohort = ISO week of a user's first
+    event, cell (cohort, offset) = users from that cohort active offset
+    weeks later. One user-keyed pre-aggregate joined back to events, then a
+    distinct + one aggregate on the (cohort, offset) pair — the fact stream
+    shuffles twice total, both on bounded keys."""
+    e = load(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    act = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort_week",
+                F.floor(F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                                   F.col("cohort_week")) / 7).cast("int").alias("week_offset"))
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+        .select(F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_users")
+    )
+
+
+@query(
     "scalar_json_functions",
     """
     SELECT event_type,

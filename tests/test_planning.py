@@ -191,3 +191,24 @@ def test_legacy_blob_manifest_still_reads_and_prunes(tmp_path):
     assert got == entries
     pruned = prune_manifest_driver(p, enc(gt("x", 100)), SCHEMA)
     assert sorted(e.file_path for e in pruned) == sorted(e.file_path for e in entries[10:])
+
+
+def test_distributed_over_manifest_list_members(spark, tmp_path):
+    """The distributed planner accepts a manifest-LIST's member paths (the
+    incremental commit layout) and prunes across all of them in one job."""
+    p1, p2 = str(tmp_path / "m1.parquet"), str(tmp_path / "m2.parquet")
+    e1, e2 = make_entries(500), make_entries(500)
+    # shift the second member's ids so the two files don't collide
+    e2 = [
+        DataFileEntry(e.content, "g2/" + e.file_path, e.file_format, e.spec_id,
+                      e.schema_id, e.record_count, e.file_size, e.partition,
+                      e.column_stats, e.sequence_number, e.equality_ids)
+        for e in e2
+    ]
+    write_manifest(p1, e1)
+    write_manifest(p2, e2)
+    single1 = {e.file_path for e in plan_distributed(spark, p1, enc(gt("x", 2000)), SCHEMA)}
+    single2 = {e.file_path for e in plan_distributed(spark, p2, enc(gt("x", 2000)), SCHEMA)}
+    both = {e.file_path for e in plan_distributed(spark, [p1, p2], enc(gt("x", 2000)), SCHEMA)}
+    assert both == single1 | single2
+    assert any(fp.startswith("g2/") for fp in both) and len(both) > 0
