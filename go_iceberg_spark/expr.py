@@ -402,3 +402,59 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
     # NOT_EQ / NOT_IN / NOT_STARTS_WITH: can only prune single-value files;
     # stay conservative (inclusive projection).
     return True
+
+
+def must_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
+    """True only when these column stats PROVE every row matches — the
+    metadata-only delete fast path (DROP PARTITION shape): a fully-matching
+    file is dropped from the snapshot without being read or rewritten.
+    Conservative by construction: any uncertainty returns False, which
+    falls back to the rewrite path (correct, just slower)."""
+    op = e.op
+    if op is Op.ALWAYS_TRUE:
+        return True
+    if op is Op.AND:
+        return bool(e.children) and all(must_match(c, stats) for c in e.children)
+    if op is Op.OR:
+        return any(must_match(c, stats) for c in e.children)
+
+    s = stats.get(e.column) if e.column else None
+    if s is None:
+        return False
+    nn = s.null_count
+    no_nulls = nn == 0
+    if op is Op.IS_NULL:
+        return s.all_null is True
+    if op is Op.NOT_NULL:
+        return no_nulls and s.value_count is not None and s.value_count > 0
+    if not no_nulls:
+        return False  # a NULL row never satisfies a comparison
+    lo, hi = s.min, s.max
+    if lo is None or hi is None:
+        return False
+
+    try:
+        if op is Op.EQ:
+            return bool(lo == e.value and hi == e.value)
+        if op is Op.LT:
+            return bool(hi < e.value)
+        if op is Op.LTE:
+            return bool(hi <= e.value)
+        if op is Op.GT:
+            return bool(lo > e.value)
+        if op is Op.GTE:
+            return bool(lo >= e.value)
+        if op is Op.IN:
+            return bool(lo == hi and any(lo == v for v in e.values))
+        if op is Op.NOT_EQ:
+            return bool(hi < e.value or lo > e.value)
+        if op is Op.NOT_IN:
+            return all(bool(hi < v or lo > v) for v in e.values)
+        if op is Op.STARTS_WITH:
+            p = e.value
+            if isinstance(lo, str) and isinstance(hi, str) and isinstance(p, str):
+                return lo.startswith(p) and hi.startswith(p)
+            return False
+    except TypeError:
+        return False
+    return False

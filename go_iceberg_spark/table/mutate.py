@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ValidationError
-from ..expr import Expression, might_match, simplify, to_column
+from ..expr import Expression, might_match, must_match, simplify, to_column
 from .metadata import (
     CONTENT_DATA,
     CONTENT_POSITION_DELETES,
@@ -106,8 +106,19 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
     if not candidates:
         return table.live_entries()
     md = table.metadata
+    # DROP-PARTITION fast path: a candidate whose stats prove EVERY row
+    # matches is dropped from the snapshot outright — metadata-only, the
+    # file is never read. A partition-aligned delete touches no data at all.
+    enc = _encode_filter(simplify(filter_), md.current_schema)
+    rewrite = [
+        e for e in candidates
+        if not must_match(enc, _stats_for_pruning(e, md.current_schema))
+    ]
+    if not rewrite:
+        remaining_deletes = _deletes_still_needed(table, untouched)
+        return untouched + remaining_deletes
     seq = table._next_sequence()
-    survivors_df = _read_candidates(table, candidates).filter(~to_column(filter_) | to_column(filter_).isNull())
+    survivors_df = _read_candidates(table, rewrite).filter(~to_column(filter_) | to_column(filter_).isNull())
     new_files = write_data_files(
         table.spark, survivors_df, table.location, md.current_schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,

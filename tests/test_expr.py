@@ -121,3 +121,39 @@ def test_might_match_and_or():
     assert might_match(E.and_(E.eq("c", 5), E.eq("c", 11)), s) is False
     assert might_match(E.or_(E.eq("c", 11), E.eq("c", 5)), s) is True
     assert might_match(E.or_(E.eq("c", 11), E.eq("c", 12)), s) is False
+
+
+def test_must_match_proves_full_file_coverage():
+    """must_match: True only when stats PROVE every row matches (the
+    metadata-only delete fast path); any uncertainty is False."""
+    from go_iceberg_spark.expr import (
+        ColumnStats,
+        and_,
+        col,
+        must_match,
+        or_,
+    )
+
+    full = {"g": ColumnStats(min="a", max="a", null_count=0, value_count=10),
+            "x": ColumnStats(min=5, max=9, null_count=0, value_count=10)}
+    assert must_match(col("g").eq("a"), full)
+    assert not must_match(col("g").eq("b"), full)
+    assert must_match(col("x").lt(10), full)
+    assert must_match(col("x").gte(5), full)
+    assert not must_match(col("x").lt(9), full)  # max row == 9 fails x < 9
+    assert must_match(col("x").not_eq(4), full)
+    assert must_match(col("x").not_in(1, 2), full)
+    assert not must_match(col("x").not_in(7), full)
+    assert must_match(and_(col("g").eq("a"), col("x").gt(4)), full)
+    assert must_match(or_(col("g").eq("zz"), col("x").lte(9)), full)
+    assert must_match(col("g").starts_with("a"), full)
+    assert not must_match(col("g").starts_with("ab"), full)
+
+    # nulls poison comparisons but prove IS_NULL when total
+    with_nulls = {"x": ColumnStats(min=5, max=9, null_count=3, value_count=10)}
+    assert not must_match(col("x").lt(10), with_nulls)
+    all_null = {"x": ColumnStats(min=None, max=None, null_count=10, value_count=10)}
+    assert must_match(col("x").is_null(), all_null)
+    assert not must_match(col("x").is_not_null(), all_null)
+    # unknown column / missing stats -> never proven
+    assert not must_match(col("zz").eq(1), full)

@@ -568,3 +568,33 @@ def test_register_sql_views(spark, catalog):
     assert spark.sql("SELECT count(*) AS c FROM gi_facts").collect()[0].c == 30
     register_sql_views(catalog, spark, ("db",), prefix="gi_")
     assert spark.sql("SELECT count(*) AS c FROM gi_facts").collect()[0].c == 31
+
+
+def test_delete_partition_aligned_is_metadata_only(spark, catalog):
+    """DROP PARTITION shape: a delete whose filter provably covers whole
+    files drops them without reading or rewriting anything."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i < 50 else "b", v=float(i)) for i in range(100)])
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["grp"], 1000, "identity", "grp"),))
+    t = catalog.create_table("db", "droppart", schema, spec=spec)
+    t.append(df)
+    files_before = {e.file_path for e in t.live_entries()}
+
+    t.delete(E.eq("grp", "a"))
+    after = t.live_entries()
+    # every surviving file existed before: nothing was rewritten
+    assert all(e.file_path in files_before for e in after)
+    assert len(after) < len(files_before)
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(50, 100))
+
+    # non-aligned filter still rewrites (correctness fallback)
+    t.delete(E.lt("id", 75))
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(75, 100))
