@@ -964,6 +964,36 @@ def minhash_q(spark, sf):
 
 
 @query(
+    "timeseries_resample_locf",
+    """
+    WITH agg AS (
+      SELECT event_type AS _k, date_trunc('hour', ts) AS _b,
+             CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS _lo, date_trunc('hour', max(ts)) AS _hi
+               FROM events),
+    spine AS (
+      SELECT k._k, unnest(generate_series(b._lo, b._hi, INTERVAL 1 HOUR)) AS _b
+      FROM (SELECT DISTINCT event_type AS _k FROM events) k CROSS JOIN bounds b)
+    SELECT s._k AS event_type, s._b AS bucket_ts,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n, a.avg_v,
+           last_value(a.avg_v IGNORE NULLS) OVER (
+             PARTITION BY s._k ORDER BY s._b ROWS UNBOUNDED PRECEDING) AS locf_v
+    FROM spine s LEFT JOIN agg a ON s._k = a._k AND s._b = a._b
+    """,
+)
+def timeseries_resample_q(spark, sf):
+    """Hourly resample of the events stream per event type: explicit gap
+    cells (n=0), in-bucket mean, and last-observation-carried-forward — the
+    grid regularization step before windowed feature extraction. Spine rows
+    are generated executor-side from a broadcast 1-row min/max; the stream
+    shuffles once."""
+    from .operators.timeseries import resample_locf
+
+    return resample_locf(load(spark, sf, "events"), "ts", "event_type", "value")
+
+
+@query(
     "funnel_view_click_purchase",
     """
     WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
