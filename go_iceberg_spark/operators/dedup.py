@@ -364,6 +364,38 @@ def keep_greedy(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def pagerank(pairs: DataFrame, *, iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank over an undirected near-dup pair graph (fixed iteration
+    count, deterministic): rank concentrates on documents with many
+    near-duplicates — the 'canonical copy' signal when choosing which
+    duplicate to keep. Returns (id, pr) with pr rounded to 6 decimals.
+
+    Each iteration is one shuffle: contributions flow along edges
+    (join on src), sum per destination, damp, round. Ranks are re-rounded
+    every iteration so both engines hold identical doubles going into the
+    next one (parallel double sums differ in the last ulp; rounding
+    collapses that). Node count reaches the plan as a broadcast 1-row
+    aggregate — no driver collect; ranks stay distributed."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("_n"))
+    pr = deg.join(F.broadcast(n1)).select(
+        "src", "_deg", "_n", F.round(F.lit(1.0) / F.col("_n"), 6).alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            both.join(pr, on="src")
+            .select(F.col("dst").alias("_to"), (F.col("pr") / F.col("_deg")).alias("_c"))
+            .groupBy("_to").agg(F.sum("_c").alias("_s"))
+        )
+        pr = (
+            pr.join(contrib, pr.src == F.col("_to"))
+            .select("src", "_deg", "_n",
+                    F.round((1.0 - damping) / F.col("_n") + damping * F.col("_s"), 6).alias("pr"))
+        )
+    return pr.select(F.col("src").alias("id"), "pr")
+
+
 def connected_components(pairs: DataFrame, *, max_iterations: int = 15) -> DataFrame:
     """Connected components over a near-dup pair graph by min-label
     propagation: every node ends labeled with the smallest id reachable from

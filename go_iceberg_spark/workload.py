@@ -1574,6 +1574,44 @@ def dedup_cc_q(spark, sf):
     return D.connected_components(pairs).withColumnRenamed("id", "doc_id")
 
 
+def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    prev = "pr0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+    pr{i} AS (
+      SELECT p.src, p._deg, p._n,
+             round({1.0 - damping} / p._n + {damping} * s._s, 6) AS pr
+      FROM {prev} p JOIN (
+        SELECT e.dst AS _to, sum(q.pr / q._deg) AS _s
+        FROM edges e JOIN {prev} q ON e.src = q.src GROUP BY e.dst
+      ) s ON p.src = s._to)""")
+        prev = f"pr{i}"
+    return f"""
+    WITH pairs AS ({_minhash_oracle_sql()}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS _deg FROM edges GROUP BY src),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM deg),
+    pr0 AS (SELECT src, _deg, _n, round(1.0 / _n, 6) AS pr FROM deg CROSS JOIN n1),
+    {','.join(iters)}
+    SELECT src AS doc_id, pr FROM {prev}
+    """
+
+
+@query("dedup_pagerank_canonical", _pagerank_oracle_sql())
+def pagerank_q(spark, sf):
+    """PageRank over the near-dup graph (3 fixed iterations): rank
+    concentrates on documents with many near-duplicates — the canonical-copy
+    signal for keep-list selection. Iterative distributed joins in Spark;
+    the oracle unrolls the same three damped-sum iterations as CTEs, with
+    ranks re-rounded each step so both engines iterate on identical
+    doubles."""
+    c = _corpus(spark, sf)
+    pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
+    return D.pagerank(pairs).withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage widening: outer joins, pivot, percentiles, grouping
 # sets, range-frame windows, array functions
