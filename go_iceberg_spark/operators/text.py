@@ -76,6 +76,37 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def robust_scale(df: DataFrame, id_col: str, group_col: str, value_col: str) -> DataFrame:
+    """Per-group robust feature scaling: (x - median) / IQR within each
+    group (z-score that ignores outliers — the normalization applied to
+    per-document features like length before quality thresholding).
+
+    Implemented with ``applyInPandas`` (grouped-map Pandas UDF): each group
+    arrives as one Arrow-backed pandas frame, quantiles are vectorized
+    numpy, and groups process in parallel across executors — the idiomatic
+    Spark shape for per-group logic that needs the whole group in memory
+    (quantiles can't partial-aggregate exactly). Groups must individually
+    fit an executor; for billions-of-rows groups use approx_percentile +
+    join instead. numpy's linear interpolation matches DuckDB/ANSI
+    quantile_cont, so the oracle reproduces results exactly."""
+    import pandas as pd  # noqa: F401 - executor-side dependency, imported for clarity
+
+    out_schema = f"{id_col} long, {group_col} string, scaled double"
+
+    def scale(pdf):
+        import numpy as np
+
+        v = pdf[value_col].astype(float)
+        med = float(np.percentile(v, 50))
+        q1, q3 = float(np.percentile(v, 25)), float(np.percentile(v, 75))
+        iqr = q3 - q1
+        scaled = (v - med) / iqr if iqr else v * 0.0
+        return pdf.assign(scaled=scaled.round(4))[[id_col, group_col, "scaled"]]
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        scale, out_schema)
+
+
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # order matters: emails before bare domains; patterns are RE2/Java-common
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -171,7 +171,8 @@ class Table:
     def _commit_snapshot(self, operation: str, entries: list[DataFileEntry],
                          summary_extra: dict[str, str] | None = None,
                          schema_override: Schema | None = None,
-                         ref: str = MAIN_BRANCH) -> Snapshot:
+                         ref: str = MAIN_BRANCH,
+                         compact_manifests: bool = False) -> Snapshot:
         """Write manifest + new metadata version. ``entries`` is the FULL live
         file set of the new snapshot (single-manifest design, metadata.py).
         ``ref`` targets a branch: only that ref moves; main (and the table's
@@ -195,7 +196,8 @@ class Table:
                 schemas_by_id={s.schema_id: s for s in md.schemas},
             )
         else:
-            manifest_rel = self._write_manifest_tree(parent, entries, sid)
+            manifest_rel = self._write_manifest_tree(parent, entries, sid,
+                                                     force_compact=compact_manifests)
 
         prev = {e.file_path for e in (self.manifest_entries(parent) if parent else [])}
         cur = {e.file_path for e in entries}
@@ -235,7 +237,8 @@ class Table:
     MANIFEST_COMPACT_THRESHOLD = 32
 
     def _write_manifest_tree(self, parent: Snapshot | None,
-                             entries: list[DataFileEntry], sid: int) -> str:
+                             entries: list[DataFileEntry], sid: int,
+                             force_compact: bool = False) -> str:
         """Write the snapshot's manifests incrementally: parent members whose
         entries all survive are REUSED (no I/O), partially-surviving members
         are rewritten filtered, and added files land in one new member —
@@ -271,7 +274,7 @@ class Table:
             self._manifest_cache[os.path.join(self.location, rel)] = added
             members.append({"path": rel, "n": len(added)})
 
-        if len(members) > self.MANIFEST_COMPACT_THRESHOLD:
+        if force_compact or len(members) > self.MANIFEST_COMPACT_THRESHOLD:
             rel = os.path.join("metadata", f"m-{sid}-compact.parquet")
             write_manifest(os.path.join(self.location, rel), entries)
             self._manifest_cache[os.path.join(self.location, rel)] = list(entries)
@@ -599,6 +602,14 @@ class Table:
         from .maintenance import rewrite_data_files
 
         return rewrite_data_files(self, **kwargs)
+
+    def rewrite_manifests(self) -> Snapshot:
+        """Iceberg rewrite_manifests procedure: compact the member-manifest
+        chain of the current snapshot into one manifest via a REPLACE commit
+        (data files untouched — pure metadata reorganization for tables
+        taking many small commits between automatic compactions)."""
+        return self._retrying(lambda: self._commit_snapshot(
+            OP_REPLACE, self.live_entries(), compact_manifests=True))
 
     def remove_orphan_files(self) -> list[str]:
         from .maintenance import remove_orphan_files

@@ -964,6 +964,28 @@ def minhash_q(spark, sf):
 
 
 @query(
+    "text_robust_scale_by_source",
+    """
+    WITH st AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med,
+             quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY source)
+    SELECT doc_id, d.source,
+           round(CASE WHEN q3 - q1 = 0 THEN 0.0
+                      ELSE (n_chars - med) / (q3 - q1) END, 4) AS scaled
+    FROM documents d JOIN st USING (source)
+    """,
+)
+def robust_scale_q(spark, sf):
+    """Per-source robust scaling of document length via applyInPandas
+    (grouped-map Pandas UDF — the one UDF shape the rest of the corpus
+    doesn't exercise): each source group normalizes (x - median)/IQR with
+    vectorized numpy; numpy's linear percentile interpolation matches
+    DuckDB quantile_cont bit-for-bit after rounding."""
+    return X.robust_scale(load(spark, sf, "documents"), "doc_id", "source", "n_chars")
+
+
+@query(
     "timeseries_resample_locf",
     """
     WITH agg AS (

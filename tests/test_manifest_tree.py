@@ -104,3 +104,19 @@ def test_legacy_single_manifest_snapshot_reads(spark, catalog):
     t.append(spark.createDataFrame([Row(id=999, v=9.0)]))
     assert t.current_snapshot().manifest_path.endswith(MANIFEST_LIST_SUFFIX)
     assert t.to_df().count() == 11
+
+
+def test_rewrite_manifests_compacts_chain(spark, catalog):
+    """Explicit rewrite_manifests: many members collapse into one REPLACE
+    snapshot with identical data."""
+    t = mk(spark, catalog, "rwm")
+    for i in range(4):
+        t.append(spark.createDataFrame([Row(id=100 + i, v=float(i))]))
+    assert len(members_of(t)) == 5
+    files_before = {e.file_path for e in t.live_entries()}
+    t.rewrite_manifests()
+    assert len(members_of(t)) == 1
+    assert t.current_snapshot().operation == "replace"
+    # pure metadata: exact same data files, same rows
+    assert {e.file_path for e in t.live_entries()} == files_before
+    assert t.to_df().count() == 14
