@@ -1016,6 +1016,40 @@ def timeseries_resample_q(spark, sf):
 
 
 @query(
+    "timeseries_rolling_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, b AS bucket_ts, v,
+           round((v - avg(v) OVER w) / stddev_samp(v) OVER w, 4) AS z
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY b ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w >= 24
+    """,
+)
+def rolling_anomaly_q(spark, sf):
+    """Rolling anomaly score over the hourly event stream: z-score of each
+    hour's total against the trailing 24-hour window (mean/stddev_samp) —
+    the monitoring primitive on a regularized series. One shuffle to hourly
+    buckets, then per-key ordered windows; windows only ever hold 24 rows
+    of state per key."""
+    e = load(spark, sf, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-23, 0)
+    return (
+        hourly.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("z", F.round((F.col("v") - F.avg("v").over(w)) / F.stddev_samp("v").over(w), 4))
+        .filter(F.col("_n") >= 24)
+        .select("event_type", "bucket_ts", "v", "z")
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     """
     WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
