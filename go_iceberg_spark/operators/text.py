@@ -76,6 +76,39 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows (the
+    chunking step before embedding for retrieval, or packing into model
+    context windows): window k covers tokens [k*stride, k*stride + size).
+    Output (id, chunk_id, chunk_text, n_tokens); the final partial window is
+    kept. Pure built-ins — tokenize once, explode window starts from a
+    per-row sequence, slice per window; linear in total tokens, no
+    shuffle."""
+    toks = tokens_expr(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), F.explode(starts).alias("_s"))
+        .filter((F.col("_s") == 0) | (F.col("_s") < F.size("_t")))
+        .select(
+            F.col(id_col),
+            (F.col("_s") / stride).cast("int").alias("chunk_id"),
+            F.array_join(F.slice(F.col("_t"), F.col("_s") + 1, size), " ").alias("chunk_text"),
+            F.least(F.size("_t") - F.col("_s"), F.lit(size)).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def robust_scale(df: DataFrame, id_col: str, group_col: str, value_col: str) -> DataFrame:
     """Per-group robust feature scaling: (x - median) / IQR within each
     group (z-score that ignores outliers — the normalization applied to

@@ -964,6 +964,31 @@ def minhash_q(spark, sf):
 
 
 @query(
+    "text_chunk_windows",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 24)) AS s
+      FROM toks)
+    SELECT doc_id, CAST(s / 24 AS INT) AS chunk_id,
+           array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+           CAST(least(len(t) - s, 32) AS INT) AS n_tokens
+    FROM starts WHERE s = 0 OR s < len(t)
+    """,
+)
+def chunk_windows_q(spark, sf):
+    """Overlapping token-window chunking (size 32, stride 24) — the RAG /
+    context-window preparation step: tokenize once, explode window starts,
+    slice per window. Linear in total tokens, no shuffle at all."""
+    return X.chunk_tokens(load(spark, sf, "documents"), "doc_id", "text",
+                          size=32, stride=24)
+
+
+@query(
     "text_robust_scale_by_source",
     """
     WITH st AS (
