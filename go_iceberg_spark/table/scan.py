@@ -187,12 +187,20 @@ class ScanBuilder:
         pos_deletes = [e for e in entries if e.content == CONTENT_POSITION_DELETES]
         eq_deletes = [e for e in entries if e.content == CONTENT_EQUALITY_DELETES]
 
-        tasks: list[FileScanTask] = []
-        for e in data_files:
-            dels = [d for d in pos_deletes if d.sequence_number >= e.sequence_number]
-            dels += [d for d in eq_deletes if d.sequence_number > e.sequence_number]
-            tasks.append(FileScanTask(e, dels))
-        return tasks
+        # delete-file applicability depends only on the data file's sequence
+        # number; memoize per distinct sequence so planning is
+        # O(data + sequences x deletes), not O(data x deletes)
+        dels_by_seq: dict[int, list[DataFileEntry]] = {}
+
+        def dels_for(seq: int) -> list[DataFileEntry]:
+            if seq not in dels_by_seq:
+                dels_by_seq[seq] = (
+                    [d for d in pos_deletes if d.sequence_number >= seq]
+                    + [d for d in eq_deletes if d.sequence_number > seq]
+                )
+            return dels_by_seq[seq]
+
+        return [FileScanTask(e, dels_for(e.sequence_number)) for e in data_files]
 
     # entry counts below this use (and fill) the table's full-entry cache;
     # above it, scans do a pruned read per planning call instead of holding
