@@ -50,17 +50,40 @@ def read_stream(spark: SparkSession, table: Table) -> DataFrame:
     )
 
 
+BATCH_MARKER_KEY = "streaming-batch"
+
+
+def append_batch_exactly_once(table: Table, batch_df: DataFrame,
+                              ckpt_id: str, batch_id: int) -> bool:
+    """Idempotent micro-batch append: the (checkpoint, batch_id) marker is
+    written into the snapshot SUMMARY — atomic with the commit — and a
+    replayed batch (restart after the table committed but before the
+    checkpoint recorded it) finds its marker and skips. Returns True if
+    this call appended."""
+    marker = f"{ckpt_id}:{batch_id}"
+    table.refresh()
+    for s in table.snapshots():
+        if s.summary.get(BATCH_MARKER_KEY) == marker:
+            return False
+    table.append(batch_df, summary_extra={BATCH_MARKER_KEY: marker})
+    return True
+
+
 def append_stream(df: DataFrame, table: Table, checkpoint_dir: str, *,
                   trigger_once: bool = False, processing_time: str | None = None):
     """Write a streaming DataFrame into the table: each micro-batch becomes
-    one ``append`` snapshot (exactly-once per batch via the checkpoint +
-    idempotent snapshot commit)."""
+    one ``append`` snapshot. Exactly-once per batch: the checkpoint dedups
+    delivered batches, and the (checkpoint, batch) marker in the snapshot
+    summary dedups the REPLAYED last batch after a crash between table
+    commit and checkpoint write."""
+    import hashlib as _hl
+
+    ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.refresh()
-        table.append(batch_df)
+        append_batch_exactly_once(table, batch_df, ckpt_id, batch_id)
 
     w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

@@ -313,9 +313,11 @@ class Table:
         per-file bounds)."""
         return self.metadata.properties.get("write.distribution-mode", "none")
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None) -> Snapshot:
         """Append rows (reference: table/insert.go:49-109 Insert/Append).
-        Data files are written once; only the metadata commit retries."""
+        Data files are written once; only the metadata commit retries.
+        ``summary_extra`` lands in the snapshot summary atomically with the
+        commit (the streaming sink's exactly-once batch marker)."""
         md = self.metadata
         new_files = write_data_files(
             self.spark, df, self.location, md.current_schema, md.default_spec,
@@ -326,7 +328,8 @@ class Table:
 
         def commit():
             live = self.live_entries()
-            return self._commit_snapshot(OP_APPEND, live + new_files)
+            return self._commit_snapshot(OP_APPEND, live + new_files,
+                                         summary_extra=summary_extra)
 
         return self._retrying(commit)
 

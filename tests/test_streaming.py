@@ -190,3 +190,24 @@ def test_upsert_stream_cdc(spark, catalog, events_table, tmp_path):
     q.awaitTermination(120)
     out.refresh()
     assert len(out.snapshots()) == n_snaps
+
+
+def test_append_batch_replay_is_exactly_once(spark, catalog):
+    """A replayed micro-batch (same checkpoint + batch id) must not commit
+    twice; the next batch id still appends."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import append_batch_exactly_once
+
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    t = catalog.create_table("db", "eo_sink", from_spark_schema(df.schema))
+    assert append_batch_exactly_once(t, df, "ckptA", 0) is True
+    assert t.to_df().count() == 1
+    # crash-replay of batch 0: skipped
+    assert append_batch_exactly_once(t, df, "ckptA", 0) is False
+    assert t.to_df().count() == 1 and len(t.snapshots()) == 1
+    # next batch appends; a DIFFERENT checkpoint's batch 0 is independent
+    assert append_batch_exactly_once(t, df, "ckptA", 1) is True
+    assert append_batch_exactly_once(t, df, "ckptB", 0) is True
+    assert t.to_df().count() == 3
