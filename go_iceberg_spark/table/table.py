@@ -327,8 +327,17 @@ class Table:
         )
 
         def commit():
+            from dataclasses import replace as _rpl
+
+            # a conflict retry reloads metadata and advances the sequence;
+            # re-stamp the (already written) files so entry sequence numbers
+            # agree with the snapshot that finally commits them — MoR delete
+            # applicability keys off these
+            seq = self._next_sequence()
+            files = ([_rpl(f, sequence_number=seq) for f in new_files]
+                     if new_files and new_files[0].sequence_number != seq else new_files)
             live = self.live_entries()
-            return self._commit_snapshot(OP_APPEND, live + new_files,
+            return self._commit_snapshot(OP_APPEND, live + files,
                                          summary_extra=summary_extra)
 
         return self._retrying(commit)
