@@ -781,6 +781,11 @@ def streaming_interval_join_q(spark, sf):
         src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
         if nanos:
             src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        else:
+            # parquet micros surface as TIMESTAMP_NTZ; watermarks require
+            # LTZ — cast interprets wall time in the session tz (UTC), so
+            # values match the oracle's naive timestamps exactly
+            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
         return (
             src.filter(F.col("event_type") == event_type)
             .select(F.col("user_id").alias(f"{prefix}_user"),
@@ -3151,6 +3156,9 @@ def streaming_dedup_watermarked_q(spark, sf):
     src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
     if str(sch["ts"].dataType) == "LongType()":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    else:
+        # NTZ -> LTZ for the watermark (see streaming_interval_join note)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     dedup = dedup_within_watermark(
         src.select("user_id", "event_type", "ts"), "ts", ["user_id", "event_type"], delay="1 hour"
     ).select("user_id", "event_type")
