@@ -2838,12 +2838,13 @@ def q2(spark, sf):
         .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2)
              .alias("supply_cost"))
     )
-    mn = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.min("supply_cost").alias("_mc"))
+    # per-part argmin as a window over the SAME aggregate output — one pass;
+    # an aggregate-and-join-back would evaluate the cost subtree twice
+    w_min = Window.partitionBy("l_partkey")
+    cost = cost.withColumn("_mc", F.min("supply_cost").over(w_min)) \
+        .filter(F.col("supply_cost") == F.col("_mc"))
     return (
-        cost.join(mn, (cost.l_partkey == F.col("_pk"))
-                  & (cost.supply_cost == F.col("_mc")))
-        .join(eur, cost.l_suppkey == eur.s_suppkey)
+        cost.join(eur, cost.l_suppkey == eur.s_suppkey)
         .join(F.broadcast(p.select("p_partkey", "p_brand")),
               cost.l_partkey == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
@@ -2998,10 +2999,11 @@ def q20(spark, sf):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
-    pt = sq.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.round(0.5 * F.sum("qty"), 2).alias("_half"))
+    # per-part half-total as a window over the same aggregate — one pass
+    # instead of re-evaluating the sq subtree for the threshold join
     dominant = (
-        sq.join(pt, (sq.l_partkey == F.col("_pk")) & (F.col("qty") > F.col("_half")))
+        sq.withColumn("_half", F.round(0.5 * F.sum("qty").over(Window.partitionBy("l_partkey")), 2))
+        .filter(F.col("qty") > F.col("_half"))
         .select("l_suppkey")
     )
     s = (

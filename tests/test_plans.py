@@ -45,14 +45,15 @@ def test_fact_sides_never_force_broadcast(spark):
             # feeds both the threshold agg and the final join, so the one
             # hint materializes as two BroadcastHashJoin instances
             "q17_small_quantity_revenue": 2,
-            # q2: only nation/region (in the 3x-reused supplier subtree ->
-            # 6 instances) and part (3 instances) are hinted; the
-            # supplier-derived side itself carries no hint
-            "q2_min_cost_supplier": 9,
+            # q2: only nation/region (in the 2x-referenced supplier subtree
+            # -> 4 instances) and part (2 instances) are hinted; the per-part
+            # argmin is a window over the single cost aggregate, so the cost
+            # subtree is never duplicated
+            "q2_min_cost_supplier": 6,
             "q11_important_part_values": 2,  # nation, in the 2x-reused key set
             "q12_priority_shipping": 0,      # both sides fact-sized
             "q16_supplier_part_count": 1,    # filtered part only
-            "q20_dominant_suppliers": 3,     # nation + part in 2x-reused sq
+            "q20_dominant_suppliers": 2,     # nation + part; sq evaluated once
             "q21_waiting_suppliers": 1,      # nation only
         }
         for name, n_dims in expected_hinted_dims.items():
