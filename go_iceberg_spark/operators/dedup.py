@@ -117,12 +117,16 @@ def jaccard_pairs(
     by AQE skew-join. For web-scale corpora prefer ``minhash_lsh_pairs``
     (candidates only)."""
     raw = _shingle_table(df, id_col, text_col, n, mode)
-    kept_hashes = raw.groupBy("_h").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= JACCARD_MAX_SHINGLE_DF
+    # df-cap as a window over ONE shingle pass (an aggregate+join-back would
+    # evaluate the explode+md5 subtree twice); the window shuffle on _h also
+    # pre-partitions the data for the self-join below
+    w_df = Window.partitionBy("_h")
+    sh = (
+        raw.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= JACCARD_MAX_SHINGLE_DF)
+        .select("_id", "_h")
+        .cache()
     )
-    # equi-join on _h: co-partitioned with the self-join below, and AQE
-    # broadcasts the df table when it is small enough
-    sh = raw.join(kept_hashes, "_h").select("_id", "_h").cache()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
