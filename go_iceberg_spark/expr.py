@@ -318,6 +318,7 @@ class ColumnStats:
     max: Any = None
     null_count: int | None = None
     value_count: int | None = None
+    bloom: str | None = None  # hex bitmap (bloom.py); None = not built
 
     @property
     def all_null(self) -> bool:
@@ -380,7 +381,13 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
 
     if op is Op.EQ:  # some row == v possible iff v ∈ [lo, hi]
         r1, r2 = _le(lo, e.value), _le(e.value, hi)
-        return not (r1 is False or r2 is False)
+        if r1 is False or r2 is False:
+            return False
+        if s.bloom:  # in-range but provably absent from the file
+            from .bloom import bloom_might_contain
+
+            return bloom_might_contain(s.bloom, e.value)
+        return True
     if op is Op.LT:  # some row < v possible iff lo < v
         return _lt(lo, e.value) is not False
     if op is Op.LTE:  # some row <= v possible iff lo <= v
@@ -390,9 +397,15 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
     if op is Op.GTE:  # some row >= v possible iff hi >= v
         return _le(e.value, hi) is not False
     if op is Op.IN:
-        return any(
-            not (_le(lo, v) is False or _le(v, hi) is False) for v in e.values
-        )
+        in_range = [v for v in e.values
+                    if not (_le(lo, v) is False or _le(v, hi) is False)]
+        if not in_range:
+            return False
+        if s.bloom:
+            from .bloom import bloom_might_contain
+
+            return any(bloom_might_contain(s.bloom, v) for v in in_range)
+        return True
     if op is Op.STARTS_WITH:
         # prefix match possible iff [lo, hi] intersects [prefix, prefix+∞)
         p = e.value

@@ -179,6 +179,9 @@ _MANIFEST_ARROW_SCHEMA = pa.schema(
         ("stats_max_json", pa.list_(pa.string())),
         ("stats_null_counts", pa.list_(pa.int64())),
         ("stats_value_counts", pa.list_(pa.int64())),
+        # opt-in per-column bloom filters (hex bitmaps, "" = none) — point
+        # lookups on unclustered columns prune files min/max cannot
+        ("stats_blooms", pa.list_(pa.string())),
     ]
 )
 
@@ -203,6 +206,7 @@ def write_manifest(path: str, entries: list[DataFileEntry]) -> None:
         cols["stats_max_json"].append([json.dumps(e.column_stats[f].get("max")) for f in fids])
         cols["stats_null_counts"].append([e.column_stats[f].get("null_count") for f in fids])
         cols["stats_value_counts"].append([e.column_stats[f].get("value_count") for f in fids])
+        cols["stats_blooms"].append([e.column_stats[f].get("bloom") or "" for f in fids])
     table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(table, path, compression="snappy")
@@ -213,12 +217,14 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
     if "stats_json" in d:  # legacy blob layout (pre-columnar manifests)
         stats = {int(k): v for k, v in json.loads(d["stats_json"][i]).items()}
     else:
+        blooms = d.get("stats_blooms")  # absent in pre-bloom manifests
         stats = {
             int(fid): {
                 "min": json.loads(d["stats_min_json"][i][j]),
                 "max": json.loads(d["stats_max_json"][i][j]),
                 "null_count": d["stats_null_counts"][i][j],
                 "value_count": d["stats_value_counts"][i][j],
+                **({"bloom": blooms[i][j]} if blooms is not None and blooms[i][j] else {}),
             }
             for j, fid in enumerate(d["stats_fids"][i])
         }

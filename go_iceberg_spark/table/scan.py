@@ -71,7 +71,8 @@ def _stats_for_pruning(entry: DataFileEntry, schema: Schema) -> dict[str, Column
         if f is None:
             continue
         out[f.name] = ColumnStats(
-            min=s.get("min"), max=s.get("max"), null_count=s.get("null_count"), value_count=s.get("value_count")
+            min=s.get("min"), max=s.get("max"), null_count=s.get("null_count"),
+            value_count=s.get("value_count"), bloom=s.get("bloom"),
         )
     return out
 

@@ -313,6 +313,13 @@ class Table:
         per-file bounds)."""
         return self.metadata.properties.get("write.distribution-mode", "none")
 
+    def _bloom_columns(self) -> tuple[str, ...]:
+        """``write.bloom-columns`` property: comma-separated integer/string
+        columns that get a per-file bloom filter in their manifest stats —
+        point lookups on unclustered columns prune files min/max cannot."""
+        raw = self.metadata.properties.get("write.bloom-columns", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
     def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None) -> Snapshot:
         """Append rows (reference: table/insert.go:49-109 Insert/Append).
         Data files are written once; only the metadata commit retries.
@@ -324,6 +331,7 @@ class Table:
             md.default_sort_order, md.current_schema_id, self._next_sequence(),
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
+            bloom_columns=self._bloom_columns(),
         )
 
         def commit():
@@ -377,6 +385,7 @@ class Table:
                 self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
                 target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
+            bloom_columns=self._bloom_columns(),
             )
             return self._commit_snapshot(OP_OVERWRITE, new_files)
         from .mutate import rewrite_for_delete
@@ -387,6 +396,7 @@ class Table:
             self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
+            bloom_columns=self._bloom_columns(),
         )
         return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
 

@@ -125,10 +125,17 @@ def encode_literal(v: Any, t: IcebergType | None = None) -> Any:
     return encode_stat(v)
 
 
-def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int]) -> list[dict]:
+def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
+                        bloom_names: tuple[str, ...] = ()) -> list[dict]:
     """Executor-side: read parquet FOOTERS and aggregate row-group stats to
-    file level. Runs inside mapPartitions — pyarrow only, no Spark."""
+    file level. Runs inside mapPartitions — pyarrow only, no Spark.
+    ``bloom_names`` columns additionally get a per-file bloom filter, which
+    requires reading those columns' VALUES (opt-in via the
+    write.bloom-columns table property; integer/string columns only)."""
+    import pyarrow as pa  # noqa: F401 - executor-side
     import pyarrow.parquet as pq  # re-import on executor
+
+    from ..bloom import bloom_build
 
     out = []
     for path in paths:
@@ -161,6 +168,19 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int]) -> list[d
                         entry["min"] = mn
                     if mx is not None and (entry["max"] is None or mx > entry["max"]):
                         entry["max"] = mx
+        for name in bloom_names:
+            fid = name_to_fid.get(name)
+            if fid is None or fid not in stats:
+                continue
+            try:
+                col = pf.read(columns=[name]).column(0)
+            except Exception:
+                continue
+            t = col.type
+            if not (pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                continue
+            stats[fid]["bloom"] = bloom_build(
+                v.as_py() for chunk in col.chunks for v in chunk if v.is_valid)
         out.append(
             {
                 "file_path": path,
@@ -203,6 +223,7 @@ def write_data_files(
     content: int = CONTENT_DATA,
     subdir: str = "data",
     distribution_mode: str = "none",
+    bloom_columns: tuple[str, ...] = (),
 ) -> list[DataFileEntry]:
     """Write ``df`` as parquet data files under the table location and return
     manifest entries with real stats. The write itself is fully distributed;
@@ -295,7 +316,7 @@ def write_data_files(
     n_slices = max(1, min(len(paths), sc.defaultParallelism))
     raw = (
         sc.parallelize(paths, n_slices)
-        .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name))
+        .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name, bloom_columns))
         .collect()
     )
 

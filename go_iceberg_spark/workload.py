@@ -2345,6 +2345,47 @@ def _scratch_table_sorted(spark, name: str, df: DataFrame):
 
 
 @query(
+    "bloom_point_lookup_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0
+    """,
+)
+def bloom_point_lookup_scan_q(spark, sf):
+    """Per-file bloom filters (write.bloom-columns; the file-level analogue
+    of parquet row-group blooms — an engine extension playing Iceberg's
+    puffin role): even and odd orderkeys land in separate files with fully
+    overlapping min/max ranges, so ONLY the bloom can prune the equality
+    probe — asserted by planning a key from the odd file and checking the
+    even file is dropped."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    even = base.filter(F.col("o_orderkey") % 2 == 0).coalesce(1)
+    odd = base.filter(F.col("o_orderkey") % 2 == 1).coalesce(1)
+    t = _scratch_table_props(spark, "bloom", even, {"write.bloom-columns": "o_orderkey"})
+    t.append(odd)
+    some_odd = odd.select(F.min("o_orderkey")).collect()[0][0]
+    n_hit = len(t.scan().filter(C("o_orderkey").eq(int(some_odd))).plan_files())
+    n_all = len(t.scan().plan_files())
+    if not n_hit < n_all:
+        raise AssertionError(f"bloom did not prune: {n_hit}/{n_all}")
+    return (t.scan().filter(C("o_orderpriority").eq("2-HIGH"))
+            .to_df().filter(F.col("o_orderkey") % 2 == 0).select(*_CRUD_COLS))
+
+
+def _scratch_table_props(spark, name: str, df: DataFrame, properties: dict):
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+
+    wh = _scratch_dir(f"gis_{name}_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), name, from_spark_schema(df.schema),
+                         properties=properties)
+    t.append(df)
+    return t
+
+
+@query(
     "wap_branch_publish_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 2000

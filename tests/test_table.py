@@ -598,3 +598,43 @@ def test_delete_partition_aligned_is_metadata_only(spark, catalog):
     # non-aligned filter still rewrites (correctness fallback)
     t.delete(E.lt("id", 75))
     assert sorted(r.id for r in t.to_df().collect()) == list(range(75, 100))
+
+
+def test_bloom_filter_point_lookup_pruning(spark, catalog):
+    """write.bloom-columns: equality probes on an unclustered column prune
+    files whose min/max range covers the value but whose bloom proves the
+    value absent; present values always plan their file."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    # two files with OVERLAPPING id ranges but disjoint actual values:
+    # evens in one, odds in the other -> min/max cannot prune either
+    evens = spark.createDataFrame([Row(id=i, tag=f"t{i}") for i in range(0, 200, 2)])
+    odds = spark.createDataFrame([Row(id=i, tag=f"t{i}") for i in range(1, 200, 2)])
+    t = catalog.create_table(
+        "db", "bloomed", from_spark_schema(evens.schema),
+        properties={"write.bloom-columns": "id,tag"})
+    t.append(evens.coalesce(1))
+    t.append(odds.coalesce(1))
+    assert len(t.scan().plan_files()) == 2
+
+    # id=42 exists only in the evens file; range check alone keeps both
+    hit = t.scan().filter(E.eq("id", 42)).plan_files()
+    assert len(hit) == 1
+    # a value inside both ranges but in NEITHER file: everything pruned
+    # (ids are all < 200 and even/odd split; 1000 is out of range, use an
+    # in-range absent probe on the string column instead)
+    assert t.scan().filter(E.eq("tag", "t-nope")).plan_files() == []
+    # correctness: present probes return exactly their rows
+    assert t.scan().filter(E.eq("id", 42)).count() == 1
+    assert t.scan().filter(E.eq("tag", "t43")).count() == 1
+    # IN with one present value keeps the file; all-absent IN prunes all
+    assert len(t.scan().filter(E.isin("id", 42, 44)).plan_files()) == 1
+    assert t.scan().filter(E.isin("tag", "t-x", "t-y")).plan_files() == []
+    # tables without the property carry no blooms
+    t2 = catalog.create_table("db", "nobloom", from_spark_schema(evens.schema))
+    t2.append(evens.coalesce(1))
+    assert all("bloom" not in s for e in t2.live_entries()
+               for s in e.column_stats.values())
