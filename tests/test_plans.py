@@ -137,3 +137,22 @@ def test_connected_components_semantics(spark):
     kept = sorted(r.doc_id for r in keep_greedy(docs, pairs, "doc_id").collect())
     # greedy drops every id_b: 2,3,4,11,21,22 dropped; 99 untouched (no pairs)
     assert kept == [1, 10, 20, 99]
+
+
+def test_table_scan_pushes_residual_filter_to_parquet(spark, catalog):
+    """File-level pruning is only half the story: the residual row filter
+    must ALSO reach the vectorized parquet reader as a pushed filter, and
+    the projection must prune the read schema."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(id=i, name=f"n{i}", v=float(i)) for i in range(100)])
+    t = catalog.create_table("db", "pushdown", from_spark_schema(df.schema))
+    t.append(df)
+    out = t.scan().filter(E.gt("id", 50)).select("id", "name").to_df()
+    pushed = " ".join(P.pushed_filters(out))
+    assert "id" in pushed, f"filter not pushed: {pushed!r}"
+    schemas = P.read_schemas(out)
+    assert schemas and all("v" not in s for s in schemas), f"unpruned read: {schemas}"
