@@ -98,13 +98,24 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
     """Streaming UPSERT sink (CDC-style): each micro-batch MERGEs into the
     table on ``keys`` — matched rows update, new keys insert — producing one
     snapshot per batch. Within a batch, duplicate keys collapse to the
-    last-seen row so the merge is deterministic. Exactly-once per batch via
-    the checkpoint + idempotent snapshot commit, like ``append_stream``."""
+    last-seen row so the merge is deterministic. Exactly-once per batch: the
+    checkpoint dedups delivered batches and the (checkpoint, batch) summary
+    marker skips the replayed last batch after a crash (same scheme as
+    ``append_stream``; a replayed MERGE is also semantically idempotent, so
+    the marker only avoids a redundant snapshot)."""
+    import hashlib as _hl
+
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        marker = f"{ckpt_id}:{batch_id}"
+        table.refresh()
+        if any(s.summary.get(BATCH_MARKER_KEY) == marker for s in table.snapshots()):
             return
         order = [c for c in batch_df.columns if c not in keys]
         w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
@@ -112,8 +123,7 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
         )
-        table.refresh()
-        table.upsert(latest, keys)
+        table.upsert(latest, keys, summary_extra={BATCH_MARKER_KEY: marker})
 
     w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

@@ -261,16 +261,19 @@ def to_spark_field_type(schema, name: str):
     return to_spark_type(schema.find_field(name).type)
 
 
-def upsert(table, source: DataFrame, key_columns: list[str]):
+def upsert(table, source: DataFrame, key_columns: list[str],
+           summary_extra: dict[str, str] | None = None):
     """Upsert = MERGE matched→update-all, not-matched→insert
     (reference: table/update.go:360-459)."""
-    return merge(table, source, key_columns, when_matched_update="*", when_not_matched_insert=True)
+    return merge(table, source, key_columns, when_matched_update="*",
+                 when_not_matched_insert=True, summary_extra=summary_extra)
 
 
 def merge(table, source: DataFrame, on: list[str], *,
           when_matched_update: dict[str, Any] | str | None = "*",
           when_not_matched_insert: bool = True,
-          when_matched_delete: bool = False):
+          when_matched_delete: bool = False,
+          summary_extra: dict[str, str] | None = None):
     """MERGE INTO over the table, null-safe on composite keys.
 
     Plan (shuffle-bounded at 100 TB):
@@ -360,4 +363,5 @@ def merge(table, source: DataFrame, on: list[str], *,
         md.default_sort_order, md.current_schema_id, seq,
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
-    return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files)
+    return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,
+                                  summary_extra=summary_extra)

@@ -411,10 +411,11 @@ class Table:
 
         return _update(self, filter, assignments)
 
-    def upsert(self, df: DataFrame, key_columns: list[str]) -> Snapshot:
+    def upsert(self, df: DataFrame, key_columns: list[str],
+               summary_extra: dict[str, str] | None = None) -> Snapshot:
         from .mutate import upsert as _upsert
 
-        return _upsert(self, df, key_columns)
+        return _upsert(self, df, key_columns, summary_extra=summary_extra)
 
     def merge(self, source: DataFrame, on: list[str], *,
               when_matched_update: dict[str, Any] | str | None = "*",
