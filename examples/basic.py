@@ -68,6 +68,34 @@ def main() -> None:
     kept = D.keep_greedy(docs, pairs, "doc_id")
     print(f"near-dup pairs: {pairs.count()}, corpus {docs.count()} -> kept {kept.count()}")
 
+    # -- incremental + CDC reads ------------------------------------------
+    snaps = users.snapshots()
+    print("rows appended after snapshot 2:",
+          users.incremental_scan(from_snapshot_id=snaps[1].snapshot_id,
+                                 ignore_non_append=True).count())
+    ch = users.changes(from_snapshot_id=snaps[0].snapshot_id,
+                       to_snapshot_id=snaps[1].snapshot_id)
+    print("changelog of the delete:",
+          {r._change_type: r["count"] for r in ch.groupBy("_change_type").count().collect()})
+
+    # -- SQL over engine tables -------------------------------------------
+    from go_iceberg_spark.catalog.catalog import register_sql_views
+
+    register_sql_views(cat, spark, ("demo",))
+    print("via spark.sql:",
+          spark.sql("SELECT count(*) AS n FROM users WHERE score >= 5").collect()[0].n)
+
+    # -- snapshot-replay streaming read (committed data only) -------------
+    from go_iceberg_spark.streaming.source import read_snapshot_stream
+
+    # the history contains delete/overwrite snapshots an append-only stream
+    # cannot represent; skip them (or consume users.changes() for row-level CDC)
+    q = (read_snapshot_stream(spark, users, **{"skip-non-append": "true"})
+         .writeStream.format("memory").queryName("users_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    print("streamed committed rows:", spark.table("users_stream").count())
+
     spark.stop()
 
 
