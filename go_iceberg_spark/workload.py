@@ -1046,6 +1046,75 @@ def timeseries_resample_q(spark, sf):
 
 
 @query(
+    "hopping_window_counts",
+    """
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest(generate_series(
+               date_trunc('hour', ts) - INTERVAL 1 HOUR,
+               date_trunc('hour', ts),
+               INTERVAL 1 HOUR)) AS w_start
+      FROM events)
+    SELECT w_start AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM starts
+    GROUP BY w_start, event_type
+    """,
+)
+def hopping_window_q(spark, sf):
+    """Hopping (sliding) window aggregation: 2-hour windows advancing every
+    hour, so each event lands in exactly two windows — F.window with a slide
+    interval; Spark expands the window memberships inline (no self-join).
+    The oracle derives each event's two window starts with generate_series."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "streaming_table_sink_scan",
+    """
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_table_sink_q(spark, sf):
+    """The streaming TABLE SINK through the graded gate: file-stream the
+    events table, append each micro-batch into a NEW engine table as one
+    snapshot (exactly-once batch markers in the snapshot summary), then
+    aggregate the TABLE's scan — proving stream-written snapshots serve the
+    same results as the batch source."""
+    from .streaming.stream import append_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = (spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+           .parquet(sf)
+           .filter(F.col("event_type").isin("view", "purchase"))
+           .select("event_id", "user_id", "event_type"))
+
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+
+    wh = _scratch_dir("gis_sink_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), "sink", from_spark_schema(src.schema))
+    q = append_stream(src, t, wh + "/ckpt", trigger_once=True)
+    q.awaitTermination(300)
+    t.refresh()
+    return (t.to_df().groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query(
     "timeseries_rolling_anomaly",
     """
     WITH hourly AS (
@@ -3478,7 +3547,7 @@ _GRADED_FIRST = [
     "changelog_cdc_scan",
     # §2.7 streaming
     "streaming_tumbling_counts",
-    "session_window_30min",
+    "streaming_table_sink_scan",
     "streaming_dedup_watermarked",
     # north-star LLM-pipeline operators
     "dedup_exact",
