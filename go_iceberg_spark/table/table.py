@@ -411,10 +411,22 @@ class Table:
 
         return _update(self, filter, assignments)
 
-    def upsert(self, df: DataFrame, key_columns: list[str],
+    def upsert(self, df: DataFrame, key_columns: list[str] | None = None,
                summary_extra: dict[str, str] | None = None) -> Snapshot:
+        """MERGE on ``key_columns``; when omitted, the schema's
+        identifier fields (reference: spec/schema.go:25-31
+        identifier-field-ids) are the merge key."""
         from .mutate import upsert as _upsert
 
+        if key_columns is None:
+            schema = self.metadata.current_schema
+            key_columns = [
+                f.name for fid in schema.identifier_field_ids
+                if (f := schema.find_field_by_id(fid)) is not None
+            ]
+            if not key_columns:
+                raise ValidationError(
+                    "upsert without key_columns requires schema identifier fields")
         return _upsert(self, df, key_columns, summary_extra=summary_extra)
 
     def merge(self, source: DataFrame, on: list[str], *,

@@ -638,3 +638,22 @@ def test_bloom_filter_point_lookup_pruning(spark, catalog):
     t2.append(evens.coalesce(1))
     assert all("bloom" not in s for e in t2.live_entries()
                for s in e.column_stats.values())
+
+
+def test_upsert_defaults_to_identifier_fields(spark, catalog, users):
+    """upsert() without keys merges on the schema's identifier fields; a
+    schema without identifier fields refuses rather than guessing."""
+    src = users_df(spark, 3).withColumn("name", F.lit("viaidf"))
+    users.upsert(src)  # users fixture declares identifier_fields=("id",)
+    got = {r.id for r in users.to_df().filter(F.col("name") == "viaidf").collect()}
+    assert got == {0, 1, 2}
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(a=1, b=2)])
+    t = catalog.create_table("db", "nokeys", from_spark_schema(df.schema))
+    t.append(df)
+    with pytest.raises(Exception, match="identifier fields"):
+        t.upsert(df)
