@@ -1,0 +1,73 @@
+"""Cross-feature integration: the round's features composed on one table —
+sorted range-distributed writes, bloom stats, partition evolution,
+metadata-only deletes, incremental/CDC reads, and the snapshot stream all
+operating on the same snapshot lineage."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.schema import from_spark_schema
+
+
+def test_features_compose_on_one_table(spark, catalog, tmp_path):
+    rng = random.Random(11)
+    rows = [Row(id=i, grp="a" if i % 2 else "b", v=float(i)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows).repartition(4)
+
+    t = catalog.create_table(
+        "db", "kitchen", from_spark_schema(df.schema),
+        properties={"write.target-file-size-bytes": "4096",
+                    "write.distribution-mode": "range",
+                    "write.bloom-columns": "grp"})
+    t.replace_sort_order("id")
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    n_files_1 = len(t.scan().plan_files())
+    assert n_files_1 > 1
+
+    # range-distributed sort: a point range prunes by bounds
+    assert len(t.scan().filter(gi.lt("id", 50)).plan_files()) < n_files_1
+
+    # partition evolution mid-life; the second generation lays out by grp
+    t.update_partition_spec("grp")
+    t.append(spark.createDataFrame(
+        [Row(id=1000 + i, grp="a" if i % 2 else "b", v=float(i)) for i in range(100)]))
+    assert {e.spec_id for e in t.live_entries()} == {0, 1}
+
+    # incremental scan across the evolution boundary sees only the new batch
+    assert t.incremental_scan(from_snapshot_id=s1).count() == 100
+
+    # partition-aligned delete is metadata-only for generation-2 'a' files
+    # and rewrites generation-1 files (their grp values are mixed)
+    before = {e.file_path for e in t.live_entries()}
+    t.delete(gi.eq("grp", "a"))
+    assert t.to_df().filter("grp = 'a'").count() == 0
+    assert t.to_df().count() == 500 + 50  # even ids are 'b'... b count: ids%2==0 -> 'b'
+    # changelog of the delete reports exactly the removed rows
+    ch = t.changes(from_snapshot_id=t.snapshots()[-2].snapshot_id)
+    dels = ch.filter("_change_type = 'delete'")
+    assert dels.count() == 500 + 50
+    assert set(r.grp for r in dels.select("grp").distinct().collect()) == {"a"}
+
+    # snapshot stream over the full lineage with skip: exactly the live rows
+    # of appends are replayed (deletes skipped)
+    from go_iceberg_spark.streaming.source import read_snapshot_stream
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (read_snapshot_stream(spark, t, **{"skip-non-append": "true"})
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert spark.read.parquet(sink).count() == 1100  # both appends, pre-delete
+
+    # maintenance keeps everything consistent
+    t.rewrite_manifests()
+    t.expire_snapshots(retain_last=1)
+    assert t.to_df().count() == 550
+    assert len(t.snapshots()) == 1
