@@ -74,3 +74,26 @@ def pack_by_token_budget(df: DataFrame, id_col: str, token_col: str,
         )
         .drop("_shard", "_cum")
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
+                    *, salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws a deterministic uniform u from its hashed id and scores
+    ln(u)/w; the top-k scores are the sample, giving inclusion probability
+    proportional to weight — the quality-weighted corpus subsample, stable
+    across engines and re-runs because u is a pure function of the id.
+
+    Distributed shape: score is a per-row expression; top-k is a global
+    TakeOrdered (no full sort materialized). Rows with non-positive weight
+    are excluded (their limit score is -inf)."""
+    u = (portable_hash60(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+         .cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ws", F.round(score, 9))
+        .orderBy(F.col("_ws").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_ws")
+    )

@@ -1552,6 +1552,29 @@ def sample_stratified_q(spark, sf):
 
 
 @query(
+    "sample_weighted_topk",
+    """
+    WITH scored AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             round(ln((('0x' || substr(md5('wsample_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       + 1.0) / 1152921504606846976.0) / n_chars, 9) AS _ws
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, text, lang, source, n_chars FROM scored
+    ORDER BY _ws DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_q(spark, sf):
+    """Weighted sampling without replacement (Efraimidis-Spirakis): each doc
+    scores ln(u)/weight with u drawn deterministically from its hashed id,
+    top-k wins — inclusion probability proportional to n_chars. Stable
+    across engines/re-runs; Spark plans the top-k as TakeOrdered, never a
+    full sort."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(load(spark, sf, "documents"), "doc_id", "n_chars", 100)
+
+
+@query(
     "pack_token_budget_bins",
     """
     WITH d AS (SELECT doc_id,
