@@ -114,6 +114,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self.start_snapshot_id}
 
     def latestOffset(self) -> dict:
+        # NOTE: no per-batch snapshot cap here on purpose: under the
+        # availableNow trigger Spark captures this offset ONCE and drains
+        # exactly to it, so a rate-limited latestOffset would silently
+        # truncate the drain instead of splitting it into batches.
         md, _ = load_metadata(self.location)
         cur = md.current_snapshot()
         if cur is None:
