@@ -122,6 +122,8 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
     new_files = write_data_files(
         table.spark, survivors_df, table.location, md.current_schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
+        target_file_size=table._target_file_size(),
+        bloom_columns=table._bloom_columns(),
     )
     # rewritten files have deletes applied; keep delete files only for untouched data
     remaining_deletes = _deletes_still_needed(table, untouched)
@@ -250,6 +252,8 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
     new_files = write_data_files(
         table.spark, df, table.location, md.current_schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
+        target_file_size=table._target_file_size(),
+        bloom_columns=table._bloom_columns(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
@@ -361,6 +365,8 @@ def merge(table, source: DataFrame, on: list[str], *,
     new_files = write_data_files(
         table.spark, result, table.location, schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
+        target_file_size=table._target_file_size(),
+        bloom_columns=table._bloom_columns(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,

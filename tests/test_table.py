@@ -657,3 +657,26 @@ def test_upsert_defaults_to_identifier_fields(spark, catalog, users):
     t.append(df)
     with pytest.raises(Exception, match="identifier fields"):
         t.upsert(df)
+
+
+def test_bloom_survives_cow_rewrite_and_compaction(spark, catalog):
+    """Mutation rewrites and compaction rebuild blooms for the files they
+    write, so point-lookup pruning keeps working over a table's lifetime."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(id=i, tag=f"t{i}") for i in range(100)])
+    t = catalog.create_table("db", "bloomlife", from_spark_schema(df.schema),
+                             properties={"write.bloom-columns": "tag"})
+    t.append(df.coalesce(1))
+    t.delete(E.eq("id", 5))  # CoW rewrite of the only file
+    ent = [e for e in t.live_entries() if e.content == 0]
+    fid = t.schema.find_field("tag").field_id
+    assert all(e.column_stats[fid].get("bloom") for e in ent), "rewrite lost blooms"
+    assert t.scan().filter(E.eq("tag", "t-absent")).plan_files() == []
+    assert t.scan().filter(E.eq("tag", "t7")).count() == 1
+    t.rewrite_data_files()
+    ent = [e for e in t.live_entries() if e.content == 0]
+    assert all(e.column_stats[fid].get("bloom") for e in ent), "compaction lost blooms"
