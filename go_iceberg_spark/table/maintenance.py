@@ -145,6 +145,7 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
         md.default_sort_order if not zorder_by else None,
         md.current_schema_id, table._next_sequence(),
         target_file_size=target_file_size_bytes,
+        distribution_mode=table._distribution_mode() if not zorder_by else "none",
         bloom_columns=table._bloom_columns(),
     )
     return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)

@@ -123,6 +123,7 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
         table.spark, survivors_df, table.location, md.current_schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
         target_file_size=table._target_file_size(),
+        distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
     )
     # rewritten files have deletes applied; keep delete files only for untouched data
@@ -253,6 +254,7 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
         table.spark, df, table.location, md.current_schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
         target_file_size=table._target_file_size(),
+        distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
@@ -366,6 +368,7 @@ def merge(table, source: DataFrame, on: list[str], *,
         table.spark, result, table.location, schema, md.default_spec,
         md.default_sort_order, md.current_schema_id, seq,
         target_file_size=table._target_file_size(),
+        distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
