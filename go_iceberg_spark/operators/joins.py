@@ -125,3 +125,34 @@ def salted_join(
     l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).cast("int"))
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def fuzzy_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 1,
+    block_len: int = 16,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: candidate pairs come from an EQUI-join
+    on a fixed-length blocking prefix, then edit distance filters within the
+    block — never an all-pairs cross join. The blocking key bounds each
+    join group, so cost is sum(block_size_l x block_size_r), and the
+    expensive levenshtein runs only inside blocks (JVM built-in, codegen).
+    Names differing inside the first ``block_len`` chars will not match —
+    the standard blocking trade-off; run multiple passes with different
+    keys for higher recall. Output: left row + matched right value +
+    ``dist``."""
+    lb = F.substring(F.col(left_col), 1, block_len)
+    rb = F.substring(F.col(right_col), 1, block_len)
+    r = right.select(F.col(right_col).alias("_match"), rb.alias("_rb"))
+    out = (
+        left.withColumn("_lb", lb)
+        .join(r, F.col("_lb") == F.col("_rb"))
+        .withColumn("dist", F.levenshtein(F.col(left_col), F.col("_match")).cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .drop("_lb", "_rb")
+    )
+    return out

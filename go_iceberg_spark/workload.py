@@ -1552,6 +1552,36 @@ def sample_stratified_q(spark, sf):
 
 
 @query(
+    "join_fuzzy_entity_match",
+    """
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id, substr(s_name, 1, 17) || 'X' AS dirty_name
+      FROM supplier WHERE s_suppkey % 3 = 0)
+    SELECT d.dirty_id, s.s_suppkey AS matched_id,
+           CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
+    FROM dirty d JOIN supplier s
+      ON substr(d.dirty_name, 1, 16) = substr(s.s_name, 1, 16)
+    WHERE levenshtein(d.dirty_name, s.s_name) <= 1
+    """,
+)
+def fuzzy_entity_match_q(spark, sf):
+    """Entity resolution / fuzzy dedup: supplier names with a synthesized
+    trailing typo retrieve their within-distance CANDIDATE SET via prefix
+    blocking + in-block levenshtein (operators/joins.py fuzzy_match_join) —
+    no all-pairs join, the blocking key bounds every group; ambiguous
+    candidates are retained for downstream adjudication, the standard
+    two-stage ER shape."""
+    sup = load(spark, sf, "supplier")
+    dirty = (sup.filter(F.col("s_suppkey") % 3 == 0)
+             .select(F.col("s_suppkey").alias("dirty_id"),
+                     F.concat(F.substring("s_name", 1, 17), F.lit("X")).alias("dirty_name")))
+    out = J.fuzzy_match_join(dirty, sup.select("s_suppkey", "s_name"),
+                             "dirty_name", "s_name", max_dist=1, block_len=16)
+    return (out.join(sup, out._match == sup.s_name)
+            .select("dirty_id", F.col("s_suppkey").alias("matched_id"), "dist"))
+
+
+@query(
     "sample_weighted_topk",
     """
     WITH scored AS (
