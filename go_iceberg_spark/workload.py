@@ -1552,6 +1552,27 @@ def sample_stratified_q(spark, sf):
 
 
 @query(
+    "embedding_int8_quantize",
+    f"""
+    SELECT vec_id,
+           list_transform(embedding, x -> CASE
+             WHEN sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) > 0
+             THEN CAST(round(127.0 * CAST(x AS DOUBLE)
+                             / sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 0) AS INT)
+             ELSE 0 END) AS qvec,
+           round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS norm
+    FROM embeddings
+    """,
+)
+def int8_quantize_q(spark, sf):
+    """Scalar int8 quantization for ANN serving: L2-normalize and map each
+    component to round(127 * x/norm) — fp32 -> int8 is a 4x memory cut with
+    integer dot products downstream. Pure higher-order functions, linear,
+    no shuffle."""
+    return S.quantize_int8(load(spark, sf, "embeddings"))
+
+
+@query(
     "join_fuzzy_entity_match",
     """
     WITH dirty AS (
