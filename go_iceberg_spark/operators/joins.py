@@ -31,18 +31,25 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the latest right row of
     the same key with ``right_ts <= left_ts`` (DuckDB/pandas ``merge_asof``
     semantics). Right columns come back suffixed; rows with no earlier right
-    row keep NULLs."""
+    row keep NULLs. ``tolerance_seconds`` bounds match staleness (pandas
+    merge_asof ``tolerance``): a match older than the bound degrades to NULLs
+    — the feature-freshness contract of an online feature store."""
     right_cols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
 
     # the carried payload is ONE struct (never null for right rows), so a
     # matched right row whose individual columns are NULL still shadows older
     # rows — last(ignorenulls) over per-column values would wrongly skip it.
-    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
-    payload_t = "struct<" + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+    # the matched right ts rides along for the staleness check.
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols],
+                       F.col(right_ts).alias("_asof_rts"))
+    payload_t = ("struct<"
+                 + ", ".join(f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in right_cols)
+                 + f", `_asof_rts`: {right.schema[right_ts].dataType.simpleString()}>")
 
     lhs = left.select(
         *left.columns,
@@ -66,8 +73,17 @@ def asof_join(
     )
     u = u.withColumn("_asof_payload", F.last(F.col("_asof_payload"), ignorenulls=True).over(w))
     out = u.filter(F.col("_asof_side") == 1)
+    fresh = None
+    if tolerance_seconds is not None:
+        # NTZ has no direct long cast; via LTZ is value-preserving under the
+        # engine's UTC session timezone
+        def secs(c):
+            return F.col(c).cast("timestamp").cast("long")
+
+        fresh = (secs(left_ts) - secs("_asof_payload._asof_rts")) <= tolerance_seconds
     for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col(f"_asof_payload.{c}"))
+        val = F.col(f"_asof_payload.{c}")
+        out = out.withColumn(f"{c}{suffix}", F.when(fresh, val) if fresh is not None else val)
     return out.drop("_asof_side", "_asof_ts", "_asof_payload")
 
 

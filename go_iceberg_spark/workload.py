@@ -670,6 +670,34 @@ def asof_q(spark, sf):
 
 
 @query(
+    "asof_join_with_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN l.ts - r.ts <= INTERVAL 1 HOUR THEN r.event_id END AS view_event_id,
+           CASE WHEN l.ts - r.ts <= INTERVAL 1 HOUR THEN r.value END AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_tolerance_q(spark, sf):
+    """As-of join with a 1-hour staleness bound (pandas merge_asof
+    tolerance): a matched view older than the bound degrades to NULLs — the
+    feature-freshness contract of an online feature store. Same union +
+    windowed carry-forward plan, zero extra shuffles."""
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    out = J.asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+                      right_cols=["event_id", "value"], suffix="_v",
+                      tolerance_seconds=3600)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_v").alias("view_event_id"), F.col("value_v").alias("view_value"),
+    )
+
+
+@query(
     "range_join_errors_followups",
     """
     SELECT r.event_id AS error_id, l.event_id AS other_id
