@@ -409,6 +409,38 @@ def cube_q(spark, sf):
 
 
 @query(
+    "window_nulls_ordering",
+    """
+    WITH b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer)
+    SELECT c_custkey, bal,
+           CAST(row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey) AS INT) AS rn_last,
+           CAST(row_number() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey) AS INT) AS rn_first
+    FROM b
+    """,
+)
+def window_nulls_ordering_q(spark, sf):
+    """NULL ordering discipline in window sorts: the same synthesized-NULL
+    column ranked with DESC NULLS LAST and ASC NULLS FIRST — both engines
+    must place the NULL group identically and break ties by key. A single
+    global-order window is driver-of-one-partition by construction; real
+    rankings partition first (see window_top3), this query pins the NULL
+    placement semantics only."""
+    c = load(spark, sf, "customer")
+    bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    b = c.select("c_custkey", bal.alias("bal"))
+    w_last = Window.orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey").asc())
+    w_first = Window.orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey").asc())
+    return b.select(
+        "c_custkey", "bal",
+        F.row_number().over(w_last).cast("int").alias("rn_last"),
+        F.row_number().over(w_first).cast("int").alias("rn_first"),
+    )
+
+
+@query(
     "window_top3_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, CAST(rnk AS INT) AS rnk
