@@ -445,6 +445,14 @@ def must_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
     lo, hi = s.min, s.max
     if lo is None or hi is None:
         return False
+    if isinstance(lo, float) or isinstance(hi, float):
+        # Parquet min/max stats EXCLUDE NaN, so a float file containing NaN
+        # rows can look "fully matching" (e.g. delete x < 100 with every
+        # non-NaN value < 100) and be dropped metadata-only — silently losing
+        # the NaN rows, which never satisfy a comparison. Without per-file
+        # nan_value_counts (Iceberg's guard) we cannot prove NaN-absence, so
+        # stay conservative and take the rewrite path.
+        return False
 
     try:
         if op is Op.EQ:

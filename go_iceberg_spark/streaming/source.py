@@ -108,6 +108,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.skip_non_append = str(options.get("skip-non-append", "false")).lower() == "true"
         start = options.get("start-snapshot-id")
         self.start_snapshot_id = int(start) if start is not None else None
+        # Pin the stream's schema ONCE at reader construction: Spark fixed the
+        # declared schema via DataSource.schema() at start, so every batch for
+        # the stream's lifetime must align to it. Re-resolving current_schema
+        # per micro-batch would let a mid-stream schema evolution make batches
+        # disagree with the declared schema until query restart.
+        md, _ = load_metadata(self.location)
+        self._pinned_schema: Schema = md.current_schema
+        self._pinned_target: pa.Schema = pa.schema([
+            pa.field(f.name, _pa_type(to_spark_type(f.type)), nullable=True)
+            for f in self._pinned_schema.fields
+        ])
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -131,11 +142,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         md, _ = load_metadata(self.location)
         chain = _lineage(md, start.get("snapshot_id"), end.get("snapshot_id"))
-        cur_schema = md.current_schema
-        target = pa.schema([
-            pa.field(f.name, _pa_type(to_spark_type(f.type)), nullable=True)
-            for f in cur_schema.fields
-        ])
+        cur_schema = self._pinned_schema
+        target = self._pinned_target
 
         prev_paths: dict[int, set[str]] = {}
 
@@ -157,7 +165,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"snapshot {snap.snapshot_id} is {snap.operation!r}; an append-only "
                     "stream cannot represent it — set .option('skip-non-append', 'true') "
                     "to skip, or consume table.changes() for row-level CDC")
-            parent = by_id.get(snap.parent_snapshot_id) if snap.parent_snapshot_id else None
+            if snap.parent_snapshot_id is not None:
+                parent = by_id.get(snap.parent_snapshot_id)
+                if parent is None:
+                    # An expired parent means we cannot diff this snapshot
+                    # against its predecessor; treating it as table-start would
+                    # replay the snapshot's FULL cumulative live set as "added"
+                    # files, breaking the committed-only/exactly-once contract.
+                    # Mirror incremental._entry_diff / snapshot_by_id.
+                    raise ValidationError(
+                        f"parent snapshot {snap.parent_snapshot_id} of "
+                        f"{snap.snapshot_id} is no longer retained; cannot compute "
+                        "an incremental diff — restart the stream from a retained "
+                        "snapshot (start-snapshot-id) or from latest")
+            else:
+                parent = None
             before = live_paths(parent)
             for e in _manifest_entries(self.location, snap):
                 if e.content != CONTENT_DATA or e.file_path in before:

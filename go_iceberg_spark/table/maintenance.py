@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
+import warnings
 from dataclasses import replace
 
 from pyspark.sql import DataFrame
@@ -27,6 +29,13 @@ from pyspark.sql import types as T
 from ..errors import ValidationError
 from .metadata import MAIN_BRANCH, now_ms
 from .write import write_data_files
+
+# manifest artifacts under metadata/: parquet members (m-{sid}-*.parquet),
+# avro members (m{gi}-snap-{sid}.avro), avro lists (snap-{sid}.avro), json
+# lists (snap-{sid}.manifest-list.json) — NOT v{N}.metadata.json versions
+_MANIFEST_FILE_RE = re.compile(
+    r"^(m-\d+-.+\.parquet|m\d+-snap-\d+\.avro|snap-\d+\.avro|"
+    r"snap-\d+\.manifest-list\.json)$")
 
 
 def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
@@ -69,6 +78,11 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
             lp = os.path.join(table.location, s.manifest_path)
             if os.path.exists(lp):
                 paths |= {m["path"] for m in read_manifest_list(lp)}
+            else:
+                # list already gone (partial earlier expire): members can't be
+                # enumerated here — the metadata-dir sweep below reclaims them
+                warnings.warn(f"manifest list missing for snapshot "
+                              f"{s.snapshot_id}: {s.manifest_path}")
         return paths
 
     kept_files: set[str] = set()
@@ -84,6 +98,20 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
             doomed_files |= {e.file_path for e in table.manifest_entries(s)}
     doomed_files -= kept_files
     doomed_manifests -= kept_manifests
+
+    # A doomed snapshot whose manifest-list file is already gone (e.g. a
+    # partially-completed earlier expire) can't enumerate its members via the
+    # list, so they'd leak. Sweep metadata/ for manifest-pattern files
+    # unreachable from every RETAINED snapshot — after the commit below,
+    # retained is exactly the live set, so anything else is garbage.
+    meta_dir = os.path.join(table.location, "metadata")
+    if os.path.isdir(meta_dir):
+        for fn in os.listdir(meta_dir):
+            if not (_MANIFEST_FILE_RE.match(fn)):
+                continue
+            rel = os.path.join("metadata", fn)
+            if rel not in kept_manifests:
+                doomed_manifests.add(rel)
 
     # fix parent pointers across the removal gap, keep refs valid
     retained_ids = {s.snapshot_id for s in retained}

@@ -224,7 +224,11 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
                 "max": json.loads(d["stats_max_json"][i][j]),
                 "null_count": d["stats_null_counts"][i][j],
                 "value_count": d["stats_value_counts"][i][j],
-                **({"bloom": blooms[i][j]} if blooms is not None and blooms[i][j] else {}),
+                # blooms[i] itself can be None when a mixed pre/post-bloom
+                # manifest set is read with mergeSchema (null row-level array)
+                **({"bloom": blooms[i][j]}
+                   if blooms is not None and blooms[i] is not None and blooms[i][j]
+                   else {}),
             }
             for j, fid in enumerate(d["stats_fids"][i])
         }

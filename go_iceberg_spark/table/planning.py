@@ -371,7 +371,11 @@ def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Sche
     from pyspark.sql import functions as F
 
     paths = path if isinstance(path, list) else [path]
-    df = spark.read.parquet(*paths)
+    # mergeSchema: member manifests are immutable and REUSED across snapshots,
+    # so one list can mix pre-bloom members (no stats_blooms column) with new
+    # ones. Without merging, inference from one member either drops the bloom
+    # column or yields rows where the whole stats_blooms array is null.
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if "stats_json" in df.columns:  # legacy manifest: no array columns
         out: list[DataFileEntry] = []
         for p in paths:

@@ -157,3 +157,21 @@ def test_must_match_proves_full_file_coverage():
     assert not must_match(col("x").is_not_null(), all_null)
     # unknown column / missing stats -> never proven
     assert not must_match(col("zz").eq(1), full)
+
+
+def test_must_match_refuses_float_columns_nan_blind_stats():
+    """Parquet min/max stats EXCLUDE NaN: a float file whose non-NaN values
+    all satisfy the predicate may still hold NaN rows that don't. must_match
+    must therefore never 'prove' full coverage from float bounds (the
+    metadata-only delete fast path would silently drop those NaN rows)."""
+    from go_iceberg_spark.expr import ColumnStats, col, must_match
+
+    fs = {"f": ColumnStats(min=1.0, max=50.0, null_count=0, value_count=10)}
+    assert not must_match(col("f").lt(100.0), fs)
+    assert not must_match(col("f").lte(50.0), fs)
+    assert not must_match(col("f").gte(1.0), fs)
+    assert not must_match(col("f").not_eq(99.0), fs)
+    # might_match (inclusive projection) is unaffected — scan still visits
+    from go_iceberg_spark.expr import might_match
+
+    assert might_match(col("f").lt(100.0), fs)

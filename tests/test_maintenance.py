@@ -159,3 +159,28 @@ def test_expire_retains_ref_heads(spark, catalog):
     # staged branch still readable after expiry
     assert t.scan().use_ref("wip").to_df().count() == 11
     assert t.scan().count() == 5
+
+
+def test_expire_reclaims_members_when_list_missing(spark, catalog):
+    """A doomed snapshot whose manifest-list file is already gone (partial
+    earlier expire) must still have its member manifests reclaimed — the
+    metadata-dir sweep catches what the list can no longer enumerate."""
+    from go_iceberg_spark.table.metadata import read_manifest_list
+
+    t = mk(spark, catalog, "leak", batches=1, rows=10)
+    first = t.snapshots()[0]
+    members_a = {m["path"] for m in read_manifest_list(
+        os.path.join(t.location, first.manifest_path))}
+    # overwrite rewrites members, so A's members are NOT reused downstream
+    t.overwrite(spark.createDataFrame([Row(id=999, v=1.0)]))
+    t.append(spark.createDataFrame([Row(id=1000, v=2.0)]))
+    # simulate a partially-completed earlier expire: the list file vanished
+    os.remove(os.path.join(t.location, first.manifest_path))
+    with pytest.warns(UserWarning, match="manifest list missing"):
+        MX.expire_snapshots(t, retain_last=1)
+    kept = {m["path"] for m in read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path))}
+    for p in members_a - kept:
+        assert not os.path.exists(os.path.join(t.location, p)), p
+    # table still reads fine
+    assert t.to_df().count() == 2

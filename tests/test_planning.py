@@ -212,3 +212,24 @@ def test_distributed_over_manifest_list_members(spark, tmp_path):
     both = {e.file_path for e in plan_distributed(spark, [p1, p2], enc(gt("x", 2000)), SCHEMA)}
     assert both == single1 | single2
     assert any(fp.startswith("g2/") for fp in both) and len(both) > 0
+
+
+def test_distributed_mixed_prebloom_members(spark, tmp_path):
+    """Manifest lists REUSE immutable member manifests across snapshots, so
+    one plan can read members written before the stats_blooms column existed
+    next to new ones. plan_distributed must mergeSchema and entry building
+    must tolerate a null row-level blooms array."""
+    import pyarrow.parquet as pq
+
+    p_new = str(tmp_path / "new.parquet")
+    write_manifest(p_new, make_entries(10, with_deletes=False))
+    # simulate a pre-bloom member: same manifest minus the stats_blooms column
+    p_old = str(tmp_path / "old.parquet")
+    tbl = pq.read_table(p_new)
+    pq.write_table(tbl.drop_columns(["stats_blooms"]), p_old)
+
+    for f in (gt("x", 30), is_null("x")):
+        a = {e.file_path for e in prune_manifest_driver(p_new, enc(f), SCHEMA)}
+        both = {e.file_path
+                for e in plan_distributed(spark, [p_old, p_new], enc(f), SCHEMA)}
+        assert both == a  # same logical entries in both members

@@ -79,3 +79,45 @@ def test_schema_evolution_mid_stream(spark, table, tmp_path):
     out = spark.read.parquet(sink)
     rows = {r.id: r.tag for r in out.collect()}
     assert rows[10] == "x" and rows[0] is None  # old files aligned, null-filled
+
+
+def test_expired_parent_raises_instead_of_full_replay(spark, table, tmp_path):
+    """If the checkpointed start snapshot's successor has an EXPIRED parent,
+    the source must refuse to plan (ValidationError), not silently emit the
+    snapshot's full cumulative live set as one 'added' batch."""
+    from dataclasses import replace
+
+    from go_iceberg_spark.streaming.source import SnapshotStreamReader
+
+    t = table
+    t.append(spark.createDataFrame([Row(id=10, v=1.0)]))
+    b = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=11, v=2.0)]))
+    c = t.current_snapshot().snapshot_id
+    # an external expire that did NOT rewrite parent pointers: b vanishes
+    # from the snapshot list while c still claims it as parent
+    md = t.metadata
+    new_md = replace(md, snapshots=tuple(
+        s for s in md.snapshots if s.snapshot_id != b))
+    t.version = t._commit_fn(new_md, t.version)
+    reader = SnapshotStreamReader({"location": t.location})
+    with pytest.raises(Exception, match="no longer retained"):
+        reader.partitions({"snapshot_id": b}, {"snapshot_id": c})
+
+
+def test_reader_pins_schema_at_construction(spark, table):
+    """Mid-stream schema evolution must not change the batch schema until the
+    query restarts: the reader pins current_schema when constructed."""
+    from go_iceberg_spark.streaming.source import SnapshotStreamReader
+
+    t = table
+    reader = SnapshotStreamReader({"location": t.location})
+    pinned = [f.name for f in reader._pinned_target]
+    t.update_schema().add_column("extra", gi.STRING).commit()
+    t.refresh()
+    t.append(spark.createDataFrame([Row(id=20, v=2.0, extra="y")]))
+    parts = reader.partitions({"snapshot_id": None},
+                              {"snapshot_id": t.current_snapshot().snapshot_id})
+    assert parts, "expected at least one file partition"
+    for p in parts:
+        assert [f.name for f in p.target] == pinned  # no 'extra' mid-stream
