@@ -171,24 +171,72 @@ def ivf_topk(
     centroid list; queries probe the ``n_probe`` nearest lists and re-rank
     exactly. Centroid assignment is a broadcast join against n_lists rows.
     The md5-of-id order is reproducible in any engine, so the DuckDB oracle
-    derives the identical centroid set."""
-    cents = F.broadcast(
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-        .limit(n_lists)
-        .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
-    )
+    derives the identical centroid set.
 
-    def assign(df: DataFrame, idc: str, vc: str, keep_n: int) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn("_d", cosine_expr(F.col(vc), F.col("_cent_v")))
-        w = Window.partitionBy(idc).orderBy(F.col("_d").desc(), F.col("_cent_id").asc())
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= keep_n)
-            .drop("_cent_v", "_d", "_r")
+    Scale note: the ``n_lists`` centroids are collected to the driver (a
+    TakeOrdered of n_lists rows — metadata-scale) and embedded as literals,
+    so list assignment is ONE shuffle-free projection per side: an array of
+    (−cosine, cent_id) structs sorted lexicographically (≡ cosine DESC,
+    cent_id ASC — the oracle's exact tie-break) and sliced. The previous
+    shape (crossJoin ×n_lists + row_number window) shuffled 8×|corpus| rows
+    just to pick each vector's nearest centroid."""
+    cent_rows = [
+        (r["_cent_id"], [float(x) for x in r["_cent_v"]])
+        for r in (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+            .collect()
         )
+    ]
+    if not cent_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
 
-    c = assign(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "neighbor_id", "_cv", 1)
-    q = assign(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "query_id", "_qv", n_probe)
+    def ranked_cents_sql(vc: str) -> str:
+        # One SQL string (single parse, no per-literal py4j traffic): sorted
+        # array of (−cosine, cent_id) structs. Centroid norms are plain
+        # Python doubles — same left-to-right float64 accumulation + IEEE
+        # sqrt the JVM expression produced, so values are bit-identical.
+        # NULL cosine (zero-norm vector) → +inf so it never wins, mirroring
+        # DESC-nulls-last. Row-vector norm `_nv` is factored out and
+        # computed once instead of once per centroid.
+        import math
+
+        entries = []
+        for cid, v in cent_rows:
+            acc = 0.0
+            for x in v:
+                acc = acc + x * x
+            norm_c = math.sqrt(acc)
+            lit = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")"
+            dot = (f"aggregate(zip_with({vc}, {lit}, (x, y) -> "
+                   f"CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            entries.append(
+                f"named_struct('negd', coalesce(-(CAST({dot} / (_nv * CAST({norm_c!r} AS DOUBLE)) AS DOUBLE)), "
+                f"CAST('Infinity' AS DOUBLE)), 'cent', CAST({cid} AS BIGINT))")
+        return "sort_array(array(" + ",".join(entries) + "))"
+
+    norm_v_sql = (
+        "SQRT(aggregate({vc}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.expr(norm_v_sql.format(vc=vec_col)).alias("_nv"),
+    ).select(
+        "neighbor_id", "_cv",
+        F.expr(ranked_cents_sql("_cv"))[0]["cent"].alias("_cent_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.expr(norm_v_sql.format(vc=vec_col)).alias("_nv"),
+    ).select(
+        "query_id", "_qv",
+        F.explode(F.expr(
+            f"transform(slice({ranked_cents_sql('_qv')}, 1, {n_probe}), s -> s.cent)"
+        )).alias("_cent_id"),
+    )
     scored = (
         c.join(_broadcast_if_small(q), on="_cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -156,3 +156,24 @@ def test_table_scan_pushes_residual_filter_to_parquet(spark, catalog):
     assert "id" in pushed, f"filter not pushed: {pushed!r}"
     schemas = P.read_schemas(out)
     assert schemas and all("v" not in s for s in schemas), f"unpruned read: {schemas}"
+
+
+def test_ivf_corpus_assignment_is_shuffle_free(spark):
+    """IVF list assignment must be a single projection over literal centroids
+    — no Exchange between the corpus scan and the assignment (the old shape
+    shuffled 8x|corpus| rows through a row_number window), and no window at
+    all on the assignment side."""
+    from go_iceberg_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    # full query: the only shuffles allowed are the centroid-list join and
+    # the final top-k window — assignment itself adds none
+    df = ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                  id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one window remains (final per-query rank); the two assignment windows
+    # of the old shape are gone
+    assert P.count_op(df, "Window") <= 1
+    # shuffles: join exchange(s) + final window partitioning only
+    assert P.num_shuffles(df) <= 3, P.formatted_plan(df)
