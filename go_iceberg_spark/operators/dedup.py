@@ -272,7 +272,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     position) + a token count; bit i of the fingerprint is set iff
     2*ones_i > n (same vote-sum > 0 semantics, without materializing a
     60x-exploded (id, bit, vote) table). Partial aggregation makes the
-    shuffle width 61 longs per id regardless of document length."""
+    shuffle width 61 longs per id regardless of document length.
+
+    Shape note (measured, sf0.1 local[32], warm): this explode + codegen'd
+    hash-aggregate is the FAST shape. Two "obvious" optimizations are
+    slower and were rejected: (a) hashing the distinct-token vocabulary once
+    and joining back (+40% — the vocab distinct re-evaluates the explode
+    subtree and adds two shuffles of the occurrence table); (b) computing
+    the fingerprint per-row with transform + 60 array-aggregate passes, no
+    shuffle at all (+45% — higher-order array functions run interpreted,
+    losing to whole-stage-codegen'd sums, and the unmaterialized fingerprint
+    expression gets re-inlined into every banding reference downstream).
+    The md5-per-occurrence cost is the portability contract's price and is
+    bounded linear in corpus size."""
     toks = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("_tok"),
