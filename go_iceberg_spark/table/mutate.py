@@ -278,9 +278,16 @@ def upsert(table, source: DataFrame, key_columns: list[str],
 def merge(table, source: DataFrame, on: list[str], *,
           when_matched_update: dict[str, Any] | str | None = "*",
           when_not_matched_insert: bool = True,
-          when_matched_delete: bool = False,
+          when_matched_delete: "bool | Column" = False,
           summary_extra: dict[str, str] | None = None):
     """MERGE INTO over the table, null-safe on composite keys.
+
+    ``when_matched_delete`` may be ``True`` (delete ALL matched rows —
+    mutually exclusive with an update) or a boolean ``Column`` over the
+    aliased sides ``t``/``s`` (``WHEN MATCHED AND <cond> THEN DELETE``):
+    matched rows satisfying the condition are deleted, the remaining matched
+    rows still receive ``when_matched_update`` — the full three-clause MERGE
+    surface in one commit.
 
     Plan (shuffle-bounded at 100 TB):
     1. metadata prune: candidate files = live files whose key-column stats
@@ -289,13 +296,18 @@ def merge(table, source: DataFrame, on: list[str], *,
     3. rewritten candidates + untouched files + appended new-key rows commit
        as one snapshot.
     """
+    from pyspark.sql import Column
+
     md = table.metadata
     schema = md.current_schema
     for k in on:
         if schema.find_field(k) is None:
             raise ValidationError(f"merge key {k!r} not in schema")
-    if when_matched_delete and when_matched_update:
-        raise ValidationError("choose either matched-update or matched-delete")
+    if when_matched_delete is True and when_matched_update:
+        raise ValidationError(
+            "choose either matched-update or matched-delete (an unconditional "
+            "delete consumes every matched row; pass a Column condition to "
+            "combine delete + update)")
 
     # align source columns to table schema (names must exist)
     src_cols = [f.name for f in schema.fields if f.name in source.columns]
@@ -358,8 +370,13 @@ def merge(table, source: DataFrame, on: list[str], *,
         out_cols.append(val.cast(_tst(f.type)).alias(f.name))
 
     result = joined
-    if when_matched_delete:
-        result = result.filter(~(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()))
+    matched = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()
+    if isinstance(when_matched_delete, Column):
+        # conditional delete: NULL condition = no match = keep (SQL MERGE
+        # WHEN MATCHED AND cond semantics)
+        result = result.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
+    elif when_matched_delete:
+        result = result.filter(~matched)
     if not when_not_matched_insert:
         result = result.filter(F.col("t._t_exists").isNotNull())
     result = result.select(*out_cols)

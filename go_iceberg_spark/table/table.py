@@ -432,7 +432,7 @@ class Table:
     def merge(self, source: DataFrame, on: list[str], *,
               when_matched_update: dict[str, Any] | str | None = "*",
               when_not_matched_insert: bool = True,
-              when_matched_delete: bool = False) -> Snapshot:
+              when_matched_delete: "bool | Column" = False) -> Snapshot:
         from .mutate import merge as _merge
 
         return _merge(self, source, on, when_matched_update=when_matched_update,

@@ -680,3 +680,36 @@ def test_bloom_survives_cow_rewrite_and_compaction(spark, catalog):
     t.rewrite_data_files()
     ent = [e for e in t.live_entries() if e.content == 0]
     assert all(e.column_stats[fid].get("bloom") for e in ent), "compaction lost blooms"
+
+
+def test_merge_conditional_delete_full_surface(spark, users):
+    """All three MERGE clauses in ONE commit: WHEN MATCHED AND cond THEN
+    DELETE, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT."""
+    from pyspark.sql import functions as F
+
+    # users ids 0..99; source ids 95..104 with name 'S<i>'
+    src = spark.createDataFrame(
+        [(i, f"S{i}") for i in range(95, 105)], "id long, name string"
+    )
+    n_before = len(users.snapshots())
+    users.merge(
+        src, ["id"],
+        when_matched_update="*",
+        when_matched_delete=(F.col("s.id") % 2 == 0),  # delete matched even ids
+        when_not_matched_insert=True,
+    )
+    assert len(users.snapshots()) == n_before + 1  # one snapshot
+    rows = {r.id: r.name for r in users.to_df().collect()}
+    for i in (96, 98):                      # matched + cond -> deleted
+        assert i not in rows
+    for i in (95, 97, 99):                  # matched, not cond -> updated
+        assert rows[i] == f"S{i}"
+    for i in range(100, 105):               # not matched -> inserted
+        assert rows[i] == f"S{i}"
+    assert rows[0].startswith("u") or rows[0] != ""  # untouched rows remain
+    # unconditional delete + update still rejected
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    with _pytest.raises(ValidationError):
+        users.merge(src, ["id"], when_matched_update="*", when_matched_delete=True)
