@@ -1,0 +1,277 @@
+"""Spec-only external reader for ``manifest-format=avro`` tables.
+
+Interop gate for the Iceberg wire mode (VERDICT r2 task #1 fallback — no
+pyiceberg in the sandbox): a reader implemented HERE, from the spec alone,
+reconstructs the table's planned-file output using ONLY the on-disk
+artifacts and non-engine parsers:
+
+- table metadata:   plain ``json`` over ``metadata/vN.metadata.json``
+- manifest list:    the *Java* Apache Avro implementation on Spark's classpath
+- member manifests: same Java reader
+- bound values:     decoded with ``struct`` straight off the spec's
+                    little-endian single-value encoding (Appendix D) —
+                    byte-for-byte, no engine serde involved
+- row count:        DuckDB over the parquet data + delete files, applying the
+                    spec's sequence-number MoR rules (position deletes apply at
+                    delete_seq >= data_seq, equality deletes at > )
+
+and must agree with ``scan().plan_files()`` / ``scan().count()`` on a
+CRUD-exercised table (appends + CoW delete + MoR position delete + equality
+delete).  Reference layout being validated: spec/avro.go:91-171 (manifest
+list), :302-335 (entries), :338-534 (serde), :814-883 (bounds);
+spec/metadata.go:55-78 (metadata JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import duckdb
+import pandas as pd
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.schema import from_spark_schema
+from go_iceberg_spark.table.transaction import delete_equality
+
+STATUS_DELETED = 2
+
+
+# ---------------------------------------------------------------------------
+# the external reader (spec-only; none of the engine's Python readers)
+# ---------------------------------------------------------------------------
+
+
+def _jocf(spark, path):
+    """Read an Avro OCF through the JVM's org.apache.avro — returns
+    (writer schema as dict, file metadata dict, records as dicts).  Byte
+    fields come back latin-1-mapped inside the JSON rendering; callers
+    recover them with .encode('latin-1')."""
+    jvm = spark.sparkContext._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    schema = json.loads(dfr.getSchema().toString())
+    meta = {k: dfr.getMetaString(k) for k in dfr.getMetaKeys()}
+    records = []
+    while dfr.hasNext():
+        records.append(json.loads(dfr.next().toString()))
+    dfr.close()
+    return schema, meta, records
+
+
+def _raw(v):
+    return None if v is None else v.encode("latin-1")
+
+
+def external_table_state(spark, location):
+    """metadata JSON -> manifest list -> manifests -> live entries, with no
+    engine reader in the path.  Returns (metadata json, current snapshot
+    json, manifest-file records, live entry records)."""
+    mdir = os.path.join(location, "metadata")
+    versions = sorted(
+        int(n[1 : -len(".metadata.json")])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    with open(os.path.join(mdir, f"v{versions[-1]}.metadata.json")) as f:
+        md = json.load(f)
+    assert md["format-version"] == 2
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
+    list_path = os.path.join(location, snap["manifest"])
+    assert list_path.endswith(".avro"), "avro mode must point snapshots at an OCF manifest list"
+
+    _, list_meta, manifest_files = _jocf(spark, list_path)
+    assert int(list_meta["snapshot-id"]) == snap["snapshot-id"]
+    assert list_meta["format-version"] == "2"
+
+    entries = []
+    for mf in manifest_files:
+        mschema, mmeta, recs = _jocf(spark, os.path.join(location, mf["manifest_path"]))
+        assert mmeta["format-version"] == "2"
+        # spec field ids present on the wire schema
+        top_ids = {f["name"]: f.get("field-id") for f in mschema["fields"]}
+        assert top_ids["status"] == 0 and top_ids["data_file"] == 2
+        for r in recs:
+            if r["status"] == STATUS_DELETED:
+                continue
+            entries.append(r)
+    return md, snap, manifest_files, entries
+
+
+def _field_types(md):
+    """field id -> iceberg type string, from the CURRENT schema's JSON."""
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    return {f["id"]: f["type"] for f in cur["fields"]}, {
+        f["id"]: f["name"] for f in cur["fields"]
+    }
+
+
+def _decode_bound(type_name, raw):
+    """Spec Appendix D single-value decode, implemented independently."""
+    if raw is None:
+        return None
+    if type_name == "long":
+        return struct.unpack("<q", raw)[0]
+    if type_name == "int":
+        return struct.unpack("<i", raw)[0]
+    if type_name == "double":
+        return struct.unpack("<d", raw)[0]
+    if type_name == "float":
+        return struct.unpack("<f", raw)[0]
+    if type_name == "string":
+        return raw.decode("utf-8")
+    if type_name == "boolean":
+        return raw != b"\x00"
+    raise AssertionError(f"unexpected bound type {type_name}")
+
+
+def _kv(rec_list):
+    return {kv["key"]: kv["value"] for kv in rec_list or []}
+
+
+# ---------------------------------------------------------------------------
+# the CRUD-exercised fixture table
+# ---------------------------------------------------------------------------
+
+
+def _crud_table(spark, catalog):
+    rows1 = [Row(ok=i, price=float(i) * 10.0, note=f"note-{i:03d}") for i in range(50)]
+    rows2 = [Row(ok=50 + i, price=1000.0 + i, note=f"late-{i:03d}") for i in range(50)]
+    df1 = spark.createDataFrame(rows1)
+    df2 = spark.createDataFrame(rows2)
+    t = catalog.create_table(
+        "db", "ext", from_spark_schema(df1.schema), properties={"manifest-format": "avro"}
+    )
+    t.append(df1)
+    t.append(df2)
+    t.delete(gi.lt("ok", 10))  # CoW: rewrites the first batch's file
+    t.delete(gi.gt("price", 1040.0), mode="merge-on-read")  # position-delete file
+    keys = spark.createDataFrame([Row(ok=20), Row(ok=21), Row(ok=999)])
+    delete_equality(t, keys, ["ok"])  # equality-delete file
+    return t
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_external_reconstructs_plan_files(spark, catalog):
+    t = _crud_table(spark, catalog)
+    tasks = t.scan().plan_files()
+
+    md, snap, manifest_files, entries = external_table_state(spark, t.location)
+
+    # -- file-set parity, data and deletes ---------------------------------
+    ext_data = {e["data_file"]["file_path"]: e for e in entries if e["data_file"]["content"] == 0}
+    ext_dels = {e["data_file"]["file_path"]: e for e in entries if e["data_file"]["content"] != 0}
+    assert set(ext_data) == {task.file.file_path for task in tasks}
+    engine_dels = {d.file_path for task in tasks for d in task.delete_files}
+    assert set(ext_dels) == engine_dels
+    assert any(e["data_file"]["content"] == 1 for e in ext_dels.values())  # position
+    assert any(e["data_file"]["content"] == 2 for e in ext_dels.values())  # equality
+
+    # -- per-entry parity: counts, sequence numbers, bounds byte-for-byte --
+    types, _names = _field_types(md)
+    for task in tasks:
+        ext = ext_data[task.file.file_path]
+        assert ext["data_file"]["record_count"] == task.file.record_count
+        assert ext["sequence_number"] == task.file.sequence_number
+        lowers = _kv(ext["data_file"]["lower_bounds"])
+        uppers = _kv(ext["data_file"]["upper_bounds"])
+        for fid, s in task.file.column_stats.items():
+            if s.get("min") is not None:
+                assert _decode_bound(types[fid], _raw(lowers[fid])) == s["min"], (
+                    f"lower bound mismatch fid={fid} file={task.file.file_path}"
+                )
+            if s.get("max") is not None:
+                assert _decode_bound(types[fid], _raw(uppers[fid])) == s["max"]
+
+    # -- equality ids ride the wire ----------------------------------------
+    eq = [e for e in ext_dels.values() if e["data_file"]["content"] == 2]
+    ok_fid = next(fid for fid, n in _names_by_id(md).items() if n == "ok")
+    assert all(e["data_file"]["equality_ids"] == [ok_fid] for e in eq)
+
+    # -- manifest-list bookkeeping is self-consistent ----------------------
+    for mf in manifest_files:
+        _, _, recs = _jocf(spark, os.path.join(t.location, mf["manifest_path"]))
+        added = [r for r in recs if r["status"] == 1]
+        existing = [r for r in recs if r["status"] == 0]
+        assert mf["added_files_count"] == len(added)
+        assert mf["existing_files_count"] == len(existing)
+        assert mf["added_rows_count"] == sum(r["data_file"]["record_count"] for r in added)
+        assert mf["min_sequence_number"] == min(r["sequence_number"] for r in recs)
+        # ADDED exactly when the entry carries the snapshot's sequence number
+        assert all(r["sequence_number"] == snap["sequence-number"] for r in added)
+
+
+def _names_by_id(md):
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    return {f["id"]: f["name"] for f in cur["fields"]}
+
+
+def test_external_row_count_matches_scan(spark, catalog):
+    """DuckDB replays the MoR merge from the externally-read tree and lands on
+    the engine's scan().count() — the pyiceberg-equivalent end-to-end check."""
+    t = _crud_table(spark, catalog)
+    md, _snap, _mfs, entries = external_table_state(spark, t.location)
+    names = _names_by_id(md)
+
+    loc = t.location
+    data = [(e["data_file"]["file_path"], e["sequence_number"]) for e in entries
+            if e["data_file"]["content"] == 0]
+    pos = [(e["data_file"]["file_path"], e["sequence_number"]) for e in entries
+           if e["data_file"]["content"] == 1]
+    eqd = [(e["data_file"]["file_path"], e["sequence_number"],
+            [names[fid] for fid in e["data_file"]["equality_ids"]]) for e in entries
+           if e["data_file"]["content"] == 2]
+    assert data and pos and eqd, "fixture must exercise all three content kinds"
+    (eq_cols,) = {tuple(cols) for _, _, cols in eqd}
+
+    con = duckdb.connect()
+    con.register("datafiles", pd.DataFrame(
+        {"abs": [os.path.join(loc, p) for p, _ in data], "rel": [p for p, _ in data],
+         "seq": [s for _, s in data]}))
+    con.register("posfiles", pd.DataFrame(
+        {"abs": [os.path.join(loc, p) for p, _ in pos], "seq": [s for _, s in pos]}))
+    con.register("eqfiles", pd.DataFrame(
+        {"abs": [os.path.join(loc, p) for p, _, _ in eqd], "seq": [s for _, s, _ in eqd]}))
+
+    eq_col = eq_cols[0]
+
+    def lst(rows):
+        return "[" + ", ".join(f"'{os.path.join(loc, p[0])}'" for p in rows) + "]"
+
+    n = con.execute(
+        f"""
+        WITH data_rows AS (
+            SELECT r.{eq_col} AS eq_key, df.rel, df.seq, r.file_row_number AS pos
+            FROM read_parquet({lst(data)}, filename=true, file_row_number=true) r
+            JOIN datafiles df ON r.filename = df.abs
+        ),
+        pos_del AS (
+            SELECT p.file_path AS rel, p.pos, pf.seq AS dseq
+            FROM read_parquet({lst(pos)}, filename=true) p
+            JOIN posfiles pf ON p.filename = pf.abs
+        ),
+        eq_del AS (
+            SELECT e.{eq_col} AS eq_key, ef.seq AS dseq
+            FROM read_parquet({lst(eqd)}, filename=true) e
+            JOIN eqfiles ef ON e.filename = ef.abs
+        )
+        SELECT count(*) FROM data_rows d
+        WHERE NOT EXISTS (SELECT 1 FROM pos_del pd
+                          WHERE pd.rel = d.rel AND pd.pos = d.pos AND pd.dseq >= d.seq)
+          AND NOT EXISTS (SELECT 1 FROM eq_del ed
+                          WHERE ed.eq_key IS NOT DISTINCT FROM d.eq_key AND ed.dseq > d.seq)
+        """
+    ).fetchone()[0]
+
+    engine = t.scan().count()
+    # CRUD arithmetic: 100 - 10 (CoW) - 9 (pos: price>1040 => ok 91..99)
+    #                      - 2 (eq: ok 20,21 present; 999 absent)
+    assert engine == 79
+    assert n == engine
