@@ -63,18 +63,27 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
         return []
 
     def _manifest_paths(s) -> set[str]:
-        """A snapshot's manifest files — for the avro wire format and the
-        JSON manifest-list layout that is the LIST plus every member
-        manifest it references (members are shared across snapshots; the
-        kept/doomed set difference below keeps reused ones alive)."""
+        """A snapshot's manifest files across BOTH dialects — each list plus
+        every member manifest it references (members are shared across
+        snapshots; the kept/doomed set difference below keeps reused ones
+        alive). In dual mode a snapshot owns a parquet tree (manifest_path)
+        AND an avro tree (avro_manifest_path)."""
         from .metadata import MANIFEST_LIST_SUFFIX, read_manifest_list
 
         paths = {s.manifest_path}
-        if s.manifest_path.endswith(".avro"):
+        avro_list = s.avro_manifest_path or (
+            s.manifest_path if s.manifest_path.endswith(".avro") else None
+        )
+        if avro_list is not None:
             from .manifest_avro import member_manifest_paths
 
-            paths |= set(member_manifest_paths(table.location, s.manifest_path))
-        elif s.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+            paths.add(avro_list)
+            if os.path.exists(os.path.join(table.location, avro_list)):
+                paths |= set(member_manifest_paths(table.location, avro_list))
+            else:
+                warnings.warn(f"avro manifest list missing for snapshot "
+                              f"{s.snapshot_id}: {avro_list}")
+        if s.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
             lp = os.path.join(table.location, s.manifest_path)
             if os.path.exists(lp):
                 paths |= {m["path"] for m in read_manifest_list(lp)}

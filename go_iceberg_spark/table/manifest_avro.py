@@ -270,6 +270,84 @@ def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
     }
 
 
+def _write_member(
+    location: str,
+    rel_path: str,
+    group: list[tuple[DataFileEntry, int]],
+    *,
+    content: int,
+    schema: Schema,
+    schema_id: int,
+    spec: PartitionSpec,
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict:
+    """Write ONE member manifest OCF (entries paired with their wire status)
+    and return its ``manifest_file`` record for the manifest list."""
+    entry_schema = manifest_entry_schema(spec)
+    records = []
+    for e, status in group:
+        r = _entry_record(e, schema, snapshot_id)
+        r["status"] = status
+        records.append(r)
+    path = os.path.join(location, rel_path)
+    write_ocf(
+        path,
+        entry_schema,
+        records,
+        metadata={
+            "schema": json.dumps(schema_to_json(schema)),
+            "schema-id": str(schema_id),
+            "partition-spec": json.dumps(spec.to_json()["fields"]),
+            "partition-spec-id": str(spec.spec_id),
+            "format-version": "2",
+            "content": "data" if content == CONTENT_DATA else "deletes",
+        },
+    )
+    added = [e for e, s in group if s == STATUS_ADDED]
+    existing = [e for e, s in group if s == STATUS_EXISTING]
+    return {
+        "manifest_path": rel_path,
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": spec.spec_id,
+        "content": 0 if content == CONTENT_DATA else 1,
+        "sequence_number": sequence_number,
+        "min_sequence_number": min(e.sequence_number for e, _ in group),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(added),
+        "existing_files_count": len(existing),
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e.record_count for e in added),
+        "existing_rows_count": sum(e.record_count for e in existing),
+        "deleted_rows_count": 0,
+        "partitions": _partition_summaries(spec, [e for e, _ in group]),
+        "key_metadata": None,
+    }
+
+
+def _grouped(entries: list[DataFileEntry]) -> list[tuple[tuple[int, int], list[DataFileEntry]]]:
+    groups: dict[tuple[int, int], list[DataFileEntry]] = {}
+    for e in entries:
+        groups.setdefault((e.content, e.schema_id), []).append(e)
+    return sorted(groups.items())
+
+
+def _write_list(location: str, rel_dir: str, manifest_files: list[dict],
+                snapshot_id: int, sequence_number: int) -> str:
+    list_rel = os.path.join(rel_dir, f"snap-{snapshot_id}.avro")
+    write_ocf(
+        os.path.join(location, list_rel),
+        MANIFEST_LIST_SCHEMA,
+        manifest_files,
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(sequence_number),
+            "format-version": "2",
+        },
+    )
+    return list_rel
+
+
 def write_avro_manifests(
     location: str,
     rel_dir: str,
@@ -286,70 +364,108 @@ def write_avro_manifests(
     One manifest per (content, schema-id) group; entries whose sequence
     number equals the snapshot's are ADDED, earlier ones EXISTING — the
     statuses external readers expect from a full re-listing."""
-    groups: dict[tuple[int, int], list[DataFileEntry]] = {}
-    for e in entries:
-        groups.setdefault((e.content, e.schema_id), []).append(e)
-
     manifest_files: list[dict] = []
-    for gi, ((content, schema_id), group) in enumerate(sorted(groups.items())):
+    for gi, ((content, schema_id), group) in enumerate(_grouped(entries)):
         schema = schemas_by_id.get(schema_id)
         if schema is None:
             raise ValidationError(f"manifest group schema {schema_id} unknown")
-        entry_schema = manifest_entry_schema(spec)
-        records = []
-        for e in group:
-            r = _entry_record(e, schema, snapshot_id)
-            r["status"] = STATUS_ADDED if e.sequence_number == sequence_number else STATUS_EXISTING
-            records.append(r)
-        rel_path = os.path.join(rel_dir, f"m{gi}-snap-{snapshot_id}.avro")
-        path = os.path.join(location, rel_path)
-        write_ocf(
-            path,
-            entry_schema,
-            records,
-            metadata={
-                "schema": json.dumps(schema_to_json(schema)),
-                "schema-id": str(schema_id),
-                "partition-spec": json.dumps(spec.to_json()["fields"]),
-                "partition-spec-id": str(spec.spec_id),
-                "format-version": "2",
-                "content": "data" if content == CONTENT_DATA else "deletes",
-            },
-        )
-        added = [e for e in group if e.sequence_number == sequence_number]
-        existing = [e for e in group if e.sequence_number != sequence_number]
+        paired = [
+            (e, STATUS_ADDED if e.sequence_number == sequence_number else STATUS_EXISTING)
+            for e in group
+        ]
         manifest_files.append(
-            {
-                "manifest_path": rel_path,
-                "manifest_length": os.path.getsize(path),
-                "partition_spec_id": spec.spec_id,
-                "content": 0 if content == CONTENT_DATA else 1,
-                "sequence_number": sequence_number,
-                "min_sequence_number": min(e.sequence_number for e in group),
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(added),
-                "existing_files_count": len(existing),
-                "deleted_files_count": 0,
-                "added_rows_count": sum(e.record_count for e in added),
-                "existing_rows_count": sum(e.record_count for e in existing),
-                "deleted_rows_count": 0,
-                "partitions": _partition_summaries(spec, group),
-                "key_metadata": None,
-            }
+            _write_member(
+                location, os.path.join(rel_dir, f"m{gi}-snap-{snapshot_id}.avro"),
+                paired, content=content, schema=schema, schema_id=schema_id,
+                spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+            )
         )
+    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number)
 
-    list_rel = os.path.join(rel_dir, f"snap-{snapshot_id}.avro")
-    write_ocf(
-        os.path.join(location, list_rel),
-        MANIFEST_LIST_SCHEMA,
-        manifest_files,
-        metadata={
-            "snapshot-id": str(snapshot_id),
-            "sequence-number": str(sequence_number),
-            "format-version": "2",
-        },
-    )
-    return list_rel
+
+# member-list length past which the incremental tree compacts into one
+# manifest per (content, schema) group — mirrors table.py's parquet
+# MANIFEST_COMPACT_THRESHOLD so neither dialect's list grows unboundedly
+AVRO_COMPACT_THRESHOLD = 32
+
+
+def write_avro_manifest_tree(
+    location: str,
+    rel_dir: str,
+    entries: list[DataFileEntry],
+    *,
+    snapshot_id: int,
+    sequence_number: int,
+    spec: PartitionSpec,
+    schemas_by_id: dict[int, Schema],
+    parent_list_rel: str | None = None,
+) -> str:
+    """INCREMENTAL Iceberg Avro tree: parent member manifests whose entries
+    all survive are REUSED verbatim (their ``manifest_file`` record — counts,
+    added_snapshot_id, partition summaries — carried into the new list
+    unchanged, exactly how Iceberg itself reuses immutable manifests across
+    snapshots); partially-surviving members are rewritten filtered with
+    EXISTING statuses; new files land in one ADDED manifest per
+    (content, schema-id). Metadata write cost is O(changed + added) per
+    commit, matching the parquet tree (table.py ``_write_manifest_tree``),
+    which is what makes the dual-manifest default affordable at scale.
+    Past ``AVRO_COMPACT_THRESHOLD`` members the tree compacts fully."""
+    cur_by_path = {e.file_path: e for e in entries}
+    manifest_files: list[dict] = []
+    covered: set[str] = set()
+    part = 0
+    plist = os.path.join(location, parent_list_rel) if parent_list_rel else None
+    parent_mfs: list[dict] = []
+    if plist is not None and os.path.exists(plist):
+        _, _, parent_mfs = read_ocf(plist)
+    if len(parent_mfs) >= AVRO_COMPACT_THRESHOLD:
+        # compact BEFORE writing members so the full-rewrite path never
+        # collides with (or orphans) incremental member files of this snapshot
+        return write_avro_manifests(
+            location, rel_dir, entries, snapshot_id=snapshot_id,
+            sequence_number=sequence_number, spec=spec, schemas_by_id=schemas_by_id,
+        )
+    if parent_mfs:
+        for mf in parent_mfs:
+            ments = _read_one_manifest(location, mf["manifest_path"])
+            surv = [e for e in ments if e.file_path in cur_by_path]
+            if not surv:
+                continue
+            if len(surv) == len(ments):
+                manifest_files.append(mf)  # reuse verbatim, zero I/O
+            else:
+                for (content, schema_id), group in _grouped(surv):
+                    schema = schemas_by_id.get(schema_id)
+                    if schema is None:
+                        raise ValidationError(f"manifest group schema {schema_id} unknown")
+                    manifest_files.append(
+                        _write_member(
+                            location,
+                            os.path.join(rel_dir, f"m{part}-snap-{snapshot_id}.avro"),
+                            [(e, STATUS_EXISTING) for e in group],
+                            content=content, schema=schema, schema_id=schema_id,
+                            spec=spec, snapshot_id=snapshot_id,
+                            sequence_number=sequence_number,
+                        )
+                    )
+                    part += 1
+            covered.update(e.file_path for e in surv)
+    added = [e for e in entries if e.file_path not in covered]
+    for (content, schema_id), group in _grouped(added):
+        schema = schemas_by_id.get(schema_id)
+        if schema is None:
+            raise ValidationError(f"manifest group schema {schema_id} unknown")
+        manifest_files.append(
+            _write_member(
+                location, os.path.join(rel_dir, f"m{part}-snap-{snapshot_id}.avro"),
+                [(e, STATUS_ADDED) for e in group],
+                content=content, schema=schema, schema_id=schema_id,
+                spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+            )
+        )
+        part += 1
+
+    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number)
 
 
 def member_manifest_paths(location: str, list_rel_path: str) -> list[str]:

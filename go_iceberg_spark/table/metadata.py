@@ -309,9 +309,13 @@ class Snapshot:
     manifest_path: str  # relative to table location
     schema_id: int
     summary: dict[str, str] = dc_field(default_factory=dict)
+    # Iceberg-spec Avro manifest list (dual-manifest mode: parquet members
+    # back the engine's scan/planning, this tree serves external readers);
+    # equals manifest_path when manifest-format=avro, None when parquet-only
+    avro_manifest_path: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "snapshot-id": self.snapshot_id,
             "parent-snapshot-id": self.parent_snapshot_id,
             "sequence-number": self.sequence_number,
@@ -321,6 +325,14 @@ class Snapshot:
             "schema-id": self.schema_id,
             "summary": self.summary,
         }
+        # the spec's key for the Avro manifest list, so external readers find
+        # the Iceberg wire tree without knowing the engine's "manifest" key
+        avro = self.avro_manifest_path or (
+            self.manifest_path if self.manifest_path.endswith(".avro") else None
+        )
+        if avro is not None:
+            out["manifest-list"] = avro
+        return out
 
     @staticmethod
     def from_json(j: dict) -> "Snapshot":
@@ -328,10 +340,14 @@ class Snapshot:
         # schema-id; operation may live inside summary (Iceberg V1 layout).
         summary = j.get("summary", {})
         op = j.get("operation") or summary.get("operation", OP_APPEND)
+        manifest = j.get("manifest") or j.get("manifest-list", "")
+        avro = j.get("manifest-list")
+        if avro is not None and not avro.endswith(".avro"):
+            avro = None
         return Snapshot(
             j["snapshot-id"], j.get("parent-snapshot-id"), j.get("sequence-number", 0),
-            j["timestamp-ms"], op, j.get("manifest") or j.get("manifest-list", ""),
-            j.get("schema-id", 0), summary,
+            j["timestamp-ms"], op, manifest,
+            j.get("schema-id", 0), summary, avro,
         )
 
 

@@ -184,17 +184,29 @@ class Table:
             parent = md.snapshot_by_id(md.refs[ref].snapshot_id)
         seq = self._next_sequence()
         sid = new_snapshot_id()
-        if md.properties.get("manifest-format", "parquet") == "avro":
-            # Iceberg wire format (manifest list + per-(content,schema)
-            # manifests) for external-reader interop
-            from .manifest_avro import write_avro_manifests
+        # manifest-format: dual (default) = parquet members for the engine's
+        # scan/planning tiers PLUS the Iceberg-spec Avro tree for external
+        # readers (both written incrementally, O(changed+added) per commit);
+        # avro = Iceberg wire format only; parquet = engine dialect only.
+        fmt = md.properties.get("manifest-format", "dual")
+        avro_rel = None
+        if fmt in ("avro", "dual"):
+            from .manifest_avro import write_avro_manifest_tree
 
-            manifest_rel = write_avro_manifests(
+            parent_avro = None
+            if parent is not None:
+                parent_avro = parent.avro_manifest_path or (
+                    parent.manifest_path if parent.manifest_path.endswith(".avro") else None
+                )
+            avro_rel = write_avro_manifest_tree(
                 self.location, "metadata", entries,
                 snapshot_id=sid, sequence_number=seq,
                 spec=md.default_spec,
                 schemas_by_id={s.schema_id: s for s in md.schemas},
+                parent_list_rel=parent_avro,
             )
+        if fmt == "avro":
+            manifest_rel = avro_rel
         else:
             manifest_rel = self._write_manifest_tree(parent, entries, sid,
                                                      force_compact=compact_manifests)
@@ -226,6 +238,7 @@ class Table:
             manifest_path=manifest_rel,
             schema_id=(schema_override or md.current_schema).schema_id,
             summary=summary,
+            avro_manifest_path=avro_rel,
         )
         new_md = md.with_snapshot(snap, ref=ref)
         self.version = self._commit_fn(new_md, self.version)

@@ -273,19 +273,39 @@ def test_table_crud_with_avro_manifests(spark, catalog):
 
 
 def test_avro_table_expiry_removes_member_manifests(spark, catalog, tmp_path):
+    """Expiry drops an old snapshot's avro LIST always, and its member
+    manifests only when no retained snapshot reuses them (the incremental
+    tree shares members across snapshots, like Iceberg's own manifests)."""
+    import go_iceberg_spark as gi
+
     proto = spark.range(10).selectExpr("id")
     t = catalog.create_table("db", "avro_exp", from_spark_schema(proto.schema),
                              properties={"manifest-format": "avro"})
     t.append(proto)
+    reused_list = t.snapshots()[0].manifest_path
+    reused_members = member_manifest_paths(t.location, reused_list)
     t.append(spark.range(10, 20).selectExpr("id"))
-    old_list = t.snapshots()[0].manifest_path
-    old_members = member_manifest_paths(t.location, old_list)
-    assert old_members
-    deleted = t.expire_snapshots(retain_last=1)
-    assert old_list in deleted
-    for m in old_members:
+    t.delete(gi.lt("id", 100))  # CoW drop-all: nothing survives into snap 3
+    doomed_members = set(member_manifest_paths(t.location, t.snapshots()[1].manifest_path))
+    t.append(spark.range(30, 35).selectExpr("id"))
+
+    deleted = t.expire_snapshots(retain_last=2)  # keep the empty + final snaps
+    assert reused_list in deleted
+    # snapshot 1+2's members are unreferenced by both retained snapshots
+    for m in set(reused_members) | doomed_members:
         assert not os.path.exists(os.path.join(t.location, m))
-    assert t.scan().count() == 20
+    assert t.scan().count() == 5
+
+    # and when a retained snapshot DOES reuse an old member, it survives
+    t2 = catalog.create_table("db", "avro_exp2", from_spark_schema(proto.schema),
+                              properties={"manifest-format": "avro"})
+    t2.append(proto)
+    shared = member_manifest_paths(t2.location, t2.snapshots()[0].manifest_path)
+    t2.append(spark.range(10, 20).selectExpr("id"))
+    t2.expire_snapshots(retain_last=1)
+    for m in shared:
+        assert os.path.exists(os.path.join(t2.location, m))
+    assert t2.scan().count() == 20
 
 
 class TestAvroDataFiles:

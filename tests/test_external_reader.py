@@ -30,6 +30,7 @@ import struct
 
 import duckdb
 import pandas as pd
+import pytest
 from pyspark.sql import Row
 
 import go_iceberg_spark as gi
@@ -80,8 +81,10 @@ def external_table_state(spark, location):
         md = json.load(f)
     assert md["format-version"] == 2
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"])
-    list_path = os.path.join(location, snap["manifest"])
-    assert list_path.endswith(".avro"), "avro mode must point snapshots at an OCF manifest list"
+    # the spec's key for the Avro manifest list ("manifest-list"); the
+    # engine-native "manifest" key may point at the parquet dialect instead
+    list_path = os.path.join(location, snap["manifest-list"])
+    assert list_path.endswith(".avro"), "manifest-list must point at an OCF manifest list"
 
     _, list_meta, manifest_files = _jocf(spark, list_path)
     assert int(list_meta["snapshot-id"]) == snap["snapshot-id"]
@@ -137,13 +140,13 @@ def _kv(rec_list):
 # ---------------------------------------------------------------------------
 
 
-def _crud_table(spark, catalog):
+def _crud_table(spark, catalog, properties=None):
     rows1 = [Row(ok=i, price=float(i) * 10.0, note=f"note-{i:03d}") for i in range(50)]
     rows2 = [Row(ok=50 + i, price=1000.0 + i, note=f"late-{i:03d}") for i in range(50)]
     df1 = spark.createDataFrame(rows1)
     df2 = spark.createDataFrame(rows2)
     t = catalog.create_table(
-        "db", "ext", from_spark_schema(df1.schema), properties={"manifest-format": "avro"}
+        "db", "ext", from_spark_schema(df1.schema), properties=properties
     )
     t.append(df1)
     t.append(df2)
@@ -159,8 +162,13 @@ def _crud_table(spark, catalog):
 # ---------------------------------------------------------------------------
 
 
-def test_external_reconstructs_plan_files(spark, catalog):
-    t = _crud_table(spark, catalog)
+@pytest.mark.parametrize(
+    "props",
+    [None, {"manifest-format": "avro"}],
+    ids=["dual-default", "avro-only"],
+)
+def test_external_reconstructs_plan_files(spark, catalog, props):
+    t = _crud_table(spark, catalog, props)
     tasks = t.scan().plan_files()
 
     md, snap, manifest_files, entries = external_table_state(spark, t.location)
@@ -204,8 +212,10 @@ def test_external_reconstructs_plan_files(spark, catalog):
         assert mf["existing_files_count"] == len(existing)
         assert mf["added_rows_count"] == sum(r["data_file"]["record_count"] for r in added)
         assert mf["min_sequence_number"] == min(r["sequence_number"] for r in recs)
-        # ADDED exactly when the entry carries the snapshot's sequence number
-        assert all(r["sequence_number"] == snap["sequence-number"] for r in added)
+        # ADDED entries carry the sequence number of the snapshot that wrote
+        # the member (the member's own sequence_number — reused members keep
+        # their original one, exactly like Iceberg's immutable manifests)
+        assert all(r["sequence_number"] == mf["sequence_number"] for r in added)
 
 
 def _names_by_id(md):
@@ -275,3 +285,53 @@ def test_external_row_count_matches_scan(spark, catalog):
     #                      - 2 (eq: ok 20,21 present; 999 absent)
     assert engine == 79
     assert n == engine
+
+
+def test_dual_avro_tree_is_incremental(spark, catalog):
+    """Appends REUSE prior avro member manifests verbatim (same path, same
+    manifest_file record) — commit metadata cost stays O(added), the property
+    that makes dual-by-default viable at 100 TB."""
+    df = spark.createDataFrame([Row(a=i) for i in range(5)])
+    t = catalog.create_table("db", "inc", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot()
+    assert s1.avro_manifest_path and s1.avro_manifest_path.endswith(".avro")
+    _, _, mfs1 = _jocf(spark, os.path.join(t.location, s1.avro_manifest_path))
+
+    t.append(spark.createDataFrame([Row(a=100 + i) for i in range(5)]))
+    s2 = t.current_snapshot()
+    assert s2.avro_manifest_path != s1.avro_manifest_path
+    _, _, mfs2 = _jocf(spark, os.path.join(t.location, s2.avro_manifest_path))
+    assert len(mfs2) == len(mfs1) + 1
+    assert mfs1[0] in mfs2  # first member carried verbatim, zero rewrite
+
+    # and the parquet dialect still drives the engine scan in dual mode
+    assert not s2.manifest_path.endswith(".avro")
+    assert t.scan().count() == 10
+
+
+def test_expire_cleans_both_manifest_dialects(spark, catalog):
+    """Snapshot expiry reclaims avro lists+members of dropped snapshots while
+    keeping every manifest (both dialects) of retained ones."""
+    from go_iceberg_spark.table.maintenance import expire_snapshots
+
+    df = spark.createDataFrame([Row(a=i) for i in range(5)])
+    t = catalog.create_table("db", "expboth", from_spark_schema(df.schema))
+    t.append(df)
+    doomed_avro = t.current_snapshot().avro_manifest_path
+    t.delete(gi.lt("a", 2))  # rewrites: old avro members become snapshot-1-only
+    t.append(spark.createDataFrame([Row(a=50)]))
+    kept_avro = t.current_snapshot().avro_manifest_path
+
+    expire_snapshots(t, retain_last=1)
+    assert not os.path.exists(os.path.join(t.location, doomed_avro))
+    assert os.path.exists(os.path.join(t.location, kept_avro))
+    from go_iceberg_spark.table.manifest_avro import member_manifest_paths
+
+    for rel in member_manifest_paths(t.location, kept_avro):
+        assert os.path.exists(os.path.join(t.location, rel))
+    # the surviving avro tree still reconstructs the table externally
+    _, _, _, entries = external_table_state(spark, t.location)
+    assert sum(
+        e["data_file"]["record_count"] for e in entries if e["data_file"]["content"] == 0
+    ) == t.scan().count() == 4
