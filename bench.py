@@ -18,8 +18,25 @@ from go_iceberg_spark.session import get_spark
 from go_iceberg_spark.workload import bench_queries, load
 
 
+def _assert_no_fixture_setup_in_timed_region() -> None:
+    """The timed region must measure OPERATORS, not fixture construction:
+    queries that build scratch tables (crud_*, bloom_*, wap_*, ...) are
+    correctness-graded via queries()/oracle_sql() but excluded from the
+    bench set — their wall time would be dominated by table
+    create+append setup, not the operator under test. This guard keeps
+    the invariant from regressing when queries gain the bench flag."""
+    import inspect
+
+    offenders = [name for name, spec in bench_queries().items()
+                 if "_scratch" in inspect.getsource(spec.fn)]
+    if offenders:
+        raise SystemExit(f"bench queries build scratch fixtures inside the "
+                         f"timed region: {offenders}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _assert_no_fixture_setup_in_timed_region()
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -267,6 +267,7 @@ def write_ocf(
     *,
     metadata: dict[str, bytes] | None = None,
     codec: str = "deflate",
+    io=None,
 ) -> None:
     """Write records as one OCF block (manifests are single-block files)."""
     if codec not in ("null", "deflate"):
@@ -292,15 +293,22 @@ def write_ocf(
         head.write_long(len(payload))
         head.write_fixed(payload)
         head.write_fixed(sync)
+    if io is not None:
+        io.create(path, head.getvalue(), overwrite=True)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(head.getvalue())
 
 
-def read_ocf(path: str) -> tuple[Any, dict[str, bytes], list[dict]]:
-    """Read an OCF file → (writer schema, metadata, records)."""
-    with open(path, "rb") as f:
-        data = f.read()
+def read_ocf(path: str, io=None) -> tuple[Any, dict[str, bytes], list[dict]]:
+    """Read an OCF file → (writer schema, metadata, records). ``io`` routes
+    through a FileIO (object storage); None reads the local filesystem."""
+    if io is not None:
+        data = io.read(path)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
     dec = BinaryDecoder(data)
     if dec.read_fixed(4) != MAGIC:
         raise ValueError(f"not an Avro OCF: {path}")

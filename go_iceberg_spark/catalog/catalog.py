@@ -187,6 +187,125 @@ class FilesystemCatalog(Catalog):
         return current_metadata_version(self._table_path(ns, name)) > 0
 
 
+class ObjectStoreCatalog(Catalog):
+    """Warehouse catalog on object storage (``s3://bucket/prefix`` — the
+    reference's S3 deployment, reference: io/s3.go): every byte of METADATA
+    goes through a FileIO, and the table commit uses S3 conditional PUT
+    (If-None-Match: *) as its optimistic-concurrency primitive — the same
+    protocol ``FilesystemCatalog`` gets from O_EXCL locally.
+
+    Data files are written by Spark executors; without a Hadoop S3A
+    deployment they cannot land on ``s3://`` directly, so tables default
+    their ``write.data.path`` to ``data_path`` (a Hadoop-visible root) when
+    one is configured. On a real cluster with S3A jars, omit ``data_path``
+    and data lives under the table location like any Iceberg table.
+
+    Object stores have no rename; ``rename_table`` raises (use a REST
+    catalog for metadata-pointer renames — catalog/rest.py)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, io=None,
+                 data_path: str | None = None):
+        from ..io.fileio import for_location
+
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.io = io or for_location(self.warehouse)
+        self.data_path = data_path
+
+    def _ns_path(self, ns) -> str:
+        return "/".join((self.warehouse, *_norm_ns(ns)))
+
+    def _table_path(self, ns, name: str) -> str:
+        return f"{self._ns_path(ns)}/{name}"
+
+    # -- namespaces --------------------------------------------------------
+    def list_namespaces(self) -> list[tuple[str, ...]]:
+        out = []
+        for p in self.io.list(self.warehouse):
+            if p.endswith("/" + _NS_FILE):
+                rel = p[len(self.warehouse) + 1 : -len(_NS_FILE) - 1]
+                out.append(tuple(rel.split("/")))
+        return sorted(out)
+
+    def create_namespace(self, ns, properties: dict | None = None) -> None:
+        marker = f"{self._ns_path(ns)}/{_NS_FILE}"
+        try:
+            self.io.create(marker, json.dumps({"properties": properties or {}}).encode())
+        except FileExistsError:
+            raise NamespaceAlreadyExistsError(f"namespace {ns} exists") from None
+
+    def drop_namespace(self, ns) -> None:
+        marker = f"{self._ns_path(ns)}/{_NS_FILE}"
+        if not self.io.exists(marker):
+            raise NamespaceNotFoundError(f"namespace {ns} not found")
+        if self.list_tables(ns):
+            raise NamespaceNotFoundError(f"namespace {ns} not empty")
+        self.io.delete(marker)
+
+    def namespace_exists(self, ns) -> bool:
+        return self.io.exists(f"{self._ns_path(ns)}/{_NS_FILE}")
+
+    def namespace_properties(self, ns) -> dict:
+        marker = f"{self._ns_path(ns)}/{_NS_FILE}"
+        if not self.io.exists(marker):
+            raise NamespaceNotFoundError(f"namespace {ns} not found")
+        return json.loads(self.io.read(marker)).get("properties", {})
+
+    # -- tables ------------------------------------------------------------
+    def list_tables(self, ns) -> list[str]:
+        base = self._ns_path(ns) + "/"
+        names = set()
+        for p in self.io.list(base):
+            rest = p[len(base):]
+            parts = rest.split("/")
+            if len(parts) >= 3 and parts[1] == "metadata" and parts[2].endswith(".metadata.json"):
+                names.add(parts[0])
+        return sorted(names)
+
+    def create_table(self, ns, name: str, schema: Schema, spec: PartitionSpec = UNPARTITIONED,
+                     sort_order: SortOrder = UNSORTED, properties: dict | None = None) -> Table:
+        if not self.namespace_exists(ns):
+            self.create_namespace(ns)
+        loc = self._table_path(ns, name)
+        if current_metadata_version(loc, self.io) > 0:
+            raise TableAlreadyExistsError(f"table {ns}.{name} exists")
+        props = dict(properties or {})
+        if self.data_path and "write.data.path" not in props:
+            props["write.data.path"] = "/".join(
+                (self.data_path.rstrip("/"), *_norm_ns(ns), name))
+        md = TableMetadata.new(loc, schema, spec, sort_order, props)
+        v = commit_metadata(loc, md, 0, io=self.io)
+        return Table(self.spark, (*_norm_ns(ns), name), loc, md, v, io=self.io)
+
+    def load_table(self, ns, name: str) -> Table:
+        loc = self._table_path(ns, name)
+        if current_metadata_version(loc, self.io) == 0:
+            raise TableNotFoundError(f"table {ns}.{name} not found")
+        from ..table.metadata import load_metadata
+
+        md, v = load_metadata(loc, self.io)
+        return Table(self.spark, (*_norm_ns(ns), name), loc, md, v, io=self.io)
+
+    def drop_table(self, ns, name: str, purge: bool = True) -> None:
+        loc = self._table_path(ns, name)
+        objs = self.io.list(loc + "/")
+        if current_metadata_version(loc, self.io) == 0:
+            raise TableNotFoundError(f"table {ns}.{name} not found")
+        if purge:
+            for p in objs:
+                self.io.delete(p)
+
+    def rename_table(self, ns, old: str, new_ns, new: str) -> None:
+        from ..errors import ValidationError
+
+        raise ValidationError(
+            "object stores cannot rename prefixes; use a REST catalog "
+            "(catalog/rest.py) for metadata-pointer renames")
+
+    def table_exists(self, ns, name: str) -> bool:
+        return current_metadata_version(self._table_path(ns, name), self.io) > 0
+
+
 def register_sql_views(catalog: Catalog, spark: SparkSession, ns: tuple[str, ...],
                        prefix: str = "") -> list[str]:
     """Expose every table of a namespace to ``spark.sql`` as temp views named

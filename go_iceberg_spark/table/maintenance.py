@@ -78,15 +78,16 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
             from .manifest_avro import member_manifest_paths
 
             paths.add(avro_list)
-            if os.path.exists(os.path.join(table.location, avro_list)):
-                paths |= set(member_manifest_paths(table.location, avro_list))
+            if table.io.exists(os.path.join(table.location, avro_list)):
+                paths |= set(member_manifest_paths(table.location, avro_list,
+                                                   io=table._mio))
             else:
                 warnings.warn(f"avro manifest list missing for snapshot "
                               f"{s.snapshot_id}: {avro_list}")
         if s.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
             lp = os.path.join(table.location, s.manifest_path)
-            if os.path.exists(lp):
-                paths |= {m["path"] for m in read_manifest_list(lp)}
+            if table.io.exists(lp):
+                paths |= {m["path"] for m in read_manifest_list(lp, table._mio)}
             else:
                 # list already gone (partial earlier expire): members can't be
                 # enumerated here — the metadata-dir sweep below reclaims them
@@ -114,13 +115,13 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     # unreachable from every RETAINED snapshot — after the commit below,
     # retained is exactly the live set, so anything else is garbage.
     meta_dir = os.path.join(table.location, "metadata")
-    if os.path.isdir(meta_dir):
-        for fn in os.listdir(meta_dir):
-            if not (_MANIFEST_FILE_RE.match(fn)):
-                continue
-            rel = os.path.join("metadata", fn)
-            if rel not in kept_manifests:
-                doomed_manifests.add(rel)
+    for full in table.io.list(meta_dir):
+        fn = os.path.basename(full)
+        if not (_MANIFEST_FILE_RE.match(fn)):
+            continue
+        rel = os.path.join("metadata", fn)
+        if rel not in kept_manifests:
+            doomed_manifests.add(rel)
 
     # fix parent pointers across the removal gap, keep refs valid
     retained_ids = {s.snapshot_id for s in retained}
@@ -141,17 +142,31 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     table._manifest_cache.clear()
 
     deleted = []
-    loc = os.path.abspath(table.location)
+    data_root = table._data_location()
     for rel in sorted(doomed_files | doomed_manifests):
-        full = os.path.join(table.location, rel)
-        if not os.path.abspath(full).startswith(loc + os.sep):
-            continue  # external file registered via add_files — not ours to delete
-        try:
-            os.remove(full)
-            deleted.append(rel)
-        except OSError:
-            pass
+        if _is_relative(rel):
+            # table-tree file: delete through the table's FileIO
+            try:
+                table.io.delete(os.path.join(table.location, rel))
+                deleted.append(rel)
+            except OSError:
+                pass
+        elif data_root is not None and rel.startswith(data_root.rstrip("/") + "/"):
+            # engine-written file under write.data.path — ours to reclaim
+            from ..io.fileio import for_location
+
+            try:
+                for_location(rel).delete(rel)
+                deleted.append(rel)
+            except OSError:
+                pass
+        # any other absolute path was registered via add_files — external,
+        # not ours to delete
     return deleted
+
+
+def _is_relative(p: str) -> bool:
+    return not (p.startswith("/") or "://" in p or p.startswith("file:"))
 
 
 def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024,
@@ -184,6 +199,7 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
         target_file_size=target_file_size_bytes,
         distribution_mode=table._distribution_mode() if not zorder_by else "none",
         bloom_columns=table._bloom_columns(),
+        data_location=table._data_location(),
     )
     return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
 
@@ -234,25 +250,31 @@ def _zorder_cluster(df, cols: list[str]):
 
 
 def remove_orphan_files(table) -> list[str]:
-    """Delete files under data/ not referenced by ANY snapshot (aborted-write
-    leftovers). Returns deleted relative paths."""
+    """Delete files under the data tree not referenced by ANY snapshot
+    (aborted-write leftovers). Returns deleted paths in the manifest's
+    convention (relative under the table location, absolute under an
+    external ``write.data.path`` root)."""
     referenced: set[str] = set()
     for s in table.snapshots():
         referenced |= {e.file_path for e in table.manifest_entries(s)}
-    data_dir = os.path.join(table.location, "data")
+    data_root = table._data_location() or table.location
+    data_dir = os.path.join(data_root, "data")
     deleted = []
-    for root, _dirs, files in os.walk(data_dir):
-        for fn in files:
-            if fn.startswith((".", "_")):
-                continue  # Hadoop committer artifacts (.crc, _SUCCESS), not data
-            full = os.path.join(root, fn)
-            rel = os.path.relpath(full, table.location)
-            if rel not in referenced:
-                try:
-                    os.remove(full)
-                    deleted.append(rel)
-                except OSError:
-                    pass
+    from ..io.fileio import for_location
+
+    dio = for_location(data_dir)
+    for full in dio.list(data_dir):
+        fn = os.path.basename(full)
+        if fn.startswith((".", "_")):
+            continue  # Hadoop committer artifacts (.crc, _SUCCESS), not data
+        key = (os.path.relpath(full, table.location)
+               if data_root == table.location else full)
+        if key not in referenced:
+            try:
+                dio.delete(full)
+                deleted.append(key)
+            except OSError:
+                pass
     return sorted(deleted)
 
 

@@ -281,6 +281,7 @@ def _write_member(
     spec: PartitionSpec,
     snapshot_id: int,
     sequence_number: int,
+    io=None,
 ) -> dict:
     """Write ONE member manifest OCF (entries paired with their wire status)
     and return its ``manifest_file`` record for the manifest list."""
@@ -303,12 +304,13 @@ def _write_member(
             "format-version": "2",
             "content": "data" if content == CONTENT_DATA else "deletes",
         },
+        io=io,
     )
     added = [e for e, s in group if s == STATUS_ADDED]
     existing = [e for e, s in group if s == STATUS_EXISTING]
     return {
         "manifest_path": rel_path,
-        "manifest_length": os.path.getsize(path),
+        "manifest_length": io.size(path) if io is not None else os.path.getsize(path),
         "partition_spec_id": spec.spec_id,
         "content": 0 if content == CONTENT_DATA else 1,
         "sequence_number": sequence_number,
@@ -333,7 +335,7 @@ def _grouped(entries: list[DataFileEntry]) -> list[tuple[tuple[int, int], list[D
 
 
 def _write_list(location: str, rel_dir: str, manifest_files: list[dict],
-                snapshot_id: int, sequence_number: int) -> str:
+                snapshot_id: int, sequence_number: int, io=None) -> str:
     list_rel = os.path.join(rel_dir, f"snap-{snapshot_id}.avro")
     write_ocf(
         os.path.join(location, list_rel),
@@ -344,6 +346,7 @@ def _write_list(location: str, rel_dir: str, manifest_files: list[dict],
             "sequence-number": str(sequence_number),
             "format-version": "2",
         },
+        io=io,
     )
     return list_rel
 
@@ -357,6 +360,7 @@ def write_avro_manifests(
     sequence_number: int,
     spec: PartitionSpec,
     schemas_by_id: dict[int, Schema],
+    io=None,
 ) -> str:
     """Write Iceberg-layout Avro manifests + manifest list for a snapshot's
     full entry listing; returns the manifest-LIST path relative to location.
@@ -378,9 +382,10 @@ def write_avro_manifests(
                 location, os.path.join(rel_dir, f"m{gi}-snap-{snapshot_id}.avro"),
                 paired, content=content, schema=schema, schema_id=schema_id,
                 spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+                io=io,
             )
         )
-    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number)
+    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number, io=io)
 
 
 # member-list length past which the incremental tree compacts into one
@@ -399,6 +404,7 @@ def write_avro_manifest_tree(
     spec: PartitionSpec,
     schemas_by_id: dict[int, Schema],
     parent_list_rel: str | None = None,
+    io=None,
 ) -> str:
     """INCREMENTAL Iceberg Avro tree: parent member manifests whose entries
     all survive are REUSED verbatim (their ``manifest_file`` record — counts,
@@ -416,18 +422,19 @@ def write_avro_manifest_tree(
     part = 0
     plist = os.path.join(location, parent_list_rel) if parent_list_rel else None
     parent_mfs: list[dict] = []
-    if plist is not None and os.path.exists(plist):
-        _, _, parent_mfs = read_ocf(plist)
+    if plist is not None and (io.exists(plist) if io is not None else os.path.exists(plist)):
+        _, _, parent_mfs = read_ocf(plist, io=io)
     if len(parent_mfs) >= AVRO_COMPACT_THRESHOLD:
         # compact BEFORE writing members so the full-rewrite path never
         # collides with (or orphans) incremental member files of this snapshot
         return write_avro_manifests(
             location, rel_dir, entries, snapshot_id=snapshot_id,
             sequence_number=sequence_number, spec=spec, schemas_by_id=schemas_by_id,
+            io=io,
         )
     if parent_mfs:
         for mf in parent_mfs:
-            ments = _read_one_manifest(location, mf["manifest_path"])
+            ments = _read_one_manifest(location, mf["manifest_path"], io=io)
             surv = [e for e in ments if e.file_path in cur_by_path]
             if not surv:
                 continue
@@ -445,7 +452,7 @@ def write_avro_manifest_tree(
                             [(e, STATUS_EXISTING) for e in group],
                             content=content, schema=schema, schema_id=schema_id,
                             spec=spec, snapshot_id=snapshot_id,
-                            sequence_number=sequence_number,
+                            sequence_number=sequence_number, io=io,
                         )
                     )
                     part += 1
@@ -461,17 +468,18 @@ def write_avro_manifest_tree(
                 [(e, STATUS_ADDED) for e in group],
                 content=content, schema=schema, schema_id=schema_id,
                 spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+                io=io,
             )
         )
         part += 1
 
-    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number)
+    return _write_list(location, rel_dir, manifest_files, snapshot_id, sequence_number, io=io)
 
 
-def member_manifest_paths(location: str, list_rel_path: str) -> list[str]:
+def member_manifest_paths(location: str, list_rel_path: str, io=None) -> list[str]:
     """Relative paths of the manifests a manifest list references (used by
     snapshot expiry to clean whole avro trees)."""
-    _, _, manifest_files = read_ocf(os.path.join(location, list_rel_path))
+    _, _, manifest_files = read_ocf(os.path.join(location, list_rel_path), io=io)
     return [mf["manifest_path"] for mf in manifest_files]
 
 
@@ -500,18 +508,18 @@ def _partition_summaries(spec: PartitionSpec, group: list[DataFileEntry]) -> lis
 # ---------------------------------------------------------------------------
 
 
-def read_avro_manifest_tree(location: str, list_rel_path: str) -> list[DataFileEntry]:
+def read_avro_manifest_tree(location: str, list_rel_path: str, io=None) -> list[DataFileEntry]:
     """Manifest list → manifests → DataFileEntry list (the inverse of
     ``write_avro_manifests``; reference: spec/avro.go:178-244 + :435-534)."""
-    _, _, manifest_files = read_ocf(os.path.join(location, list_rel_path))
+    _, _, manifest_files = read_ocf(os.path.join(location, list_rel_path), io=io)
     entries: list[DataFileEntry] = []
     for mf in manifest_files:
-        entries.extend(_read_one_manifest(location, mf["manifest_path"]))
+        entries.extend(_read_one_manifest(location, mf["manifest_path"], io=io))
     return entries
 
 
-def _read_one_manifest(location: str, rel_path: str) -> list[DataFileEntry]:
-    _, meta, records = read_ocf(os.path.join(location, rel_path))
+def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEntry]:
+    _, meta, records = read_ocf(os.path.join(location, rel_path), io=io)
     schema = schema_from_json(json.loads(meta["schema"].decode()))
     schema_id = int(meta["schema-id"].decode())
     spec_id = int(meta["partition-spec-id"].decode())

@@ -186,7 +186,7 @@ _MANIFEST_ARROW_SCHEMA = pa.schema(
 )
 
 
-def write_manifest(path: str, entries: list[DataFileEntry]) -> None:
+def write_manifest(path: str, entries: list[DataFileEntry], io=None) -> None:
     """Write a manifest parquet file (replaces Avro serde, spec/avro.go:91-534)."""
     cols: dict[str, list] = {n: [] for n in _MANIFEST_ARROW_SCHEMA.names}
     for e in entries:
@@ -208,6 +208,11 @@ def write_manifest(path: str, entries: list[DataFileEntry]) -> None:
         cols["stats_value_counts"].append([e.column_stats[f].get("value_count") for f in fids])
         cols["stats_blooms"].append([e.column_stats[f].get("bloom") or "" for f in fids])
     table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
+    if io is not None:
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf, compression="snappy")
+        io.create(path, buf.getvalue().to_pybytes(), overwrite=True)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(table, path, compression="snappy")
 
@@ -250,47 +255,57 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
 MANIFEST_LIST_SUFFIX = ".manifest-list.json"
 
 
-def write_manifest_list(path: str, members: list[dict]) -> None:
+def write_manifest_list(path: str, members: list[dict], io=None) -> None:
     """Manifest list: JSON array of {"path": <rel manifest>, "n": <entries>}.
     The list is O(commits since last compaction); member manifests are
     immutable and REUSED across snapshots — an append commit writes one new
     member for the added files instead of rewriting the full live set
     (single-manifest design made incremental; Iceberg's manifest-list role,
     reference: spec/manifest.go:152-205)."""
+    if io is not None:
+        io.create(path, json.dumps(members).encode(), overwrite=True)
+        return
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(members, f)
     os.replace(tmp, path)
 
 
-def read_manifest_list(path: str) -> list[dict]:
+def read_manifest_list(path: str, io=None) -> list[dict]:
+    if io is not None:
+        return json.loads(io.read(path))
     with open(path) as f:
         return json.load(f)
 
 
-def read_manifest_tree(location: str, manifest_rel: str) -> list[DataFileEntry]:
+def read_manifest_tree(location: str, manifest_rel: str, io=None) -> list[DataFileEntry]:
     """Entries of a snapshot regardless of manifest layout: Iceberg Avro OCF
     tree, JSON manifest list of parquet members, or a legacy single parquet
     manifest."""
     if manifest_rel.endswith(".avro"):
         from .manifest_avro import read_avro_manifest_tree
 
-        return read_avro_manifest_tree(location, manifest_rel)
+        return read_avro_manifest_tree(location, manifest_rel, io=io)
     path = os.path.join(location, manifest_rel)
     if manifest_rel.endswith(MANIFEST_LIST_SUFFIX):
         out: list[DataFileEntry] = []
-        for m in read_manifest_list(path):
-            out.extend(read_manifest(os.path.join(location, m["path"])))
+        for m in read_manifest_list(path, io):
+            out.extend(read_manifest(os.path.join(location, m["path"]), io))
         return out
-    return read_manifest(path)
+    return read_manifest(path, io)
 
 
-def read_manifest(path: str) -> list[DataFileEntry]:
+def read_manifest(path: str, io=None) -> list[DataFileEntry]:
     """Driver-side full manifest read (small/medium tables, mutations that
     need every live entry). Scans over large manifests use the pruned
     readers in ``planning.py`` instead, which decode stats only for
-    filter-referenced fields and only materialize surviving entries."""
-    t = pq.read_table(path)
+    filter-referenced fields and only materialize surviving entries.
+    ``io`` routes object storage; None reads the local filesystem directly
+    (zero-copy mmap path)."""
+    if io is not None:
+        t = pq.read_table(pa.BufferReader(io.read(path)))
+    else:
+        t = pq.read_table(path)
     d = t.to_pydict()
     return [_entry_from_columns(d, i) for i in range(t.num_rows)]
 
@@ -566,9 +581,16 @@ def _version_of(name: str) -> int | None:
     return None
 
 
-def current_metadata_version(location: str) -> int:
+def current_metadata_version(location: str, io=None) -> int:
     """Highest committed version, 0 if none."""
     mdir = metadata_dir(location)
+    if io is not None:
+        best = 0
+        for p in io.list(mdir):
+            v = _version_of(os.path.basename(p))
+            if v is not None and v > best:
+                best = v
+        return best
     if not os.path.isdir(mdir):
         return 0
     best = 0
@@ -579,16 +601,18 @@ def current_metadata_version(location: str) -> int:
     return best
 
 
-def load_metadata(location: str) -> tuple[TableMetadata, int]:
-    v = current_metadata_version(location)
+def load_metadata(location: str, io=None) -> tuple[TableMetadata, int]:
+    v = current_metadata_version(location, io)
     if v == 0:
         raise ValidationError(f"no metadata at {location}")
     path = os.path.join(metadata_dir(location), f"v{v}.metadata.json")
+    if io is not None:
+        return TableMetadata.from_json(json.loads(io.read(path))), v
     with open(path) as f:
         return TableMetadata.from_json(json.load(f)), v
 
 
-def commit_metadata(location: str, md: TableMetadata, expected_version: int) -> int:
+def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=None) -> int:
     """Atomically commit metadata as version ``expected_version + 1``.
 
     Exclusive-create ("x" mode) provides the optimistic-concurrency check the
@@ -597,7 +621,6 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int) -> 
     CommitConflictError (reference: errors.go:115-123).
     """
     mdir = metadata_dir(location)
-    os.makedirs(mdir, exist_ok=True)
     new_v = expected_version + 1
     path = os.path.join(mdir, f"v{new_v}.metadata.json")
     md = replace(
@@ -606,6 +629,19 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int) -> 
         if expected_version > 0
         else md.metadata_log,
     )
+    if io is not None:
+        # S3: conditional PUT (If-None-Match: *) gives the same exclusive-
+        # create primitive as O_EXCL locally (io/fileio.py S3FileIO.create)
+        try:
+            io.create(path, json.dumps(md.to_json(), indent=1).encode())
+        except FileExistsError as e:
+            raise CommitConflictError(f"metadata version {new_v} already committed at {location}") from e
+        try:
+            io.create(os.path.join(mdir, "version-hint.text"), str(new_v).encode(), overwrite=True)
+        except OSError:
+            pass
+        return new_v
+    os.makedirs(mdir, exist_ok=True)
     try:
         with open(path, "x") as f:
             json.dump(md.to_json(), f, indent=1)

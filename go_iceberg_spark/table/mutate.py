@@ -125,6 +125,7 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        data_location=table._data_location(),
     )
     # rewritten files have deletes applied; keep delete files only for untouched data
     remaining_deletes = _deletes_still_needed(table, untouched)
@@ -188,6 +189,7 @@ def _delete_merge_on_read(table, filter_: Expression):
         table.spark, deletes_df, table.location,
         _pos_delete_schema(), md.default_spec.__class__(md.default_spec.spec_id, ()),  # unpartitioned
         None, md.current_schema_id, seq, content=CONTENT_POSITION_DELETES, subdir="deletes",
+        data_location=table._data_location(),
     )
     return table._commit_snapshot(OP_DELETE, table.live_entries() + del_files)
 
@@ -256,6 +258,7 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        data_location=table._data_location(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
@@ -387,6 +390,7 @@ def merge(table, source: DataFrame, on: list[str], *,
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        data_location=table._data_location(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,

@@ -90,10 +90,17 @@ def _encode_filter(e: Expression, schema: Schema) -> Expression:
 
 
 def _rel_file_expr(location: str):
-    """Relative-to-table-location path of the current row's source file,
-    derived from the _metadata.file_path URI."""
+    """The current row's source file as the manifest records it: relative to
+    the table location when under it, else the full normalized path
+    (``add_files`` imports, ``write.data.path`` trees). The prefix GUARD
+    matters: blindly substringing an external path would map different files
+    to colliding (or empty) keys and a position-delete anti-join keyed on it
+    would drop rows from the wrong files."""
     norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-    return F.substring(norm, len(location.rstrip("/")) + 2, 1 << 30)
+    prefix = location.rstrip("/") + "/"
+    return F.when(
+        norm.startswith(F.lit(prefix)), F.substring(norm, len(prefix) + 1, 1 << 30)
+    ).otherwise(norm)
 
 
 class ScanBuilder:
@@ -222,7 +229,9 @@ class ScanBuilder:
         table = self._table
         path = os.path.join(table.location, snap.manifest_path)
         cached = path in table._manifest_cache
-        if not cached and not snap.manifest_path.endswith(".avro"):
+        # the pyarrow/Spark manifest tiers read local paths; object-storage
+        # metadata (table._mio set) goes through the FileIO full read below
+        if not cached and table._mio is None and not snap.manifest_path.endswith(".avro"):
             if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
                 members = read_manifest_list(path)
                 n = sum(m["n"] for m in members)
@@ -363,7 +372,8 @@ class ScanBuilder:
         if snap is None:
             return 0
         path = os.path.join(self._table.location, snap.manifest_path)
-        if path not in self._table._manifest_cache and not snap.manifest_path.endswith(".avro"):
+        if (path not in self._table._manifest_cache and self._table._mio is None
+                and not snap.manifest_path.endswith(".avro")):
             # column-pruned footer read: two int64 columns, never the stats
             import pyarrow.parquet as pq
 

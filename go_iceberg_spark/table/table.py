@@ -65,7 +65,9 @@ class Table:
 
     def __init__(self, spark: SparkSession, identifier: tuple[str, ...], location: str,
                  metadata: TableMetadata, version: int, max_retries: int = 3, retry_backoff_ms: int = 100,
-                 committer=None, loader=None):
+                 committer=None, loader=None, io=None):
+        from ..io.fileio import LocalFileIO, for_location
+
         self.spark = spark
         self.identifier = identifier
         self.location = location
@@ -74,18 +76,28 @@ class Table:
         self.max_retries = max_retries
         self.retry_backoff_ms = retry_backoff_ms
         self._manifest_cache: dict[str, list[DataFileEntry]] = {}
-        # pluggable metadata pointer I/O: local filesystem by default; a
+        # storage routing: all METADATA I/O (metadata JSON, manifests both
+        # dialects) goes through a FileIO picked from the location scheme, so
+        # a table whose location is s3:// commits via conditional PUT.
+        # ``_mio`` is None for local tables — metadata readers/writers then
+        # use their direct-filesystem fast paths (mmap parquet, O_EXCL).
+        self.io = io or for_location(location)
+        self._mio = None if isinstance(self.io, LocalFileIO) else self.io
+        # pluggable metadata pointer I/O: FileIO-routed by default; a
         # catalog service (catalog/rest.py) swaps these so the COMMIT runs
         # server-side while data/manifest files stay on shared storage
         # (reference: catalog/rest.go:425-445 CommitTable)
-        self._commit_fn = committer or (lambda md, v: commit_metadata(self.location, md, v))
-        self._load_fn = loader or (lambda: load_metadata(self.location))
+        self._commit_fn = committer or (lambda md, v: commit_metadata(self.location, md, v, io=self._mio))
+        self._load_fn = loader or (lambda: load_metadata(self.location, io=self._mio))
 
     # -- loading ----------------------------------------------------------
     @staticmethod
     def load(spark: SparkSession, location: str, identifier: tuple[str, ...] = ()) -> "Table":
-        md, v = load_metadata(location)
-        return Table(spark, identifier or (os.path.basename(location),), location, md, v)
+        from ..io.fileio import LocalFileIO, for_location
+
+        io = for_location(location)
+        md, v = load_metadata(location, io=None if isinstance(io, LocalFileIO) else io)
+        return Table(spark, identifier or (os.path.basename(location),), location, md, v, io=io)
 
     def refresh(self) -> "Table":
         """Reload metadata (reference: table/table.go:134-141)."""
@@ -125,14 +137,14 @@ class Table:
                 # Iceberg wire format: manifest LIST -> manifests -> entries
                 from .manifest_avro import read_avro_manifest_tree
 
-                self._manifest_cache[path] = read_avro_manifest_tree(self.location, snap.manifest_path)
+                self._manifest_cache[path] = read_avro_manifest_tree(self.location, snap.manifest_path, io=self._mio)
             elif snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
                 out: list[DataFileEntry] = []
                 for mrel, mentries in self._manifest_members(snap):
                     out.extend(mentries)
                 self._manifest_cache[path] = out
             else:
-                self._manifest_cache[path] = read_manifest(path)
+                self._manifest_cache[path] = read_manifest(path, self._mio)
         return self._manifest_cache[path]
 
     def _manifest_members(self, snap: Snapshot) -> list[tuple[str, list[DataFileEntry]]]:
@@ -140,7 +152,7 @@ class Table:
         immutable, so they cache individually and survive across commits
         that reuse them. A legacy single-manifest snapshot is one member."""
         if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
-            members = read_manifest_list(os.path.join(self.location, snap.manifest_path))
+            members = read_manifest_list(os.path.join(self.location, snap.manifest_path), self._mio)
             rels = [m["path"] for m in members]
         else:
             rels = [snap.manifest_path]
@@ -148,7 +160,7 @@ class Table:
         for rel in rels:
             mpath = os.path.join(self.location, rel)
             if mpath not in self._manifest_cache:
-                self._manifest_cache[mpath] = read_manifest(mpath)
+                self._manifest_cache[mpath] = read_manifest(mpath, self._mio)
             out.append((rel, self._manifest_cache[mpath]))
         return out
 
@@ -204,6 +216,7 @@ class Table:
                 spec=md.default_spec,
                 schemas_by_id={s.schema_id: s for s in md.schemas},
                 parent_list_rel=parent_avro,
+                io=self._mio,
             )
         if fmt == "avro":
             manifest_rel = avro_rel
@@ -273,7 +286,7 @@ class Table:
                 else:
                     rel = os.path.join("metadata", f"m-{sid}-{part}.parquet")
                     part += 1
-                    write_manifest(os.path.join(self.location, rel), surv)
+                    write_manifest(os.path.join(self.location, rel), surv, self._mio)
                     self._manifest_cache[os.path.join(self.location, rel)] = surv
                     members.append({"path": rel, "n": len(surv)})
                 covered.update(e.file_path for e in surv)
@@ -283,18 +296,18 @@ class Table:
         added = [e for e in entries if e.file_path not in covered]
         if added or not members:
             rel = os.path.join("metadata", f"m-{sid}-add.parquet")
-            write_manifest(os.path.join(self.location, rel), added)
+            write_manifest(os.path.join(self.location, rel), added, self._mio)
             self._manifest_cache[os.path.join(self.location, rel)] = added
             members.append({"path": rel, "n": len(added)})
 
         if force_compact or len(members) > self.MANIFEST_COMPACT_THRESHOLD:
             rel = os.path.join("metadata", f"m-{sid}-compact.parquet")
-            write_manifest(os.path.join(self.location, rel), entries)
+            write_manifest(os.path.join(self.location, rel), entries, self._mio)
             self._manifest_cache[os.path.join(self.location, rel)] = list(entries)
             members = [{"path": rel, "n": len(entries)}]
 
         manifest_rel = os.path.join("metadata", f"snap-{sid}{MANIFEST_LIST_SUFFIX}")
-        write_manifest_list(os.path.join(self.location, manifest_rel), members)
+        write_manifest_list(os.path.join(self.location, manifest_rel), members, self._mio)
         return manifest_rel
 
     def _retrying(self, build_and_commit) -> Snapshot:
@@ -326,6 +339,12 @@ class Table:
         per-file bounds)."""
         return self.metadata.properties.get("write.distribution-mode", "none")
 
+    def _data_location(self) -> str | None:
+        """``write.data.path`` property (Iceberg name): an alternate root for
+        DATA files — e.g. metadata on s3:// with data on a path both Spark
+        and the driver can reach. None = data under the table location."""
+        return self.metadata.properties.get("write.data.path")
+
     def _bloom_columns(self) -> tuple[str, ...]:
         """``write.bloom-columns`` property: comma-separated integer/string
         columns that get a per-file bloom filter in their manifest stats —
@@ -345,6 +364,7 @@ class Table:
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+            data_location=self._data_location(),
         )
 
         def commit():
@@ -399,6 +419,7 @@ class Table:
                 target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+                data_location=self._data_location(),
             )
             return self._commit_snapshot(OP_OVERWRITE, new_files)
         from .mutate import rewrite_for_delete
@@ -410,6 +431,7 @@ class Table:
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+            data_location=self._data_location(),
         )
         return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
 
@@ -568,6 +590,7 @@ class Table:
         new_files = write_data_files(
             self.spark, df, self.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self._next_sequence(),
+            data_location=self._data_location(),
         )
 
         def commit():

@@ -52,6 +52,7 @@ class Transaction:
         self._staged_adds += write_data_files(
             self.table.spark, df, self.table.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self.table._next_sequence(),
+            data_location=self.table._data_location(),
         )
         return self
 
@@ -94,6 +95,7 @@ class BulkWriter:
         files = write_data_files(
             self.table.spark, df, self.table.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self.table._next_sequence(),
+            data_location=self.table._data_location(),
         )
         self._staged += files
         self._rows += sum(f.record_count for f in files)
@@ -139,6 +141,7 @@ def delete_equality(table, keys_df: DataFrame, key_columns: list[str]):
         table.spark, keys_df.select(*key_columns).distinct(), table.location,
         schema, UNPARTITIONED, None, md.current_schema_id, seq,
         content=CONTENT_EQUALITY_DELETES, subdir="deletes",
+        data_location=table._data_location(),
     )
     files = [DataFileEntry(**{**f.__dict__, "equality_ids": tuple(eq_ids)}) for f in files]
     return table._commit_snapshot(OP_DELETE, table.live_entries() + files)

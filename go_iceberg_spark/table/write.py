@@ -224,13 +224,20 @@ def write_data_files(
     subdir: str = "data",
     distribution_mode: str = "none",
     bloom_columns: tuple[str, ...] = (),
+    data_location: str | None = None,
 ) -> list[DataFileEntry]:
     """Write ``df`` as parquet data files under the table location and return
     manifest entries with real stats. The write itself is fully distributed;
     only footer harvesting results (one small dict per file) reach the driver.
+
+    ``data_location`` (Iceberg ``write.data.path``) points the DATA tree at a
+    different root than the table location — e.g. metadata on s3:// with data
+    on a Hadoop-visible path. Entries then carry ABSOLUTE paths (same
+    convention as ``add_files`` imports), which the scan resolves unchanged.
     """
     write_id = uuid_mod.uuid4().hex[:16]
-    out_dir = os.path.join(location, subdir, write_id)
+    data_root = data_location or location
+    out_dir = os.path.join(data_root, subdir, write_id)
 
     fid_by_name = {f.name: f.field_id for f in schema.fields}
     type_by_name = {f.name: f.type for f in schema.fields}
@@ -328,8 +335,10 @@ def write_data_files(
             DataFileEntry(
                 content=content,
                 # paths are stored RELATIVE to the table location so that
-                # rename_table stays a pure metadata move
-                file_path=os.path.relpath(r["file_path"], location),
+                # rename_table stays a pure metadata move; an external
+                # write.data.path tree keeps absolute paths instead
+                file_path=(os.path.relpath(r["file_path"], location)
+                           if data_root == location else r["file_path"]),
                 file_format="parquet",
                 spec_id=spec.spec_id,
                 schema_id=schema_id,

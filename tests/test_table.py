@@ -417,6 +417,31 @@ def test_add_files_zero_copy_import(spark, catalog, tmp_path):
         t2.add_files(badfiles)
 
 
+def test_add_files_then_merge_on_read_delete(spark, catalog, tmp_path):
+    """Position deletes over IMPORTED (absolute-path) files: the file key in
+    the delete files must be the full path, not a substring against the
+    table location — a blind substring maps external files to colliding or
+    empty keys and the anti-join deletes rows from the WRONG files
+    (regression test for the _rel_file_expr prefix guard, scan.py)."""
+    import os
+
+    ext = str(tmp_path / "ext_mor")
+    spark.range(0, 100).selectExpr("id", "id % 4 AS grp").repartition(4).write.parquet(ext)
+    files = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")]
+    proto = spark.createDataFrame([], "id long, grp long")
+    t = catalog.create_table("db", "imported_mor", from_spark_schema(proto.schema))
+    t.add_files(files)
+    t.delete(E.eq("grp", 1), mode="merge-on-read")
+    assert t.scan().count() == 75
+    assert t.to_df().filter("grp = 1").count() == 0
+    # only grp=1 rows were touched — no collateral deletes from key collisions
+    assert t.to_df().filter("grp = 2").count() == 25
+    # the delete file's keys are full external paths
+    dels = [e for e in t.live_entries() if e.content != 0]
+    keys = spark.read.parquet(*[os.path.join(t.location, d.file_path) for d in dels])
+    assert all(r.file_path.startswith(ext) for r in keys.select("file_path").distinct().collect())
+
+
 def test_write_audit_publish(spark, users):
     """WAP: stage appends on a branch, audit via use_ref, fast-forward main
     to publish; diverged refs refuse to fast-forward."""
