@@ -2183,6 +2183,54 @@ def pq_topk_q(spark, sf):
                      id_col="vec_id", vec_col="embedding", dim=64, k=5)
 
 
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    def d2(e_vec: str, c_vec: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+                f"(CAST({e_vec}[i] AS DOUBLE) - CAST({c_vec}[i] AS DOUBLE)) * "
+                f"(CAST({e_vec}[i] AS DOUBLE) - CAST({c_vec}[i] AS DOUBLE))))")
+
+    def assign(cte: str) -> str:
+        return f"""
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2('e.embedding', 'c.cv')}, c.cid) AS r
+        FROM embeddings e CROSS JOIN {cte} c) t WHERE r = 1"""
+
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+    a0 AS ({assign('c0')}),
+    s1 AS (
+      SELECT a0.cid, g.i,
+             sum(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a0 JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+      GROUP BY a0.cid, g.i),
+    c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 ORDER BY i) AS cv
+           FROM s1 GROUP BY cid),
+    a1 AS ({assign('c1')})
+    SELECT vec_id, cid AS cluster FROM a1
+    """
+
+
+@query("cluster_kmeans_topics", _kmeans_oracle_sql())
+def kmeans_topics_q(spark, sf):
+    """K-means topic clustering over the embeddings corpus (2 Lloyd
+    iterations, md5-seeded): the assignment step is one shuffle-free argmin
+    projection against broadcast centroid literals, and the centroid update
+    aggregates fixed-point longs over a (k x dim) key space — bounded at any
+    corpus size, and bit-reproducible in DuckDB (integer sums commute;
+    double means reconstruct identically)."""
+    from .operators.clustering import kmeans_assign
+
+    emb = load(spark, sf, "embeddings")
+    return kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=8, iters=2)
+
+
 @query(
     "q14_promo_revenue",
     """

@@ -71,3 +71,29 @@ def test_features_compose_on_one_table(spark, catalog, tmp_path):
     t.expire_snapshots(retain_last=1)
     assert t.to_df().count() == 550
     assert len(t.snapshots()) == 1
+
+
+def test_kmeans_clusters_separate_and_converge(spark):
+    """Sanity on well-separated synthetic blobs: 2 Lloyd iterations put each
+    blob in one cluster, and iters=3 gives the same assignment (converged)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.clustering import kmeans_assign
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(3):
+        center = [10.0 * b] * 8
+        for i in range(40):
+            rows.append(Row(vec_id=b * 100 + i,
+                            embedding=[c + rng.uniform(-0.5, 0.5) for c in center]))
+    df = spark.createDataFrame(rows)
+    a2 = {r.vec_id: r.cluster for r in kmeans_assign(df, k=3, iters=2).collect()}
+    a3 = {r.vec_id: r.cluster for r in kmeans_assign(df, k=3, iters=3).collect()}
+    assert a2 == a3  # converged
+    # each blob lands wholly in one cluster, and blobs get distinct clusters
+    blobs = {b: {a2[b * 100 + i] for i in range(40)} for b in range(3)}
+    assert all(len(c) == 1 for c in blobs.values())
+    assert len({next(iter(c)) for c in blobs.values()}) == 3

@@ -177,3 +177,17 @@ def test_ivf_corpus_assignment_is_shuffle_free(spark):
     assert P.count_op(df, "Window") <= 1
     # shuffles: join exchange(s) + final window partitioning only
     assert P.num_shuffles(df) <= 3, P.formatted_plan(df)
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The k-means ASSIGN step is one projection over centroid literals: no
+    Exchange, no Window, no join anywhere in the final-assignment plan (the
+    update step's bounded k x dim aggregation happens in earlier actions)."""
+    from go_iceberg_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    df = kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=4, iters=2)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert P.count_op(df, "Window") == 0
+    assert P.num_shuffles(df) == 0, plan
