@@ -186,21 +186,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3,
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word", threshold: float = 0.6
-) -> DataFrame:
-    """Near-dup pairs via MinHash banding: ids sharing any band of the
-    signature become candidates; candidates are verified with exact Jaccard.
-
-    Candidate generation is a groupBy on (band_id, band_hash) — documents
-    never self-join on raw shingles, which is what makes this the scale path.
-    """
-    # ONE shingle pass computes, per doc: the 16 minhash values AND the full
-    # shingle-hash set (for exact-Jaccard verification). Band rows come from
-    # one explode over an array of 4 structs; bucket-mates become candidate
-    # pairs via groupBy(bucket) + collect_list + double-explode — no
-    # self-join, so the shingle subtree appears ONCE in the physical plan
-    # (the naive union-of-bands self-join duplicated it 24x).
+def _banded_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
+    """Per-doc banded MinHash rows (_id, _hs, _sz, _band, _bh): ONE shingle
+    pass computes the k minhash values AND carries the full shingle-hash set
+    + size for downstream exact-Jaccard verification; band rows come from one
+    explode over an array of band structs, so the shingle subtree appears
+    ONCE in the physical plan."""
     sh = _shingle_table(df, id_col, text_col, n, mode)
     hp = F.col("_h") % MINHASH_PRIME
     sig_aggs = [
@@ -225,9 +216,37 @@ def minhash_lsh_pairs(
             for band in range(LSH_BANDS)
         ]
     )
-    bandrows = sig.select("_id", "_hs", "_sz", F.explode(band_structs).alias("_b")).select(
+    return sig.select("_id", "_hs", "_sz", F.explode(band_structs).alias("_b")).select(
         "_id", "_hs", "_sz", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh")
     )
+
+
+def _verified_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification inline on carried shingle sets (columns
+    _hsa/_sza/_hsb/_szb) — no extra joins, no second shingle pass."""
+    return (
+        pairs.withColumn("_common", F.size(F.array_intersect("_hsa", "_hsb")))
+        .withColumn(
+            "jaccard",
+            (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word", threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: ids sharing any band of the
+    signature become candidates; candidates are verified with exact Jaccard.
+
+    Candidate generation is a groupBy on (band_id, band_hash) — documents
+    never self-join on raw shingles, which is what makes this the scale path.
+    Bucket-mates become candidate pairs via groupBy(bucket) + collect_list +
+    double-explode — no self-join (the naive union-of-bands self-join
+    duplicated the shingle subtree 24x).
+    """
+    bandrows = _banded_signatures(df, id_col, text_col, n, mode)
     # bucket-mates -> pairs; hot buckets produce k^2 pairs (inherent to LSH);
     # the bucket key space is bounded so the shuffle is on small keys.
     grp = (
@@ -249,18 +268,44 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verification inline: |A∩B| via array_intersect on the
-    # carried shingle sets — no extra joins, no second shingle pass.
-    out = (
-        pairs.withColumn("_common", F.size(F.array_intersect("_hsa", "_hsb")))
-        .withColumn(
-            "jaccard",
-            (F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common"))).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
+
+
+def fuzzy_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    mode: str = "word",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """NEAR-duplicate decontamination across corpora: training docs whose
+    MinHash bands collide with any eval doc, verified with exact Jaccard —
+    catches paraphrased/reformatted benchmark leakage the exact n-gram
+    filter (``contamination``) misses.
+
+    Plan shape at 100 TB: one shingle+signature pass per side; the eval
+    side's band rows are BROADCAST (benchmark suites are tiny next to a
+    training corpus), so candidate generation is a map-side hash join — the
+    training corpus is never shuffled; verification runs inline on the
+    carried shingle sets."""
+    tr = _banded_signatures(train_df, id_col, text_col, n, mode)
+    ev = _banded_signatures(eval_df, id_col, text_col, n, mode).select(
+        F.col("_id").alias("_eid"), F.col("_hs").alias("_ehs"),
+        F.col("_sz").alias("_esz"), "_band", "_bh",
     )
-    return out
+    pairs = (
+        tr.join(F.broadcast(ev), ["_band", "_bh"])
+        .select(
+            F.col("_id").alias("train_id"), F.col("_eid").alias("eval_id"),
+            F.col("_hs").alias("_hsa"), F.col("_sz").alias("_sza"),
+            F.col("_ehs").alias("_hsb"), F.col("_esz").alias("_szb"),
+        )
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    return _verified_jaccard(pairs, threshold).select("train_id", "eval_id", "jaccard")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -815,6 +815,44 @@ def streaming_tumbling_q(spark, sf):
 
 
 @query(
+    "streaming_static_enrichment",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrichment_q(spark, sf):
+    """Stream-STATIC enrichment join, the canonical streaming-ETL shape: a
+    file-streamed fact (events) joins a static dimension (customer) row by
+    row as micro-batches arrive — Spark re-plans the static side per batch,
+    AQE broadcasts it, and NO stream state is kept for the join (stream-
+    static equijoins are stateless by construction; only the downstream
+    complete-mode aggregate holds state, keyed by segment x type — bounded).
+    After the availableNow stream drains, the result equals the batch join,
+    which is the oracle."""
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    dim = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = src.join(F.broadcast(dim), src["user_id"] == dim["c_custkey"])
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_enrich_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "streaming_interval_join",
     """
     SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
@@ -1026,6 +1064,53 @@ def minhash_q(spark, sf):
     """MinHash+LSH near-dup: banded candidate generation + exact Jaccard
     verify — the web-scale dedup path (candidates only, no all-pairs join)."""
     return D.minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.6)
+
+
+def _fuzzy_contamination_oracle_sql() -> str:
+    """Cross-corpus MinHash decontamination oracle: the eval set is the base
+    documents with doc_id % 25 <= 1 — the SOURCES of the corpus's planted
+    exact (+1M) and near (+2M, ' zz qq') duplicates, so known leakage must
+    surface. Eval ids exist in the corpus with identical text, so their
+    shingles/signatures are reused from the corpus CTEs."""
+    P = D.MINHASH_PRIME
+    mh_cols = ",\n      ".join(
+        f"min(({a} * (_h % {P}) + {b}) % {P}) AS mh_{j}" for j, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    band_rows = []
+    for band in range(D.LSH_BANDS):
+        cols = [f"mh_{band * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)]
+        bh = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT _id, {band} AS _band, {bh} AS _bh FROM sig")
+    bands_sql = "\n      UNION ALL ".join(band_rows)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_shingle_sql(3)},
+    sig AS (SELECT _id, {mh_cols} FROM shingles GROUP BY _id),
+    bands AS ({bands_sql}),
+    ebands AS (SELECT * FROM bands WHERE _id < 1000000 AND _id % 25 <= 1),
+    cand AS (
+      SELECT DISTINCT a._id AS train_id, b._id AS eval_id
+      FROM bands a JOIN ebands b ON a._band = b._band AND a._bh = b._bh),
+    sizes AS (SELECT _id, count(*) AS sz FROM shingles GROUP BY _id),
+    common AS (
+      SELECT c.train_id, c.eval_id, count(*) AS cc
+      FROM cand c JOIN shingles sa ON sa._id = c.train_id
+                  JOIN shingles sb ON sb._id = c.eval_id AND sa._h = sb._h
+      GROUP BY 1, 2)
+    SELECT train_id, eval_id, CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) AS jaccard
+    FROM common JOIN sizes sa ON sa._id = train_id JOIN sizes sb ON sb._id = eval_id
+    WHERE CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) >= 0.6
+    """
+
+
+@query("decontaminate_fuzzy_minhash", _fuzzy_contamination_oracle_sql())
+def fuzzy_contamination_q(spark, sf):
+    """MinHash-banded decontamination of the training corpus against an eval
+    set: near-dup leakage (paraphrase/reformat) the exact n-gram filter
+    misses. Eval band rows broadcast; the training corpus never shuffles."""
+    train = _corpus(spark, sf)
+    ev = load(spark, sf, "documents").filter(F.col("doc_id") % 25 <= 1).select("doc_id", "text")
+    return D.fuzzy_contamination(train, ev, "doc_id", "text", n=3, mode="word", threshold=0.6)
 
 
 @query(
