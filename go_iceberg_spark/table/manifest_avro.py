@@ -227,21 +227,34 @@ def _kv_list(d: dict[int, Any]) -> list[dict]:
     return [{"key": k, "value": v} for k, v in sorted(d.items()) if v is not None]
 
 
+def _field_type(schema: Schema, fid: int) -> IcebergType | None:
+    """Type of a stats field id: the table schema, else the Iceberg RESERVED
+    position-delete columns (spec: 2147483546 = file_path string,
+    2147483545 = pos long) — delete files carry bounds on those, and
+    dropping them would make the Avro tree a lossy view of the parquet one."""
+    f = schema.find_field_by_id(fid)
+    if f is not None:
+        return f.type
+    from ..schema import LONG, STRING
+
+    return {2147483546: STRING, 2147483545: LONG}.get(fid)
+
+
 def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
     lowers: dict[int, bytes] = {}
     uppers: dict[int, bytes] = {}
     for fid, s in e.column_stats.items():
-        f = schema.find_field_by_id(fid)
-        if f is None:
+        t = _field_type(schema, fid)
+        if t is None:
             continue
         if s.get("value_count") is not None:
             value_counts[fid] = int(s["value_count"])
         if s.get("null_count") is not None:
             null_counts[fid] = int(s["null_count"])
-        lo = bound_to_bytes(f.type, s.get("min"))
-        hi = bound_to_bytes(f.type, s.get("max"))
+        lo = bound_to_bytes(t, s.get("min"))
+        hi = bound_to_bytes(t, s.get("max"))
         if lo is not None:
             lowers[fid] = lo
         if hi is not None:
@@ -532,13 +545,13 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
         for kv in df.get("null_value_counts") or []:
             stats.setdefault(kv["key"], _empty_stat())["null_count"] = kv["value"]
         for kv in df.get("lower_bounds") or []:
-            f = schema.find_field_by_id(kv["key"])
-            if f is not None:
-                stats.setdefault(kv["key"], _empty_stat())["min"] = bound_from_bytes(f.type, kv["value"])
+            t = _field_type(schema, kv["key"])
+            if t is not None:
+                stats.setdefault(kv["key"], _empty_stat())["min"] = bound_from_bytes(t, kv["value"])
         for kv in df.get("upper_bounds") or []:
-            f = schema.find_field_by_id(kv["key"])
-            if f is not None:
-                stats.setdefault(kv["key"], _empty_stat())["max"] = bound_from_bytes(f.type, kv["value"])
+            t = _field_type(schema, kv["key"])
+            if t is not None:
+                stats.setdefault(kv["key"], _empty_stat())["max"] = bound_from_bytes(t, kv["value"])
         out.append(
             DataFileEntry(
                 content=df["content"],

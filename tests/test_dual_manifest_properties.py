@@ -1,0 +1,110 @@
+"""Property test: the parquet manifest tree and the Iceberg Avro tree are
+EQUIVALENT views of every snapshot.
+
+Dual-manifest mode writes both dialects incrementally with independent
+reuse/rewrite/compaction decisions; a divergence would mean external Iceberg
+readers (which walk the Avro tree) see a different table than the engine
+(which scans via the parquet tree). Randomized CRUD sequences must keep
+them in lockstep — same file sets, same sequence numbers, same stats, at
+EVERY snapshot (current and historical).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import Row
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.schema import from_spark_schema
+from go_iceberg_spark.table.manifest_avro import read_avro_manifest_tree
+
+SEED = 414243
+N_OPS = 14
+
+
+def _entry_key(e):
+    return (
+        e.file_path, e.content, e.sequence_number, e.record_count,
+        e.schema_id, tuple(sorted(e.equality_ids)),
+        tuple(sorted((fid, s.get("min"), s.get("max"), s.get("null_count"),
+                      s.get("value_count")) for fid, s in e.column_stats.items())),
+    )
+
+
+def _assert_trees_agree(t, snap):
+    parquet_entries = {_entry_key(e) for e in t.manifest_entries(snap)}
+    avro_rel = snap.avro_manifest_path
+    assert avro_rel is not None, "dual mode must stamp every snapshot's avro tree"
+    avro_entries = {_entry_key(e)
+                    for e in read_avro_manifest_tree(t.location, avro_rel)}
+    assert parquet_entries == avro_entries, (
+        f"dialect divergence at snapshot {snap.snapshot_id}: "
+        f"parquet-only={sorted(parquet_entries - avro_entries)[:3]} "
+        f"avro-only={sorted(avro_entries - parquet_entries)[:3]}"
+    )
+
+
+def test_dialects_agree_across_random_crud(spark, catalog):
+    rng = random.Random(SEED)
+    proto = spark.createDataFrame([Row(id=0, v=0.0, tag="s")])
+    t = catalog.create_table("db", "dualprop", from_spark_schema(proto.schema))
+    next_id = [0]
+
+    def batch(n):
+        rows = [Row(id=next_id[0] + i, v=float(rng.randint(0, 50)),
+                    tag=rng.choice("abc")) for i in range(n)]
+        next_id[0] += n
+        return spark.createDataFrame(rows)
+
+    t.append(batch(20))
+    ops_run = []
+    for step in range(N_OPS):
+        op = rng.choice(["append", "cow_delete", "mor_delete", "eq_delete", "update"])
+        if op == "append":
+            t.append(batch(rng.randint(1, 15)))
+        elif op == "cow_delete":
+            t.delete(gi.lt("id", rng.randint(0, next_id[0])))
+        elif op == "mor_delete":
+            t.delete(gi.eq("tag", rng.choice("abc")), mode="merge-on-read")
+        elif op == "eq_delete":
+            from go_iceberg_spark.table.transaction import delete_equality
+
+            keys = spark.createDataFrame(
+                [Row(id=rng.randint(0, max(next_id[0], 1))) for _ in range(3)])
+            delete_equality(t, keys, ["id"])
+        else:
+            t.update(gi.gt("v", float(rng.randint(0, 50))), {"v": -1.0})
+        ops_run.append(op)
+        _assert_trees_agree(t, t.current_snapshot())
+        # row counts through BOTH dialect paths agree with the live scan
+        if step % 4 == 0:
+            n_scan = t.scan().count()
+            avro_live = read_avro_manifest_tree(
+                t.location, t.current_snapshot().avro_manifest_path)
+            data_rows = sum(e.record_count for e in avro_live if e.content == 0)
+            assert data_rows >= n_scan  # MoR deletes subtract at scan time
+
+    # every HISTORICAL snapshot still has both dialects intact (time travel
+    # for external readers too)
+    for snap in t.snapshots():
+        _assert_trees_agree(t, snap)
+    assert len(set(ops_run)) >= 4, f"seed exercised too few op kinds: {ops_run}"
+
+
+def test_avro_tree_compacts_past_threshold(spark, catalog):
+    """Many appends: the avro member list is bounded by the compaction
+    threshold, and the compacted tree still matches the parquet dialect."""
+    from go_iceberg_spark.avro import read_ocf
+    from go_iceberg_spark.table.manifest_avro import AVRO_COMPACT_THRESHOLD
+
+    proto = spark.createDataFrame([Row(id=0)])
+    t = catalog.create_table("db", "dualcompact", from_spark_schema(proto.schema))
+    for i in range(AVRO_COMPACT_THRESHOLD + 4):
+        t.append(spark.createDataFrame([Row(id=i)]))
+    snap = t.current_snapshot()
+    _, _, mfs = read_ocf(os.path.join(t.location, snap.avro_manifest_path))
+    assert len(mfs) <= AVRO_COMPACT_THRESHOLD
+    _assert_trees_agree(t, snap)
+    assert t.scan().count() == AVRO_COMPACT_THRESHOLD + 4
