@@ -57,6 +57,11 @@ class FileIO:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    def mtime(self, path: str) -> float:
+        """Last-modified time, seconds since epoch (maintenance sweeps use
+        it to grant in-flight commits a grace period)."""
+        raise NotImplementedError
+
     def list(self, prefix: str) -> list[str]:
         raise NotImplementedError
 
@@ -91,6 +96,9 @@ class LocalFileIO(FileIO):
 
     def size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
 
     def list(self, prefix: str) -> list[str]:
         p = self._p(prefix)
@@ -179,6 +187,10 @@ class S3FileIO(FileIO):
     def size(self, path: str) -> int:
         b, k = parse_s3_uri(path)
         return self._s3.head_object(Bucket=b, Key=k)["ContentLength"]
+
+    def mtime(self, path: str) -> float:
+        b, k = parse_s3_uri(path)
+        return self._s3.head_object(Bucket=b, Key=k)["LastModified"].timestamp()
 
     def list(self, prefix: str) -> list[str]:
         for scheme in ("s3://", "s3a://", "s3n://"):

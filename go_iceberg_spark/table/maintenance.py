@@ -39,11 +39,18 @@ _MANIFEST_FILE_RE = re.compile(
 
 
 def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
-                     retain_last: int = 1) -> list[str]:
+                     retain_last: int = 1,
+                     sweep_grace_ms: int = 3_600_000) -> list[str]:
     """Drop snapshots older than the cutoff (keeping at least the latest
     ``retain_last`` and the current snapshot), then delete data/manifest
     files no longer reachable from any retained snapshot. Returns the
-    deleted file paths (relative)."""
+    deleted file paths (relative).
+
+    ``sweep_grace_ms``: the metadata-dir sweep skips unreferenced manifest
+    files younger than this — a concurrent writer may have just written its
+    manifests and not yet landed the metadata pointer; sweeping them would
+    corrupt the in-flight commit. Crash debris older than the grace period
+    is reclaimed (pass 0 in single-writer cleanup jobs)."""
     if retain_last < 1:
         raise ValidationError("retain_last must be >= 1")
     md = table.metadata
@@ -59,8 +66,10 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     # staged WAP branch's head out from under its ref would corrupt the ref
     keep |= {r.snapshot_id for r in md.refs.values()}
     retained = tuple(s for s in snaps if s.snapshot_id in keep or s.timestamp_ms >= cutoff)
-    if len(retained) == len(snaps):
-        return []
+    # even with nothing to expire, the metadata-dir sweep below still runs:
+    # a crashed commit leaves manifests (both dialects) of a snapshot that
+    # never landed, and no future expire would otherwise reclaim them
+    expired_any = len(retained) != len(snaps)
 
     def _manifest_paths(s) -> set[str]:
         """A snapshot's manifest files across BOTH dialects — each list plus
@@ -115,31 +124,39 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     # unreachable from every RETAINED snapshot — after the commit below,
     # retained is exactly the live set, so anything else is garbage.
     meta_dir = os.path.join(table.location, "metadata")
+    sweep_before = now_ms() - sweep_grace_ms
     for full in table.io.list(meta_dir):
         fn = os.path.basename(full)
         if not (_MANIFEST_FILE_RE.match(fn)):
             continue
         rel = os.path.join("metadata", fn)
-        if rel not in kept_manifests:
-            doomed_manifests.add(rel)
+        if rel in kept_manifests or rel in doomed_manifests:
+            continue
+        try:
+            if table.io.mtime(full) * 1000 > sweep_before:
+                continue  # possibly an in-flight concurrent commit
+        except OSError:
+            continue
+        doomed_manifests.add(rel)
 
-    # fix parent pointers across the removal gap, keep refs valid
-    retained_ids = {s.snapshot_id for s in retained}
-    fixed = []
-    prev_id = None
-    for s in retained:
-        fixed.append(replace(s, parent_snapshot_id=prev_id if s.parent_snapshot_id not in retained_ids else s.parent_snapshot_id))
-        prev_id = s.snapshot_id
-    refs = {name: r for name, r in md.refs.items()
-            if r.snapshot_id in retained_ids or name == MAIN_BRANCH}
-    new_md = replace(
-        md, snapshots=tuple(fixed), refs=refs,
-        snapshot_log=tuple(e for e in md.snapshot_log if e["snapshot-id"] in retained_ids),
-        last_updated_ms=now_ms(),
-    )
-    table.version = table._commit_fn(new_md, table.version)
-    table.metadata = new_md
-    table._manifest_cache.clear()
+    if expired_any:
+        # fix parent pointers across the removal gap, keep refs valid
+        retained_ids = {s.snapshot_id for s in retained}
+        fixed = []
+        prev_id = None
+        for s in retained:
+            fixed.append(replace(s, parent_snapshot_id=prev_id if s.parent_snapshot_id not in retained_ids else s.parent_snapshot_id))
+            prev_id = s.snapshot_id
+        refs = {name: r for name, r in md.refs.items()
+                if r.snapshot_id in retained_ids or name == MAIN_BRANCH}
+        new_md = replace(
+            md, snapshots=tuple(fixed), refs=refs,
+            snapshot_log=tuple(e for e in md.snapshot_log if e["snapshot-id"] in retained_ids),
+            last_updated_ms=now_ms(),
+        )
+        table.version = table._commit_fn(new_md, table.version)
+        table.metadata = new_md
+        table._manifest_cache.clear()
 
     deleted = []
     data_root = table._data_location()

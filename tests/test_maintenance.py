@@ -177,10 +177,58 @@ def test_expire_reclaims_members_when_list_missing(spark, catalog):
     # simulate a partially-completed earlier expire: the list file vanished
     os.remove(os.path.join(t.location, first.manifest_path))
     with pytest.warns(UserWarning, match="manifest list missing"):
-        MX.expire_snapshots(t, retain_last=1)
+        # grace disabled: in tests the orphan members are seconds old, and
+        # this models a dedicated cleanup job over stale debris
+        MX.expire_snapshots(t, retain_last=1, sweep_grace_ms=0)
     kept = {m["path"] for m in read_manifest_list(
         os.path.join(t.location, t.current_snapshot().manifest_path))}
     for p in members_a - kept:
         assert not os.path.exists(os.path.join(t.location, p)), p
     # table still reads fine
     assert t.to_df().count() == 2
+
+
+def test_failed_commit_orphans_are_reclaimable(spark, catalog):
+    """A commit that dies AFTER writing data files + both manifest dialects
+    but BEFORE the metadata pointer lands (crash/conflict exhaustion) must
+    leave the table readable and its debris fully reclaimable:
+    remove_orphan_files takes the data orphans, expire's metadata-dir sweep
+    takes the orphan manifests of the never-committed snapshot."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import CommitConflictError
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.maintenance import expire_snapshots, remove_orphan_files
+
+    df = spark.createDataFrame([Row(a=i) for i in range(10)])
+    t = catalog.create_table("db", "crash", from_spark_schema(df.schema))
+    t.append(df)
+    meta_dir = os.path.join(t.location, "metadata")
+    before = set(os.listdir(meta_dir))
+
+    def boom(md, v):
+        raise CommitConflictError("injected crash")
+
+    t._commit_fn, orig = boom, t._commit_fn
+    t.max_retries = 0
+    with pytest.raises(CommitConflictError):
+        t.append(spark.createDataFrame([Row(a=100 + i) for i in range(5)]))
+    t._commit_fn = orig
+    t.refresh()
+    assert t.scan().count() == 10  # committed state untouched
+    debris = set(os.listdir(meta_dir)) - before
+    assert debris  # the failed snapshot's manifests exist on disk
+
+    orphan_data = remove_orphan_files(t)
+    assert orphan_data, "the failed append's data files must be reclaimed"
+    # default grace period protects concurrent in-flight commits: the
+    # (young) debris survives this sweep ...
+    expire_snapshots(t, retain_last=1)
+    assert set(os.listdir(meta_dir)) & debris
+    # ... and a cleanup job with grace disabled reclaims it
+    expire_snapshots(t, retain_last=1, sweep_grace_ms=0)
+    assert not (set(os.listdir(meta_dir)) & debris), "orphan manifests must be swept"
+    assert t.refresh().scan().count() == 10
