@@ -2807,6 +2807,52 @@ def incremental_append_scan_q(spark, sf):
 
 
 @query(
+    "incremental_agg_refresh",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey < 3000 GROUP BY o_custkey
+    """,
+)
+def incremental_agg_refresh_q(spark, sf):
+    """Incremental MATERIALIZED-AGGREGATE maintenance — the engine's own
+    primitives composed: an aggregate table is refreshed from the base
+    table's incremental scan (only the rows added since the last refresh)
+    via an additive MERGE (matched -> add the delta's partial counts/sums,
+    not matched -> insert). The oracle is the FULL recompute over the final
+    base state, so the delta path must land on exactly the same aggregate —
+    the correctness contract of incremental view maintenance. At 100 TB the
+    refresh cost scales with the delta (files added in the snapshot range),
+    never the base table."""
+    o = load(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") < 2000)
+    delta = o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000))
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"))
+
+    t = _scratch_table(spark, "iar_base", base.select(*cols))
+    snap1 = t.current_snapshot().snapshot_id
+    agg_t = _scratch_table(spark, "iar_agg", agg(t.to_df()))
+    t.append(delta.select(*cols))
+    # refresh: aggregate ONLY the incremental rows, merge additively
+    delta_agg = agg(t.incremental_scan(from_snapshot_id=snap1))
+    agg_t.merge(
+        delta_agg, ["o_custkey"],
+        when_matched_update={
+            "n_orders": F.col("t.n_orders") + F.col("s.n_orders"),
+            "sum_price": F.col("t.sum_price") + F.col("s.sum_price"),
+        },
+        when_not_matched_insert=True,
+    )
+    return agg_t.to_df().select(
+        "o_custkey", "n_orders", F.round("sum_price", 2).alias("sum_price"))
+
+
+@query(
     "changelog_cdc_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority,
