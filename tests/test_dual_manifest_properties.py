@@ -52,16 +52,32 @@ def test_dialects_agree_across_random_crud(spark, catalog):
     t = catalog.create_table("db", "dualprop", from_spark_schema(proto.schema))
     next_id = [0]
 
+    evolved = [0]
+
     def batch(n):
+        from pyspark.sql import functions as F
+
         rows = [Row(id=next_id[0] + i, v=float(rng.randint(0, 50)),
                     tag=rng.choice("abc")) for i in range(n)]
         next_id[0] += n
-        return spark.createDataFrame(rows)
+        df = spark.createDataFrame(rows)
+        for j in range(evolved[0]):  # fill columns added by evolution
+            df = df.withColumn(f"x{j + 1}", F.lit(j).cast("long"))
+        return df
 
     t.append(batch(20))
     ops_run = []
     for step in range(N_OPS):
         op = rng.choice(["append", "cow_delete", "mor_delete", "eq_delete", "update"])
+        if step in (4, 9):  # deterministic: two schema evolutions mid-sequence
+            op = "evolve"
+        if op == "evolve":
+            # schema evolution: later appends write under a NEW schema id, so
+            # the avro tree must group entries per (content, schema) and keep
+            # per-member schema metadata consistent with the parquet dialect
+            evolved[0] += 1
+            t.update_schema().add_column(f"x{evolved[0]}", gi.LONG).commit()
+            op = "append"  # evolution commits no files; follow with data
         if op == "append":
             t.append(batch(rng.randint(1, 15)))
         elif op == "cow_delete":
