@@ -319,6 +319,7 @@ class ColumnStats:
     null_count: int | None = None
     value_count: int | None = None
     bloom: str | None = None  # hex bitmap (bloom.py); None = not built
+    nan_count: int | None = None  # Iceberg nan_value_counts; None = unknown
 
     @property
     def all_null(self) -> bool:
@@ -449,10 +450,12 @@ def must_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
         # Parquet min/max stats EXCLUDE NaN, so a float file containing NaN
         # rows can look "fully matching" (e.g. delete x < 100 with every
         # non-NaN value < 100) and be dropped metadata-only — silently losing
-        # the NaN rows, which never satisfy a comparison. Without per-file
-        # nan_value_counts (Iceberg's guard) we cannot prove NaN-absence, so
-        # stay conservative and take the rewrite path.
-        return False
+        # the NaN rows, which never satisfy a comparison. Iceberg's guard is
+        # per-file nan_value_counts: only a PROVEN zero (collected when the
+        # write.nan-count-columns property lists the column) re-enables the
+        # metadata-only fast path; unknown stays conservative.
+        if s.nan_count != 0:
+            return False
 
     try:
         if op is Op.EQ:

@@ -194,6 +194,7 @@ def manifest_entry_schema(spec: PartitionSpec) -> dict:
             _req(104, "file_size_in_bytes", "long"),
             _opt(109, "value_counts", _kv_array("value_counts", 119, 120, "long")),
             _opt(110, "null_value_counts", _kv_array("null_value_counts", 121, 122, "long")),
+            _opt(137, "nan_value_counts", _kv_array("nan_value_counts", 138, 139, "long")),
             _opt(125, "lower_bounds", _kv_array("lower_bounds", 126, 127, "bytes")),
             _opt(128, "upper_bounds", _kv_array("upper_bounds", 129, 130, "bytes")),
             _opt(132, "split_offsets", {"type": "array", "items": "long", "element-id": 133}),
@@ -243,6 +244,7 @@ def _field_type(schema: Schema, fid: int) -> IcebergType | None:
 def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
+    nan_counts: dict[int, int] = {}
     lowers: dict[int, bytes] = {}
     uppers: dict[int, bytes] = {}
     for fid, s in e.column_stats.items():
@@ -253,6 +255,8 @@ def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
             value_counts[fid] = int(s["value_count"])
         if s.get("null_count") is not None:
             null_counts[fid] = int(s["null_count"])
+        if s.get("nan_count") is not None:
+            nan_counts[fid] = int(s["nan_count"])
         lo = bound_to_bytes(t, s.get("min"))
         hi = bound_to_bytes(t, s.get("max"))
         if lo is not None:
@@ -274,6 +278,7 @@ def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
             "file_size_in_bytes": e.file_size,
             "value_counts": _kv_list(value_counts) or None,
             "null_value_counts": _kv_list(null_counts) or None,
+            "nan_value_counts": _kv_list(nan_counts) or None,
             "lower_bounds": _kv_list(lowers) or None,
             "upper_bounds": _kv_list(uppers) or None,
             "split_offsets": None,
@@ -544,6 +549,8 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
             stats.setdefault(kv["key"], _empty_stat())["value_count"] = kv["value"]
         for kv in df.get("null_value_counts") or []:
             stats.setdefault(kv["key"], _empty_stat())["null_count"] = kv["value"]
+        for kv in df.get("nan_value_counts") or []:
+            stats.setdefault(kv["key"], _empty_stat())["nan_count"] = kv["value"]
         for kv in df.get("lower_bounds") or []:
             t = _field_type(schema, kv["key"])
             if t is not None:

@@ -182,6 +182,10 @@ _MANIFEST_ARROW_SCHEMA = pa.schema(
         # opt-in per-column bloom filters (hex bitmaps, "" = none) — point
         # lookups on unclustered columns prune files min/max cannot
         ("stats_blooms", pa.list_(pa.string())),
+        # opt-in per-column NaN counts (Iceberg nan_value_counts): -1 =
+        # unknown; a PROVEN 0 re-enables metadata-only deletes on float
+        # columns (must_match, expr.py)
+        ("stats_nan_counts", pa.list_(pa.int64())),
     ]
 )
 
@@ -207,6 +211,9 @@ def write_manifest(path: str, entries: list[DataFileEntry], io=None) -> None:
         cols["stats_null_counts"].append([e.column_stats[f].get("null_count") for f in fids])
         cols["stats_value_counts"].append([e.column_stats[f].get("value_count") for f in fids])
         cols["stats_blooms"].append([e.column_stats[f].get("bloom") or "" for f in fids])
+        cols["stats_nan_counts"].append(
+            [e.column_stats[f].get("nan_count", -1) if e.column_stats[f].get("nan_count") is not None else -1
+             for f in fids])
     table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
     if io is not None:
         buf = pa.BufferOutputStream()
@@ -233,6 +240,10 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
                 # manifest set is read with mergeSchema (null row-level array)
                 **({"bloom": blooms[i][j]}
                    if blooms is not None and blooms[i] is not None and blooms[i][j]
+                   else {}),
+                **({"nan_count": nans[i][j]}
+                   if (nans := d.get("stats_nan_counts")) is not None
+                   and nans[i] is not None and nans[i][j] is not None and nans[i][j] >= 0
                    else {}),
             }
             for j, fid in enumerate(d["stats_fids"][i])

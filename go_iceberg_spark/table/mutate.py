@@ -125,6 +125,7 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
     )
     # rewritten files have deletes applied; keep delete files only for untouched data
@@ -258,6 +259,7 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
@@ -390,6 +392,7 @@ def merge(table, source: DataFrame, on: list[str], *,
         target_file_size=table._target_file_size(),
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
+        nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)

@@ -345,6 +345,14 @@ class Table:
         and the driver can reach. None = data under the table location."""
         return self.metadata.properties.get("write.data.path")
 
+    def _nan_count_columns(self) -> tuple[str, ...]:
+        """``write.nan-count-columns`` property: comma-separated float/double
+        columns whose per-file NaN counts are collected at write (Iceberg
+        nan_value_counts) — a proven zero re-enables metadata-only deletes
+        on float predicates (expr.must_match)."""
+        raw = self.metadata.properties.get("write.nan-count-columns", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
     def _bloom_columns(self) -> tuple[str, ...]:
         """``write.bloom-columns`` property: comma-separated integer/string
         columns that get a per-file bloom filter in their manifest stats —
@@ -364,6 +372,7 @@ class Table:
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+            nan_count_columns=self._nan_count_columns(),
             data_location=self._data_location(),
         )
 
@@ -419,6 +428,7 @@ class Table:
                 target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+            nan_count_columns=self._nan_count_columns(),
                 data_location=self._data_location(),
             )
             return self._commit_snapshot(OP_OVERWRITE, new_files)
@@ -431,6 +441,7 @@ class Table:
             target_file_size=self._target_file_size(),
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
+            nan_count_columns=self._nan_count_columns(),
             data_location=self._data_location(),
         )
         return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)

