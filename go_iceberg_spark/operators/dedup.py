@@ -174,6 +174,48 @@ def contamination(
     )
 
 
+def repeated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 8
+) -> DataFrame:
+    """Per-document CROSS-document repetition coverage: the fraction of a
+    doc's word-n-gram spans (position-preserving, duplicates kept) that also
+    occur in at least one OTHER document — the exact-substring memorization
+    signal span-level dedup pipelines threshold on (a cheap, fully
+    distributed stand-in for suffix-array dedup).
+
+    Shape at 100 TB: one span pass (explode positions, hash to int64), one
+    aggregate keyed by span hash to find cross-doc spans (bounded 8-byte
+    keys, map-side combine), one keyed equi-join back, one per-doc
+    aggregate. No self-join of documents, no string shuffles."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    spans = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_g")
+    ).select("_id", "_pos", portable_hash60(F.col("_g")).alias("_h"))
+    cross = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") > 1)
+        .select("_h")
+    )
+    flagged = spans.join(cross, "_h", "left_semi").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_rep"))
+    return (
+        spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
+        .join(flagged, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_spans"),
+            F.coalesce(F.col("_rep"), F.lit(0)).alias("n_repeated"),
+            F.round(F.coalesce(F.col("_rep"), F.lit(0)) / F.col("n_spans"), 4)
+            .alias("coverage"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word") -> DataFrame:
     """Per-id MinHash signature columns ``mh_0..mh_{k-1}``:
     mh_j = min over shingles of ((a_j * (h % P) + b_j) % P)."""

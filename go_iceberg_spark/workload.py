@@ -1103,6 +1103,31 @@ def _fuzzy_contamination_oracle_sql() -> str:
     """
 
 
+@query(
+    "dedup_repeated_spans",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i+1 : i+8], ' ')), 1, 15))::BIGINT AS _h
+      FROM (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 8, 0))) AS i FROM toks)),
+    cross_spans AS (
+      SELECT _h FROM (SELECT _h, count(DISTINCT doc_id) AS d FROM spans GROUP BY _h) WHERE d > 1)
+    SELECT s.doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN c._h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           round(sum(CASE WHEN c._h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS coverage
+    FROM spans s LEFT JOIN cross_spans c ON s._h = c._h
+    GROUP BY s.doc_id
+    """,
+)
+def repeated_spans_q(spark, sf):
+    """Cross-document repeated-span coverage (exact-substring memorization
+    signal): fraction of each doc's 8-gram spans occurring in another doc —
+    the planted corpus duplicates surface at coverage 1.0."""
+    return D.repeated_span_coverage(_corpus(spark, sf), "doc_id", "text", n=8)
+
+
 @query("decontaminate_fuzzy_minhash", _fuzzy_contamination_oracle_sql())
 def fuzzy_contamination_q(spark, sf):
     """MinHash-banded decontamination of the training corpus against an eval
