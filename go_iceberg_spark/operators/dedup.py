@@ -183,36 +183,29 @@ def repeated_span_coverage(
     signal span-level dedup pipelines threshold on (a cheap, fully
     distributed stand-in for suffix-array dedup).
 
-    Shape at 100 TB: one span pass (explode positions, hash to int64), one
-    aggregate keyed by span hash to find cross-doc spans (bounded 8-byte
-    keys, map-side combine), one keyed equi-join back, one per-doc
-    aggregate. No self-join of documents, no string shuffles."""
+    Shape at 100 TB: the span subtree (explode + md5 — the dominant CPU)
+    is evaluated ONCE: spans aggregate to (_h, _id, occurrences), a window
+    over _h counts the documents sharing the span (each partition is one
+    span's tiny doc list — bounded state), and one per-doc aggregate folds
+    coverage. No self-join of documents, no string shuffles, no re-evaluated
+    explode subtrees (the naive cross-doc-set + semi-join shape computes the
+    span table three times — plan-asserted in tests/test_plans.py)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     spans = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_g")
-    ).select("_id", "_pos", portable_hash60(F.col("_g")).alias("_h"))
-    cross = (
-        spans.groupBy("_h")
-        .agg(F.count_distinct("_id").alias("_docs"))
-        .filter(F.col("_docs") > 1)
-        .select("_h")
-    )
-    flagged = spans.join(cross, "_h", "left_semi").groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_rep"))
-    return (
-        spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
-        .join(flagged, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_spans"),
-            F.coalesce(F.col("_rep"), F.lit(0)).alias("n_repeated"),
-            F.round(F.coalesce(F.col("_rep"), F.lit(0)) / F.col("n_spans"), 4)
-            .alias("coverage"),
-        )
+        F.col(id_col).alias("_id"), F.explode(grams).alias("_g")
+    ).select("_id", portable_hash60(F.col("_g")).alias("_h"))
+    per = spans.groupBy("_h", "_id").agg(F.count(F.lit(1)).alias("_k"))
+    per = per.withColumn("_docs", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+    return per.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("_k").alias("n_spans"),
+        F.sum(F.when(F.col("_docs") > 1, F.col("_k")).otherwise(F.lit(0))).alias("n_repeated"),
+    ).select(
+        id_col, "n_spans", "n_repeated",
+        F.round(F.col("n_repeated") / F.col("n_spans"), 4).alias("coverage"),
     )
 
 

@@ -191,3 +191,13 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert P.count_op(df, "Window") == 0
     assert P.num_shuffles(df) == 0, plan
+
+
+def test_repeated_spans_single_span_subtree(spark):
+    """dedup_repeated_spans evaluates its explode+md5 span subtree ONCE (the
+    dominant CPU at corpus scale) — one md5 site, three shuffles total
+    (span-hash agg, doc-count window, per-doc fold)."""
+    df = QUERIES["dedup_repeated_spans"].fn(spark, SF)
+    plan = P.formatted_plan(df)
+    assert plan.count("md5") == 1, plan
+    assert P.num_shuffles(df) <= 3
