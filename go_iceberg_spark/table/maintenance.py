@@ -65,6 +65,26 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     # every branch/tag head stays live (Iceberg ref retention): expiring a
     # staged WAP branch's head out from under its ref would corrupt the ref
     keep |= {r.snapshot_id for r in md.refs.values()}
+    # per-ref retention knobs (Iceberg branch retention,
+    # reference: spec/snapshot.go:64-70): a ref's min-snapshots-to-keep
+    # protects that many of the branch's latest ANCESTORS; its
+    # max-snapshot-age-ms protects ancestors younger than the age window
+    by_id = {s.snapshot_id: s for s in snaps}
+    now = now_ms()
+    for r in md.refs.values():
+        if r.min_snapshots_to_keep is None and r.max_snapshot_age_ms is None:
+            continue
+        cur, kept_n = by_id.get(r.snapshot_id), 0
+        while cur is not None:
+            young = (r.max_snapshot_age_ms is not None
+                     and now - cur.timestamp_ms <= r.max_snapshot_age_ms)
+            within_min = (r.min_snapshots_to_keep is not None
+                          and kept_n < r.min_snapshots_to_keep)
+            if not (young or within_min or cur.snapshot_id == r.snapshot_id):
+                break
+            keep.add(cur.snapshot_id)
+            kept_n += 1
+            cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
     retained = tuple(s for s in snaps if s.snapshot_id in keep or s.timestamp_ms >= cutoff)
     # even with nothing to expire, the metadata-dir sweep below still runs:
     # a crashed commit leaves manifests (both dialects) of a snapshot that

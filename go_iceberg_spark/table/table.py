@@ -573,9 +573,14 @@ class Table:
         return SchemaUpdate(self)
 
     # -- branching / tags ---------------------------------------------------
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_branch(self, name: str, snapshot_id: int | None = None, *,
+                      min_snapshots_to_keep: int | None = None,
+                      max_snapshot_age_ms: int | None = None) -> None:
         """Create a branch ref at the given (default: current) snapshot —
-        the staging half of write-audit-publish."""
+        the staging half of write-audit-publish. The retention knobs follow
+        Iceberg branch retention (honored by ``expire_snapshots``): keep at
+        least that many of the branch's latest ancestors / ancestors younger
+        than the age window."""
         from dataclasses import replace
 
         if snapshot_id is None:
@@ -586,7 +591,9 @@ class Table:
         else:
             self.metadata.snapshot_by_id(snapshot_id)  # validate
         refs = dict(self.metadata.refs)
-        refs[name] = SnapshotRef(snapshot_id, "branch")
+        refs[name] = SnapshotRef(snapshot_id, "branch",
+                                 min_snapshots_to_keep=min_snapshots_to_keep,
+                                 max_snapshot_age_ms=max_snapshot_age_ms)
         md = replace(self.metadata, refs=refs, last_updated_ms=now_ms())
         self.version = self._commit_fn(md, self.version)
         self.metadata = md

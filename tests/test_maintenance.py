@@ -232,3 +232,39 @@ def test_failed_commit_orphans_are_reclaimable(spark, catalog):
     expire_snapshots(t, retain_last=1, sweep_grace_ms=0)
     assert not (set(os.listdir(meta_dir)) & debris), "orphan manifests must be swept"
     assert t.refresh().scan().count() == 10
+
+
+def test_branch_retention_knobs_protect_ancestors(spark, catalog):
+    """Iceberg branch retention: a ref's min-snapshots-to-keep protects that
+    many latest ANCESTORS of the branch head from expiry (not just the head),
+    and the protected chain stays readable through the ref."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.maintenance import expire_snapshots
+
+    df = spark.createDataFrame([Row(a=0)])
+    t = catalog.create_table("db", "branchret", from_spark_schema(df.schema))
+    for i in range(5):
+        t.append(spark.createDataFrame([Row(a=i)]))
+    chain = [s.snapshot_id for s in t.snapshots()]  # oldest..newest
+    t.create_branch("audit", chain[3], min_snapshots_to_keep=3)
+    t.append(spark.createDataFrame([Row(a=99)]))  # main moves on
+
+    expire_snapshots(t, retain_last=1)
+    alive = {s.snapshot_id for s in t.snapshots()}
+    # head (chain[3]) + its 2 nearest ancestors survive; older ones expire
+    assert {chain[3], chain[2], chain[1]} <= alive
+    assert chain[0] not in alive
+    # the branch still scans at its protected head
+    assert t.scan().use_ref("audit").count() == 4
+
+    # a knob-less tag protects only its own snapshot (unchanged behavior)
+    t2 = catalog.create_table("db", "tagret", from_spark_schema(df.schema))
+    for i in range(3):
+        t2.append(spark.createDataFrame([Row(a=i)]))
+    first = t2.snapshots()[0].snapshot_id
+    t2.create_tag("v1", first)
+    expire_snapshots(t2, retain_last=1)
+    alive2 = {s.snapshot_id for s in t2.snapshots()}
+    assert first in alive2 and len(alive2) == 2  # tag target + current
