@@ -154,6 +154,58 @@ def lsh_topk(
     )
 
 
+def _collect_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the ``n_lists`` corpus vectors whose
+    md5(id) sorts lowest — a hash-spread pseudo-random sample (lowest-ID
+    seeds cluster when ids correlate with content; a hash order cannot).
+    A TakeOrdered of n_lists rows — metadata-scale driver traffic. The
+    md5-of-id order is reproducible in any engine, so the DuckDB oracle
+    derives the identical centroid set."""
+    return [
+        (r["_cent_id"], [float(x) for x in r["_cent_v"]])
+        for r in (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+            .limit(n_lists)
+            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
+            .collect()
+        )
+    ]
+
+
+def _ranked_cents_sql(cent_rows: list[tuple[int, list[float]]], vc: str) -> str:
+    # One SQL string (single parse, no per-literal py4j traffic): sorted
+    # array of (−cosine, cent_id) structs — lexicographic sort ≡ cosine
+    # DESC, cent_id ASC, the oracle's exact tie-break. Centroid norms are
+    # plain Python doubles — same left-to-right float64 accumulation + IEEE
+    # sqrt the JVM expression produced, so values are bit-identical.
+    # NULL cosine (zero-norm vector) → +inf so it never wins, mirroring
+    # DESC-nulls-last. Row-vector norm `_nv` is factored out and computed
+    # once instead of once per centroid.
+    import math
+
+    entries = []
+    for cid, v in cent_rows:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        norm_c = math.sqrt(acc)
+        lit = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")"
+        dot = (f"aggregate(zip_with({vc}, {lit}, (x, y) -> "
+               f"CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        entries.append(
+            f"named_struct('negd', coalesce(-(CAST({dot} / (_nv * CAST({norm_c!r} AS DOUBLE)) AS DOUBLE)), "
+            f"CAST('Infinity' AS DOUBLE)), 'cent', CAST({cid} AS BIGINT))")
+    return "sort_array(array(" + ",".join(entries) + "))"
+
+
+_NORM_V_SQL = (
+    "SQRT(aggregate({vc}, CAST(0.0 AS DOUBLE), "
+    "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,63 +216,24 @@ def ivf_topk(
     n_lists: int = 8,
     n_probe: int = 2,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: deterministic coarse centroids — the
-    ``n_lists`` corpus vectors whose md5(id) sorts lowest, a hash-spread
-    pseudo-random sample (lowest-ID seeds cluster when ids correlate with
-    content; a hash order cannot) — each vector assigned to its nearest
-    centroid list; queries probe the ``n_probe`` nearest lists and re-rank
-    exactly. Centroid assignment is a broadcast join against n_lists rows.
-    The md5-of-id order is reproducible in any engine, so the DuckDB oracle
-    derives the identical centroid set.
+    """IVF-flat approximate top-k: deterministic coarse centroids (see
+    ``_collect_centroids``); each vector assigned to its nearest centroid
+    list; queries probe the ``n_probe`` nearest lists and re-rank exactly.
 
-    Scale note: the ``n_lists`` centroids are collected to the driver (a
-    TakeOrdered of n_lists rows — metadata-scale) and embedded as literals,
-    so list assignment is ONE shuffle-free projection per side: an array of
-    (−cosine, cent_id) structs sorted lexicographically (≡ cosine DESC,
-    cent_id ASC — the oracle's exact tie-break) and sliced. The previous
-    shape (crossJoin ×n_lists + row_number window) shuffled 8×|corpus| rows
-    just to pick each vector's nearest centroid."""
-    cent_rows = [
-        (r["_cent_id"], [float(x) for x in r["_cent_v"]])
-        for r in (
-            corpus.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-            .limit(n_lists)
-            .select(F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_v"))
-            .collect()
-        )
-    ]
+    Scale note: the centroids are embedded as literals, so list assignment
+    is ONE shuffle-free projection per side: a sorted array of (−cosine,
+    cent_id) structs sliced to the top entry. The previous shape
+    (crossJoin ×n_lists + row_number window) shuffled 8×|corpus| rows just
+    to pick each vector's nearest centroid."""
+    cent_rows = _collect_centroids(corpus, id_col, vec_col, n_lists)
     if not cent_rows:
         spark = corpus.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
 
     def ranked_cents_sql(vc: str) -> str:
-        # One SQL string (single parse, no per-literal py4j traffic): sorted
-        # array of (−cosine, cent_id) structs. Centroid norms are plain
-        # Python doubles — same left-to-right float64 accumulation + IEEE
-        # sqrt the JVM expression produced, so values are bit-identical.
-        # NULL cosine (zero-norm vector) → +inf so it never wins, mirroring
-        # DESC-nulls-last. Row-vector norm `_nv` is factored out and
-        # computed once instead of once per centroid.
-        import math
+        return _ranked_cents_sql(cent_rows, vc)
 
-        entries = []
-        for cid, v in cent_rows:
-            acc = 0.0
-            for x in v:
-                acc = acc + x * x
-            norm_c = math.sqrt(acc)
-            lit = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")"
-            dot = (f"aggregate(zip_with({vc}, {lit}, (x, y) -> "
-                   f"CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-            entries.append(
-                f"named_struct('negd', coalesce(-(CAST({dot} / (_nv * CAST({norm_c!r} AS DOUBLE)) AS DOUBLE)), "
-                f"CAST('Infinity' AS DOUBLE)), 'cent', CAST({cid} AS BIGINT))")
-        return "sort_array(array(" + ",".join(entries) + "))"
-
-    norm_v_sql = (
-        "SQRT(aggregate({vc}, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
+    norm_v_sql = _NORM_V_SQL
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.expr(norm_v_sql.format(vc=vec_col)).alias("_nv"),
@@ -371,6 +384,87 @@ def pq_topk(
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(_broadcast_if_small(qtab), on=["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_d"), 6).alias("_approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-scale ANN recipe (coarse
+    inverted lists to bound the scan, PQ codes to bound the memory): each
+    corpus vector is assigned to its nearest of ``n_lists`` coarse centroids
+    AND compressed to ``m`` PQ codes; a query probes its ``n_probe`` nearest
+    lists and ranks ONLY those lists' members by ADC (summed distance-table
+    lookups). This variant encodes raw subvectors against a shared codebook
+    (not per-list residuals) so the DuckDB oracle reproduces it exactly; the
+    pipeline shape is unchanged if residual codebooks are trained offline.
+
+    Scale shape: coarse assignment is a shuffle-free projection over literal
+    centroids (see ``ivf_topk``); PQ encode is one broadcast join against
+    the m·n_codes codebook with map-side-combined argmin; the list
+    assignment rides through the encode groupBy as a grouping key
+    (functionally dependent on the id) so codes and lists come out of ONE
+    pass over the embedding column. Query-side probe sets and distance
+    tables are |Q|-scale and broadcast — the corpus is never shuffled except
+    the final (query, neighbor) ADC aggregate over probed lists only."""
+    cent_rows = _collect_centroids(corpus, id_col, vec_col, n_lists)
+    if not cent_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    books = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=n_codes)
+    sub = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.expr(_NORM_V_SQL.format(vc=vec_col)).alias("_nv"),
+    ).select(
+        "neighbor_id", "_cv",
+        F.expr(_ranked_cents_sql(cent_rows, "_cv"))[0]["cent"].alias("_cent_id"),
+    )
+    codes = (
+        c.join(F.broadcast(books))
+        .withColumn("_sv", F.slice(F.col("_cv"), F.col("subspace") * sub + 1, sub))
+        .withColumn("_d", l2sq_expr(F.col("_sv"), F.col("center")))
+        .groupBy("neighbor_id", "_cent_id", "subspace")
+        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.expr(_NORM_V_SQL.format(vc=vec_col)).alias("_nv"),
+    ).select(
+        "query_id",
+        F.explode(F.expr(
+            f"transform(slice({_ranked_cents_sql(cent_rows, '_qv')}, 1, {n_probe}), s -> s.cent)"
+        )).alias("_cent_id"),
+    )
+    qtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .join(F.broadcast(books))
+        .withColumn("_qs", F.slice(F.col("_qv"), F.col("subspace") * sub + 1, sub))
+        .select("query_id", "subspace", "code",
+                l2sq_expr(F.col("_qs"), F.col("center")).alias("_d"))
+    )
+    scored = (
+        codes.join(_broadcast_if_small(probes), on="_cent_id")
+        .join(_broadcast_if_small(qtab), on=["query_id", "subspace", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("_d"), 6).alias("_approx"))

@@ -2293,6 +2293,81 @@ def pq_topk_q(spark, sf):
                      id_col="vec_id", vec_col="embedding", dim=64, k=5)
 
 
+def _ivfpq_oracle_sql(m: int = 4, k_codes: int = 16, dim: int = 64,
+                      n_lists: int = 8, n_probe: int = 2) -> str:
+    sub = dim // m
+    cos_ec = _cosine_sql("e.embedding", "c.cv")
+    cos_qc = _cosine_sql("q.embedding", "c.cv")
+
+    def l2(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {sub}), i -> "
+                f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+                f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))")
+
+    book_rows = "\n      UNION ALL ".join(
+        f"""SELECT {j} AS subspace, code, center FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5('pq{j}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+               embedding[{j * sub + 1}:{(j + 1) * sub}] AS center
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5('pq{j}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes}))"""
+        for j in range(m)
+    )
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}),
+    ca AS (
+      SELECT neighbor_id, cent_id FROM (
+        SELECT e.vec_id AS neighbor_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+    qa AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE r <= {n_probe}),
+    books AS ({book_rows}),
+    sliced AS (
+      SELECT e.vec_id, b.subspace, b.code,
+             {l2(f"e.embedding[b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}]", "b.center")} AS _d
+      FROM embeddings e CROSS JOIN books b),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace ORDER BY _d, code) AS r
+        FROM sliced) WHERE r = 1),
+    qtab AS (
+      SELECT q.vec_id AS query_id, b.subspace, b.code,
+             {l2(f"q.embedding[b.subspace * {sub} + 1 : b.subspace * {sub} + {sub}]", "b.center")} AS _d
+      FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 5),
+    scored AS (
+      SELECT qa.query_id, codes.vec_id AS neighbor_id, round(sum(qtab._d), 6) AS _approx
+      FROM codes
+      JOIN ca ON codes.vec_id = ca.neighbor_id
+      JOIN qa USING (cent_id)
+      JOIN qtab ON qtab.query_id = qa.query_id
+              AND qtab.subspace = codes.subspace AND qtab.code = codes.code
+      WHERE codes.vec_id <> qa.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY _approx, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("similarity_ivfpq_topk", _ivfpq_oracle_sql())
+def ivfpq_topk_q(spark, sf):
+    """IVF-PQ ANN — coarse inverted lists bound the scan, PQ codes bound the
+    memory (the standard billion-scale serving layout): corpus vectors carry
+    a list id + m=4 codes out of ONE pass over the embedding column, queries
+    probe their 2 nearest lists and rank members by summed ADC lookups."""
+    emb = load(spark, sf, "embeddings")
+    return S.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                        id_col="vec_id", vec_col="embedding", dim=64, k=5,
+                        n_lists=8, n_probe=2)
+
+
 def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
     def d2(e_vec: str, c_vec: str) -> str:
         return (f"list_sum(list_transform(generate_series(1, {dim}), i -> "
