@@ -109,6 +109,72 @@ def chunk_tokens(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag-of-terms query (the
+    lexical-retrieval scorer used to mine training data against a topic
+    seed list). Lucene's non-negative idf variant:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score_d = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Tokenization is the corpus-wide ``[^a-z]+`` lowercase split shared with
+    TF-IDF so the DuckDB oracle reproduces scores bit-for-bit. Returns
+    (id, n_hits, score) for documents matching ≥1 query term.
+
+    Scale shape: the query-term filter lands BEFORE the tf groupBy, so only
+    matching (doc, term) occurrences shuffle; N/avgdl is a 1-row aggregate
+    and per-term df is ≤|terms| rows — both broadcast. The corpus shuffles
+    once, keyed by doc."""
+    term_list = [t.lower() for t in terms]
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                     lambda t: F.length(t) > 0).alias("_toks"),
+        )
+        .select(F.col(id_col), F.size("_toks").cast("long").alias("_dl"),
+                F.explode("_toks").alias("_term"))
+    )
+    tf = (
+        toks.filter(F.col("_term").isin(term_list))
+        .groupBy(F.col(id_col), "_term", "_dl")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    corpus_stats = df.select(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.size(F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                              lambda t: F.length(t) > 0))).alias("_avgdl"),
+    )
+    df_per_term = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = df_per_term.join(F.broadcast(corpus_stats)).select(
+        "_term",
+        F.log1p((F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)).alias("_idf"),
+        "_avgdl",
+    )
+    contrib = tf.join(F.broadcast(idf), on="_term").select(
+        F.col(id_col),
+        (F.col("_idf") * F.col("_tf") * (k1 + 1)
+         / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))).alias("_s"),
+    )
+    return (
+        contrib.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+             F.round(F.sum("_s"), 4).alias("score"))
+    )
+
+
 def robust_scale(df: DataFrame, id_col: str, group_col: str, value_col: str) -> DataFrame:
     """Per-group robust feature scaling: (x - median) / IQR within each
     group (z-score that ignores outliers — the normalization applied to

@@ -3757,6 +3757,38 @@ def text_tfidf_q(spark, sf):
     )
 
 
+@query(
+    "text_bm25_scores",
+    r"""
+    WITH dls AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls),
+    tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t IN ('join', 'scan', 'vector')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM dft, stats),
+    contrib AS (
+      SELECT tf.doc_id,
+             idf.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dls.dl / stats.avgdl)) AS s
+      FROM tf JOIN idf USING (term) JOIN dls USING (doc_id), stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, round(sum(s), 4) AS score
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_bm25_q(spark, sf):
+    """Okapi BM25 against a 3-term topic query (lexical retrieval for
+    training-data mining): query-term filter before the tf shuffle, 1-row
+    corpus stats and per-term idf broadcast — corpus shuffles once by doc."""
+    d = load(spark, sf, "documents")
+    return X.bm25_scores(d, "doc_id", "text", ("join", "scan", "vector"))
+
+
 # ---------------------------------------------------------------------------
 # Source/sink format coverage beyond Parquet: the reference's DataFile format
 # enum admits PARQUET | AVRO | ORC (reference spec/manifest.go:101-149); Spark
