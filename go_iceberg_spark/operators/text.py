@@ -175,6 +175,67 @@ def bm25_scores(
     )
 
 
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM trained
+    on the corpus itself — the perplexity-style quality filter (CCNet-lineage)
+    that flags documents whose word transitions are atypical for the corpus:
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        xent_d     = − mean over d's bigrams of ln p(w2 | w1)
+
+    c(w1) is w1's CONTEXT count (Σ_w2 c(w1·w2)) so probabilities normalize;
+    V is the corpus' distinct-word count. Tokenization is the corpus-wide
+    ``[^a-z]+`` lowercase split. Documents with < 2 tokens have no bigrams
+    and are omitted. Returns (id, n_bigrams, xent).
+
+    Per-bigram NLL is quantized to integer millionths-ish
+    (floor(nll·2²⁰), the kmeans oracle's trick) before summing, so the
+    cross-entropy is bit-identical in any engine regardless of float
+    summation order.
+
+    Scale shape: bigram training counts are one groupBy keyed on the bigram
+    (map-side combined — output is vocab²-bounded, not corpus-bounded);
+    scoring joins each document's bigram OCCURRENCES (doc, w1, w2, n)
+    against the count tables keyed on the bigram, so the corpus shuffles on
+    bigram then on doc — no driver-side model materialization, the
+    \"model\" is a distributed table. V is a 1-row aggregate broadcast."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                 lambda t: F.length(t) > 0).alias("_toks"),
+    )
+    bigrams = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(
+                "transform(slice(_toks, 1, size(_toks) - 1), "
+                "(w, i) -> struct(w AS w1, _toks[i + 1] AS w2))"
+            )).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    )
+    doc_bg = bigrams.groupBy(F.col(id_col), "_w1", "_w2").agg(F.count(F.lit(1)).alias("_n"))
+    bg_counts = bigrams.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx_counts = bigrams.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = toks.select(F.explode("_toks").alias("_w")).agg(F.count_distinct("_w").alias("_v"))
+    scored = (
+        doc_bg.join(bg_counts, on=["_w1", "_w2"])
+        .join(ctx_counts, on="_w1")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col), F.col("_n"),
+            F.floor(F.col("_n") * -F.log((F.col("_c12") + 1) / (F.col("_c1") + F.col("_v")))
+                    * F.lit(1048576)).cast("long").alias("_qnll"),
+        )
+    )
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(F.sum("_n").cast("long").alias("n_bigrams"),
+             F.round(F.sum("_qnll") / F.lit(1048576.0) / F.sum("_n"), 6).alias("xent"))
+    )
+
+
 def robust_scale(df: DataFrame, id_col: str, group_col: str, value_col: str) -> DataFrame:
     """Per-group robust feature scaling: (x - median) / IQR within each
     group (z-score that ignores outliers — the normalization applied to

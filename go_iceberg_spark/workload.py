@@ -3758,6 +3758,39 @@ def text_tfidf_q(spark, sf):
 
 
 @query(
+    "text_bigram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+      FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    doc_bg AS (SELECT doc_id, w1, w2, count(*) AS n FROM bigrams GROUP BY 1, 2, 3),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+      SELECT doc_bg.doc_id, doc_bg.n,
+             CAST(floor((doc_bg.n * (-ln((bg.c12 + 1) / (ctx.c1 + vocab.v)))) * 1048576) AS BIGINT) AS qnll
+      FROM doc_bg JOIN bg USING (w1, w2) JOIN ctx USING (w1), vocab)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(qnll) / 1048576.0 / sum(n), 6) AS xent
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_q(spark, sf):
+    """Perplexity-style quality filter: per-document cross-entropy under an
+    add-one bigram LM trained on the corpus itself (CCNet-lineage). The
+    model is a distributed count table keyed on the bigram — never
+    collected; per-bigram NLL is integer-quantized so the score is
+    bit-identical across engines."""
+    d = load(spark, sf, "documents")
+    return X.bigram_lm_score(d, "doc_id", "text")
+
+
+@query(
     "text_bm25_scores",
     r"""
     WITH dls AS (
