@@ -48,6 +48,30 @@ def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
     return df.filter(h < rate)
 
 
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, int],
+               *, salt: str = "split") -> DataFrame:
+    """Deterministic disjoint dataset split ("90/5/5 train/val/test"):
+    ``splits`` maps name → percentage (must sum to 100); a row lands in the
+    split whose cumulative [lo, hi) bucket contains
+    ``portable_hash60(salt || id) % 100``. Splits are disjoint and
+    exhaustive BY CONSTRUCTION (one hash, contiguous buckets — no row can
+    land in two splits or none, unlike per-split Bernoulli draws), stable
+    under re-partitioning and engine changes, and membership is decidable
+    per row with zero shuffle — at 100 TB the split is a pushed-down filter,
+    not a materialized assignment. Buckets are assigned in insertion order
+    of ``splits``. Adds a ``split`` column."""
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100, got {splits}")
+    h = F.pmod(portable_hash60(
+        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(100))
+    expr = F.lit(None).cast("string")
+    lo = 0
+    for name, pct in splits.items():
+        expr = F.when((h >= lo) & (h < lo + pct), F.lit(name)).otherwise(expr)
+        lo += pct
+    return df.withColumn("split", expr)
+
+
 def pack_by_token_budget(df: DataFrame, id_col: str, token_col: str,
                          budget: int, *, n_shards: int = 64) -> DataFrame:
     """Greedy sequence packing: assign documents to bins of ~``budget``

@@ -1722,6 +1722,37 @@ def sample_stratified_q(spark, sf):
 
 
 @query(
+    "sample_split_train_eval",
+    """
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5('cut_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5('cut_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def sample_split_q(spark, sf):
+    """Deterministic 90/5/5 train/val/test split (operators/sampling.py
+    hash_split): disjoint + exhaustive by construction from ONE portable
+    hash with contiguous buckets, zero shuffle — then a per-(split, lang)
+    size audit, the table a data-curation run reports before training."""
+    from .operators.sampling import hash_split
+
+    d = load(spark, sf, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 90, "val": 5, "test": 5}, salt="cut")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
+@query(
     "embedding_int8_quantize",
     f"""
     SELECT vec_id,
