@@ -282,74 +282,73 @@ def l2sq_expr(a, b) -> F.Column:
     )
 
 
-def pq_codebooks(
-    corpus: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int,
-    m: int = PQ_M,
-    k: int = PQ_K,
-) -> DataFrame:
-    """Deterministic PQ codebooks: for subspace j, the centroids are the
-    j-th subvectors of the ``k`` corpus vectors whose md5("pq<j>:" || id)
-    sorts lowest — the same hash-spread seeding as IVF (engine-reproducible,
-    so the DuckDB oracle derives identical codebooks; real deployments train
-    codebooks offline with k-means and the rest of the pipeline is
-    unchanged). Returns (subspace, code, center) with m*k rows total."""
+def _collect_pq_books(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int, m: int, k: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks, collected to the driver: for subspace j,
+    the centers are the j-th subvectors of the ``k`` corpus vectors whose
+    md5("pq<j>:" || id) sorts lowest — the same hash-spread seeding as IVF
+    (engine-reproducible, so the DuckDB oracle derives identical codebooks;
+    real deployments train codebooks offline with k-means and the rest of
+    the pipeline is unchanged). m TakeOrdereds of k rows each —
+    metadata-scale driver traffic, like the IVF centroids. Returns
+    books[j][c] = center (list of ``dim/m`` floats)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    parts = []
+    books = []
     for j in range(m):
-        seeds = (
+        rows = (
             corpus.orderBy(
                 F.md5(F.concat(F.lit(f"pq{j}:"), F.col(id_col).cast("string"))).asc(),
                 F.col(id_col).asc())
             .limit(k)
-            .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+            .select(F.col(vec_col).alias("_sv"))
+            .collect()
         )
-        w = Window.orderBy(
-            F.md5(F.concat(F.lit(f"pq{j}:"), F.col("_sid").cast("string"))).asc(),
-            F.col("_sid").asc())
-        parts.append(
-            seeds.withColumn("code", (F.row_number().over(w) - 1).cast("int"))
-            .select(F.lit(j).cast("int").alias("subspace"), "code",
-                    F.slice(F.col("_sv"), j * sub + 1, sub).alias("center"))
-        )
-    books = parts[0]
-    for p in parts[1:]:
-        books = books.unionByName(p)
+        books.append([[float(x) for x in r["_sv"][j * sub:(j + 1) * sub]] for r in rows])
     return books
 
 
-def pq_encode(
-    corpus: DataFrame,
-    books: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int,
-    m: int = PQ_M,
-) -> DataFrame:
-    """Assign each vector its nearest centroid code per subspace (L2 on the
-    subvector): output (id, subspace, code) — m small ints instead of
-    ``dim`` floats, the 100 TB memory story for ANN serving. One broadcast
-    cross join against the m*k codebook rows, then argmin as a min_by
-    aggregate — map-side combine reduces each vector to m rows before the
-    shuffle (a row_number window would shuffle all m*k scored rows)."""
-    sub = dim // m
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(books))
-        .withColumn("_sv", F.slice(F.col(vec_col), F.col("subspace") * sub + 1, sub))
-        .withColumn("_d", l2sq_expr(F.col("_sv"), F.col("center")))
-    )
-    return (
-        scored.groupBy(F.col(id_col), F.col("subspace"))
-        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
-        .select(F.col(id_col), "subspace", "code")
-    )
+def _l2_lit_sql(vc: str, offset: int, center: list[float]) -> str:
+    """Σ (v[offset+i] − cᵢ)² against a literal center — same left-to-right
+    float64 accumulation as ``l2sq_expr``, so values are bit-identical."""
+    lit = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in center) + ")"
+    return (f"aggregate(zip_with(slice({vc}, {offset + 1}, {len(center)}), {lit}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _pq_codes_sql(books: list[list[list[float]]], vc: str, sub: int) -> str:
+    """array<int> of length m: the argmin code per subspace, ties broken by
+    lower code (lexicographic struct sort ≡ the oracle's ORDER BY _d, code).
+    A pure projection — encoding shuffles nothing."""
+    per_sub = []
+    for j, centers in enumerate(books):
+        entries = ",".join(
+            f"named_struct('d', {_l2_lit_sql(vc, j * sub, cvec)}, 'code', {c})"
+            for c, cvec in enumerate(centers)
+        )
+        per_sub.append(f"sort_array(array({entries}))[0].code")
+    return "array(" + ",".join(per_sub) + ")"
+
+
+def _pq_dtab_sql(books: list[list[list[float]]], vc: str, sub: int) -> str:
+    """array<array<double>> distance table: dtab[j][c] = L2²(query subvector
+    j, center c) — the per-query ADC lookup table, |Q|·m·k doubles total."""
+    outer = []
+    for j, centers in enumerate(books):
+        inner = ",".join(_l2_lit_sql(vc, j * sub, cvec) for cvec in centers)
+        outer.append(f"array({inner})")
+    return "array(" + ",".join(outer) + ")"
+
+
+def _adc_sum_expr(m: int) -> F.Column:
+    """Approximate distance = Σⱼ dtab[j][codes[j]] — summed in subspace
+    order (deterministic), rounded to 6 for cross-engine agreement."""
+    return F.round(F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, j) -> acc + _dtab[j][_codes[j]])"), 6)
 
 
 def pq_topk(
@@ -364,29 +363,33 @@ def pq_topk(
     n_codes: int = PQ_K,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: corpus vectors live only as m codes; each
-    query computes a tiny distance table to every (subspace, code) center
-    (|Q|·m·k rows, broadcast), and the approximate distance of a corpus
-    vector is the SUM of table lookups for its codes — one broadcast join on
-    (subspace, code) plus one aggregate keyed by (query, vector). The full
-    corpus embedding column is read once to encode and never joined again:
-    at scale the codes table is ~dim·32/m/log2(k) times smaller than the
-    vectors."""
-    books = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=n_codes)
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    query carries a tiny distance table to every (subspace, code) center
+    (m·k doubles, broadcast with the query row), and the approximate
+    distance of a corpus vector is the sum of table lookups for its codes.
+
+    Scale shape: the codebook is m·k rows of metadata, collected once and
+    embedded as literals — so ENCODING is a shuffle-free projection
+    (array<int> of m codes per vector), the ADC score is a per-row array
+    lookup after a broadcast cross join against the |Q| query rows, and the
+    ONLY corpus shuffle in the whole plan is the final per-query top-k
+    window. At scale the codes table is ~dim·32/m/log2(k) times smaller
+    than the vectors and the embedding column is read exactly once."""
+    books = _collect_pq_books(corpus, id_col, vec_col, dim, m, n_codes)
+    if not books or not books[0]:
+        return corpus.sparkSession.createDataFrame([], "query_id long, neighbor_id long, rank int")
     sub = dim // m
-    qtab = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .join(F.broadcast(books))
-        .withColumn("_qs", F.slice(F.col("_qv"), F.col("subspace") * sub + 1, sub))
-        .select("query_id", "subspace", "code",
-                l2sq_expr(F.col("_qs"), F.col("center")).alias("_d"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_pq_codes_sql(books, vec_col, sub)).alias("_codes"),
+    )
+    qdt = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_pq_dtab_sql(books, vec_col, sub)).alias("_dtab"),
     )
     scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(_broadcast_if_small(qtab), on=["subspace", "code"])
+        c.crossJoin(_broadcast_if_small(qdt))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("_d"), 6).alias("_approx"))
+        .withColumn("_approx", _adc_sum_expr(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id").asc())
     return (
@@ -418,33 +421,27 @@ def ivfpq_topk(
     (not per-list residuals) so the DuckDB oracle reproduces it exactly; the
     pipeline shape is unchanged if residual codebooks are trained offline.
 
-    Scale shape: coarse assignment is a shuffle-free projection over literal
-    centroids (see ``ivf_topk``); PQ encode is one broadcast join against
-    the m·n_codes codebook with map-side-combined argmin; the list
-    assignment rides through the encode groupBy as a grouping key
-    (functionally dependent on the id) so codes and lists come out of ONE
-    pass over the embedding column. Query-side probe sets and distance
-    tables are |Q|-scale and broadcast — the corpus is never shuffled except
-    the final (query, neighbor) ADC aggregate over probed lists only."""
+    Scale shape: both the coarse centroids and the PQ codebook are
+    metadata-scale (n_lists and m·n_codes rows), collected once and
+    embedded as literals — so list assignment AND encoding are ONE
+    shuffle-free projection over the embedding column: (neighbor_id,
+    cent_id, array of m codes). Queries carry their probed list ids and ADC
+    distance tables; both joins are broadcasts, the ADC score is a per-row
+    array lookup, and the only corpus shuffle in the whole plan is the
+    final per-query top-k window over probed-list members."""
     cent_rows = _collect_centroids(corpus, id_col, vec_col, n_lists)
     if not cent_rows:
         spark = corpus.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
-    books = pq_codebooks(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=n_codes)
+    books = _collect_pq_books(corpus, id_col, vec_col, dim, m, n_codes)
     sub = dim // m
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.expr(_NORM_V_SQL.format(vc=vec_col)).alias("_nv"),
     ).select(
-        "neighbor_id", "_cv",
+        "neighbor_id",
         F.expr(_ranked_cents_sql(cent_rows, "_cv"))[0]["cent"].alias("_cent_id"),
-    )
-    codes = (
-        c.join(F.broadcast(books))
-        .withColumn("_sv", F.slice(F.col("_cv"), F.col("subspace") * sub + 1, sub))
-        .withColumn("_d", l2sq_expr(F.col("_sv"), F.col("center")))
-        .groupBy("neighbor_id", "_cent_id", "subspace")
-        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+        F.expr(_pq_codes_sql(books, "_cv", sub)).alias("_codes"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
@@ -455,19 +452,15 @@ def ivfpq_topk(
             f"transform(slice({_ranked_cents_sql(cent_rows, '_qv')}, 1, {n_probe}), s -> s.cent)"
         )).alias("_cent_id"),
     )
-    qtab = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .join(F.broadcast(books))
-        .withColumn("_qs", F.slice(F.col("_qv"), F.col("subspace") * sub + 1, sub))
-        .select("query_id", "subspace", "code",
-                l2sq_expr(F.col("_qs"), F.col("center")).alias("_d"))
+    qdt = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_pq_dtab_sql(books, vec_col, sub)).alias("_dtab"),
     )
     scored = (
-        codes.join(_broadcast_if_small(probes), on="_cent_id")
-        .join(_broadcast_if_small(qtab), on=["query_id", "subspace", "code"])
+        c.join(_broadcast_if_small(probes), on="_cent_id")
+        .join(_broadcast_if_small(qdt), on="query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("_d"), 6).alias("_approx"))
+        .withColumn("_approx", _adc_sum_expr(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_approx").asc(), F.col("neighbor_id").asc())
     return (

@@ -201,3 +201,40 @@ def test_repeated_spans_single_span_subtree(spark):
     plan = P.formatted_plan(df)
     assert plan.count("md5") == 1, plan
     assert P.num_shuffles(df) <= 3
+
+
+def test_ivfpq_corpus_single_pass_single_shuffle(spark):
+    """IVF-PQ: coarse assignment AND PQ encoding are one shuffle-free
+    projection over literal centroids/codebooks; probe and ADC
+    distance-table joins are broadcasts; the ONLY corpus shuffle is the
+    final per-query top-k window."""
+    from go_iceberg_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    df = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5),
+                    id_col="vec_id", vec_col="embedding", dim=64, k=5,
+                    n_lists=8, n_probe=2)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert P.count_op(df, "Window") <= 1  # final per-query rank only
+    assert P.num_shuffles(df) <= 2, plan
+
+
+def test_bm25_term_filter_before_shuffle(spark):
+    """BM25 keeps the query-term filter upstream of every Exchange: only
+    matching (doc, term) rows shuffle, and there is no cartesian/NLJ from
+    the 1-row stats join."""
+    df = q("text_bm25_scores", spark)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.count_op(df, "Window") == 0
+
+
+def test_hash_split_is_shuffle_free_projection(spark):
+    """hash_split adds the split column with zero shuffles — at scale the
+    split must be a pushed-down filter, not a materialized assignment."""
+    from go_iceberg_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(SF + "/documents.parquet")
+    df = hash_split(d, "doc_id", {"train": 90, "val": 5, "test": 5})
+    assert P.num_shuffles(df) == 0, P.formatted_plan(df)
