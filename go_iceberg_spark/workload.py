@@ -1625,7 +1625,11 @@ def token_count_q(spark, sf):
     )
 
 
-_QUALITY_CTE = f"""
+def _quality_cte(src: str = "documents") -> str:
+    """Quality-score CTE chain (feats -> qual) over ``src`` — the SQL twin
+    of operators/text.py quality_score, parametric in the source so
+    composed pipelines can score a deduped corpus."""
+    return f"""
     feats AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1636,7 +1640,7 @@ _QUALITY_CTE = f"""
                   ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                        x -> lower(x) IN ({', '.join("'" + w + "'" for w in X.LANG_STOPWORDS['en'])}))) AS DOUBLE)
                        / len(regexp_split_to_array(trim(text), '\\s+')) END AS stopword_ratio
-      FROM documents),
+      FROM {src}),
     qual AS (
       SELECT doc_id,
              (least(n_tokens / 50.0, 1.0) * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.4)
@@ -1644,6 +1648,9 @@ _QUALITY_CTE = f"""
                + 0.2 * greatest(1.0 - punct_ratio * 10.0, 0.0) AS quality
       FROM feats)
 """
+
+
+_QUALITY_CTE = _quality_cte("documents")
 
 
 @query(
@@ -3785,6 +3792,51 @@ def text_tfidf_q(spark, sf):
                 .alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), F.col("term"))
         .limit(25)
+    )
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    kept AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+    {_quality_cte("kept")},
+    q AS (SELECT doc_id, round(quality, 6) AS quality FROM qual),
+    thr AS (SELECT round(quantile_cont(quality, 0.25), 6) AS _thr FROM q),
+    surv AS (SELECT q.doc_id FROM q, thr WHERE quality >= _thr),
+    curated AS (
+      SELECT kept.doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             CASE
+               WHEN ('0x' || substr(md5('cut_' || CAST(kept.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5('cut_' || CAST(kept.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM kept JOIN surv USING (doc_id))
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM curated GROUP BY split
+    """,
+)
+def pipeline_curation_q(spark, sf):
+    """The curation pipeline END-TO-END, composed from the engine's own
+    operators (what a training-data run actually executes): exact dedup over
+    a corpus with planted duplicates -> CCNet-style bottom-quartile quality
+    gate -> deterministic 90/5/5 split -> per-split token audit. Proves the
+    operators compose: dedup's one shuffle, the quality threshold's 1-row
+    broadcast, the split's shuffle-free projection, one id-keyed join, one
+    final aggregate."""
+    from .operators.sampling import hash_split
+
+    corpus = _corpus(spark, sf)
+    kept = D.exact_dedup(corpus, ["text"], "doc_id").select("doc_id", "text")
+    surv = X.quality_filter(kept, "doc_id", "text", min_quantile=0.25, exact=True)
+    curated = kept.join(surv.select("doc_id"), on="doc_id")
+    return (
+        hash_split(curated, "doc_id", {"train": 90, "val": 5, "test": 5}, salt="cut")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(X.token_count_expr(F.col("text"))).cast("long").alias("total_tokens"))
     )
 
 
