@@ -916,6 +916,51 @@ def streaming_interval_join_q(spark, sf):
 
 
 @query(
+    "streaming_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_q(spark, sf):
+    """Sessionization as a REAL Structured Streaming job: file-stream the
+    events table, F.session_window (30-min gap) stateful aggregation,
+    complete-mode memory sink, availableNow trigger — the merging-session
+    state operator; after the stream drains the result equals the batch
+    sessionization (no watermark -> no late-row drops, complete mode
+    re-emits full state)."""
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    if str(sch["ts"].dataType) == "LongType()":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_session_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "session_window_30min",
     """
     WITH marked AS (
