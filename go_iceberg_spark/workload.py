@@ -4146,16 +4146,16 @@ _GRADED_FIRST = [
     "q3_shipping_priority",
     "join_semi_customers_with_big_orders",
     "join_anti_customers_without_orders",
-    "join_outer_full",
+    "streaming_session_window",
     "asof_join_purchase_to_view",
     "range_join_errors_followups",
     "join_salted_skew",
-    "agg_distinct_per_priority",
+    "text_bigram_lm_score",
     "rollup_returnflag_status",
-    "grouping_sets_flag_status",
+    "text_bm25_scores",
     "window_top3_orders_per_customer",
     "sort_topk_lineitems",
-    "scalar_string_math_functions",
+    "pipeline_curation_end_to_end",
     "correlated_scalar_subquery",
     "incremental_append_scan",
     "changelog_cdc_scan",
@@ -4170,7 +4170,7 @@ _GRADED_FIRST = [
     "dedup_simhash",
     "dedup_connected_components",
     "similarity_cosine_topk",
-    "similarity_lsh_topk",
+    "similarity_ivfpq_topk",
     "cluster_kmeans_topics",
 ]
 
