@@ -4108,6 +4108,43 @@ def maintenance_compaction_scan_q(spark, sf):
     return t.to_df().select(*_CRUD_COLS)
 
 
+@query(
+    "maintenance_expire_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def maintenance_expire_scan_q(spark, sf):
+    """Snapshot expiry correctness under the graded gate: three appends + a
+    CoW delete build four snapshots, expire_snapshots(retain_last=1) drops
+    history AND physically reclaims the unreachable data/manifest files
+    (Iceberg expire_snapshots procedure equivalent) — the current state must
+    scan identically, the expired snapshot must be unreachable for time
+    travel, and files must actually have been deleted."""
+    from .errors import NoSuchSnapshotError
+    from .table.maintenance import expire_snapshots
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "expire", base.filter(F.col("o_orderkey") < 1000))
+    t.append(base.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.append(base.filter(F.col("o_orderkey") >= 2000))
+    first_id = sorted(t.snapshots(), key=lambda s: s.timestamp_ms)[0].snapshot_id
+    t.delete(C("o_totalprice").gt(200000.0))
+    deleted = expire_snapshots(t, retain_last=1, sweep_grace_ms=0)
+    if not deleted:
+        raise AssertionError("expiry reclaimed no files")
+    if len(t.snapshots()) != 1:
+        raise AssertionError(f"expected 1 retained snapshot, got {len(t.snapshots())}")
+    try:
+        t.scan().use_snapshot(first_id).to_df()
+    except NoSuchSnapshotError:
+        pass
+    else:
+        raise AssertionError("expired snapshot still reachable")
+    return t.to_df().select(*_CRUD_COLS)
+
+
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in QUERIES.items() if v.bench}
 
