@@ -4145,6 +4145,31 @@ def maintenance_expire_scan_q(spark, sf):
     return t.to_df().select(*_CRUD_COLS)
 
 
+@query(
+    "time_travel_rollback_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def time_travel_rollback_scan_q(spark, sf):
+    """rollback_to correctness under the graded gate: a bad CoW delete is
+    undone by rolling the table back to the pre-delete snapshot — the scan
+    must return the FULL original data (the deleted rows resurrected), and
+    the rollback must be a new history entry pointing at the old state, not
+    a destructive rewrite (both prior snapshots still present)."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "rollback", base)
+    good_id = t.current_snapshot().snapshot_id
+    t.delete(C("o_totalprice").gt(200000.0))
+    t.rollback_to(good_id)
+    if t.current_snapshot().snapshot_id != good_id:
+        raise AssertionError("rollback did not restore the old snapshot")
+    if len(t.snapshots()) < 2:
+        raise AssertionError("rollback must preserve history, not rewrite it")
+    return t.to_df().select(*_CRUD_COLS)
+
+
 def bench_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in QUERIES.items() if v.bench}
 
