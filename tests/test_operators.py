@@ -1,0 +1,74 @@
+"""Semantics edges of the curation/retrieval operators that the SQL-oracle
+parity gate can't see: empty inputs, invariants that must hold by
+construction, and determinism under re-partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from go_iceberg_spark.operators.sampling import hash_split
+from go_iceberg_spark.operators.similarity import ivfpq_topk
+from go_iceberg_spark.operators.text import bigram_lm_score, bm25_scores
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 90, "val": 5, "test": 5})
+    # exhaustive: every row gets a split; disjoint: one row, one split value
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == 2000
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable under re-partitioning: assignment is a pure function of the id
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         hash_split(df.repartition(7), "doc_id", {"train": 90, "val": 5, "test": 5}).collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_percentages(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 90, "val": 5})
+
+
+def test_bm25_only_matching_docs_and_tf_monotonic(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark spark spark filler words here"),
+        Row(doc_id=2, text="spark filler words here also fine"),
+        Row(doc_id=3, text="nothing relevant at all"),
+    ])
+    out = {r["doc_id"]: r for r in bm25_scores(df, "doc_id", "text", ("spark",)).collect()}
+    assert set(out) == {1, 2}  # non-matching doc absent
+    assert out[1]["score"] > out[2]["score"]  # higher tf, comparable length
+    assert out[1]["n_hits"] == out[2]["n_hits"] == 1
+
+
+def test_bigram_lm_omits_short_docs_and_scores_common_lower(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b a b a b"),
+        Row(doc_id=2, text="a b a b a b x q"),
+        Row(doc_id=3, text="solo"),
+        Row(doc_id=4, text=""),
+    ])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # <2-token docs have no bigrams
+    # doc 2 contains rare transitions (b x, x q) -> higher cross-entropy
+    assert out[2]["xent"] > out[1]["xent"]
+    assert out[1]["n_bigrams"] == 7
+
+
+def test_ivfpq_empty_corpus_returns_typed_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ivfpq_topk(empty, empty, id_col="vec_id", vec_col="embedding", dim=64)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank"]
+
+
+def test_ivfpq_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[0.1] * 30)])
+    with pytest.raises(ValueError):
+        ivfpq_topk(df, df, id_col="vec_id", vec_col="embedding", dim=30, m=4)
