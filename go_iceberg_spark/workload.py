@@ -4146,6 +4146,41 @@ def maintenance_expire_scan_q(spark, sf):
 
 
 @query(
+    "maintenance_zorder_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def maintenance_zorder_scan_q(spark, sf):
+    """Z-order rewrite correctness + effectiveness under the graded gate:
+    append-ordered files have full-range o_totalprice bounds, so a 2-D
+    (orderkey, totalprice) point-ish filter prunes nothing; after
+    rewrite_data_files(zorder_by=[orderkey, totalprice]) the interleaved-bit
+    clustering gives each file a tight 2-D bounding box and the SAME filter
+    must metadata-prune at least one file (asserted inline), while the full
+    scan stays identical."""
+    from .table.maintenance import rewrite_data_files
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "zorder", base.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(base.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(base.filter(F.col("o_orderkey") % 3 == 2))
+    pred = and_(C("o_orderkey").lt(600), C("o_totalprice").lt(100000.0))
+    n_before = len(t.scan().filter(pred).plan_files())
+    rewrite_data_files(t, target_file_size_bytes=4 * 1024,
+                       zorder_by=["o_orderkey", "o_totalprice"])
+    survivors = t.scan().filter(pred).plan_files()
+    total = t.scan().plan_files()
+    if len(total) < 2:
+        raise AssertionError("z-order rewrite produced a single file; pruning untestable")
+    if len(survivors) >= len(total):
+        raise AssertionError(
+            f"z-order clustering gave no 2-D pruning: {len(survivors)}/{len(total)} files survive")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "time_travel_rollback_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
