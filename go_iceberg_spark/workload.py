@@ -4181,6 +4181,38 @@ def maintenance_zorder_scan_q(spark, sf):
 
 
 @query(
+    "maintenance_orphan_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def maintenance_orphan_scan_q(spark, sf):
+    """Orphan-file cleanup under the graded gate: a crashed writer's debris
+    (a data file never referenced by any snapshot) must be found and
+    deleted by remove_orphan_files without touching live files — asserted
+    inline — and the scan must be unchanged."""
+    import os
+
+    from .table.maintenance import remove_orphan_files
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 2000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "orphan", base)
+    data_dir = os.path.join(t.location, "data")
+    orphan = os.path.join(data_dir, "orphan-debris.parquet")
+    base.limit(5).toPandas().to_parquet(orphan)
+    live_before = {e.file_path for e in t.live_entries()}
+    removed = remove_orphan_files(t)
+    if not any("orphan-debris" in p for p in removed):
+        raise AssertionError(f"orphan not reclaimed: {removed}")
+    if os.path.exists(orphan):
+        raise AssertionError("orphan file still on disk")
+    if {e.file_path for e in t.live_entries()} != live_before:
+        raise AssertionError("cleanup touched live files")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "time_travel_rollback_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
