@@ -961,6 +961,44 @@ def streaming_session_q(spark, sf):
 
 
 @query(
+    "streaming_stateful_running_max",
+    """
+    SELECT user_id, max(value) AS max_value, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_q(spark, sf):
+    """CUSTOM stateful streaming operator (applyInPandasWithState,
+    Arrow-batched, update-mode): per-user running max(value) + event count
+    with state carried across micro-batches. The events table arrives as
+    one availableNow micro-batch here, so the drained update stream holds
+    exactly one final row per user == the batch aggregate; across multiple
+    micro-batches the LAST update per user converges to the same values."""
+    from .streaming.stream import running_max_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    out = running_max_stream(src.select("user_id", "value"))
+    _STREAM_SEQ_HOLDER[0] += 1
+    name = f"stream_runmax_{_STREAM_SEQ_HOLDER[0]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # keep only each user's LAST update (single-batch here, so it's all rows;
+    # the dedup keeps the query correct if the source ever splits batches)
+    res = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        res.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+        .select("user_id", "max_value", "n")
+    )
+
+
+@query(
     "session_window_30min",
     """
     WITH marked AS (
