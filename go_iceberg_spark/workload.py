@@ -1995,6 +1995,38 @@ def multimodal_q(spark, sf):
     )
 
 
+_MM_FEAT_SQL = ("list_transform(generate_series(1, 16), i -> "
+                "CAST(('0x' || substr(sha256({t}), (i - 1) * 2 + 1, 2))::INT AS DOUBLE) / 255.0)")
+
+
+@query(
+    "multimodal_feature_ann_topk",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, {_MM_FEAT_SQL.format(t="text")} AS fv FROM documents),
+    q AS (SELECT doc_id AS query_id, fv AS qv FROM feats WHERE doc_id < 3),
+    scored AS (
+      SELECT q.query_id, f.doc_id AS neighbor_id, {_cosine_sql("q.qv", "f.fv")} AS cs
+      FROM feats f CROSS JOIN q WHERE f.doc_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """,
+)
+def multimodal_ann_q(spark, sf):
+    """Multimodal pipeline composed end-to-end: binary media column →
+    mapInPandas feature extraction (Arrow batch path, deterministic decode
+    stub) → exact cosine top-k over the EXTRACTED feature vectors (media
+    similarity search). Proves the media feature output plugs straight into
+    the ANN operators — same broadcast-query, corpus-never-shuffled shape."""
+    d = M.attach_media(load(spark, sf, "documents"), "text")
+    feats = M.extract_features(d, "doc_id").select("doc_id", "features")
+    return S.cosine_topk(feats, feats.filter(F.col("doc_id") < 3),
+                         id_col="doc_id", vec_col="features", k=5)
+
+
 @query(
     "multimodal_resize",
     """
