@@ -41,3 +41,50 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str, *, k: int
         F.col("n_exact").cast("double")
     )
     return agg.select(*group_cols, F.col("n_exact"), est.alias("n_estimate"))
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, *, k: int = 64) -> DataFrame:
+    """Theta-sketch-style set operations from two KMV sketches (audience
+    overlap without materializing either set): estimate |A|, |B|, |A∪B|,
+    Jaccard, and |A∩B| from the k minimum hash values of each side.
+
+    The union sketch is the k smallest of the two sketches' union (identical
+    to the k-min of the full union — a standard KMV property); Jaccard is
+    the fraction of the union sketch present in BOTH input sketches
+    (Broder's minwise estimate); |A∩B| = J · |A∪B|. Deterministic portable
+    hash, so the DuckDB oracle reproduces every estimate bit-for-bit.
+
+    Scale shape: each side reduces to ONE k-element sketch row (groupBy-less
+    1-row aggregate, map-side combined); the set algebra is array expressions
+    over the two broadcast rows — nothing corpus-sized ever joins. Same
+    bounded-heap caveat as ``kmv_distinct`` for the partial aggregate."""
+    def sketch(df: DataFrame, name: str) -> DataFrame:
+        h = portable_hash60(F.col(value_col).cast("string"))
+        return (
+            df.select(h.alias("_h")).distinct()
+            .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(name))
+        )
+
+    def est(mins, n) -> F.Column:
+        hk = F.element_at(mins, k).cast("double") / F.lit(HASH_SPACE)
+        return F.when(n >= k, F.round(F.lit(k - 1) / hk, 2)).otherwise(n.cast("double"))
+
+    both = sketch(a, "_ma").crossJoin(sketch(b, "_mb"))
+    mu = F.slice(F.array_sort(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))), 1, k)
+    out = both.select(
+        F.col("_ma"), F.col("_mb"), mu.alias("_mu"),
+        F.size("_ma").alias("_na"), F.size("_mb").alias("_nb"), F.size(mu).alias("_nu"),
+    )
+    inter = F.size(F.filter(
+        F.col("_mu"),
+        lambda h: F.array_contains(F.col("_ma"), h) & F.array_contains(F.col("_mb"), h),
+    ))
+    est_u = est(F.col("_mu"), F.col("_nu"))
+    jacc = inter.cast("double") / F.col("_nu")
+    return out.select(
+        est(F.col("_ma"), F.col("_na")).alias("est_a"),
+        est(F.col("_mb"), F.col("_nb")).alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(jacc * est_u, 2).alias("est_intersection"),
+    )

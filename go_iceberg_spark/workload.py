@@ -2646,6 +2646,49 @@ def sketch_kmv_q(spark, sf):
 
 
 @query(
+    "sketch_kmv_set_ops",
+    """
+    WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM orders WHERE o_orderpriority = '1-URGENT'),
+    hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM orders WHERE o_orderpriority = '2-HIGH'),
+    ma AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    mb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    mu AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb) u ORDER BY h LIMIT 64),
+    s AS (SELECT
+      (SELECT count(*) FROM ma) AS na, (SELECT max(h) FROM ma) AS hka,
+      (SELECT count(*) FROM mb) AS nb, (SELECT max(h) FROM mb) AS hkb,
+      (SELECT count(*) FROM mu) AS nu, (SELECT max(h) FROM mu) AS hku,
+      (SELECT count(*) FROM mu WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)) AS ni),
+    e AS (SELECT
+      CASE WHEN na >= 64 THEN round(63 / (CAST(hka AS DOUBLE) / 1152921504606846976.0), 2)
+           ELSE CAST(na AS DOUBLE) END AS est_a,
+      CASE WHEN nb >= 64 THEN round(63 / (CAST(hkb AS DOUBLE) / 1152921504606846976.0), 2)
+           ELSE CAST(nb AS DOUBLE) END AS est_b,
+      CASE WHEN nu >= 64 THEN round(63 / (CAST(hku AS DOUBLE) / 1152921504606846976.0), 2)
+           ELSE CAST(nu AS DOUBLE) END AS est_union,
+      CAST(ni AS DOUBLE) / nu AS j
+      FROM s)
+    SELECT est_a, est_b, est_union, round(j, 6) AS jaccard,
+           round(j * est_union, 2) AS est_intersection
+    FROM e
+    """,
+)
+def sketch_kmv_set_ops_q(spark, sf):
+    """Theta-sketch-style audience overlap from two KMV sketches: estimated
+    |urgent customers|, |high customers|, union, Jaccard, and intersection —
+    each side reduced to ONE 64-hash sketch row, the set algebra pure array
+    expressions over the two broadcast rows."""
+    from .operators import sketch as K
+
+    o = load(spark, sf, "orders")
+    return K.kmv_set_ops(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        o.filter(F.col("o_orderpriority") == "2-HIGH"),
+        "o_custkey", k=64)
+
+
+@query(
     "join_salted_skew",
     """
     SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
