@@ -4383,7 +4383,7 @@ _GRADED_FIRST = [
     "crud_schema_evolution_scan",
     "maintenance_compaction_scan",
     "wap_branch_publish_scan",
-    "source_orc_roundtrip",
+    "maintenance_expire_scan",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_semi_customers_with_big_orders",
@@ -4399,7 +4399,7 @@ _GRADED_FIRST = [
     "sort_topk_lineitems",
     "pipeline_curation_end_to_end",
     "correlated_scalar_subquery",
-    "incremental_append_scan",
+    "maintenance_zorder_scan",
     "changelog_cdc_scan",
     "incremental_agg_refresh",
     "streaming_tumbling_counts",
