@@ -21,9 +21,11 @@ from go_iceberg_spark.workload import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H-style Q3 shipping
-    priority (join + aggregate + top-k) built from the engine's operators."""
-    return QUERIES["q3_shipping_priority"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the training-data curation
+    pipeline end-to-end — exact dedup over a corpus with planted duplicates,
+    CCNet-style quality gate, deterministic 90/5/5 split, per-split token
+    audit — composed entirely from the engine's operators."""
+    return QUERIES["pipeline_curation_end_to_end"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
