@@ -100,6 +100,43 @@ def pack_by_token_budget(df: DataFrame, id_col: str, token_col: str,
     )
 
 
+def temperature_mix(df: DataFrame, id_col: str, stratum_col: str, *,
+                    temperature: float = 2.0, target_fraction: float = 0.5,
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-based source mixing (the T5/PaLM mixture rule): sample
+    stratum s proportional to n_s^(1/T) — T>1 upweights small sources
+    relative to their natural share — sized so the expected kept volume is
+    ``target_fraction`` of the corpus: rate_s = min(1, f·N·w_s / (Σw·n_s)).
+
+    Per-stratum weights are quantized (floor(n^(1/T)·2²⁰)) before the Σw
+    aggregate so every derived rate is bit-identical across engines
+    regardless of float summation order; each rate then becomes an integer
+    parts-per-million threshold against the row's portable hash.
+
+    Scale shape: stratum stats are a tiny two-level aggregate (|strata|
+    rows) broadcast back over the corpus; the keep decision is a stateless
+    per-row filter — no corpus shuffle at all."""
+    inv = 1.0 / temperature
+    counts = df.groupBy(F.col(stratum_col)).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_wq", F.floor(F.pow(F.col("_n").cast("double"), F.lit(inv)) * F.lit(1048576)).cast("long"))
+    tot = counts.agg(F.sum("_n").alias("_tot_n"), F.sum("_wq").alias("_tot_w"))
+    rates = counts.join(F.broadcast(tot)).select(
+        F.col(stratum_col),
+        F.floor(F.least(
+            F.lit(1.0),
+            F.lit(target_fraction) * F.col("_tot_n") * F.col("_wq") / F.col("_tot_w") / F.col("_n"),
+        ) * F.lit(1_000_000)).cast("long").alias("_ppm"),
+    )
+    h = F.pmod(portable_hash60(
+        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(rates), on=stratum_col)
+        .filter(h < F.col("_ppm"))
+        .drop("_ppm")
+    )
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
                     *, salt: str = "wsample") -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):

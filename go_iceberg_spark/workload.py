@@ -1843,6 +1843,37 @@ def sample_split_q(spark, sf):
 
 
 @query(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    cw AS (SELECT source, n,
+                  CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1048576) AS BIGINT) AS wq
+           FROM counts),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(wq) AS BIGINT) AS w FROM cw),
+    rates AS (SELECT source,
+                     CAST(floor(least(1.0, 0.5 * nn * wq / w / n) * 1000000) AS BIGINT) AS ppm
+              FROM cw, tot),
+    kept AS (
+      SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+      WHERE ('0x' || substr(md5('tmix_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < ppm)
+    SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def sample_temperature_q(spark, sf):
+    """Temperature-based source mixing (T5/PaLM mixture rule, T=2): small
+    sources upweighted toward sqrt-share, half the corpus kept in
+    expectation — stratum rates are a tiny broadcast, the keep decision a
+    stateless per-row hash filter (operators/sampling.py temperature_mix)."""
+    from .operators.sampling import temperature_mix
+
+    d = load(spark, sf, "documents")
+    return (
+        temperature_mix(d, "doc_id", "source", temperature=2.0, target_fraction=0.5)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@query(
     "embedding_int8_quantize",
     f"""
     SELECT vec_id,
