@@ -288,6 +288,35 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> Data
     return df.withColumn(out, col)
 
 
+# HTML boilerplate-strip chain, applied in order. Frozen constants in the
+# regex subset Java (Spark) and RE2 (DuckDB) share, like PII_PATTERNS.
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script[^>]*>.*?</script>", " "),  # script blocks incl. contents
+    (r"(?s)<style[^>]*>.*?</style>", " "),  # style blocks incl. contents
+    (r"(?s)<!--.*?-->", " "),  # comments
+    (r"<[^>]+>", " "),  # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"\s+", " "),  # collapse whitespace last
+)
+
+
+def strip_html(df: DataFrame, html_col: str, out_col: str | None = None) -> DataFrame:
+    """Extract visible text from HTML (the CommonCrawl boilerplate-removal
+    step before any quality/dedup pass): drop script/style/comment blocks
+    with their contents, then tags, decode the common entities, collapse
+    whitespace. A frozen regexp_replace chain — JVM-side, linear, no
+    shuffle; the DuckDB oracle applies the identical chain."""
+    out = out_col or html_col
+    col = F.col(html_col)
+    for pat, repl in HTML_STRIP_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out, F.trim(col))
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

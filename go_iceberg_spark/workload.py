@@ -4062,6 +4062,46 @@ def text_bigram_lm_q(spark, sf):
     return X.bigram_lm_score(d, "doc_id", "text")
 
 
+def _html_strip_oracle_sql() -> str:
+    """Nested regexp_replace chain generated from the SAME frozen pattern
+    table the engine applies (operators/text.py HTML_STRIP_PATTERNS)."""
+    expr = "html"
+    for pat, repl in X.HTML_STRIP_PATTERNS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+    WITH synth AS (
+      SELECT doc_id,
+             '<html><head><style>p {{ color: red }}</style></head><body><h1>'
+               || source || '</h1><!-- doc ' || CAST(doc_id AS VARCHAR)
+               || ' --><p>' || text
+               || '</p><script type="text/javascript">var x = 1 < 2;</script></body></html>' AS html
+      FROM documents)
+    SELECT doc_id, trim({expr}) AS text,
+           CAST(length(trim({expr})) AS BIGINT) AS n_chars
+    FROM synth
+    """
+
+
+@query("text_html_boilerplate_strip", _html_strip_oracle_sql())
+def text_html_strip_q(spark, sf):
+    """HTML boilerplate removal (the CommonCrawl extraction step before any
+    quality/dedup pass): HTML is synthesized deterministically around each
+    document — style/script blocks (with contents), comments, tags,
+    entities — then stripped by the frozen regex chain; the visible text
+    must survive. Linear regexp chain, no shuffle."""
+    d = load(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p { color: red }</style></head><body><h1>"),
+        F.col("source"), F.lit("</h1><!-- doc "), F.col("doc_id").cast("string"),
+        F.lit(" --><p>"), F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = 1 < 2;</script></body></html>'),
+    )
+    stripped = X.strip_html(d.select("doc_id", html.alias("text")), "text")
+    return stripped.select("doc_id", "text", F.length("text").cast("long").alias("n_chars"))
+
+
 @query(
     "text_bm25_scores",
     r"""
