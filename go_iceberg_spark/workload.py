@@ -961,6 +961,40 @@ def streaming_session_q(spark, sf):
 
 
 @query(
+    "streaming_upsert_table_sink_scan",
+    """
+    SELECT user_id, ts, value FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+)
+def streaming_upsert_sink_q(spark, sf):
+    """The streaming UPSERT (CDC) table sink through the graded gate: each
+    micro-batch MERGEs into an engine table keyed on user_id (within-batch
+    duplicates collapse to the last-seen row, exactly-once batch markers),
+    so after the stream drains the table holds exactly each user's LATEST
+    event — the materialized-view shape a CDC pipeline maintains."""
+    from .streaming.stream import upsert_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = spark.readStream.schema(sch).option("pathGlobFilter", "events.parquet").parquet(sf)
+    if str(sch["ts"].dataType) == "LongType()":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    src = src.select("user_id", "ts", "value")
+
+    seed = load(spark, sf, "events").select("user_id", "ts", "value").limit(0)
+    t = _scratch_table(spark, "upsink", seed)
+    wh = _scratch_dir("gis_upsink_ckpt_")
+    q = upsert_stream(src, t, wh + "/ckpt", ["user_id"], trigger_once=True)
+    q.awaitTermination(300)
+    t.refresh()
+    return t.to_df().select("user_id", "ts", "value")
+
+
+@query(
     "streaming_stateful_running_max",
     """
     SELECT user_id, max(value) AS max_value, count(*) AS n
