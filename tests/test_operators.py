@@ -72,3 +72,35 @@ def test_ivfpq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[0.1] * 30)])
     with pytest.raises(ValueError):
         ivfpq_topk(df, df, id_col="vec_id", vec_col="embedding", dim=30, m=4)
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    """Below k distinct values the sketch IS exact: estimates equal true
+    cardinalities and the Jaccard is the true overlap fraction of the
+    union sketch."""
+    from go_iceberg_spark.operators.sketch import kmv_set_ops
+
+    a = spark.createDataFrame([Row(v=i) for i in range(10)])
+    b = spark.createDataFrame([Row(v=i) for i in range(5, 15)])
+    r = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert r["est_a"] == 10.0 and r["est_b"] == 10.0
+    assert r["est_union"] == 15.0
+    assert abs(r["jaccard"] - 5 / 15) < 1e-6
+    assert abs(r["est_intersection"] - 5.0) < 0.01
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """T=2 keeps a LARGER fraction of the small source than of the big one
+    (sqrt weighting), and the selection is a pure function of the id."""
+    from go_iceberg_spark.operators.sampling import temperature_mix
+
+    rows = [Row(doc_id=i, src="big") for i in range(1900)] + \
+           [Row(doc_id=10_000 + i, src="small") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mix(df, "doc_id", "src", temperature=2.0, target_fraction=0.5)
+    frac = {r["src"]: r["n"] for r in
+            kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert frac["small"] / 100 > frac["big"] / 1900
+    again = temperature_mix(df.repartition(5), "doc_id", "src",
+                            temperature=2.0, target_fraction=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {r["doc_id"] for r in again.collect()}
