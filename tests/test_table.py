@@ -819,3 +819,28 @@ def test_nan_value_counts_gate_metadata_only_float_deletes(spark, catalog):
     # snapshot summary proof of the metadata-only path: the delete rewrote
     # at most the NaN rows, never the 10 clean ones
     assert t.scan().count() == 5
+
+
+def test_nested_types_full_crud(spark, catalog):
+    """Nested columns (struct / array / map) through the whole table path:
+    create (field-id assignment), append (stats harvest must tolerate
+    non-comparable types), dual-dialect manifests, filtered scan with
+    pushdown on the top-level column, nested projection, CoW delete."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gi
+
+    df = spark.createDataFrame([
+        Row(id=i, meta=Row(lang="en" if i % 2 else "de", score=float(i)),
+            tags=[f"t{i % 3}", "x"], props={"k": str(i)})
+        for i in range(100)
+    ])
+    t = catalog.create_table(("db",), "nested", from_spark_schema(df.schema))
+    t.append(df)
+    assert t.to_df().count() == 100
+    assert t.scan().filter(gi.gt("id", 50)).to_df().count() == 49
+    assert t.to_df().select("meta.lang").distinct().count() == 2
+    assert {r["tags"][0] for r in t.to_df().select("tags").collect()} == {"t0", "t1", "t2"}
+    t.delete(gi.lt("id", 10))
+    assert t.to_df().count() == 90
+    assert t.to_df().filter(F.col("meta.score") < 10).count() == 0
