@@ -104,3 +104,39 @@ def test_temperature_mix_upweights_small_sources(spark):
     again = temperature_mix(df.repartition(5), "doc_id", "src",
                             temperature=2.0, target_fraction=0.5)
     assert {r["doc_id"] for r in kept.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_text_ops_handle_unicode(spark):
+    """Non-ASCII text through the text family: char (not byte) lengths,
+    tokenizer stability, chunking round-trip."""
+    from go_iceberg_spark.operators.text import chunk_tokens, quality_features, token_count_expr
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="héllo wörld — ünïcode ❤ test"),
+        Row(doc_id=2, text="日本語 テキスト と spaces"),
+    ])
+    toks = {r["doc_id"]: r["n"] for r in
+            df.select("doc_id", token_count_expr(F.col("text")).alias("n")).collect()}
+    assert toks == {1: 6, 2: 4}  # em-dash and emoji are whitespace-separated tokens
+    feats = {r["doc_id"]: r for r in quality_features(df, "doc_id", "text").collect()}
+    assert feats[1]["n_chars"] == 28  # characters, not UTF-8 bytes
+    chunks = chunk_tokens(df, "doc_id", "text", size=3, stride=2)
+    joined = " ".join(r["chunk_text"] for r in
+                      chunks.filter(F.col("doc_id") == 2).orderBy("chunk_id").collect())
+    assert "日本語" in joined and "spaces" in joined
+
+
+def test_text_ops_tolerate_null_and_empty(spark):
+    """NULL and empty text must not throw anywhere in the text family;
+    empty → zero counts, NULL → NULL (three-valued, filterable)."""
+    from go_iceberg_spark.operators.text import bigram_lm_score, quality_score, token_count_expr
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None), Row(doc_id=3, text="one two")],
+        "doc_id long, text string")
+    counts = {r["doc_id"]: r["n"] for r in
+              df.select("doc_id", token_count_expr(F.col("text")).alias("n")).collect()}
+    assert counts[1] == 0 and counts[2] is None and counts[3] == 2
+    assert quality_score(df, "doc_id", "text").count() == 3  # no throw
+    out = bigram_lm_score(df, "doc_id", "text")
+    assert {r["doc_id"] for r in out.collect()} == {3}
