@@ -1677,7 +1677,7 @@ def cosine_topk_q(spark, sf):
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5)
 
 
-def _lsh_topk_oracle_sql() -> str:
+def _lsh_topk_oracle_sql(qmax: int = 10) -> str:
     planes = D.__dict__  # noqa: F841 - constants below come from similarity
     n_planes = S.LSH_PLANES
     # bucket bit j: sign of sum_d v[d+1] * plane(j, d)
@@ -1689,7 +1689,7 @@ def _lsh_topk_oracle_sql() -> str:
     return f"""
     WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ({bucket('embedding')}) AS bucket FROM embeddings),
     q AS (SELECT vec_id AS query_id, embedding AS qv, ({bucket('embedding')}) AS bucket
-          FROM embeddings WHERE vec_id < 10),
+          FROM embeddings WHERE vec_id < {qmax}),
     scored AS (
       SELECT q.query_id, c.neighbor_id, {_cosine_sql('q.qv', 'c.cv')} AS cos
       FROM c JOIN q ON c.bucket = q.bucket WHERE c.neighbor_id <> q.query_id),
@@ -2584,6 +2584,72 @@ def ivfpq_topk_q(spark, sf):
     return S.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5),
                         id_col="vec_id", vec_col="embedding", dim=64, k=5,
                         n_lists=8, n_probe=2)
+
+
+def _recall_report_oracle_sql() -> str:
+    exact = f"""(WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_cosine_sql('q.qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5)"""
+    methods = {
+        "lsh": _lsh_topk_oracle_sql(5),
+        "ivf": _ivf_oracle_sql(),
+        "pq": _pq_oracle_sql(),
+        "ivfpq": _ivfpq_oracle_sql(),
+    }
+    ctes = ",\n    ".join(
+        f"m_{m} AS (SELECT query_id, neighbor_id FROM ({sql}) t)" for m, sql in methods.items())
+    parts = [f"""
+    SELECT '{m}' AS method,
+           (SELECT count(*) FROM m_{m}) AS n_pairs,
+           (SELECT count(*) FROM m_{m} JOIN exact USING (query_id, neighbor_id)) AS n_hits,
+           round((SELECT count(*) FROM m_{m} JOIN exact USING (query_id, neighbor_id)) * 1.0
+                 / (SELECT count(*) FROM exact), 4) AS recall_at_5""" for m in methods]
+    return (f"WITH exact AS (SELECT query_id, neighbor_id FROM {exact} t),\n    {ctes}\n"
+            + "\n    UNION ALL".join(parts))
+
+
+@query("similarity_recall_report", _recall_report_oracle_sql())
+def similarity_recall_q(spark, sf):
+    """The ANN evaluation harness, run as a query: recall@5 of every
+    approximate index (LSH, IVF, PQ, IVF-PQ) against exact cosine on the
+    same query set — the self-measurement a serving deployment runs before
+    choosing an index. One row per method (pairs returned, exact hits,
+    recall); note the hash-seeded codebooks are verification-scoped stand-ins
+    for trained ones, so absolute recall on this synthetic corpus is low by
+    construction — the CONTRACT is that both engines compute the identical
+    number."""
+    from functools import reduce
+
+    emb = load(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    ex = S.cosine_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5) \
+        .select("query_id", "neighbor_id")
+    methods = {
+        "lsh": S.lsh_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5),
+        "ivf": S.ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5,
+                          n_lists=8, n_probe=2),
+        "pq": S.pq_topk(emb, qs, id_col="vec_id", vec_col="embedding", dim=64, k=5),
+        "ivfpq": S.ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding", dim=64,
+                              k=5, n_lists=8, n_probe=2),
+    }
+    n_exact = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = []
+    for name, df in methods.items():
+        d = df.select("query_id", "neighbor_id")
+        rows.append(
+            d.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .join(d.join(ex, ["query_id", "neighbor_id"])
+                  .agg(F.count(F.lit(1)).alias("n_hits")))
+            .join(n_exact)
+            .select(F.lit(name).alias("method"), "n_pairs", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_5"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
