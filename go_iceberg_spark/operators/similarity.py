@@ -311,17 +311,19 @@ def _collect_pq_books(
 
 
 def _l2_lit_sql(vc: str, offset: int, center: list[float]) -> str:
-    """Σ (v[offset+i] − cᵢ)² against a literal center, UNROLLED to plain
-    element-wise arithmetic: higher-order functions (zip_with/aggregate)
-    run interpreted, while GetArrayItem + arithmetic whole-stage-codegens —
-    measured 40% faster on the 64-center codebook argmin at sf1, and
-    bit-identical (left-to-right accumulation ≡ the aggregate's fold order;
-    0-based ``[i]`` ≡ the 1-based slice's elements)."""
-    return "(" + " + ".join(
-        f"(CAST({vc}[{offset + i}] AS DOUBLE) - CAST({x!r} AS DOUBLE))"
-        f" * (CAST({vc}[{offset + i}] AS DOUBLE) - CAST({x!r} AS DOUBLE))"
-        for i, x in enumerate(center)
-    ) + ")"
+    """Σ (v[offset+i] − cᵢ)² against a literal center — same left-to-right
+    float64 accumulation as ``l2sq_expr``, so values are bit-identical.
+
+    Shape note (measured, sf0.1/sf1): the zip_with/aggregate form runs
+    interpreted, and UNROLLING it to 16 element-wise codegen'd terms per
+    center is 40% faster on the isolated encode subtree — but in the FULL
+    query the 64-center × 16-term literal tree blows up analysis + Janino
+    compilation (1.8 s → 6.5-7.5 s end-to-end), so the compact
+    higher-order form wins and stays."""
+    lit = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in center) + ")"
+    return (f"aggregate(zip_with(slice({vc}, {offset + 1}, {len(center)}), {lit}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
 
 def _pq_codes_sql(books: list[list[list[float]]], vc: str, sub: int) -> str:
