@@ -18,6 +18,7 @@ from go_iceberg_spark.expr import (
     col,
     not_,
     or_,
+    simplify,
     to_column,
 )
 
@@ -119,3 +120,6 @@ def test_to_column_matches_ansi_3vl(fixture_data, e):
     duck_ids = {r[0] for r in
                 con.execute(f"SELECT rid FROM t WHERE {to_duckdb_sql(e)}").fetchall()}
     assert spark_ids == duck_ids, to_duckdb_sql(e)
+    # simplify() must be a semantic no-op, not just a structural cleanup
+    simplified = {r["rid"] for r in df.filter(to_column(simplify(e))).select("rid").collect()}
+    assert simplified == spark_ids, to_duckdb_sql(e)
