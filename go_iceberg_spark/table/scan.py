@@ -77,6 +77,48 @@ def _stats_for_pruning(entry: DataFileEntry, schema: Schema) -> dict[str, Column
     return out
 
 
+def _bucket_partition_might_match(e: Expression, entry: DataFileEntry, md: TableMetadata) -> bool:
+    """Bucket-transform partition pruning (the one transform per-file column
+    stats CANNOT prune — hashing scatters values, so every file's min/max
+    spans the key range): an EQ/IN literal on a bucket[N] source column is
+    hashed driver-side with Spark's own Murmur3 (``write.bucket_for_literal``)
+    and the file is skipped when its recorded bucket can't contain it.
+    Identity/truncate/date transforms need no partition check — their files
+    have tight source-column bounds, so stats pruning already covers them.
+    Conservative: NOT subtrees, unhashable literal types, and null partition
+    values all keep the file."""
+    from ..expr import Op
+    from .write import _BUCKET_RE, bucket_for_literal
+
+    if e.op is Op.AND:
+        return all(_bucket_partition_might_match(c, entry, md) for c in e.children)
+    if e.op is Op.OR:
+        return any(_bucket_partition_might_match(c, entry, md) for c in e.children)
+    if e.op not in (Op.EQ, Op.IN):
+        return True
+    spec = next((s for s in md.partition_specs if s.spec_id == entry.spec_id), None)
+    if spec is None:
+        return True
+    for pf in spec.fields:
+        m = _BUCKET_RE.match(pf.transform)
+        if not m:
+            continue
+        src = md.current_schema.find_field_by_id(pf.source_id)
+        if src is None or src.name != e.column:
+            continue
+        pv = entry.partition.get(pf.name)
+        if pv is None:
+            continue
+        n = int(m.group(1))
+        vals = [e.value] if e.op is Op.EQ else list(e.values)
+        buckets = [bucket_for_literal(v, n, src.type) for v in vals]
+        if any(b is None for b in buckets):
+            continue
+        if int(pv) not in buckets:
+            return False
+    return True
+
+
 def _encode_filter(e: Expression, schema: Schema) -> Expression:
     """Encode filter literals into stats space (timestamps→µs etc.)."""
     t = schema.find_field(e.column).type if e.column and schema.find_field(e.column) else None
@@ -191,7 +233,8 @@ class ScanBuilder:
             return []
 
         entries = self._pruned_entries(snap, enc, md)
-        data_files = [e for e in entries if e.content == CONTENT_DATA]
+        data_files = [e for e in entries if e.content == CONTENT_DATA
+                      if _bucket_partition_might_match(flt, e, md)]
         pos_deletes = [e for e in entries if e.content == CONTENT_POSITION_DELETES]
         eq_deletes = [e for e in entries if e.content == CONTENT_EQUALITY_DELETES]
 

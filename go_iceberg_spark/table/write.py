@@ -61,6 +61,63 @@ PARTITION_COL_PREFIX = "_p_"
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # reference: table/insert.go:51
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & _M32
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _mm3_fmix(h1: int, n: int) -> int:
+    h1 = (h1 ^ n) & _M32
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _mm3_signed(v: int) -> int:
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def spark_murmur3_int(i: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` (Murmur3_x86_32, seed 42) for an IntegerType value,
+    computed driver-side — verified bit-equal against Catalyst. Lets the
+    planner transform an equality literal into its bucket without running a
+    Spark job."""
+    return _mm3_signed(_mm3_fmix(_mm3_mix_h1(seed, _mm3_mix_k1(i & _M32)), 4))
+
+
+def spark_murmur3_long(value: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` for a LongType value (low word mixed, then high),
+    driver-side; verified bit-equal against Catalyst."""
+    h1 = _mm3_mix_h1(seed, _mm3_mix_k1(value & _M32))
+    h1 = _mm3_mix_h1(h1, _mm3_mix_k1((value >> 32) & _M32))
+    return _mm3_signed(_mm3_fmix(h1, 8))
+
+
+def bucket_for_literal(v: Any, n: int, source_type: IcebergType) -> int | None:
+    """The bucket ``pmod(hash(v), n)`` a literal lands in, or None when the
+    type isn't driver-hashable (pruning then falls back to keep-the-file)."""
+    if not isinstance(source_type, PrimitiveType) or not isinstance(v, int) or isinstance(v, bool):
+        return None
+    if source_type.name == "int":
+        return spark_murmur3_int(v) % n
+    if source_type.name == "long":
+        return spark_murmur3_long(v) % n
+    return None
+
+
 def transform_column(transform: str, source: Column, source_type: IcebergType) -> Column:
     """Partition transform → Spark expression (reference: spec/partition.go:11-19).
 

@@ -844,3 +844,27 @@ def test_nested_types_full_crud(spark, catalog):
     t.delete(gi.lt("id", 10))
     assert t.to_df().count() == 90
     assert t.to_df().filter(F.col("meta.score") < 10).count() == 0
+
+
+def test_bucket_partition_pruning_on_equality(spark, catalog):
+    """bucket[N] partitions are the one transform stats can't prune (hash
+    scatter gives every file full-range bounds); the planner hashes the
+    EQ/IN literal with Spark's own Murmur3 driver-side and skips files
+    whose bucket can't contain it — Iceberg's bucket-projection behavior."""
+    df = users_df(spark, 400)
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["id"], 1000, "bucket[8]", "id_bucket"),))
+    t = catalog.create_table("db", "bucketed", schema, spec=spec)
+    t.append(df)
+    all_files = t.scan().plan_files()
+    assert len(all_files) >= 8  # one file per occupied bucket
+    eq_scan = t.scan().filter(E.eq("id", 123))
+    pruned = eq_scan.plan_files()
+    assert len(pruned) == 1, f"expected 1 bucket file, planned {len(pruned)}"
+    assert [r["id"] for r in eq_scan.to_df().collect()] == [123]
+    in_scan = t.scan().filter(E.col("id").isin(5, 300))
+    assert len(in_scan.plan_files()) <= 2
+    assert in_scan.count() == 2
+    # range predicates can't use bucket partitions -> no false pruning
+    assert t.scan().filter(E.col("id").lt(50)).count() == 50
