@@ -4597,7 +4597,7 @@ _GRADED_FIRST = [
     "join_anti_customers_without_orders",
     "streaming_session_window",
     "asof_join_purchase_to_view",
-    "range_join_errors_followups",
+    "bucket_partition_pruning_scan",
     "join_salted_skew",
     "text_bigram_lm_score",
     "rollup_returnflag_status",
