@@ -364,7 +364,61 @@ def _stats_predicate(flt: Expression, schema: Schema):
     return build(flt)
 
 
-def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Schema) -> list[DataFileEntry]:
+def _bucket_partition_pred(flt: Expression, specs, schema: Schema):
+    """Catalyst predicate over ``partition_json`` mirroring the planner's
+    driver-side bucket check (scan._bucket_partition_might_match) for
+    top-level AND chains: an EQ/IN literal on a bucket[N] source keeps only
+    rows whose recorded bucket can contain it — so at the distributed tier
+    bucket pruning happens IN the Spark job and the driver never collects
+    the full survivor list of a hashed layout. Conservative: entries whose
+    spec lacks the field (json key absent → NULL) are kept; a partition
+    field name reused across specs with DIFFERENT bucket definitions emits
+    no condition; non-EQ/IN shapes emit no condition. Returns None when no
+    constraint applies."""
+    from pyspark.sql import functions as F
+
+    from ..expr import Op
+    from .write import _BUCKET_RE, bucket_for_literal
+
+    # (name -> (n, source_id)) only where consistent across ALL specs
+    defs: dict[str, tuple[int, int]] = {}
+    clash: set[str] = set()
+    for spec in specs:
+        for pf in spec.fields:
+            m = _BUCKET_RE.match(pf.transform)
+            if not m:
+                continue
+            d = (int(m.group(1)), pf.source_id)
+            if pf.name in defs and defs[pf.name] != d:
+                clash.add(pf.name)
+            defs[pf.name] = d
+    leaves = flt.children if flt.op is Op.AND else (flt,)
+    conds = []
+    for leaf in leaves:
+        if leaf.op not in (Op.EQ, Op.IN) or not leaf.column:
+            continue
+        for name, (n, source_id) in defs.items():
+            if name in clash:
+                continue
+            src = schema.find_field_by_id(source_id)
+            if src is None or src.name != leaf.column:
+                continue
+            vals = [leaf.value] if leaf.op is Op.EQ else list(leaf.values)
+            buckets = [bucket_for_literal(v, n, src.type) for v in vals]
+            if any(b is None for b in buckets):
+                continue
+            j = F.get_json_object(F.col("partition_json"), f"$.{name}")
+            conds.append(j.isNull() | j.isin([str(b) for b in set(buckets)]))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Schema,
+                     specs=()) -> list[DataFileEntry]:
     """Prune a huge manifest (or manifest-list members) with a Spark job:
     filter the entry DataFrame by the stats predicate, collect only
     survivors, build entries from them."""
@@ -382,6 +436,10 @@ def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Sche
             out.extend(prune_manifest_driver(p, flt, schema))
         return out
     pred = _stats_predicate(flt, schema)
+    if specs:
+        bp = _bucket_partition_pred(flt, specs, schema)
+        if bp is not None:
+            pred = pred & bp
     rows = df.filter((F.col("content") != CONTENT_DATA) | pred).collect()
     cols = {name: [r[name] for r in rows] for name in df.columns}
     return [_entry_from_columns(cols, i) for i in range(len(rows))]

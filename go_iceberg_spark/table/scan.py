@@ -283,7 +283,8 @@ class ScanBuilder:
                 n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
                 mpaths = [path]
             if n > DISTRIBUTED_THRESHOLD:
-                return plan_distributed(table.spark, mpaths, enc, md.current_schema)
+                return plan_distributed(table.spark, mpaths, enc, md.current_schema,
+                                        specs=md.partition_specs)
             if n > self._CACHE_ENTRY_LIMIT:
                 out: list[DataFileEntry] = []
                 for p in mpaths:

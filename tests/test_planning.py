@@ -233,3 +233,30 @@ def test_distributed_mixed_prebloom_members(spark, tmp_path):
         both = {e.file_path
                 for e in plan_distributed(spark, [p_old, p_new], enc(f), SCHEMA)}
         assert both == a  # same logical entries in both members
+
+
+def test_distributed_tier_prunes_bucket_partitions(spark, catalog, monkeypatch):
+    """The bucket-partition predicate must run INSIDE the distributed
+    planning job (get_json_object over partition_json), not as a driver
+    post-filter — at manifest scale a hashed layout would otherwise collect
+    every data entry for an EQ lookup. Forced through the distributed tier
+    via DISTRIBUTED_THRESHOLD=0."""
+    import go_iceberg_spark.table.planning as P
+    from go_iceberg_spark import eq
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["id"], 1000, "bucket[8]", "id_bucket"),))
+    t = catalog.create_table("db", "dist_bucketed", schema, spec=spec)
+    t.append(df)
+
+    monkeypatch.setattr(P, "DISTRIBUTED_THRESHOLD", 0)
+    sb = t.scan().filter(eq("id", 123))
+    pruned = sb.plan_files()
+    assert len(pruned) == 1, f"expected 1 bucket file, planned {len(pruned)}"
+    assert [r["id"] for r in sb.to_df().collect()] == [123]
