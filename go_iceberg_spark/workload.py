@@ -1144,6 +1144,50 @@ def jaccard_q(spark, sf):
     return D.jaccard_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.8)
 
 
+@query(
+    "sequence_similarity_users",
+    f"""
+    WITH corpus AS (
+      SELECT user_id AS doc_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id, event_type) AS text
+      FROM events GROUP BY user_id),
+    {_shingle_sql(5)},
+    shingle_df AS (SELECT _h, count(*) AS df FROM shingles GROUP BY _h),
+    kept AS (
+      SELECT s._id, s._h FROM shingles s JOIN shingle_df USING (_h)
+      WHERE df <= {D.JACCARD_MAX_SHINGLE_DF}),
+    sizes AS (SELECT _id, count(*) AS sz FROM kept GROUP BY _id),
+    common AS (
+      SELECT a._id AS id_a, b._id AS id_b, count(*) AS c
+      FROM kept a JOIN kept b ON a._h = b._h AND a._id < b._id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+    FROM common JOIN sizes sa ON sa._id = id_a JOIN sizes sb ON sb._id = id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def sequence_similarity_q(spark, sf):
+    """Behavioral sequence similarity (the trajectory-similarity shape from
+    the retrieved papers, on event streams): each user's time-ordered
+    event-type sequence becomes a document, and the TOP-20 pairs by 5-gram
+    shingle Jaccard are the behavior-alikes — user segmentation /
+    bot-cohort detection as a similarity SEARCH (TakeOrdered top-k, no full
+    sort). Sequences are built with a
+    deterministic (ts, event_id, type) sort inside ONE aggregate (no window
+    over the event table), then the capped exact-Jaccard operator runs
+    unchanged — the stop-shingle cap drops the universal n-grams that would
+    make everyone similar."""
+    ev = load(spark, sf, "events")
+    seqs = ev.groupBy(F.col("user_id").alias("doc_id")).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"])).alias("text"))
+    return (
+        D.jaccard_pairs(seqs, "doc_id", "text", n=5, mode="word", threshold=0.0)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+    )
+
+
 def _minhash_oracle_sql() -> str:
     """Generate the MinHash-LSH oracle from the SAME frozen constants the
     Spark implementation uses (dedup.MINHASH_COEFFS / LSH_BANDS)."""
