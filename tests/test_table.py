@@ -868,3 +868,31 @@ def test_bucket_partition_pruning_on_equality(spark, catalog):
     assert in_scan.count() == 2
     # range predicates can't use bucket partitions -> no false pruning
     assert t.scan().filter(E.col("id").lt(50)).count() == 50
+
+
+def test_bucket_pruning_respects_partition_evolution(spark, catalog):
+    """Evolving identity -> bucket[4]: entries written under the identity
+    spec have NO bucket field, so the bucket check must keep them (their
+    tight stats prune instead); entries under the bucket spec prune by
+    hashed literal. Scans stay exactly correct across the boundary."""
+    from pyspark.sql import Row
+
+    df1 = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(200)])
+    t = catalog.create_table("db", "evolve_bucket", from_spark_schema(df1.schema))
+    t.append(df1)
+    t.update_partition_spec(("id", "bucket[4]"))
+    t.append(spark.createDataFrame([Row(id=200 + i, v=float(i)) for i in range(200)]))
+
+    specs = {e.spec_id for e in t.live_entries()}
+    assert len(specs) == 2
+    # an old-generation key: kept by the (vacuous) bucket check, found
+    assert t.scan().filter(E.eq("id", 50)).count() == 1
+    # a new-generation key: bucket pruning keeps a strict file subset
+    sb = t.scan().filter(E.eq("id", 333))
+    new_gen_files = [e for e in t.live_entries()
+                     if e.partition.get("id_bucket") is not None]
+    assert len(new_gen_files) >= 4
+    planned_new = [task for task in sb.plan_files()
+                   if task.file.partition.get("id_bucket") is not None]
+    assert len(planned_new) <= 1
+    assert [r["id"] for r in sb.to_df().collect()] == [333]
