@@ -275,32 +275,24 @@ def minhash_lsh_pairs(
     """Near-dup pairs via MinHash banding: ids sharing any band of the
     signature become candidates; candidates are verified with exact Jaccard.
 
-    Candidate generation is a groupBy on (band_id, band_hash) — documents
-    never self-join on raw shingles, which is what makes this the scale path.
-    Bucket-mates become candidate pairs via groupBy(bucket) + collect_list +
-    double-explode — no self-join (the naive union-of-bands self-join
-    duplicated the shingle subtree 24x).
+    Candidate generation is a band-keyed self-join of the PERSISTED banded
+    signature table: the expensive shingle+minhash subtree evaluates once
+    (the naive unpersisted union-of-bands self-join duplicated it 24x, and
+    the groupBy + collect_list + double-explode alternative materialized
+    k-wide struct arrays per hot bucket — measured 40-65% slower and an
+    executor-memory hazard on skew; AQE skew-splits the join instead).
+    Persisting carries each doc's shingle-hash set into cache — a
+    documents-scale footprint (MEMORY_AND_DISK) that buys join-free exact
+    Jaccard verification on the candidate rows.
     """
-    bandrows = _banded_signatures(df, id_col, text_col, n, mode)
-    # bucket-mates -> pairs; hot buckets produce k^2 pairs (inherent to LSH);
-    # the bucket key space is bounded so the shuffle is on small keys.
-    grp = (
-        bandrows.groupBy("_band", "_bh")
-        .agg(F.collect_list(F.struct("_id", "_hs", "_sz")).alias("_xs"))
-        .filter(F.size("_xs") > 1)
-    )
+    bandrows = _banded_signatures(df, id_col, text_col, n, mode).persist()
+    a = bandrows.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa"),
+                        F.col("_sz").alias("_sza"), "_band", "_bh")
+    b = bandrows.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb"),
+                        F.col("_sz").alias("_szb"), "_band", "_bh")
     pairs = (
-        grp.select(F.explode("_xs").alias("_a"), "_xs")
-        .select("_a", F.explode("_xs").alias("_bx"))
-        .filter(F.col("_a._id") < F.col("_bx._id"))
-        .select(
-            F.col("_a._id").alias("id_a"),
-            F.col("_bx._id").alias("id_b"),
-            F.col("_a._hs").alias("_hsa"),
-            F.col("_a._sz").alias("_sza"),
-            F.col("_bx._hs").alias("_hsb"),
-            F.col("_bx._sz").alias("_szb"),
-        )
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
