@@ -221,21 +221,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3,
     return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
 
 
-def _banded_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
-    """Per-doc banded MinHash rows (_id, _hs, _sz, _band, _bh): ONE shingle
-    pass computes the k minhash values AND carries the full shingle-hash set
-    + size for downstream exact-Jaccard verification; band rows come from one
-    explode over an array of band structs, so the shingle subtree appears
-    ONCE in the physical plan."""
+def _minhash_signature_table(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
+    """Per-doc signature rows (_id, _hs, _sz, mh_0..mh_{k-1}): ONE shingle
+    pass computes the k minhash values AND the full shingle-hash set + size
+    for downstream exact-Jaccard verification."""
     sh = _shingle_table(df, id_col, text_col, n, mode)
     hp = F.col("_h") % MINHASH_PRIME
     sig_aggs = [
         F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
         for j, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    sig = sh.groupBy("_id").agg(
+    return sh.groupBy("_id").agg(
         F.collect_set("_h").alias("_hs"), F.count(F.lit(1)).alias("_sz"), *sig_aggs
     )
+
+
+def _band_rows(sig: DataFrame, payload: tuple[str, ...] = ()) -> DataFrame:
+    """Explode a signature table to (_id, *payload, _band, _bh) — one
+    explode over an array of band structs, so the signature subtree appears
+    ONCE in the physical plan. ``payload`` names extra columns to carry on
+    every band row (only safe when those rows never shuffle, e.g. the
+    broadcast side of a contamination join)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -251,8 +257,17 @@ def _banded_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: 
             for band in range(LSH_BANDS)
         ]
     )
-    return sig.select("_id", "_hs", "_sz", F.explode(band_structs).alias("_b")).select(
-        "_id", "_hs", "_sz", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh")
+    return sig.select("_id", *payload, F.explode(band_structs).alias("_b")).select(
+        "_id", *payload, F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh")
+    )
+
+
+def _banded_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
+    """Payload-carrying banded rows (_id, _hs, _sz, _band, _bh) — used where
+    the band rows are BROADCAST (fuzzy_contamination's eval side), never
+    where they shuffle."""
+    return _band_rows(
+        _minhash_signature_table(df, id_col, text_col, n, mode), payload=("_hs", "_sz")
     )
 
 
@@ -270,32 +285,57 @@ def _verified_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, mode: str = "word", threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    mode: str = "word",
+    threshold: float = 0.6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: ids sharing any band of the
     signature become candidates; candidates are verified with exact Jaccard.
 
-    Candidate generation is a band-keyed self-join of the PERSISTED banded
-    signature table: the expensive shingle+minhash subtree evaluates once
-    (the naive unpersisted union-of-bands self-join duplicated it 24x, and
-    the groupBy + collect_list + double-explode alternative materialized
-    k-wide struct arrays per hot bucket — measured 40-65% slower and an
-    executor-memory hazard on skew; AQE skew-splits the join instead).
-    Persisting carries each doc's shingle-hash set into cache — a
-    documents-scale footprint (MEMORY_AND_DISK) that buys join-free exact
-    Jaccard verification on the candidate rows.
-    """
-    bandrows = _banded_signatures(df, id_col, text_col, n, mode).persist()
-    a = bandrows.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa"),
-                        F.col("_sz").alias("_sza"), "_band", "_bh")
-    b = bandrows.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb"),
-                        F.col("_sz").alias("_szb"), "_band", "_bh")
-    pairs = (
+    Scale shape (r4, payload-free band join): the expensive shingle+minhash
+    subtree evaluates once into a PERSISTED signature table; candidate
+    generation is a band-keyed self-join over (_band, _bh, _id) ONLY — the
+    band shuffle carries 3 small columns, never the shingle-hash sets (the
+    r3 shape shuffled every doc's full shingle set x4 bands x2 sides, which
+    inverted at sf1: ~8x the shingle data moved per run when candidates are
+    sparse). The deduped id pairs then join BACK to the persisted signature
+    table twice for _hs/_sz, so verification payload volume is proportional
+    to CANDIDATES, not corpus; AQE broadcasts the pair side when it is
+    small, leaving the signature table unshuffled. Hot band buckets are
+    still skew-splittable by AQE in the id-only join.
+
+    ``materialize=True`` (default) computes the result eagerly
+    (localCheckpoint — executor-local blocks, freed by GC, no CacheManager
+    entry) and unpersists the signature cache before returning, so
+    long-lived sessions running many queries do not accumulate corpus-sized
+    shingle caches. Pass ``materialize=False`` to get the lazy plan (for
+    plan audits / composition); the caller then owns cleanup via
+    ``spark.catalog.clearCache()``."""
+    sig = _minhash_signature_table(df, id_col, text_col, n, mode).persist()
+    bands = _band_rows(sig)
+    a = bands.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    b = bands.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    cand = (
         a.join(b, on=["_band", "_bh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
+    siga = sig.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa"),
+                      F.col("_sz").alias("_sza"))
+    sigb = sig.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb"),
+                      F.col("_sz").alias("_szb"))
+    pairs = cand.join(siga, "id_a").join(sigb, "id_b")
+    out = _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
+    return out
 
 
 def fuzzy_contamination(
@@ -375,7 +415,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("_id").alias(id_col), fp_expr.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Candidates share at least one 15-bit band (pigeonhole: distance <= 3 over
@@ -391,7 +433,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int
     hot bucket and re-exploded them: with a 1.6k-doc bucket that carried
     k²·array payloads through two Generates — 25-55% slower end-to-end
     and an executor-memory hazard on skewed fingerprint distributions.
-    AQE's skew-join handles hot buckets in the join shape."""
+    AQE's skew-join handles hot buckets in the join shape.
+
+    ``materialize=True`` (default) computes the result eagerly
+    (localCheckpoint) and unpersists the fingerprint cache before returning
+    — see minhash_lsh_pairs for the session-cache rationale."""
     fp = simhash(df, id_col, text_col).persist()
     band_structs = F.array(
         *[
@@ -409,7 +455,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int
     ).select("_id", "_fp", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh"))
     a = bandrows.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fpa"), "_band", "_bh")
     b = bandrows.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fpb"), "_band", "_bh")
-    return (
+    out = (
         a.join(b, on=["_band", "_bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))))
@@ -417,6 +463,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, *, max_hamming: int
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        fp.unpersist()
+    return out
 
 
 def embedding_near_dup_pairs(

@@ -8,16 +8,18 @@ DuckDB compute the exact same k smallest normalized hash values, hence the
 same estimate. Estimator: distinct(g) ≈ (k-1) / h_(k) where h_(k) is the
 k-th smallest hash scaled to [0,1) (Bar-Yossef et al. 2002; see PAPERS.md).
 
-Scale note: this formulation materializes the distinct hash set per group
-before slicing the k minimum (collect_set is unbounded in the partial
-aggregate). On a real cluster swap the groupBy for a custom Aggregator
-keeping a bounded k-element heap per partition — the estimator and hash stay
-identical, so results (and the oracle) do not change.
+Scale note: no aggregation buffer ever exceeds k entries. The grouped path
+ranks each group's distinct hashes with a sort-based window (row_number,
+streaming + spillable) and collect_list's only the k survivors; the global
+(one-sketch) path is ``orderBy(h).limit(k)`` which Spark plans as
+TakeOrderedAndProject — a k-element heap per partition, merged once. The
+estimator and hash are unchanged, so results (and the oracle) are identical
+to the naive collect_set formulation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash60
@@ -32,10 +34,18 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str, *, k: int
     # string form (matches the oracle's CAST(x AS VARCHAR))
     h = portable_hash60(F.col(value_col).cast("string"))
     g = df.select(*group_cols, h.alias("_h")).distinct()
-    agg = g.groupBy(*group_cols).agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"),
-        F.count(F.lit(1)).alias("n_exact"),
+    # Bounded two-level shape: rank within group (sort-based window, spills),
+    # keep k, THEN collect — the collect_list buffer is ≤ k elements. The
+    # exact count reuses g's exchange (same grouping key).
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    mins = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_mins"))
     )
+    counts = g.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_exact"))
+    agg = mins.join(counts, list(group_cols))
     hk = F.element_at("_mins", k).cast("double") / F.lit(HASH_SPACE)
     est = F.when(F.col("n_exact") >= k, F.round(F.lit(k - 1) / hk, 2)).otherwise(
         F.col("n_exact").cast("double")
@@ -54,15 +64,17 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, *, k: int = 64) -> D
     (Broder's minwise estimate); |A∩B| = J · |A∪B|. Deterministic portable
     hash, so the DuckDB oracle reproduces every estimate bit-for-bit.
 
-    Scale shape: each side reduces to ONE k-element sketch row (groupBy-less
-    1-row aggregate, map-side combined); the set algebra is array expressions
-    over the two broadcast rows — nothing corpus-sized ever joins. Same
-    bounded-heap caveat as ``kmv_distinct`` for the partial aggregate."""
+    Scale shape: each side reduces to ONE k-element sketch row; the k-min
+    selection is ``orderBy.limit(k)`` (TakeOrderedAndProject — a bounded
+    k-element heap per partition, no buffer ever holds more than k hashes);
+    the set algebra is array expressions over the two single rows — nothing
+    corpus-sized ever joins or aggregates."""
     def sketch(df: DataFrame, name: str) -> DataFrame:
         h = portable_hash60(F.col(value_col).cast("string"))
         return (
             df.select(h.alias("_h")).distinct()
-            .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(name))
+            .orderBy("_h").limit(k)
+            .agg(F.array_sort(F.collect_list("_h")).alias(name))
         )
 
     def est(mins, n) -> F.Column:

@@ -64,6 +64,27 @@ def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
     assert any(fragment in p for p in pf), f"no pushed filter mentions {fragment!r}: {pf}"
 
 
+def exchange_nodes(df: DataFrame) -> list[dict]:
+    """Detail blocks of every Exchange node: {'id', 'input', 'arguments'}.
+    Lets tests assert WHAT each shuffle carries (payload columns) and on
+    WHICH keys it partitions — the difference between a plan that moves
+    candidate ids and one that moves the whole corpus payload."""
+    plan = formatted_plan(df)
+    out = []
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange", block)
+        if not m:
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        args = re.search(r"Arguments: (.*)", block)
+        out.append({
+            "id": int(m.group(1)),
+            "input": inp.group(1) if inp else "",
+            "arguments": args.group(1) if args else "",
+        })
+    return out
+
+
 def assert_max_op(df: DataFrame, op: str, at_most: int) -> None:
     """Bound the occurrences of an operator — e.g. the shingle Generate must
     appear once, not once per LSH band."""

@@ -380,13 +380,19 @@ def _bucket_partition_pred(flt: Expression, specs, schema: Schema):
     from ..expr import Op
     from .write import _BUCKET_RE, bucket_for_literal
 
-    # (name -> (n, source_id)) only where consistent across ALL specs
+    # (name -> (n, source_id)) only where consistent across ALL specs.
+    # A name is unsafe not just when two specs disagree on the bucket
+    # definition, but also when ANY spec defines it with a NON-bucket
+    # transform (e.g. identity): those entries' partition_json holds a
+    # non-NULL non-ordinal value, and comparing it against bucket ordinals
+    # would silently prune live files.
     defs: dict[str, tuple[int, int]] = {}
     clash: set[str] = set()
     for spec in specs:
         for pf in spec.fields:
             m = _BUCKET_RE.match(pf.transform)
             if not m:
+                clash.add(pf.name)
                 continue
             d = (int(m.group(1)), pf.source_id)
             if pf.name in defs and defs[pf.name] != d:

@@ -778,6 +778,18 @@ def tumbling_q(spark, sf):
 _STREAM_SEQ_HOLDER = [0]
 
 
+def _await_drained(q, timeout: int = 300) -> None:
+    """awaitTermination that fails LOUDLY: a stream that has not drained
+    within ``timeout`` seconds must not fall through to reading its sink —
+    that would silently return partial results to the correctness gate."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"stream {q.name or q.id} did not drain within {timeout}s; "
+            "refusing to read a partially-populated sink"
+        )
+
+
 @query(
     "streaming_tumbling_counts",
     """
@@ -810,7 +822,7 @@ def streaming_tumbling_q(spark, sf):
         agg.writeStream.format("memory").queryName(name).outputMode("complete")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -848,7 +860,7 @@ def streaming_static_enrichment_q(spark, sf):
         agg.writeStream.format("memory").queryName(name).outputMode("complete")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -911,7 +923,7 @@ def streaming_interval_join_q(spark, sf):
         joined.writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -921,7 +933,7 @@ def streaming_interval_join_q(spark, sf):
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sessions AS (
@@ -956,7 +968,7 @@ def streaming_session_q(spark, sf):
         agg.writeStream.format("memory").queryName(name).outputMode("complete")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name)
 
 
@@ -989,7 +1001,7 @@ def streaming_upsert_sink_q(spark, sf):
     t = _scratch_table(spark, "upsink", seed)
     wh = _scratch_dir("gis_upsink_ckpt_")
     q = upsert_stream(src, t, wh + "/ckpt", ["user_id"], trigger_once=True)
-    q.awaitTermination(300)
+    _await_drained(q)
     t.refresh()
     return t.to_df().select("user_id", "ts", "value")
 
@@ -1021,7 +1033,7 @@ def streaming_stateful_q(spark, sf):
         out.writeStream.format("memory").queryName(name).outputMode("update")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     # keep only each user's LAST update (single-batch here, so it's all rows;
     # the dedup keeps the query correct if the source ever splits batches)
     res = spark.table(name)
@@ -1038,7 +1050,7 @@ def streaming_stateful_q(spark, sf):
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sessions AS (
@@ -1223,8 +1235,24 @@ def _minhash_oracle_sql() -> str:
 @query("dedup_minhash_lsh", _minhash_oracle_sql(), bench=True)
 def minhash_q(spark, sf):
     """MinHash+LSH near-dup: banded candidate generation + exact Jaccard
-    verify — the web-scale dedup path (candidates only, no all-pairs join)."""
+    verify — the web-scale dedup path (candidates only, no all-pairs join).
+    The default path materializes eagerly and releases the signature cache;
+    PLAN_VARIANTS carries the lazy twin for plan audits."""
     return D.minhash_lsh_pairs(_corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.6)
+
+
+# Lazy (materialize=False) twins of queries whose public path eagerly
+# checkpoints + unpersists: plan audits (tests/test_plans.py,
+# scripts/dump_plans.py) introspect THESE — the checkpointed result's plan
+# is just an RDD scan. Callers must spark.catalog.clearCache() after.
+PLAN_VARIANTS = {
+    "dedup_minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(
+        _corpus(spark, sf), "doc_id", "text", n=3, mode="word", threshold=0.6, materialize=False
+    ),
+    "dedup_simhash": lambda spark, sf: D.simhash_pairs(
+        _corpus(spark, sf), "doc_id", "text", max_hamming=3, materialize=False
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")),
+}
 
 
 def _fuzzy_contamination_oracle_sql() -> str:
@@ -1439,7 +1467,7 @@ def streaming_table_sink_q(spark, sf):
     cat.create_namespace(("scratch",))
     t = cat.create_table(("scratch",), "sink", from_spark_schema(src.schema))
     q = append_stream(src, t, wh + "/ckpt", trigger_once=True)
-    q.awaitTermination(300)
+    _await_drained(q)
     t.refresh()
     return (t.to_df().groupBy("user_id", "event_type")
             .agg(F.count(F.lit(1)).alias("n")))
@@ -4034,7 +4062,7 @@ def streaming_snapshot_source_q(spark, sf):
         .writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name).select(*_CRUD_COLS)
 
 
@@ -4082,7 +4110,7 @@ def streaming_dedup_watermarked_q(spark, sf):
         dedup.writeStream.format("memory").queryName(name).outputMode("append")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _await_drained(q)
     return spark.table(name).distinct()
 
 

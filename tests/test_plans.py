@@ -88,11 +88,55 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_minhash_plan_single_shingle_subtree(spark):
     """The LSH pipeline computes the explode+md5 shingle stage once; the old
-    union-of-bands self-join shape duplicated it 24x."""
+    union-of-bands self-join shape duplicated it 24x. (Uses the lazy
+    PLAN_VARIANT — the public query checkpoints eagerly, hiding the plan.)"""
+    from go_iceberg_spark.workload import PLAN_VARIANTS
+
+    df = PLAN_VARIANTS["dedup_minhash_lsh"](spark, SF)
+    try:
+        # Generate nodes: shingle explode + band explode + pair double-explode
+        P.assert_max_op(df, "Generate", 5)
+        assert P.count_op(df, "Scan parquet") <= 3, "documents scanned more than 3x"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_minhash_band_shuffle_is_payload_free(spark):
+    """100 TB contract (r4): the band-keyed self-join shuffles (_band, _bh,
+    id) ONLY — no Exchange partitioned on the band key may carry the
+    shingle-hash set (_hs); verification payload joins back by id, so
+    shuffle volume tracks candidates, not corpus."""
+    from go_iceberg_spark.workload import PLAN_VARIANTS
+
+    # at sf0.001 the band join broadcasts; disable size-based broadcast so
+    # the plan shows the shuffle shape a 100 TB corpus would get
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = PLAN_VARIANTS["dedup_minhash_lsh"](spark, SF)
+        exchanges = P.exchange_nodes(df)
+        band_exchanges = [e for e in exchanges if "_band" in e["arguments"]]
+        assert band_exchanges, "expected a band-keyed Exchange in the LSH plan"
+        for e in band_exchanges:
+            assert "_hs" not in e["input"], (
+                f"band Exchange {e['id']} carries the shingle-set payload: {e['input']}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.catalog.clearCache()
+
+
+def test_lsh_queries_leave_no_cache_behind(spark):
+    """The public minhash/simhash paths materialize eagerly and unpersist —
+    a 146-query session must not accumulate corpus-sized shingle caches."""
+    spark.catalog.clearCache()
     df = q("dedup_minhash_lsh", spark)
-    # Generate nodes: shingle explode + band explode + pair double-explode
-    P.assert_max_op(df, "Generate", 5)
-    assert P.count_op(df, "Scan parquet") <= 3, "documents scanned more than 3x"
+    assert df.count() >= 0
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "minhash_lsh_pairs left a persisted table in the CacheManager"
+    df2 = q("dedup_simhash", spark)
+    assert df2.count() >= 0
+    assert jcache.isEmpty(), "simhash_pairs left a persisted table in the CacheManager"
 
 
 def test_asof_join_is_window_not_join(spark):
