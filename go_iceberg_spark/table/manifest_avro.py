@@ -17,12 +17,16 @@ Mapping to the engine's model:
 - the manifest list references every group manifest; the snapshot's manifest
   pointer is the LIST file;
 - bounds are serialized with the spec's binary single-value encoding, keyed
-  by field id; uuid/binary bounds are omitted (the engine does not collect
-  them — write.py:95-110);
-- partition values are the engine's path-derived encoding (strings/None), so
-  partition fields are serialized as [null, string]; identity-transform
-  pruning happens via column stats, not partition tuples, and round-trips
-  unchanged.
+  by field id; uuid bounds use the spec's 16-byte big-endian form, binary
+  bounds decode the engine's hex stat space;
+- partition values serialize as the spec's TYPED partition struct (r102):
+  each field's Avro type is the transform RESULT type (bucket→int,
+  year/month/hour→int ordinals since 1970, day→date, identity→source type),
+  converted from the engine's path-derived string encoding on write and
+  back on read, so external readers can prune by partition tuple. Types
+  with no unambiguous path round-trip (float/double/decimal/timestamp
+  identity, truncate[decimal], binary/fixed) keep the documented
+  [null, string] fallback — _typed_partition_type returns None for those.
 """
 
 from __future__ import annotations
@@ -56,8 +60,8 @@ from .metadata import (
 
 def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
     """Engine stat encoding (write.py encode_stat: dates→days, ts→µs,
-    decimal→str) → Iceberg binary single-value bytes. None when the type's
-    bounds are not representable (uuid/binary — never collected anyway)."""
+    decimal→str) → Iceberg binary single-value bytes. None when the value
+    does not convert (e.g. a parquet-truncated uuid string bound)."""
     if enc_val is None:
         return None
     if isinstance(t, PrimitiveType):
@@ -76,7 +80,15 @@ def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
             return str(enc_val).encode("utf-8")
         if n in ("binary", "fixed"):
             return bytes.fromhex(enc_val)  # engine stat space stores hex
-        return None  # uuid: bounds not collected
+        if n == "uuid":
+            # spec Appendix D: 16-byte big-endian; engine stat space holds
+            # the canonical string (uuid surfaces as Spark StringType)
+            import uuid as _uuid
+            try:
+                return _uuid.UUID(str(enc_val)).bytes
+            except ValueError:
+                return None  # stat was a truncated/garbage string bound
+        return None
     if isinstance(t, DecimalType):
         unscaled = int(decimal.Decimal(str(enc_val)).scaleb(t.scale).to_integral_value())
         length = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement minimal
@@ -104,6 +116,9 @@ def bound_from_bytes(t: IcebergType, raw: bytes | None) -> Any:
             return raw.decode("utf-8")
         if n in ("binary", "fixed"):
             return raw.hex()
+        if n == "uuid":
+            import uuid as _uuid
+            return str(_uuid.UUID(bytes=raw))
         return None
     if isinstance(t, DecimalType):
         unscaled = int.from_bytes(raw, "big", signed=True)
@@ -174,14 +189,150 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
-def partition_record_schema(spec: PartitionSpec) -> dict:
-    """r102 partition tuple — engine partition values are path-derived
-    strings, so every field is [null, string] (see module docstring)."""
-    fields = [_opt(pf.field_id, pf.name, "string") for pf in spec.fields]
+def _transform_result_type(pf, schema: Schema) -> IcebergType | None:
+    """Iceberg result type of a partition field's transform (spec §Partition
+    Transforms), or None when the source field is unknown."""
+    from .write import _BUCKET_RE, _TRUNCATE_RE
+
+    if _BUCKET_RE.match(pf.transform) or pf.transform in ("year", "month", "hour", "void"):
+        return PrimitiveType("int")
+    src = schema.find_field_by_id(pf.source_id)
+    if src is None:
+        return None
+    if pf.transform == "day":
+        return PrimitiveType("date")
+    if pf.transform == "identity" or _TRUNCATE_RE.match(pf.transform):
+        return src.type
+    return None
+
+
+def _typed_partition_type(pf, schema: Schema):
+    """(result_type, avro_type) for a partition field when the engine's
+    path-derived string encoding converts to the spec's typed value
+    unambiguously; None → keep the [null, string] fallback (module
+    docstring lists the excluded types)."""
+    t = _transform_result_type(pf, schema)
+    if t is None or not isinstance(t, PrimitiveType):
+        return None
+    avro = {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "long",
+        "string": "string",
+        "date": {"type": "int", "logicalType": "date"},
+        "uuid": {"type": "fixed", "name": f"uuid_{pf.field_id}", "size": 16,
+                 "logicalType": "uuid"},
+    }.get(t.name)
+    if avro is None:
+        return None  # float/double/timestamp/time/binary/decimal: string fallback
+    return t, avro
+
+
+def _partition_value_to_typed(pf, t: PrimitiveType, v):
+    """Engine path-derived string → spec typed value (write side)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    if v is None:
+        return None
+    s = str(v)
+    if pf.transform == "year":
+        return int(s) - 1970
+    if pf.transform == "month":
+        y, m = s.split("-")
+        return (int(y) - 1970) * 12 + int(m) - 1
+    if pf.transform == "day":
+        return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+    if pf.transform == "hour":
+        y, m, d, h = s.split("-")
+        return int(
+            (dt.datetime(int(y), int(m), int(d), int(h), tzinfo=dt.timezone.utc)
+             - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)).total_seconds() // 3600
+        )
+    n = t.name
+    if n == "boolean":
+        return s.lower() == "true"
+    if n in ("int", "long"):
+        return int(s)
+    if n == "string":
+        return s
+    if n == "date":
+        return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+    if n == "uuid":
+        return _uuid.UUID(s).bytes
+    raise ValidationError(f"untyped partition value for {pf.name}: {s!r}")
+
+
+def _typed_to_partition_value(pf, t: PrimitiveType, v):
+    """Spec typed value → the exact engine path-derived string (read side,
+    inverse of _partition_value_to_typed)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    if v is None:
+        return None
+    if pf.transform == "year":
+        return str(int(v) + 1970)
+    if pf.transform == "month":
+        return f"{1970 + int(v) // 12:04d}-{int(v) % 12 + 1:02d}"
+    if pf.transform == "day":
+        return (dt.date(1970, 1, 1) + dt.timedelta(days=int(v))).isoformat()
+    if pf.transform == "hour":
+        ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(hours=int(v))
+        return ts.strftime("%Y-%m-%d-%H")
+    n = t.name
+    if n == "boolean":
+        return "true" if v else "false"
+    if n in ("int", "long"):
+        return str(int(v))
+    if n == "string":
+        return str(v)
+    if n == "date":
+        return (dt.date(1970, 1, 1) + dt.timedelta(days=int(v))).isoformat()
+    if n == "uuid":
+        return str(_uuid.UUID(bytes=bytes(v)))
+    raise ValidationError(f"untyped partition read for {pf.name}")
+
+
+def partition_record_schema(spec: PartitionSpec, schema: Schema | None = None) -> dict:
+    """r102 partition tuple — the spec's TYPED partition struct: each field
+    is the transform's result type (reference partition-aware schema:
+    spec/avro.go:302-335). Fields whose engine string encoding has no
+    unambiguous typed round-trip stay [null, string]."""
+    fields = []
+    for pf in spec.fields:
+        typed = _typed_partition_type(pf, schema) if schema is not None else None
+        fields.append(_opt(pf.field_id, pf.name, typed[1] if typed else "string"))
     return {"type": "record", "name": "r102", "fields": fields}
 
 
-def manifest_entry_schema(spec: PartitionSpec) -> dict:
+def _partition_record(spec: PartitionSpec, schema: Schema, partition: dict) -> dict:
+    out = {}
+    for pf in spec.fields:
+        v = partition.get(pf.name)
+        typed = _typed_partition_type(pf, schema)
+        out[pf.name] = (
+            _partition_value_to_typed(pf, typed[0], v) if typed and v is not None
+            else (None if v is None else str(v))
+        )
+    return out
+
+
+def _partition_from_record(spec_fields: list, schema: Schema, rec: dict) -> dict:
+    from .metadata import PartitionField
+
+    out = {}
+    for fj in spec_fields:
+        pf = PartitionField(fj["source-id"], fj["field-id"], fj["transform"], fj["name"])
+        v = rec.get(pf.name)
+        typed = _typed_partition_type(pf, schema)
+        out[pf.name] = (
+            _typed_to_partition_value(pf, typed[0], v) if typed and v is not None else v
+        )
+    return out
+
+
+def manifest_entry_schema(spec: PartitionSpec, schema: Schema | None = None) -> dict:
     data_file = {
         "type": "record",
         "name": "r2",
@@ -189,7 +340,7 @@ def manifest_entry_schema(spec: PartitionSpec) -> dict:
             _req(134, "content", "int"),
             _req(100, "file_path", "string"),
             _req(101, "file_format", "string"),
-            _req(102, "partition", partition_record_schema(spec)),
+            _req(102, "partition", partition_record_schema(spec, schema)),
             _req(103, "record_count", "long"),
             _req(104, "file_size_in_bytes", "long"),
             _opt(109, "value_counts", _kv_array("value_counts", 119, 120, "long")),
@@ -241,7 +392,7 @@ def _field_type(schema: Schema, fid: int) -> IcebergType | None:
     return {2147483546: STRING, 2147483545: LONG}.get(fid)
 
 
-def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
+def _entry_record(e: DataFileEntry, schema: Schema, spec: PartitionSpec, snapshot_id: int) -> dict:
     value_counts: dict[int, int] = {}
     null_counts: dict[int, int] = {}
     nan_counts: dict[int, int] = {}
@@ -263,7 +414,7 @@ def _entry_record(e: DataFileEntry, schema: Schema, snapshot_id: int) -> dict:
             lowers[fid] = lo
         if hi is not None:
             uppers[fid] = hi
-    partition = {k: (None if v is None else str(v)) for k, v in e.partition.items()}
+    partition = _partition_record(spec, schema, e.partition)
     return {
         "status": STATUS_ADDED,  # caller downgrades re-listed entries to EXISTING
         "snapshot_id": snapshot_id,
@@ -303,10 +454,10 @@ def _write_member(
 ) -> dict:
     """Write ONE member manifest OCF (entries paired with their wire status)
     and return its ``manifest_file`` record for the manifest list."""
-    entry_schema = manifest_entry_schema(spec)
+    entry_schema = manifest_entry_schema(spec, schema)
     records = []
     for e, status in group:
-        r = _entry_record(e, schema, snapshot_id)
+        r = _entry_record(e, schema, spec, snapshot_id)
         r["status"] = status
         records.append(r)
     path = os.path.join(location, rel_path)
@@ -340,7 +491,7 @@ def _write_member(
         "added_rows_count": sum(e.record_count for e in added),
         "existing_rows_count": sum(e.record_count for e in existing),
         "deleted_rows_count": 0,
-        "partitions": _partition_summaries(spec, [e for e, _ in group]),
+        "partitions": _partition_summaries(spec, [e for e, _ in group], schema),
         "key_metadata": None,
     }
 
@@ -501,24 +652,51 @@ def member_manifest_paths(location: str, list_rel_path: str, io=None) -> list[st
     return [mf["manifest_path"] for mf in manifest_files]
 
 
-def _partition_summaries(spec: PartitionSpec, group: list[DataFileEntry]) -> list[dict] | None:
-    """Per-partition-field summaries (reference: spec/manifest.go:200-205) —
-    lower/upper are UTF-8 bytes of the engine's string-encoded values."""
+def _partition_summaries(
+    spec: PartitionSpec, group: list[DataFileEntry], schema: Schema | None = None
+) -> list[dict] | None:
+    """Per-partition-field summaries (reference: spec/manifest.go:200-205).
+    Typed fields get spec single-value bounds of the transform RESULT type
+    (ordered in the typed domain); string-fallback fields keep UTF-8 bytes
+    of the engine's string encoding."""
     if not spec.fields:
         return None
     out = []
     for pf in spec.fields:
         vals = [e.partition.get(pf.name) for e in group]
-        non_null = sorted(str(v) for v in vals if v is not None)
+        typed = _typed_partition_type(pf, schema) if schema is not None else None
+        if typed is not None:
+            tv = sorted(
+                _partition_value_to_typed(pf, typed[0], v) for v in vals if v is not None
+            )
+            # bound_to_bytes expects the engine stat space, which for every
+            # typed partition type (int ordinals, days, strings, uuid
+            # canonical form) is exactly the typed value's natural encoding
+            enc = typed[0]
+            lo = bound_to_bytes(enc, _stat_space(typed[0], tv[0])) if tv else None
+            hi = bound_to_bytes(enc, _stat_space(typed[0], tv[-1])) if tv else None
+        else:
+            non_null = sorted(str(v) for v in vals if v is not None)
+            lo = non_null[0].encode() if non_null else None
+            hi = non_null[-1].encode() if non_null else None
         out.append(
             {
                 "contains_null": any(v is None for v in vals),
                 "contains_nan": None,
-                "lower_bound": non_null[0].encode() if non_null else None,
-                "upper_bound": non_null[-1].encode() if non_null else None,
+                "lower_bound": lo,
+                "upper_bound": hi,
             }
         )
     return out
+
+
+def _stat_space(t: PrimitiveType, typed_val):
+    """Typed partition value → the stat-space value bound_to_bytes expects
+    (uuid: fixed16 bytes → canonical string; everything else already is)."""
+    if t.name == "uuid" and isinstance(typed_val, (bytes, bytearray)):
+        import uuid as _uuid
+        return str(_uuid.UUID(bytes=bytes(typed_val)))
+    return typed_val
 
 
 # ---------------------------------------------------------------------------
@@ -541,6 +719,7 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
     schema = schema_from_json(json.loads(meta["schema"].decode()))
     schema_id = int(meta["schema-id"].decode())
     spec_id = int(meta["partition-spec-id"].decode())
+    spec_fields = json.loads(meta["partition-spec"].decode()) if "partition-spec" in meta else []
     out: list[DataFileEntry] = []
     for r in records:
         df = r["data_file"]
@@ -568,7 +747,7 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
                 schema_id=schema_id,
                 record_count=df["record_count"],
                 file_size=df["file_size_in_bytes"],
-                partition=dict(df.get("partition") or {}),
+                partition=_partition_from_record(spec_fields, schema, df.get("partition") or {}),
                 column_stats=stats,
                 sequence_number=r.get("sequence_number") or 0,
                 equality_ids=tuple(df.get("equality_ids") or ()),

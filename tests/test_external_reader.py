@@ -335,3 +335,149 @@ def test_expire_cleans_both_manifest_dialects(spark, catalog):
     assert sum(
         e["data_file"]["record_count"] for e in entries if e["data_file"]["content"] == 0
     ) == t.scan().count() == 4
+
+
+def test_external_typed_partition_tuples_and_pruning(spark, catalog):
+    """r4 (VERDICT task #2): partition tuples ride the Avro wire as the
+    spec's TYPED partition struct — identity keeps the source type, day is
+    an int date ordinal, month/bucket are ints — and an external reader can
+    PRUNE by tuple alone, landing on the same file set as the engine scan.
+    Both dialects must agree: the typed tuple converts back to exactly the
+    engine's path-derived string encoding (parquet-dialect partition dict)."""
+    import datetime as dt
+
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.write import bucket_for_literal
+
+    rows = [
+        Row(ok=i, seg=f"s{i % 3}", d=dt.date(2021, 1, 1) + dt.timedelta(days=31 * (i % 3)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (
+        PartitionField(fid["seg"], 1000, "identity", "seg"),
+        PartitionField(fid["d"], 1001, "day", "d_day"),
+        PartitionField(fid["ok"], 1002, "bucket[4]", "ok_bucket"),
+        PartitionField(fid["d"], 1003, "month", "d_month"),
+    ))
+    t = catalog.create_table("db", "extpart", schema, spec=spec)
+    t.append(df)
+    t.append(spark.createDataFrame(
+        [Row(ok=100 + i, seg="s9", d=dt.date(2022, 6, 1)) for i in range(10)]
+    ))
+
+    md, _snap, mfs, entries = external_table_state(spark, t.location)
+    data_entries = [e for e in entries if e["data_file"]["content"] == 0]
+    assert data_entries
+
+    # -- the wire schema itself is typed (spec-only check on writer schema) --
+    mschema, _, _ = _jocf(spark, os.path.join(t.location, mfs[0]["manifest_path"]))
+    dfield = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    pfield = next(f for f in dfield["type"]["fields"] if f["name"] == "partition")
+    ptypes = {f["name"]: f["type"] for f in pfield["type"]["fields"]}
+    assert ptypes["seg"] == ["null", "string"]
+    assert ptypes["ok_bucket"] == ["null", "int"]
+    assert ptypes["d_month"] == ["null", "int"]
+    day_t = ptypes["d_day"][1]
+    assert day_t["type"] == "int" and day_t.get("logicalType") == "date"
+
+    # -- tuples decode to typed values matching the engine dialect ---------
+    epoch = dt.date(1970, 1, 1)
+    by_path = {task.file.file_path: task.file for task in t.scan().plan_files()}
+    for e in data_entries:
+        p = e["data_file"]["partition"]
+        eng = by_path[e["data_file"]["file_path"]].partition  # parquet dialect strings
+        assert isinstance(p["d_day"], int)
+        assert p["d_day"] == (dt.date.fromisoformat(eng["d_day"]) - epoch).days
+        y, m = eng["d_month"].split("-")
+        assert p["d_month"] == (int(y) - 1970) * 12 + int(m) - 1
+        assert p["ok_bucket"] == int(eng["ok_bucket"])
+        assert p["seg"] == eng["seg"]
+
+    # -- prune by tuple alone: day + identity ------------------------------
+    target = dt.date(2022, 6, 1)
+    ext_files = {
+        e["data_file"]["file_path"]
+        for e in data_entries
+        if e["data_file"]["partition"]["d_day"] == (target - epoch).days
+    }
+    eng_files = {
+        task.file.file_path
+        for task in t.scan().filter(gi.eq("d", target)).plan_files()
+    }
+    assert ext_files and ext_files == eng_files
+
+    ext_seg = {
+        e["data_file"]["file_path"]
+        for e in data_entries
+        if e["data_file"]["partition"]["seg"] == "s1"
+    }
+    eng_seg = {t2.file.file_path for t2 in t.scan().filter(gi.eq("seg", "s1")).plan_files()}
+    assert ext_seg and ext_seg == eng_seg
+
+    # -- bucket ordinal agrees with the engine's literal hash --------------
+    b = bucket_for_literal(100, 4, schema.find_field_by_id(fid["ok"]).type)
+    assert any(
+        e["data_file"]["partition"]["ok_bucket"] == b
+        and e["data_file"]["partition"]["seg"] == "s9"
+        for e in data_entries
+    )
+
+    # -- manifest-list partition summaries carry typed spec bounds ---------
+    summaries = mfs[0]["partitions"]
+    assert summaries is not None and len(summaries) == 4
+    lo = _raw(summaries[1]["lower_bound"])
+    hi = _raw(summaries[1]["upper_bound"])
+    assert struct.unpack("<i", lo)[0] <= struct.unpack("<i", hi)[0]  # d_day int date ordinals
+
+
+def test_uuid_and_binary_bounds_on_avro_wire(spark, catalog):
+    """r4 (VERDICT task #2, second half): uuid bounds serialize as the
+    spec's 16-byte big-endian form and binary bounds as raw bytes — both
+    decodable by a spec-only reader, both matching the engine's parquet-
+    dialect stats."""
+    import uuid as uuid_mod
+
+    from go_iceberg_spark.schema import UUID, NestedField, Schema, StructType
+
+    rows = [
+        Row(u=str(uuid_mod.UUID(int=i)), b=bytes([i % 256, (i + 1) % 256]), v=i)
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(rows)
+    base = from_spark_schema(df.schema)
+    # retype u: string -> uuid (uuid surfaces as Spark StringType; the
+    # Iceberg schema remembers the true type)
+    fields = tuple(
+        NestedField(f.field_id, f.name, UUID if f.name == "u" else f.type, f.required)
+        for f in base.fields
+    )
+    schema = Schema(base.schema_id, StructType(fields))
+    t = catalog.create_table("db", "extuuid", schema)
+    t.append(df)
+
+    md, _snap, _mfs, entries = external_table_state(spark, t.location)
+    data = [e for e in entries if e["data_file"]["content"] == 0]
+    assert data
+    fid = {f.name: f.field_id for f in schema.fields}
+    eng = {task.file.file_path: task.file for task in t.scan().plan_files()}
+    saw_uuid = saw_binary = False
+    for e in data:
+        lowers = _kv(e["data_file"]["lower_bounds"])
+        uppers = _kv(e["data_file"]["upper_bounds"])
+        stats = eng[e["data_file"]["file_path"]].column_stats
+        if fid["u"] in lowers:
+            saw_uuid = True
+            lo = _raw(lowers[fid["u"]])
+            hi = _raw(uppers[fid["u"]])
+            assert len(lo) == 16 and len(hi) == 16  # spec: 16-byte big-endian
+            assert str(uuid_mod.UUID(bytes=lo)) == stats[fid["u"]]["min"]
+            assert str(uuid_mod.UUID(bytes=hi)) == stats[fid["u"]]["max"]
+        if fid["b"] in lowers:
+            saw_binary = True
+            # engine stat space stores hex; wire carries the raw bytes
+            assert _raw(lowers[fid["b"]]).hex() == stats[fid["b"]]["min"]
+            assert _raw(uppers[fid["b"]]).hex() == stats[fid["b"]]["max"]
+    assert saw_uuid and saw_binary, "uuid/binary bounds missing from the Avro wire"
