@@ -3024,6 +3024,67 @@ def crud_avro_manifest_scan(spark, sf):
 
 
 @query(
+    "distributed_plan_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def distributed_plan_scan_q(spark, sf):
+    """Planning-tier crossover under the graded gate (VERDICT r3 task #7):
+    the snapshot's manifest carries >DISTRIBUTED_THRESHOLD entries — 250k
+    metadata-only phantom files whose o_orderkey stats exclude the scan
+    filter — so plan_files() MUST run as a Spark job over the entry
+    DataFrame (plan_distributed, table/planning.py) instead of a driver
+    loop, and must prune every phantom, landing on exactly the real files.
+    Inline assertions pin the tier (manifest-list entry count over the
+    threshold) and the survivor set."""
+    import os as _os
+
+    from .table.metadata import MANIFEST_LIST_SUFFIX, DataFileEntry, read_manifest_list
+    from .table.planning import DISTRIBUTED_THRESHOLD
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 2000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "distplan", base, properties={"manifest-format": "parquet"})
+    real = t.manifest_entries(t.current_snapshot())
+    okf = next(f.field_id for f in t.metadata.current_schema.fields if f.name == "o_orderkey")
+    seq = max(e.sequence_number for e in real) + 1
+    phantoms = [
+        DataFileEntry(
+            content=0,
+            file_path=f"{t.location}/data/phantom-{i:06d}.parquet",
+            file_format="parquet",
+            spec_id=0,
+            schema_id=real[0].schema_id,
+            record_count=100,
+            file_size=1024,
+            partition={},
+            column_stats={okf: {"min": 10_000_000 + i, "max": 10_000_050 + i,
+                                "null_count": 0, "value_count": 100}},
+            sequence_number=seq,
+        )
+        for i in range(DISTRIBUTED_THRESHOLD + 50_000)
+    ]
+    t._commit_snapshot("append", real + phantoms)
+    mp = t.current_snapshot().manifest_path
+    if mp.endswith(MANIFEST_LIST_SUFFIX):
+        n = sum(m["n"] for m in read_manifest_list(_os.path.join(t.location, mp)))
+    else:
+        import pyarrow.parquet as _pq
+        n = _pq.read_metadata(_os.path.join(t.location, mp)).num_rows
+    if n <= DISTRIBUTED_THRESHOLD:
+        raise AssertionError(f"fixture did not cross the distributed tier: {n} entries")
+    sb = t.scan().filter(C("o_orderkey").lt(2000))
+    tasks = sb.plan_files()
+    n_real = len([e for e in real if e.content == 0])
+    if len(tasks) != n_real:
+        raise AssertionError(
+            f"distributed planner kept {len(tasks)} files, expected {n_real} real ones"
+        )
+    return sb.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "crud_add_files_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -4642,57 +4703,66 @@ def bench_queries() -> dict[str, QuerySpec]:
 # locally by scripts/parity.py, just not driver-graded.
 # ---------------------------------------------------------------------------
 
+# r4 rotation (VERDICT r3 task #5): 26 rows never driver-graded in r1-r3
+# (plus this round's new distributed_plan_scan) swapped in, displacing rows
+# that were driver-green in BOTH r2 and r3; rows whose code changed this
+# round (dedup_minhash_lsh, dedup_simhash, sketch_kmv_*, crud_avro_manifest_
+# scan, streaming_session_window) are kept/included so the changes re-prove
+# under the gate.
 _GRADED_FIRST = [
-    "scan_filter_project_dsl",
-    "filter_not_three_valued_logic",
-    "filter_starts_with",
-    "filter_not_in",
-    "metadata_count",
-    "time_travel_scan",
-    "partitioned_scan_pruning",
-    "partition_evolution_scan",
-    "crud_delete_scan",
-    "crud_avro_manifest_scan",
-    "crud_delete_mor_scan",
-    "crud_delete_eq_scan",
-    "crud_update_scan",
-    "crud_upsert_scan",
-    "crud_merge_scan",
-    "crud_overwrite_scan",
-    "crud_schema_evolution_scan",
-    "maintenance_compaction_scan",
-    "wap_branch_publish_scan",
-    "maintenance_expire_scan",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_semi_customers_with_big_orders",
-    "join_anti_customers_without_orders",
-    "streaming_session_window",
-    "asof_join_purchase_to_view",
-    "bucket_partition_pruning_scan",
-    "join_salted_skew",
-    "text_bigram_lm_score",
-    "rollup_returnflag_status",
-    "text_bm25_scores",
-    "window_top3_orders_per_customer",
-    "sort_topk_lineitems",
-    "pipeline_curation_end_to_end",
-    "correlated_scalar_subquery",
-    "maintenance_zorder_scan",
-    "changelog_cdc_scan",
-    "incremental_agg_refresh",
-    "streaming_tumbling_counts",
-    "streaming_table_sink_scan",
-    "streaming_dedup_watermarked",
-    "streaming_static_enrichment",
-    "dedup_exact",
+    # --- changed this round / never re-proven ---
     "dedup_minhash_lsh",
-    "decontaminate_fuzzy_minhash",
     "dedup_simhash",
-    "dedup_connected_components",
-    "similarity_cosine_topk",
+    "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "distributed_plan_scan",
+    "crud_avro_manifest_scan",
+    "streaming_session_window",
+    # --- kept r3 flagships not yet green twice ---
+    "crud_merge_scan",
+    "maintenance_expire_scan",
+    "bucket_partition_pruning_scan",
+    "text_bigram_lm_score",
+    "text_bm25_scores",
+    "pipeline_curation_end_to_end",
+    "maintenance_zorder_scan",
+    "incremental_agg_refresh",
+    "streaming_static_enrichment",
+    "decontaminate_fuzzy_minhash",
     "similarity_ivfpq_topk",
     "cluster_kmeans_topics",
+    "crud_schema_evolution_scan",
+    "partitioned_scan_pruning",
+    "partition_evolution_scan",
+    "changelog_cdc_scan",
+    "dedup_connected_components",
+    "dedup_exact",
+    # --- never driver-graded before r4 ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_recall_report",
+    "bloom_point_lookup_scan",
+    "sorted_write_pruned_scan",
+    "crud_add_files_scan",
+    "time_travel_rollback_scan",
+    "streaming_snapshot_source",
+    "maintenance_orphan_scan",
+    "sample_temperature_mix",
+    "sample_split_train_eval",
+    "dedup_pagerank_canonical",
+    "decontaminate_against_eval",
+    "text_quality_filter",
+    "text_tfidf_top_terms",
+    "hopping_window_counts",
+    "streaming_stateful_running_max",
+    "join_fuzzy_entity_match",
+    "sample_stratified_mix",
+    "embedding_centroid_per_bucket",
 ]
 
 
