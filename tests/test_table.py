@@ -751,7 +751,7 @@ def test_truly_concurrent_appends_all_land(spark, catalog):
 
     proto = spark.createDataFrame([(0, "x")], "id long, name string")
     catalog.create_table("db", "race_many", from_spark_schema(proto.schema))
-    N_THREADS, N_APPENDS, ROWS = 4, 3, 10
+    N_THREADS, N_APPENDS, ROWS = 8, 2, 10  # r4: 8 genuinely parallel appenders
     errors = []
 
     def writer(k: int):
@@ -785,6 +785,18 @@ def test_truly_concurrent_appends_all_land(spark, catalog):
         cur = by_id[cur.parent_snapshot_id]
         hops += 1
     assert hops == len(snaps) - 1
+    # no data file lost: every file any snapshot ADDED is still live (appends
+    # never remove), and the lineage's added counts account for all of them
+    live = {e.file_path for e in t.manifest_entries(t.current_snapshot())}
+    added_total = sum(int(s.summary.get("added-data-files", "0")) for s in snaps)
+    assert len(live) == added_total, (
+        f"lost data files: {added_total} added across lineage, {len(live)} live"
+    )
+    prev_files: set = set()
+    for s in snaps:  # snapshots() is lineage-ordered by sequence number
+        files = {e.file_path for e in t.manifest_entries(s)}
+        assert prev_files <= files, f"snapshot {s.snapshot_id} dropped a parent's file"
+        prev_files = files
 
 
 def test_nan_value_counts_gate_metadata_only_float_deletes(spark, catalog):
