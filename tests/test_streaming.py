@@ -144,6 +144,58 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert max(state_totals) < 70, f"state never evicted: {state_totals}"
 
 
+def test_windowed_agg_state_evicts_behind_watermark(spark, tmp_path):
+    """Watermarked tumbling aggregation (append mode) must finalize and EVICT
+    window state once the watermark passes window end — the bounded-state
+    contract the 1M-event soak (scripts/streaming_soak.py) measures at
+    volume. Three micro-batches hours apart: by the last batch the first
+    batch's windows are far behind the watermark, so final state holds only
+    the recent open windows, not every window ever seen."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "agg_src"
+    src_dir.mkdir()
+
+    def write_batch(name, lo, n, ts):
+        spark.range(lo, lo + n).selectExpr(
+            "id AS user_id", f"timestamp'{ts}' AS ts", "'click' AS event_type"
+        ).coalesce(1).write.parquet(str(src_dir / name))
+
+    write_batch("b1", 0, 30, "2024-01-01 00:10:00")
+    write_batch("b2", 100, 20, "2024-01-01 12:10:00")
+    write_batch("b3", 200, 20, "2024-01-01 13:10:00")
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src_dir) + "/*")
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("agg_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt_agg"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+
+    state_totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators") and p["stateOperators"][0].get("numRowsTotal") is not None
+    ]
+    assert state_totals, "no state-operator metrics recorded"
+    # 70 (user, window) groups total; bounded state means batch-1's 30 are
+    # gone by the end and appear as FINALIZED rows in the append-mode sink
+    assert state_totals[-1] < 70, f"state not bounded: {state_totals}"
+    finalized = spark.sql("SELECT count(*) AS n FROM agg_evict").collect()[0].n
+    assert finalized >= 30, f"closed windows never emitted: {finalized}"
+
+
 def test_stateful_running_max(spark, events_table, tmp_path):
     src = ST.read_stream(spark, events_table).select("user_id", "value")
     out = ST.running_max_stream(src)
