@@ -238,6 +238,7 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
         bloom_columns=table._bloom_columns(),
         nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
 

@@ -127,6 +127,7 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
         bloom_columns=table._bloom_columns(),
         nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     # rewritten files have deletes applied; keep delete files only for untouched data
     remaining_deletes = _deletes_still_needed(table, untouched)
@@ -191,6 +192,7 @@ def _delete_merge_on_read(table, filter_: Expression):
         _pos_delete_schema(), md.default_spec.__class__(md.default_spec.spec_id, ()),  # unpartitioned
         None, md.current_schema_id, seq, content=CONTENT_POSITION_DELETES, subdir="deletes",
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     return table._commit_snapshot(OP_DELETE, table.live_entries() + del_files)
 
@@ -261,6 +263,7 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
         bloom_columns=table._bloom_columns(),
         nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
@@ -394,6 +397,7 @@ def merge(table, source: DataFrame, on: list[str], *,
         bloom_columns=table._bloom_columns(),
         nan_count_columns=table._nan_count_columns(),
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,

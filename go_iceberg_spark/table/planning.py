@@ -364,7 +364,7 @@ def _stats_predicate(flt: Expression, schema: Schema):
     return build(flt)
 
 
-def _bucket_partition_pred(flt: Expression, specs, schema: Schema):
+def _bucket_partition_pred(flt: Expression, specs, schema: Schema, bucket_fn: str = "spark"):
     """Catalyst predicate over ``partition_json`` mirroring the planner's
     driver-side bucket check (scan._bucket_partition_might_match) for
     top-level AND chains: an EQ/IN literal on a bucket[N] source keeps only
@@ -410,7 +410,7 @@ def _bucket_partition_pred(flt: Expression, specs, schema: Schema):
             if src is None or src.name != leaf.column:
                 continue
             vals = [leaf.value] if leaf.op is Op.EQ else list(leaf.values)
-            buckets = [bucket_for_literal(v, n, src.type) for v in vals]
+            buckets = [bucket_for_literal(v, n, src.type, bucket_fn=bucket_fn) for v in vals]
             if any(b is None for b in buckets):
                 continue
             j = F.get_json_object(F.col("partition_json"), f"$.{name}")
@@ -424,7 +424,7 @@ def _bucket_partition_pred(flt: Expression, specs, schema: Schema):
 
 
 def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Schema,
-                     specs=()) -> list[DataFileEntry]:
+                     specs=(), bucket_fn: str = "spark") -> list[DataFileEntry]:
     """Prune a huge manifest (or manifest-list members) with a Spark job:
     filter the entry DataFrame by the stats predicate, collect only
     survivors, build entries from them."""
@@ -443,7 +443,7 @@ def plan_distributed(spark, path: str | list[str], flt: Expression, schema: Sche
         return out
     pred = _stats_predicate(flt, schema)
     if specs:
-        bp = _bucket_partition_pred(flt, specs, schema)
+        bp = _bucket_partition_pred(flt, specs, schema, bucket_fn=bucket_fn)
         if bp is not None:
             pred = pred & bp
     rows = df.filter((F.col("content") != CONTENT_DATA) | pred).collect()

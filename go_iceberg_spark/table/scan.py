@@ -111,7 +111,8 @@ def _bucket_partition_might_match(e: Expression, entry: DataFileEntry, md: Table
             continue
         n = int(m.group(1))
         vals = [e.value] if e.op is Op.EQ else list(e.values)
-        buckets = [bucket_for_literal(v, n, src.type) for v in vals]
+        fn = md.properties.get("write.bucket-function", "spark")
+        buckets = [bucket_for_literal(v, n, src.type, bucket_fn=fn) for v in vals]
         if any(b is None for b in buckets):
             continue
         if int(pv) not in buckets:
@@ -283,8 +284,10 @@ class ScanBuilder:
                 n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
                 mpaths = [path]
             if n > DISTRIBUTED_THRESHOLD:
-                return plan_distributed(table.spark, mpaths, enc, md.current_schema,
-                                        specs=md.partition_specs)
+                return plan_distributed(
+                    table.spark, mpaths, enc, md.current_schema,
+                    specs=md.partition_specs,
+                    bucket_fn=md.properties.get("write.bucket-function", "spark"))
             if n > self._CACHE_ENTRY_LIMIT:
                 out: list[DataFileEntry] = []
                 for p in mpaths:

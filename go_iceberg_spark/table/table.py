@@ -353,6 +353,12 @@ class Table:
         raw = self.metadata.properties.get("write.nan-count-columns", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+    def _bucket_fn(self) -> str:
+        """``write.bucket-function`` property: "spark" (default, F.hash seed
+        42 — engine-internal) or "iceberg" (spec Appendix B murmur3 — bucket
+        ordinals recomputable by third-party Iceberg readers)."""
+        return self.metadata.properties.get("write.bucket-function", "spark")
+
     def _bloom_columns(self) -> tuple[str, ...]:
         """``write.bloom-columns`` property: comma-separated integer/string
         columns that get a per-file bloom filter in their manifest stats —
@@ -374,6 +380,7 @@ class Table:
             bloom_columns=self._bloom_columns(),
             nan_count_columns=self._nan_count_columns(),
             data_location=self._data_location(),
+            bucket_fn=self._bucket_fn(),
         )
 
         def commit():
@@ -430,6 +437,7 @@ class Table:
             bloom_columns=self._bloom_columns(),
             nan_count_columns=self._nan_count_columns(),
                 data_location=self._data_location(),
+                bucket_fn=self._bucket_fn(),
             )
             return self._commit_snapshot(OP_OVERWRITE, new_files)
         from .mutate import rewrite_for_delete
@@ -443,6 +451,7 @@ class Table:
             bloom_columns=self._bloom_columns(),
             nan_count_columns=self._nan_count_columns(),
             data_location=self._data_location(),
+            bucket_fn=self._bucket_fn(),
         )
         return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
 
@@ -609,6 +618,7 @@ class Table:
             self.spark, df, self.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self._next_sequence(),
             data_location=self._data_location(),
+            bucket_fn=self._bucket_fn(),
         )
 
         def commit():

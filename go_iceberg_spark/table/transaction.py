@@ -53,6 +53,7 @@ class Transaction:
             self.table.spark, df, self.table.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self.table._next_sequence(),
             data_location=self.table._data_location(),
+            bucket_fn=self.table._bucket_fn(),
         )
         return self
 
@@ -96,6 +97,7 @@ class BulkWriter:
             self.table.spark, df, self.table.location, md.current_schema, md.default_spec,
             md.default_sort_order, md.current_schema_id, self.table._next_sequence(),
             data_location=self.table._data_location(),
+            bucket_fn=self.table._bucket_fn(),
         )
         self._staged += files
         self._rows += sum(f.record_count for f in files)
@@ -142,6 +144,7 @@ def delete_equality(table, keys_df: DataFrame, key_columns: list[str]):
         schema, UNPARTITIONED, None, md.current_schema_id, seq,
         content=CONTENT_EQUALITY_DELETES, subdir="deletes",
         data_location=table._data_location(),
+        bucket_fn=table._bucket_fn(),
     )
     files = [DataFileEntry(**{**f.__dict__, "equality_ids": tuple(eq_ids)}) for f in files]
     return table._commit_snapshot(OP_DELETE, table.live_entries() + files)

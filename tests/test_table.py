@@ -908,3 +908,104 @@ def test_bucket_pruning_respects_partition_evolution(spark, catalog):
                    if task.file.partition.get("id_bucket") is not None]
     assert len(planned_new) <= 1
     assert [r["id"] for r in sb.to_df().collect()] == [333]
+
+
+def test_iceberg_bucket_function_spec_and_equivalence(spark):
+    """write.bucket-function=iceberg: the codegen'd Catalyst expression and
+    the driver mirror implement the Iceberg spec bucket hash (Appendix B:
+    murmur3_x86_32, seed 0, little-endian bytes) — pinned to the spec's
+    published known answers and cross-checked expression-vs-driver over
+    random values for every supported source type."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.schema import DATE, LONG, PrimitiveType, STRING, TIMESTAMP
+    from go_iceberg_spark.table.write import (
+        bucket_for_literal,
+        iceberg_bucket_column,
+        iceberg_murmur3_bytes,
+        iceberg_murmur3_long,
+    )
+
+    # spec Appendix B known answers
+    assert iceberg_murmur3_long(34) == 2017239379          # int/long 34
+    assert iceberg_murmur3_bytes(b"iceberg") == 1210000089  # string "iceberg"
+    assert bucket_for_literal(34, 16, LONG, bucket_fn="iceberg") == 2017239379 % 16
+    assert bucket_for_literal("iceberg", 16, STRING, bucket_fn="iceberg") == 1210000089 % 16
+
+    rng = random.Random(42)
+    longs = [rng.randint(-(2**62), 2**62) for _ in range(200)] + [0, -1, 34, 2**62]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r.b for r in df.select(
+        iceberg_bucket_column(F.col("v"), 128, LONG).alias("b")).collect()]
+    want = [(iceberg_murmur3_long(v) & 0x7FFFFFFF) % 128 for v in longs]
+    assert got == want, "long expression diverges from driver mirror"
+
+    ints = [rng.randint(-(2**31), 2**31 - 1) for _ in range(100)]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    got = [r.b for r in df.select(
+        iceberg_bucket_column(F.col("v"), 64, PrimitiveType("int")).alias("b")).collect()]
+    want = [(iceberg_murmur3_long(v) & 0x7FFFFFFF) % 64 for v in ints]
+    assert got == want, "int expression diverges (spec: int widens to long)"
+
+    strs = ["iceberg", "", "a", "abcd", "abcde", "日本語テキスト", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in strs], "v string")
+    got = [r.b for r in df.select(
+        iceberg_bucket_column(F.col("v"), 64, STRING).alias("b")).collect()]
+    want = [(iceberg_murmur3_bytes(v.encode()) & 0x7FFFFFFF) % 64 for v in strs]
+    assert got == want, "string pandas-UDF diverges from driver mirror"
+
+    # date buckets hash the day ordinal as a long (spec: date -> int -> long)
+    dates = [dt.date(1970, 1, 1), dt.date(2017, 11, 16), dt.date(1969, 12, 31)]
+    df = spark.createDataFrame([(v,) for v in dates], "v date")
+    got = [r.b for r in df.select(
+        iceberg_bucket_column(F.col("v"), 32, DATE).alias("b")).collect()]
+    want = [(iceberg_murmur3_long((v - dt.date(1970, 1, 1)).days) & 0x7FFFFFFF) % 32
+            for v in dates]
+    assert got == want
+    # spec known answer: date 2017-11-16 (17486 days) hashes like long 17486
+    assert iceberg_murmur3_long(17486) == -653330422
+
+    # timestamps hash epoch micros (spec known answer: 2017-11-16T22:31:08
+    # = 1510871468000000 µs -> -2047944441)
+    assert iceberg_murmur3_long(1510871468000000) == -2047944441
+    ts = [dt.datetime(2017, 11, 16, 22, 31, 8)]
+    df = spark.createDataFrame([(v,) for v in ts], "v timestamp")
+    got = [r.b for r in df.select(
+        iceberg_bucket_column(F.col("v"), 1000, TIMESTAMP).alias("b")).collect()]
+    assert got == [((-2047944441) & 0x7FFFFFFF) % 1000]
+
+
+def test_iceberg_bucket_table_end_to_end(spark, catalog):
+    """A table with write.bucket-function=iceberg partitions by the spec
+    bucket hash: EQ pruning lands on the right files through BOTH the
+    driver tier and the typed Avro wire (external readers can recompute the
+    ordinal from the literal — the interop gap the default Spark hash
+    leaves open)."""
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.write import bucket_for_literal
+
+    df = users_df(spark, 200)
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["id"], 1000, "bucket[8]", "id_b"),))
+    t = catalog.create_table(
+        "db", "iceb", schema, spec=spec,
+        properties={"write.bucket-function": "iceberg"},
+    )
+    t.append(df)
+
+    src_type = schema.find_field("id").type
+    want_bucket = bucket_for_literal(42, 8, src_type, bucket_fn="iceberg")
+    # on-disk partition ordinals are the ICEBERG hash, not Spark's
+    tasks_all = t.scan().plan_files()
+    buckets_seen = {int(task.file.partition["id_b"]) for task in tasks_all}
+    assert buckets_seen == set(range(8)) & buckets_seen  # ordinals in [0, 8)
+    sb = t.scan().filter(E.eq("id", 42))
+    tasks = sb.plan_files()
+    assert 0 < len(tasks) < len(tasks_all), "bucket pruning inactive"
+    assert all(int(task.file.partition["id_b"]) == want_bucket for task in tasks)
+    assert sb.count() == 1
