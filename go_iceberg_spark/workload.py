@@ -4634,6 +4634,51 @@ def bucket_partition_pruning_scan_q(spark, sf):
 
 
 @query(
+    "iceberg_bucket_pruning_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey IN (42, 1999)
+    """,
+)
+def iceberg_bucket_pruning_scan_q(spark, sf):
+    """Same bucket-pruning contract as bucket_partition_pruning_scan, but
+    with ``write.bucket-function=iceberg`` (r4): partitions land by the
+    Iceberg-spec bucket hash (Appendix B murmur3, codegen'd Catalyst bit
+    arithmetic on the write path), the planner recomputes the same ordinals
+    driver-side for the IN literals, and — unlike the default Spark hash —
+    a third-party Iceberg reader could recompute them too. Pruning
+    effectiveness and an on-disk ordinal spot-check are asserted inline."""
+    from .schema import from_spark_schema
+    from .table.metadata import PartitionField, PartitionSpec
+    from .table.write import bucket_for_literal
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    schema = from_spark_schema(base.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["o_orderkey"], 1000, "bucket[8]", "ok_bucket"),))
+
+    from .catalog.catalog import FilesystemCatalog
+
+    wh = _scratch_dir("gis_ibucketed_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(("scratch",), "ibucketed", schema, spec=spec,
+                         properties={"write.bucket-function": "iceberg"})
+    t.append(base)
+    sb = t.scan().filter(C("o_orderkey").isin(42, 1999))
+    tasks = sb.plan_files()
+    n_all = len(t.scan().plan_files())
+    if not (0 < len(tasks) <= 2 < n_all):
+        raise AssertionError(f"iceberg-bucket pruning ineffective: {len(tasks)}/{n_all} files")
+    src_type = schema.find_field("o_orderkey").type
+    want = {bucket_for_literal(v, 8, src_type, bucket_fn="iceberg") for v in (42, 1999)}
+    got = {int(task.file.partition["ok_bucket"]) for task in tasks}
+    if not got <= want:
+        raise AssertionError(f"on-disk ordinals {got} not the spec buckets {want}")
+    return sb.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "maintenance_orphan_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
