@@ -496,10 +496,15 @@ def _write_member(
     }
 
 
-def _grouped(entries: list[DataFileEntry]) -> list[tuple[tuple[int, int], list[DataFileEntry]]]:
-    groups: dict[tuple[int, int], list[DataFileEntry]] = {}
+def _grouped(entries: list[DataFileEntry]) -> list[tuple[tuple[int, int, int], list[DataFileEntry]]]:
+    """Group by (content, schema_id, spec_id): an Iceberg manifest carries
+    exactly ONE schema and ONE partition spec, and collapsing spec
+    generations into the default spec (the pre-r4 behavior) relabeled old
+    entries with null tuples under the NEW spec's fields — an external
+    reader pruning by partition tuple would wrongly drop those files."""
+    groups: dict[tuple[int, int, int], list[DataFileEntry]] = {}
     for e in entries:
-        groups.setdefault((e.content, e.schema_id), []).append(e)
+        groups.setdefault((e.content, e.schema_id, e.spec_id), []).append(e)
     return sorted(groups.items())
 
 
@@ -529,19 +534,24 @@ def write_avro_manifests(
     sequence_number: int,
     spec: PartitionSpec,
     schemas_by_id: dict[int, Schema],
+    specs_by_id: dict[int, PartitionSpec] | None = None,
     io=None,
 ) -> str:
     """Write Iceberg-layout Avro manifests + manifest list for a snapshot's
     full entry listing; returns the manifest-LIST path relative to location.
 
-    One manifest per (content, schema-id) group; entries whose sequence
-    number equals the snapshot's are ADDED, earlier ones EXISTING — the
-    statuses external readers expect from a full re-listing."""
+    One manifest per (content, schema-id, spec-id) group — each member is
+    written under ITS generation's partition spec (``specs_by_id``; the
+    default ``spec`` covers ids not present there), so partition-evolved
+    tables keep correct typed tuples for every generation; entries whose
+    sequence number equals the snapshot's are ADDED, earlier ones EXISTING —
+    the statuses external readers expect from a full re-listing."""
     manifest_files: list[dict] = []
-    for gi, ((content, schema_id), group) in enumerate(_grouped(entries)):
+    for gi, ((content, schema_id, spec_id), group) in enumerate(_grouped(entries)):
         schema = schemas_by_id.get(schema_id)
         if schema is None:
             raise ValidationError(f"manifest group schema {schema_id} unknown")
+        gspec = (specs_by_id or {}).get(spec_id, spec)
         paired = [
             (e, STATUS_ADDED if e.sequence_number == sequence_number else STATUS_EXISTING)
             for e in group
@@ -550,7 +560,7 @@ def write_avro_manifests(
             _write_member(
                 location, os.path.join(rel_dir, f"m{gi}-snap-{snapshot_id}.avro"),
                 paired, content=content, schema=schema, schema_id=schema_id,
-                spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+                spec=gspec, snapshot_id=snapshot_id, sequence_number=sequence_number,
                 io=io,
             )
         )
@@ -572,6 +582,7 @@ def write_avro_manifest_tree(
     sequence_number: int,
     spec: PartitionSpec,
     schemas_by_id: dict[int, Schema],
+    specs_by_id: dict[int, PartitionSpec] | None = None,
     parent_list_rel: str | None = None,
     io=None,
 ) -> str:
@@ -581,7 +592,8 @@ def write_avro_manifest_tree(
     unchanged, exactly how Iceberg itself reuses immutable manifests across
     snapshots); partially-surviving members are rewritten filtered with
     EXISTING statuses; new files land in one ADDED manifest per
-    (content, schema-id). Metadata write cost is O(changed + added) per
+    (content, schema-id, spec-id) — each member written under its own
+    generation's partition spec (``specs_by_id``). Metadata write cost is O(changed + added) per
     commit, matching the parquet tree (table.py ``_write_manifest_tree``),
     which is what makes the dual-manifest default affordable at scale.
     Past ``AVRO_COMPACT_THRESHOLD`` members the tree compacts fully."""
@@ -599,7 +611,7 @@ def write_avro_manifest_tree(
         return write_avro_manifests(
             location, rel_dir, entries, snapshot_id=snapshot_id,
             sequence_number=sequence_number, spec=spec, schemas_by_id=schemas_by_id,
-            io=io,
+            specs_by_id=specs_by_id, io=io,
         )
     if parent_mfs:
         for mf in parent_mfs:
@@ -610,7 +622,7 @@ def write_avro_manifest_tree(
             if len(surv) == len(ments):
                 manifest_files.append(mf)  # reuse verbatim, zero I/O
             else:
-                for (content, schema_id), group in _grouped(surv):
+                for (content, schema_id, spec_id), group in _grouped(surv):
                     schema = schemas_by_id.get(schema_id)
                     if schema is None:
                         raise ValidationError(f"manifest group schema {schema_id} unknown")
@@ -620,14 +632,15 @@ def write_avro_manifest_tree(
                             os.path.join(rel_dir, f"m{part}-snap-{snapshot_id}.avro"),
                             [(e, STATUS_EXISTING) for e in group],
                             content=content, schema=schema, schema_id=schema_id,
-                            spec=spec, snapshot_id=snapshot_id,
+                            spec=(specs_by_id or {}).get(spec_id, spec),
+                            snapshot_id=snapshot_id,
                             sequence_number=sequence_number, io=io,
                         )
                     )
                     part += 1
             covered.update(e.file_path for e in surv)
     added = [e for e in entries if e.file_path not in covered]
-    for (content, schema_id), group in _grouped(added):
+    for (content, schema_id, spec_id), group in _grouped(added):
         schema = schemas_by_id.get(schema_id)
         if schema is None:
             raise ValidationError(f"manifest group schema {schema_id} unknown")
@@ -636,7 +649,8 @@ def write_avro_manifest_tree(
                 location, os.path.join(rel_dir, f"m{part}-snap-{snapshot_id}.avro"),
                 [(e, STATUS_ADDED) for e in group],
                 content=content, schema=schema, schema_id=schema_id,
-                spec=spec, snapshot_id=snapshot_id, sequence_number=sequence_number,
+                spec=(specs_by_id or {}).get(spec_id, spec),
+                snapshot_id=snapshot_id, sequence_number=sequence_number,
                 io=io,
             )
         )

@@ -215,6 +215,7 @@ class Table:
                 snapshot_id=sid, sequence_number=seq,
                 spec=md.default_spec,
                 schemas_by_id={s.schema_id: s for s in md.schemas},
+                specs_by_id={p.spec_id: p for p in md.partition_specs},
                 parent_list_rel=parent_avro,
                 io=self._mio,
             )

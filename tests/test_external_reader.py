@@ -481,3 +481,40 @@ def test_uuid_and_binary_bounds_on_avro_wire(spark, catalog):
             assert _raw(lowers[fid["b"]]).hex() == stats[fid["b"]]["min"]
             assert _raw(uppers[fid["b"]]).hex() == stats[fid["b"]]["max"]
     assert saw_uuid and saw_binary, "uuid/binary bounds missing from the Avro wire"
+
+
+def test_avro_compaction_preserves_spec_generations(spark, catalog):
+    """r4 regression: compacting the avro tree must NOT relabel old-spec
+    entries under the default spec — the pre-fix behavior rewrote a
+    partition-evolved table's old generation with null tuples under the NEW
+    spec's fields, so an external reader pruning by tuple would wrongly
+    drop those files. Members now group by (content, schema, spec) and each
+    carries its own generation's spec id and partition struct."""
+    from go_iceberg_spark.table.manifest_avro import AVRO_COMPACT_THRESHOLD
+
+    df = spark.range(0, 50).selectExpr("id", "id % 5 AS grp")
+    t = catalog.create_table(
+        "db", "specgen", from_spark_schema(df.schema),
+        properties={"manifest-format": "avro"},
+    )
+    t.append(df)                     # spec-0 (unpartitioned) generation
+    t.update_partition_spec("grp")   # evolve
+    for k in range(AVRO_COMPACT_THRESHOLD + 2):  # force full compaction
+        t.append(spark.range(1000 + k, 1001 + k).selectExpr("id", "id % 5 AS grp"))
+
+    ents = t.live_entries()
+    old = [e for e in ents if e.spec_id == 0]
+    assert old, "old generation lost its spec id through compaction"
+    assert all(e.partition == {} for e in old), "old gen gained phantom partition keys"
+    new = [e for e in ents if e.spec_id == 1]
+    assert new and all("grp" in e.partition for e in new)
+
+    # the wire view agrees: each member manifest declares its own spec id
+    md, _snap, mfs, entries = external_table_state(spark, t.location)
+    spec_ids = set()
+    for mf in mfs:
+        _, mmeta, _ = _jocf(spark, os.path.join(t.location, mf["manifest_path"]))
+        spec_ids.add(int(mmeta["partition-spec-id"]))
+        assert int(mf["partition_spec_id"]) == int(mmeta["partition-spec-id"])
+    assert spec_ids == {0, 1}
+    assert t.scan().count() == 50 + AVRO_COMPACT_THRESHOLD + 2
