@@ -124,3 +124,77 @@ def test_avro_tree_compacts_past_threshold(spark, catalog):
     assert len(mfs) <= AVRO_COMPACT_THRESHOLD
     _assert_trees_agree(t, snap)
     assert t.scan().count() == AVRO_COMPACT_THRESHOLD + 4
+
+
+def test_typed_partition_roundtrip_fuzz():
+    """Property fuzz (r4): engine path-string -> spec typed value -> back is
+    the identity for every typed transform/type pair — the conversion pair
+    the Avro wire depends on (_partition_value_to_typed /
+    _typed_to_partition_value). Runs driver-only, no Spark."""
+    import datetime as dt
+    import uuid as uuid_mod
+
+    from hypothesis import given, settings, strategies as st
+
+    from go_iceberg_spark.schema import PrimitiveType
+    from go_iceberg_spark.table.manifest_avro import (
+        _partition_value_to_typed,
+        _typed_to_partition_value,
+    )
+    from go_iceberg_spark.table.metadata import PartitionField
+
+    INT = PrimitiveType("int")
+    LONG = PrimitiveType("long")
+    STR = PrimitiveType("string")
+    DATE = PrimitiveType("date")
+    UUIDT = PrimitiveType("uuid")
+
+    def pf(transform):
+        return PartitionField(1, 1000, transform, "p")
+
+    dates = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2200, 12, 31))
+
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    @settings(max_examples=300, deadline=None)
+    def longs_roundtrip(v):
+        for transform, t in [("identity", LONG), ("truncate[100]", LONG), ("bucket[16]", INT)]:
+            s = str(v if transform != "bucket[16]" else abs(v) % 16)
+            f = pf(transform)
+            typed = _partition_value_to_typed(f, t, s)
+            assert _typed_to_partition_value(f, t, typed) == s
+
+    @given(dates)
+    @settings(max_examples=300, deadline=None)
+    def date_transforms_roundtrip(d):
+        cases = [
+            ("identity", DATE, d.isoformat()),
+            ("day", DATE, d.isoformat()),
+            ("year", INT, f"{d.year}"),
+            ("month", INT, f"{d.year:04d}-{d.month:02d}"),
+            ("hour", INT, f"{d.isoformat()}-07"),
+        ]
+        for transform, t, s in cases:
+            f = pf(transform)
+            typed = _partition_value_to_typed(f, t, s)
+            assert isinstance(typed, int), (transform, s)
+            assert _typed_to_partition_value(f, t, typed) == s
+
+    @given(st.text(min_size=0, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def strings_roundtrip(s):
+        f = pf("identity")
+        typed = _partition_value_to_typed(f, STR, s)
+        assert _typed_to_partition_value(f, STR, typed) == s
+
+    @given(st.uuids())
+    @settings(max_examples=100, deadline=None)
+    def uuids_roundtrip(u):
+        f = pf("identity")
+        typed = _partition_value_to_typed(f, UUIDT, str(u))
+        assert isinstance(typed, bytes) and len(typed) == 16
+        assert _typed_to_partition_value(f, UUIDT, typed) == str(u)
+
+    longs_roundtrip()
+    date_transforms_roundtrip()
+    strings_roundtrip()
+    uuids_roundtrip()
