@@ -807,6 +807,20 @@ class SchemaUpdate:
         from dataclasses import replace
 
         t = self.table
+        # a column the DEFAULT partition spec derives from cannot be dropped
+        # (Iceberg rule) — committing the drop would brick every subsequent
+        # write with "partition source field not in schema"; evolve the spec
+        # off the column first. Historical specs may keep dangling sources:
+        # their members resolve against their own writer schemas.
+        kept_ids = {f.field_id for f in self._fields}
+        for pf in t.metadata.default_spec.fields:
+            if pf.transform != "void" and pf.source_id not in kept_ids:
+                src = t.schema.find_field_by_id(pf.source_id)
+                raise ValidationError(
+                    f"cannot drop column {src.name if src else pf.source_id!r}: "
+                    f"partition field {pf.name!r} ({pf.transform}) of the default "
+                    "spec derives from it; update the partition spec first"
+                )
         new_schema = Schema(
             schema_id=max(s.schema_id for s in t.metadata.schemas) + 1,
             struct=StructType(tuple(self._fields)),

@@ -1009,3 +1009,31 @@ def test_iceberg_bucket_table_end_to_end(spark, catalog):
     assert 0 < len(tasks) < len(tasks_all), "bucket pruning inactive"
     assert all(int(task.file.partition["id_b"]) == want_bucket for task in tasks)
     assert sb.count() == 1
+
+
+def test_drop_partition_source_column_rejected(spark, catalog):
+    """Dropping a column the DEFAULT partition spec derives from must be
+    rejected at commit (Iceberg rule) — the pre-r4 behavior committed the
+    drop and bricked every later write with 'partition source field not in
+    schema'. Evolving the spec off the column first re-enables the drop."""
+    df = spark.range(0, 20).selectExpr("id", "id % 4 AS grp", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["grp"], 1000, "identity", "grp"),))
+    t = catalog.create_table("db", "dropsrc", schema, spec=spec)
+    t.append(df)
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+
+    with _pytest.raises(ValidationError, match="partition field"):
+        t.update_schema().drop_column("grp").commit()
+    # still writable
+    t.append(df.withColumn("id", F.col("id") + 100))
+    assert t.scan().count() == 40
+    # evolve the spec off grp, then the drop goes through and writes work
+    t.update_partition_spec(("id", "bucket[4]"))
+    t.update_schema().drop_column("grp").commit()
+    t.append(spark.range(500, 510).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    assert t.scan().count() == 50
+    assert "grp" not in t.to_df().columns
