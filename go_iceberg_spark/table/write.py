@@ -90,17 +90,12 @@ def _mm3_signed(v: int) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def spark_murmur3_int(i: int, seed: int = 42) -> int:
-    """Spark's ``F.hash`` (Murmur3_x86_32, seed 42) for an IntegerType value,
-    computed driver-side — verified bit-equal against Catalyst. Lets the
-    planner transform an equality literal into its bucket without running a
-    Spark job."""
-    return _mm3_signed(_mm3_fmix(_mm3_mix_h1(seed, _mm3_mix_k1(i & _M32)), 4))
-
-
 def spark_murmur3_long(value: int, seed: int = 42) -> int:
     """Spark's ``F.hash`` for a LongType value (low word mixed, then high),
-    driver-side; verified bit-equal against Catalyst."""
+    driver-side; verified bit-equal against Catalyst. Lets the planner
+    transform an equality literal into its bucket without running a Spark
+    job. Int bucket sources also hash through THIS function (cast to long
+    on the write path) so ordinals are width-invariant."""
     h1 = _mm3_mix_h1(seed, _mm3_mix_k1(value & _M32))
     h1 = _mm3_mix_h1(h1, _mm3_mix_k1((value >> 32) & _M32))
     return _mm3_signed(_mm3_fmix(h1, 8))
@@ -231,9 +226,8 @@ def bucket_for_literal(v: Any, n: int, source_type: IcebergType,
         return None
     if not isinstance(v, int) or isinstance(v, bool):
         return None
-    if source_type.name == "int":
-        return spark_murmur3_int(v) % n
-    if source_type.name == "long":
+    if source_type.name in ("int", "long"):
+        # int hashes as long — width-invariant, see transform_column
         return spark_murmur3_long(v) % n
     return None
 
@@ -251,6 +245,13 @@ def transform_column(transform: str, source: Column, source_type: IcebergType,
     if m:
         if bucket_fn == "iceberg":
             return iceberg_bucket_column(source, int(m.group(1)), source_type)
+        # int sources hash as LONG so the ordinal is a function of the VALUE,
+        # not the column width: widening int->long (a legal schema evolution)
+        # must not re-bucket existing data — Spark's hash(int) != hash(long)
+        # for the same value, and the pre-r4 int hashing silently lost rows
+        # to pruning after a widen (literal hashed under the new type).
+        if isinstance(source_type, PrimitiveType) and source_type.name == "int":
+            source = source.cast("long")
         return F.pmod(F.hash(source), F.lit(int(m.group(1)))).cast("int")
     m = _TRUNCATE_RE.match(transform)
     if m:

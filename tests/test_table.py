@@ -1037,3 +1037,26 @@ def test_drop_partition_source_column_rejected(spark, catalog):
     t.append(spark.range(500, 510).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
     assert t.scan().count() == 50
     assert "grp" not in t.to_df().columns
+
+
+def test_bucket_ordinals_survive_int_to_long_widening(spark, catalog):
+    """r4 regression: widening a bucket-partition source int->long (legal
+    schema evolution) must not re-bucket data. Pre-fix, int sources hashed
+    with Spark's hash(int) while the widened literal hashed as long —
+    pruning silently dropped every pre-widen row. Buckets now hash the
+    VALUE as long regardless of column width."""
+    from go_iceberg_spark.schema import LONG as LONG_T
+
+    df = spark.range(0, 200).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "widen", schema, spec=spec)
+    t.append(df)
+    assert t.scan().filter(E.eq("k", 42)).count() == 1
+    t.update_schema().update_column_type("k", LONG_T).commit()
+    assert t.scan().filter(E.eq("k", 42)).count() == 1, "pre-widen row lost to pruning"
+    t.append(spark.range(1000, 1010).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    assert t.scan().filter(E.eq("k", 1005)).count() == 1
+    assert t.scan().filter(E.eq("k", 42)).count() == 1
+    assert t.scan().count() == 210
