@@ -263,6 +263,53 @@ def ivf_topk(
     )
 
 
+def ivf_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs at scale: the IVF-bucketed
+    counterpart of ``dedup.embedding_near_dup_pairs`` (which is an explicit
+    O(n²/2) verification baseline). Each vector is assigned to its
+    ``n_probe`` nearest coarse lists (multi-probe spill, so near-boundary
+    pairs in adjacent cells are still co-bucketed); candidate pairs are a
+    same-list self-join verified with exact cosine and deduped.
+
+    Scale shape: centroid assignment is the shuffle-free literal-centroid
+    projection from ``ivf_topk`` (zero exchanges before the list join); the
+    self-join shuffles (list_id, id, vector) — vectors must ride the
+    shuffle for inline verification, but volume is n_probe x corpus, not
+    n². Hot lists are AQE-skew-splittable. Approximation contract: a pair
+    whose two vectors share NO probed list is missed — recall rises with
+    n_probe; the DuckDB oracle reproduces the same assignment, so the
+    correctness gate pins the approximation exactly."""
+    cent_rows = _collect_centroids(emb, id_col, vec_col, n_lists)
+    if not cent_rows:
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    ranked = _ranked_cents_sql(cent_rows, "_v")
+    assigned = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.expr(_NORM_V_SQL.format(vc=vec_col)).alias("_nv"),
+    ).select(
+        "_id", "_v",
+        F.explode(F.expr(f"transform(slice({ranked}, 1, {n_probe}), s -> s.cent)")).alias("_list"),
+    )
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_list")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_list")
+    return (
+        a.join(b, on="_list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compress vectors to m small codes; answer top-k
 # with asymmetric distance computation (ADC) against the codes only.

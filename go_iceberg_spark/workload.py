@@ -2527,6 +2527,38 @@ def ivf_topk_q(spark, sf):
                       id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
 
 
+def _ivf_near_dup_oracle_sql(threshold: float = 0.4, n_probe: int = 2) -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.cv")
+    cos_ab = _cosine_sql("a.ev", "b.ev")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id, ev, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS ev, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r <= {n_probe})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cos_ab}, 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE round({cos_ab}, 6) >= {threshold}
+    """
+
+
+@query("dedup_embedding_ivf", _ivf_near_dup_oracle_sql())
+def emb_ivf_dedup_q(spark, sf):
+    """Semantic near-dup at SCALE (r4): IVF-bucketed cosine pairs — the
+    100 TB path for embedding dedup, vs dedup_embedding_cosine's explicit
+    O(n²/2) verification baseline. Multi-probe (2 lists per vector) keeps
+    near-boundary pairs co-bucketed; the oracle reproduces the identical
+    centroid assignment, so the approximation itself is pinned."""
+    return S.ivf_near_dup_pairs(
+        load(spark, sf, "embeddings"),
+        id_col="vec_id", vec_col="embedding", threshold=0.4, n_lists=8, n_probe=2,
+    )
+
+
 def _pq_oracle_sql(m: int = 4, k_codes: int = 16, dim: int = 64) -> str:
     sub = dim // m
 

@@ -223,6 +223,22 @@ def test_ivf_corpus_assignment_is_shuffle_free(spark):
     assert P.num_shuffles(df) <= 3, P.formatted_plan(df)
 
 
+def test_ivf_near_dup_plan_shape(spark):
+    """r4: IVF-bucketed semantic near-dup — assignment is the same
+    shuffle-free literal-centroid projection as ivf_topk; the only shuffles
+    are the list self-join and the pair dedup. No cartesian anywhere (the
+    brute-force baseline is a different, verification-scoped operator)."""
+    from go_iceberg_spark.operators.similarity import ivf_near_dup_pairs
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    df = ivf_near_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                            threshold=0.4, n_lists=8, n_probe=2)
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert P.count_op(df, "Window") == 0
+    assert P.num_shuffles(df) <= 3, plan
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """The k-means ASSIGN step is one projection over centroid literals: no
     Exchange, no Window, no join anywhere in the final-assignment plan (the
