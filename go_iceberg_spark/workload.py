@@ -4809,8 +4809,8 @@ _GRADED_FIRST = [
     "similarity_ivfpq_topk",
     "cluster_kmeans_topics",
     "crud_schema_evolution_scan",
-    "partitioned_scan_pruning",
-    "partition_evolution_scan",
+    "iceberg_bucket_pruning_scan",
+    "dedup_embedding_ivf",
     "changelog_cdc_scan",
     "dedup_connected_components",
     "dedup_exact",
