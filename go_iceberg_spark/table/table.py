@@ -406,13 +406,18 @@ class Table:
         """Zero-copy import of existing parquet files (Iceberg ``add_files``
         procedure; the reference has no equivalent): one metadata commit
         registers the files with footer-harvested stats — no data rewrite.
-        Files stay where they are; expiry will not delete them."""
+        Files stay where they are; expiry will not delete them. Importing
+        into a PARTITIONED table requires each file's path to carry
+        Hive-style ``name=value`` segments for every partition field (and,
+        as with all imports, the data files must contain every table
+        column) — an import that cannot prove its partition values is
+        rejected rather than registered with null tuples."""
         from .write import register_data_files
 
         md = self.metadata
         new_files = register_data_files(
             self.spark, paths, md.current_schema, md.current_schema_id,
-            self._next_sequence(),
+            self._next_sequence(), spec=md.default_spec,
         )
 
         def commit():

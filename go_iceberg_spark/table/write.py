@@ -554,12 +554,39 @@ def write_data_files(
     return entries
 
 
+def _import_partition_values(path: str, spec: PartitionSpec) -> dict[str, Any]:
+    """Partition values for an IMPORTED file from its Hive-style directory
+    segments (plain ``name=value``, the layout external writers produce).
+    Every spec field must be derivable — an import that cannot prove its
+    partition values would register entries whose (null) tuples tell
+    external readers the transform produced null for every row, so pruning
+    would wrongly drop the file. Mirrors Iceberg's add_files contract."""
+    segs = dict(
+        seg.partition("=")[::2]
+        for seg in path.split(os.sep)
+        if "=" in seg
+    )
+    vals: dict[str, Any] = {}
+    for pf in spec.fields:
+        if pf.name not in segs:
+            raise ValidationError(
+                f"add_files: {path!r} has no '{pf.name}=' path segment for "
+                f"partition field {pf.name!r} ({pf.transform}); imported files "
+                "must encode every partition value in their directory layout, "
+                "or the table must be unpartitioned"
+            )
+        v = segs[pf.name]
+        vals[pf.name] = None if v == "__HIVE_DEFAULT_PARTITION__" else _unescape_hive(v)
+    return vals
+
+
 def register_data_files(
     spark: SparkSession,
     paths: list[str],
     schema: Schema,
     schema_id: int,
     sequence_number: int,
+    spec: PartitionSpec = UNPARTITIONED,
 ) -> list[DataFileEntry]:
     """Zero-copy import (Iceberg ``add_files`` procedure; absent in the
     reference): register EXISTING parquet files as table data without
@@ -598,11 +625,11 @@ def register_data_files(
             content=CONTENT_DATA,
             file_path=r["file_path"],  # absolute: external to the table tree
             file_format="parquet",
-            spec_id=UNPARTITIONED.spec_id,
+            spec_id=spec.spec_id,
             schema_id=schema_id,
             record_count=r["record_count"],
             file_size=r["file_size"],
-            partition={},
+            partition=_import_partition_values(r["file_path"], spec),
             column_stats={int(k): v for k, v in r["stats"].items()},
             sequence_number=sequence_number,
             equality_ids=(),

@@ -1060,3 +1060,42 @@ def test_bucket_ordinals_survive_int_to_long_widening(spark, catalog):
     assert t.scan().filter(E.eq("k", 1005)).count() == 1
     assert t.scan().filter(E.eq("k", 42)).count() == 1
     assert t.scan().count() == 210
+
+
+def test_add_files_partitioned_requires_path_values(spark, catalog, tmp_path):
+    """r4: importing into a partitioned table must derive every partition
+    value from the file's Hive-style path — pre-fix, imports registered
+    entries claiming the partitioned spec with EMPTY tuples, which an
+    external reader pruning by tuple would wrongly drop. Underivable
+    imports are rejected; hive-laid-out imports prune correctly."""
+    import os as _os
+
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.range(0, 40).selectExpr("id", "id % 4 AS grp", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["grp"], 1000, "identity", "grp"),))
+    t = catalog.create_table("db", "imp", schema, spec=spec)
+
+    # flat (no hive segments) -> rejected
+    flat = tmp_path / "flat"
+    df.coalesce(1).write.parquet(str(flat))
+    flat_files = [str(flat / n) for n in _os.listdir(flat) if n.endswith(".parquet")]
+    with pytest.raises(ValidationError, match="path segment"):
+        t.add_files(flat_files)
+
+    # hive-style grp=N layout (data files keep every table column, as the
+    # engine's scan requires) -> values derived, spec id correct, scans work
+    files = []
+    for g in range(4):
+        d = tmp_path / "hived" / f"grp={g}"
+        df.filter(F.col("grp") == g).coalesce(1).write.parquet(str(d))
+        files += [str(d / n) for n in _os.listdir(d) if n.endswith(".parquet")]
+    t.add_files(files)
+    entries = t.live_entries()
+    assert all(e.partition.get("grp") is not None for e in entries)
+    assert {e.partition["grp"] for e in entries} == {"0", "1", "2", "3"}
+    assert all(e.spec_id == 0 for e in entries)
+    assert t.scan().filter(E.eq("id", 7)).count() == 1
+    assert t.scan().count() == 40
