@@ -332,19 +332,32 @@ class ScanBuilder:
         schema by field id, apply MoR deletes, union."""
         cur = md.current_schema
 
-        # group data files by (schema_id, applicable delete-file set)
+        # group data files by (schema_id, applicable delete-file set);
+        # IMPORTED files (absolute paths, hive-migration layout) also group
+        # by their partition tuple + spec so identity-partition columns
+        # absent from the data can be reconstituted per group — matching
+        # Iceberg's metadata-backed partition columns. Engine-written files
+        # always contain every column, so their grouping is unchanged.
         groups: dict[tuple, list[FileScanTask]] = {}
         for t in tasks:
-            key = (t.file.schema_id, tuple(sorted(d.file_path for d in t.delete_files)))
+            imported = os.path.isabs(t.file.file_path)
+            pkey = (
+                (t.file.spec_id, tuple(sorted(t.file.partition.items(), key=repr)))
+                if imported else None
+            )
+            key = (t.file.schema_id,
+                   tuple(sorted(d.file_path for d in t.delete_files)), pkey)
             groups.setdefault(key, []).append(t)
 
         parts: list[DataFrame] = []
         loc = self._table.location
-        for (schema_id, _del_key), ts in groups.items():
+        for (schema_id, _del_key, pkey), ts in groups.items():
             file_schema = md.schema_by_id(schema_id) if _has_schema(md, schema_id) else cur
             paths = [os.path.join(loc, t.file.file_path) for t in ts]
             dels = ts[0].delete_files
             raw = spark.read.parquet(*paths)
+            if pkey is not None:
+                raw = self._reconstitute_partition_columns(raw, ts[0].file, file_schema, md)
             raw = self._apply_deletes(spark, raw, dels, file_schema, paths)
             parts.append(_align_to_schema(raw, file_schema, cur))
 
@@ -352,6 +365,29 @@ class ScanBuilder:
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _reconstitute_partition_columns(
+        self, raw: DataFrame, entry: DataFileEntry, file_schema: Schema, md: TableMetadata
+    ) -> DataFrame:
+        """Fill identity-partition source columns an IMPORTED data file does
+        not contain from the entry's partition metadata (every row of the
+        file shares the value) — the hive-migration read path."""
+        spec = next((s for s in md.partition_specs if s.spec_id == entry.spec_id), None)
+        if spec is None:
+            return raw
+        from ..schema import to_spark_type
+
+        for pf in spec.fields:
+            if pf.transform != "identity":
+                continue
+            src = file_schema.find_field_by_id(pf.source_id) or \
+                md.current_schema.find_field_by_id(pf.source_id)
+            if src is None or src.name in raw.columns:
+                continue
+            v = entry.partition.get(pf.name)
+            col = F.lit(v).cast(to_spark_type(src.type))
+            raw = raw.withColumn(src.name, col)
+        return raw
 
     def _apply_deletes(
         self,

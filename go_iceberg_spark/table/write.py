@@ -607,8 +607,17 @@ def register_data_files(
     # can select every current column; extra columns are pruned by select)
     import pyarrow.parquet as pq
 
+    # columns reconstructible from the hive path (identity partition
+    # sources) may be absent from the data files — the classic hive-table
+    # migration layout; the scan reconstitutes them from partition metadata
+    reconstructible = {
+        f.name
+        for pf in spec.fields if pf.transform == "identity"
+        if (f := schema.find_field_by_id(pf.source_id)) is not None
+    }
     have = {c.split(".")[0] for c in pq.ParquetFile(paths[0]).schema.names}
-    missing = [f.name for f in schema.fields if f.name not in have]
+    missing = [f.name for f in schema.fields
+               if f.name not in have and f.name not in reconstructible]
     if missing:
         raise ValidationError(f"add_files: files lack table columns {missing}")
 
@@ -620,19 +629,64 @@ def register_data_files(
         .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name))
         .collect()
     )
-    return [
-        DataFileEntry(
-            content=CONTENT_DATA,
-            file_path=r["file_path"],  # absolute: external to the table tree
-            file_format="parquet",
-            spec_id=spec.spec_id,
-            schema_id=schema_id,
-            record_count=r["record_count"],
-            file_size=r["file_size"],
-            partition=_import_partition_values(r["file_path"], spec),
-            column_stats={int(k): v for k, v in r["stats"].items()},
-            sequence_number=sequence_number,
-            equality_ids=(),
+    out = []
+    for r in raw:
+        vals = _import_partition_values(r["file_path"], spec)
+        stats = {int(k): v for k, v in r["stats"].items()}
+        # identity partitions give EXACT stats for columns the file lacks
+        # (every row shares the partition value) — imported files then prune
+        # like written ones on their partition column
+        for pf in spec.fields:
+            if pf.transform != "identity":
+                continue
+            src = schema.find_field_by_id(pf.source_id)
+            if src is None or src.field_id in stats:
+                continue
+            enc = _partition_string_to_stat(src.type, vals.get(pf.name))
+            rc = r["record_count"]
+            stats[src.field_id] = {
+                "min": enc, "max": enc,
+                "null_count": rc if vals.get(pf.name) is None else 0,
+                "value_count": rc,
+            }
+        out.append(
+            DataFileEntry(
+                content=CONTENT_DATA,
+                file_path=r["file_path"],  # absolute: external to the table tree
+                file_format="parquet",
+                spec_id=spec.spec_id,
+                schema_id=schema_id,
+                record_count=r["record_count"],
+                file_size=r["file_size"],
+                partition=vals,
+                column_stats=stats,
+                sequence_number=sequence_number,
+                equality_ids=(),
+            )
         )
-        for r in raw
-    ]
+    return out
+
+
+def _partition_string_to_stat(t: IcebergType, s: Any) -> Any:
+    """Path-derived partition string → the engine's stat-space value (the
+    encoding ``encode_stat`` produces: dates→days, timestamps→µs)."""
+    if s is None or not isinstance(t, PrimitiveType):
+        return None
+    n = t.name
+    if n in ("int", "long", "time"):
+        return int(s)
+    if n in ("float", "double"):
+        return float(s)
+    if n == "boolean":
+        return str(s).lower() == "true"
+    if n == "date":
+        return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+    if n in ("timestamp", "timestamptz"):
+        parsed = dt.datetime.fromisoformat(s)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=dt.timezone.utc)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return int((parsed - epoch).total_seconds() * 1_000_000)
+    if n in ("string", "uuid"):
+        return str(s)
+    return None

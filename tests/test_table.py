@@ -1099,3 +1099,43 @@ def test_add_files_partitioned_requires_path_values(spark, catalog, tmp_path):
     assert all(e.spec_id == 0 for e in entries)
     assert t.scan().filter(E.eq("id", 7)).count() == 1
     assert t.scan().count() == 40
+
+
+def test_add_files_hive_migration_reconstitutes_partition_column(spark, catalog, tmp_path):
+    """r4: the classic hive-table migration — data files do NOT contain the
+    partition column (it lives only in the directory name). add_files
+    derives the values, synthesizes EXACT per-file stats for the missing
+    column (min=max=partition value), and the scan reconstitutes the
+    column from metadata, so filters, projections, and pruning on the
+    partition column all work."""
+    import os as _os
+
+    df = spark.range(0, 40).selectExpr("id", "id % 4 AS grp", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["grp"], 1000, "identity", "grp"),))
+    t = catalog.create_table("db", "hivemig", schema, spec=spec)
+
+    files = []
+    for g in range(4):
+        d = tmp_path / "hive" / f"grp={g}"
+        # partition column NOT in the data — hive layout
+        df.filter(F.col("grp") == g).drop("grp").coalesce(1).write.parquet(str(d))
+        files += [str(d / n) for n in _os.listdir(d) if n.endswith(".parquet")]
+    t.add_files(files)
+
+    assert t.scan().count() == 40
+    out = t.to_df()
+    assert "grp" in out.columns
+    assert {r.grp for r in out.select("grp").distinct().collect()} == {0, 1, 2, 3}
+    # row-level filter on the reconstituted column
+    assert t.scan().filter(E.eq("grp", 2)).count() == 10
+    got = {(r.id, r.grp) for r in t.scan().filter(E.eq("grp", 2)).to_df().collect()}
+    assert got == {(i, 2) for i in range(2, 40, 4)}
+    # pruning: synthesized min=max stats keep only the one partition's file
+    sb = t.scan().filter(E.eq("grp", 2))
+    assert len(sb.plan_files()) == 1
+    # mixed with engine-written data (which keeps the column in-file)
+    t.append(df.filter(F.col("grp") == 1).withColumn("id", F.col("id") + 100))
+    assert t.scan().filter(E.eq("grp", 1)).count() == 20
+    assert t.scan().count() == 50
