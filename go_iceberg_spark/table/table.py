@@ -415,6 +415,13 @@ class Table:
         from .write import register_data_files
 
         md = self.metadata
+        live = {e.file_path for e in self.live_entries()}
+        dup = [p for p in (os.path.abspath(q) for q in paths) if p in live]
+        if dup:
+            raise ValidationError(
+                f"add_files: {len(dup)} file(s) already registered, e.g. {dup[0]!r} "
+                "(re-importing a live path would alias one file under two entries)"
+            )
         new_files = register_data_files(
             self.spark, paths, md.current_schema, md.current_schema_id,
             self._next_sequence(), spec=md.default_spec,

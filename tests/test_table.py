@@ -1139,3 +1139,22 @@ def test_add_files_hive_migration_reconstitutes_partition_column(spark, catalog,
     t.append(df.filter(F.col("grp") == 1).withColumn("id", F.col("id") + 100))
     assert t.scan().filter(E.eq("grp", 1)).count() == 20
     assert t.scan().count() == 50
+
+
+def test_add_files_rejects_already_live_paths(spark, catalog, tmp_path):
+    """Re-importing a live path must raise (Iceberg semantics) instead of
+    silently aliasing one file under two entries."""
+    import os as _os
+
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t = catalog.create_table("db", "dupimp", from_spark_schema(df.schema))
+    ext = tmp_path / "ext"
+    df.coalesce(1).write.parquet(str(ext))
+    files = [str(ext / n) for n in _os.listdir(ext) if n.endswith(".parquet")]
+    t.add_files(files)
+    assert t.scan().count() == 10
+    with pytest.raises(ValidationError, match="already registered"):
+        t.add_files(files)
+    assert t.scan().count() == 10
