@@ -196,3 +196,43 @@ def test_wire_commit_full_crud_through_client(spark, rcat):
     t.rollback_to(first.snapshot_id)
     assert sorted(r.id for r in t.to_df().collect()) == [0, 1, 2, 3, 4]
     assert t.refresh().metadata.refs["v1"].snapshot_id == first.snapshot_id
+
+
+def test_rest_concurrent_appends_all_land(spark, rcat):
+    """r4: RACING writers through the REST commit protocol (HTTP 409 +
+    assert-ref-snapshot-id, not the filesystem O_EXCL path): 6 threads x 2
+    appends from separate handles all land with a linear snapshot chain and
+    no lost data files — the server-side counterpart of
+    test_truly_concurrent_appends_all_land."""
+    import threading
+
+    df = proto_df(spark)
+    rcat.create_table(("db",), "race_rest", from_spark_schema(df.schema))
+    N_THREADS, N_APPENDS = 6, 2
+    errors = []
+
+    def writer(k):
+        try:
+            h = rcat.load_table(("db",), "race_rest")
+            h.max_retries = 50
+            for j in range(N_APPENDS):
+                h.append(proto_df(spark, offset=(k * N_APPENDS + j + 1) * 1000))
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    t = rcat.load_table(("db",), "race_rest")
+    assert t.scan().count() == N_THREADS * N_APPENDS * 5
+    snaps = t.snapshots()
+    assert len(snaps) == N_THREADS * N_APPENDS
+    seqs = [s.sequence_number for s in snaps]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    live = {e.file_path for e in t.manifest_entries(t.current_snapshot())}
+    added = sum(int(s.summary.get("added-data-files", "0")) for s in snaps)
+    assert len(live) == added, "lost data files through the REST commit path"
