@@ -260,3 +260,35 @@ def test_distributed_tier_prunes_bucket_partitions(spark, catalog, monkeypatch):
     pruned = sb.plan_files()
     assert len(pruned) == 1, f"expected 1 bucket file, planned {len(pruned)}"
     assert [r["id"] for r in sb.to_df().collect()] == [123]
+
+
+def test_bucket_pred_disabled_when_name_reused_by_non_bucket_transform(spark):
+    """ADVICE r3 (medium): a partition-field NAME defined by identity in one
+    spec and bucket[N] in another must emit NO bucket condition — the
+    identity generation's partition_json holds raw values, and comparing
+    them to bucket ordinals at the distributed tier silently pruned live
+    files. Same-definition bucket reuse across specs still prunes."""
+    from go_iceberg_spark.expr import eq
+    from go_iceberg_spark.schema import LONG, NestedField, Schema, StructType
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.planning import _bucket_partition_pred
+
+    schema = Schema(0, StructType((NestedField(1, "k", LONG),)))
+    clash_specs = [
+        PartitionSpec(0, (PartitionField(1, 1000, "identity", "k"),)),
+        PartitionSpec(1, (PartitionField(1, 1001, "bucket[8]", "k"),)),
+    ]
+    assert _bucket_partition_pred(eq("k", 42), clash_specs, schema) is None
+
+    ok_specs = [
+        PartitionSpec(0, (PartitionField(1, 1000, "bucket[8]", "kb"),)),
+        PartitionSpec(1, (PartitionField(1, 1001, "bucket[8]", "kb"),)),
+    ]
+    assert _bucket_partition_pred(eq("k", 42), ok_specs, schema) is not None
+
+    # different bucket definitions under one name: also disabled
+    redef_specs = [
+        PartitionSpec(0, (PartitionField(1, 1000, "bucket[8]", "kb"),)),
+        PartitionSpec(1, (PartitionField(1, 1001, "bucket[4]", "kb"),)),
+    ]
+    assert _bucket_partition_pred(eq("k", 42), redef_specs, schema) is None
