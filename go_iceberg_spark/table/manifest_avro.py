@@ -21,12 +21,24 @@ Mapping to the engine's model:
   bounds decode the engine's hex stat space;
 - partition values serialize as the spec's TYPED partition struct (r102):
   each field's Avro type is the transform RESULT type (bucket→int,
-  year/month/hour→int ordinals since 1970, day→date, identity→source type),
-  converted from the engine's path-derived string encoding on write and
-  back on read, so external readers can prune by partition tuple. Types
-  with no unambiguous path round-trip (float/double/decimal/timestamp
-  identity, truncate[decimal], binary/fixed) keep the documented
-  [null, string] fallback — _typed_partition_type returns None for those.
+  year/month/hour→int ordinals since 1970, day→date, identity→source type,
+  timestamp→timestamp-micros, time→time-micros, decimal→fixed decimal
+  logical type, truncate[decimal]→decimal), converted from the engine's
+  path-derived string encoding on write and back on read — the read side
+  reproduces the exact Hive strings Spark's ``partitionBy`` wrote
+  (trailing-zero-trimmed timestamp fractions, full-scale decimal
+  rendering) so both dialects stay bit-identical. Two fallback families
+  keep [null, string] (``_typed_partition_type`` returns None):
+  binary/fixed, because Spark cannot ``partitionBy`` a binary column so
+  no engine path encoding exists; and float/double, because Java 17's
+  legacy ``Float/Double.toString`` (what Spark renders dir names with)
+  emits non-minimal digit strings — e.g. ``1.23456792E8`` where shortest
+  is ``123456790.0`` — that cannot be regenerated from the typed value
+  without reimplementing ``FloatingDecimal``, and a near-miss would
+  silently desynchronize the two dialects' partition dicts.
+  Manifests written BEFORE a type gained its typed form declare
+  [null, string] in their OCF writer schema; the reader keys off that
+  schema and passes those legacy string values through unconverted.
 """
 
 from __future__ import annotations
@@ -90,7 +102,8 @@ def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
                 return None  # stat was a truncated/garbage string bound
         return None
     if isinstance(t, DecimalType):
-        unscaled = int(decimal.Decimal(str(enc_val)).scaleb(t.scale).to_integral_value())
+        unscaled = int(decimal.Decimal(str(enc_val))
+                       .scaleb(t.scale, decimal.Context(prec=60)).to_integral_value())
         length = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement minimal
         return unscaled.to_bytes(length, "big", signed=True)
     return None
@@ -122,7 +135,7 @@ def bound_from_bytes(t: IcebergType, raw: bytes | None) -> Any:
         return None
     if isinstance(t, DecimalType):
         unscaled = int.from_bytes(raw, "big", signed=True)
-        return str(decimal.Decimal(unscaled).scaleb(-t.scale))
+        return _decimal_plain_str(unscaled, t.scale)
     return None
 
 
@@ -206,13 +219,27 @@ def _transform_result_type(pf, schema: Schema) -> IcebergType | None:
     return None
 
 
+def _decimal_fixed_size(precision: int) -> int:
+    """Minimum two's-complement bytes holding ±(10^p − 1) — the spec's
+    fixed size for a decimal of the given precision."""
+    return (10 ** precision - 1).bit_length() // 8 + 1
+
+
 def _typed_partition_type(pf, schema: Schema):
     """(result_type, avro_type) for a partition field when the engine's
     path-derived string encoding converts to the spec's typed value
     unambiguously; None → keep the [null, string] fallback (module
-    docstring lists the excluded types)."""
+    docstring: binary/fixed only — Spark cannot partitionBy those)."""
     t = _transform_result_type(pf, schema)
-    if t is None or not isinstance(t, PrimitiveType):
+    if t is None:
+        return None
+    if isinstance(t, DecimalType):
+        return t, {
+            "type": "fixed", "name": f"dec_{pf.field_id}",
+            "size": _decimal_fixed_size(t.precision),
+            "logicalType": "decimal", "precision": t.precision, "scale": t.scale,
+        }
+    if not isinstance(t, PrimitiveType):
         return None
     avro = {
         "boolean": "boolean",
@@ -220,15 +247,61 @@ def _typed_partition_type(pf, schema: Schema):
         "long": "long",
         "string": "string",
         "date": {"type": "int", "logicalType": "date"},
+        "time": {"type": "long", "logicalType": "time-micros"},
+        "timestamp": {"type": "long", "logicalType": "timestamp-micros",
+                      "adjust-to-utc": False},
+        "timestamptz": {"type": "long", "logicalType": "timestamp-micros",
+                        "adjust-to-utc": True},
         "uuid": {"type": "fixed", "name": f"uuid_{pf.field_id}", "size": 16,
                  "logicalType": "uuid"},
     }.get(t.name)
     if avro is None:
-        return None  # float/double/timestamp/time/binary/decimal: string fallback
+        return None  # binary/fixed, float/double: string fallback (module docstring)
     return t, avro
 
 
-def _partition_value_to_typed(pf, t: PrimitiveType, v):
+# -- engine path-string <-> typed-value round-trip helpers -------------------
+# Spark's partitionBy writes Hive dir names with Java formatting; the read
+# side must regenerate those EXACT strings so the Avro dialect stays
+# bit-identical with the parquet dialect (partition dicts are compared and
+# hashed as strings throughout the engine).
+
+
+def _ts_string_to_micros(s: str) -> int:
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(s)
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return (d - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def _micros_to_ts_str(us: int) -> str:
+    """Micros → Spark's partition dir rendering: seconds, then the
+    fractional part only when nonzero, trailing zeros trimmed
+    (``2024-03-01 12:34:56``, ``...56.5`` for 500000 µs)."""
+    import datetime as dt
+
+    base = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(us))
+    s = base.strftime("%Y-%m-%d %H:%M:%S")
+    frac = int(us) % 1_000_000
+    if frac:
+        s += "." + f"{frac:06d}".rstrip("0")
+    return s
+
+
+def _decimal_plain_str(unscaled: int, scale: int) -> str:
+    """Unscaled int → Spark's full-scale plain rendering (``12.50`` for
+    1250/scale 2) without Decimal-context rounding."""
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled))
+    if scale <= 0:
+        return sign + digits + "0" * (-scale)
+    digits = digits.rjust(scale + 1, "0")
+    return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+
+
+def _partition_value_to_typed(pf, t, v):
     """Engine path-derived string → spec typed value (write side)."""
     import datetime as dt
     import uuid as _uuid
@@ -249,11 +322,18 @@ def _partition_value_to_typed(pf, t: PrimitiveType, v):
             (dt.datetime(int(y), int(m), int(d), int(h), tzinfo=dt.timezone.utc)
              - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)).total_seconds() // 3600
         )
+    if isinstance(t, DecimalType):
+        unscaled = int(
+            decimal.Decimal(s).scaleb(t.scale, decimal.Context(prec=60)).to_integral_value()
+        )
+        return unscaled.to_bytes(_decimal_fixed_size(t.precision), "big", signed=True)
     n = t.name
     if n == "boolean":
         return s.lower() == "true"
-    if n in ("int", "long"):
+    if n in ("int", "long", "time"):
         return int(s)
+    if n in ("timestamp", "timestamptz"):
+        return _ts_string_to_micros(s)
     if n == "string":
         return s
     if n == "date":
@@ -263,7 +343,7 @@ def _partition_value_to_typed(pf, t: PrimitiveType, v):
     raise ValidationError(f"untyped partition value for {pf.name}: {s!r}")
 
 
-def _typed_to_partition_value(pf, t: PrimitiveType, v):
+def _typed_to_partition_value(pf, t, v):
     """Spec typed value → the exact engine path-derived string (read side,
     inverse of _partition_value_to_typed)."""
     import datetime as dt
@@ -280,11 +360,15 @@ def _typed_to_partition_value(pf, t: PrimitiveType, v):
     if pf.transform == "hour":
         ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(hours=int(v))
         return ts.strftime("%Y-%m-%d-%H")
+    if isinstance(t, DecimalType):
+        return _decimal_plain_str(int.from_bytes(bytes(v), "big", signed=True), t.scale)
     n = t.name
     if n == "boolean":
         return "true" if v else "false"
-    if n in ("int", "long"):
+    if n in ("int", "long", "time"):
         return str(int(v))
+    if n in ("timestamp", "timestamptz"):
+        return _micros_to_ts_str(int(v))
     if n == "string":
         return str(v)
     if n == "date":
@@ -318,7 +402,14 @@ def _partition_record(spec: PartitionSpec, schema: Schema, partition: dict) -> d
     return out
 
 
-def _partition_from_record(spec_fields: list, schema: Schema, rec: dict) -> dict:
+def _partition_from_record(spec_fields: list, schema: Schema, rec: dict,
+                           writer_types: dict | None = None) -> dict:
+    """``writer_types`` maps partition field name → the non-null Avro branch
+    the WRITER declared. A member written before a type gained its typed
+    form encodes the value as [null, string]; converting such a legacy
+    string through the typed path would corrupt it (e.g. year "2024" →
+    "3994"), so the raw string passes through when the writer schema says
+    string but the current typed form is not."""
     from .metadata import PartitionField
 
     out = {}
@@ -326,8 +417,15 @@ def _partition_from_record(spec_fields: list, schema: Schema, rec: dict) -> dict
         pf = PartitionField(fj["source-id"], fj["field-id"], fj["transform"], fj["name"])
         v = rec.get(pf.name)
         typed = _typed_partition_type(pf, schema)
+        legacy = (
+            typed is not None
+            and writer_types is not None
+            and writer_types.get(pf.name) == "string"
+            and typed[1] != "string"
+        )
         out[pf.name] = (
-            _typed_to_partition_value(pf, typed[0], v) if typed and v is not None else v
+            _typed_to_partition_value(pf, typed[0], v)
+            if typed and v is not None and not legacy else v
         )
     return out
 
@@ -680,15 +778,12 @@ def _partition_summaries(
         vals = [e.partition.get(pf.name) for e in group]
         typed = _typed_partition_type(pf, schema) if schema is not None else None
         if typed is not None:
-            tv = sorted(
-                _partition_value_to_typed(pf, typed[0], v) for v in vals if v is not None
+            sv = sorted(
+                (_partition_stat_value(pf, typed[0], v) for v in vals if v is not None),
+                key=lambda x: decimal.Decimal(x) if isinstance(typed[0], DecimalType) else x,
             )
-            # bound_to_bytes expects the engine stat space, which for every
-            # typed partition type (int ordinals, days, strings, uuid
-            # canonical form) is exactly the typed value's natural encoding
-            enc = typed[0]
-            lo = bound_to_bytes(enc, _stat_space(typed[0], tv[0])) if tv else None
-            hi = bound_to_bytes(enc, _stat_space(typed[0], tv[-1])) if tv else None
+            lo = bound_to_bytes(typed[0], sv[0]) if sv else None
+            hi = bound_to_bytes(typed[0], sv[-1]) if sv else None
         else:
             non_null = sorted(str(v) for v in vals if v is not None)
             lo = non_null[0].encode() if non_null else None
@@ -704,13 +799,29 @@ def _partition_summaries(
     return out
 
 
-def _stat_space(t: PrimitiveType, typed_val):
-    """Typed partition value → the stat-space value bound_to_bytes expects
-    (uuid: fixed16 bytes → canonical string; everything else already is)."""
-    if t.name == "uuid" and isinstance(typed_val, (bytes, bytearray)):
-        import uuid as _uuid
-        return str(_uuid.UUID(bytes=bytes(typed_val)))
-    return typed_val
+def _partition_stat_value(pf, t, v):
+    """Engine path-derived string → the stat-space value ``bound_to_bytes``
+    expects for the transform's RESULT type (int ordinals for
+    year/month/hour, day ordinal for day, micros for timestamps, string
+    decimal for decimals, canonical string for uuid) — also sortable in
+    value order (decimals sort via Decimal at the call site)."""
+    import datetime as dt
+
+    s = str(v)
+    if pf.transform in ("year", "month", "day", "hour"):
+        return _partition_value_to_typed(pf, t, s)  # int / day ordinals
+    if isinstance(t, DecimalType):
+        return s
+    n = t.name
+    if n == "boolean":
+        return s.lower() == "true"
+    if n in ("int", "long", "time"):
+        return int(s)
+    if n in ("timestamp", "timestamptz"):
+        return _ts_string_to_micros(s)
+    if n == "date":
+        return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
+    return s  # string, uuid (canonical form)
 
 
 # ---------------------------------------------------------------------------
@@ -728,8 +839,26 @@ def read_avro_manifest_tree(location: str, list_rel_path: str, io=None) -> list[
     return entries
 
 
+def _writer_partition_types(ocf_schema) -> dict:
+    """Partition field name → the writer's declared non-null Avro branch
+    (legacy [null, string] members are detected from this)."""
+    try:
+        dfs = next(f for f in ocf_schema["fields"] if f["name"] == "data_file")["type"]
+        prec = next(f for f in dfs["fields"] if f["name"] == "partition")["type"]
+        out = {}
+        for f in prec["fields"]:
+            t = f["type"]
+            branches = t if isinstance(t, list) else [t]
+            nn = [b for b in branches if b != "null"]
+            out[f["name"]] = nn[0] if nn else "null"
+        return out
+    except (StopIteration, KeyError, TypeError):
+        return {}
+
+
 def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEntry]:
-    _, meta, records = read_ocf(os.path.join(location, rel_path), io=io)
+    ocf_schema, meta, records = read_ocf(os.path.join(location, rel_path), io=io)
+    writer_types = _writer_partition_types(ocf_schema)
     schema = schema_from_json(json.loads(meta["schema"].decode()))
     schema_id = int(meta["schema-id"].decode())
     spec_id = int(meta["partition-spec-id"].decode())
@@ -761,7 +890,8 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
                 schema_id=schema_id,
                 record_count=df["record_count"],
                 file_size=df["file_size_in_bytes"],
-                partition=_partition_from_record(spec_fields, schema, df.get("partition") or {}),
+                partition=_partition_from_record(spec_fields, schema, df.get("partition") or {},
+                                                 writer_types=writer_types),
                 column_stats=stats,
                 sequence_number=r.get("sequence_number") or 0,
                 equality_ids=tuple(df.get("equality_ids") or ()),

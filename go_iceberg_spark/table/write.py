@@ -346,7 +346,15 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                 if s.null_count is not None:
                     entry["null_count"] += s.null_count
                 if s.has_min_max:
-                    mn, mx = encode_stat(s.min), encode_stat(s.max)
+                    try:
+                        mn, mx = encode_stat(s.min), encode_stat(s.max)
+                    except Exception:
+                        # pyarrow cannot decode every footer stat encoding
+                        # (INT32-backed decimals Spark writes for precision
+                        # ≤ 9 raise ArrowNotImplementedError on .min) —
+                        # unknown bounds are conservative: the file is never
+                        # pruned on that column, never lost
+                        continue
                     if mn is not None and (entry["min"] is None or mn < entry["min"]):
                         entry["min"] = mn
                     if mx is not None and (entry["max"] is None or mx > entry["max"]):
