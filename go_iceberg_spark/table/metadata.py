@@ -552,6 +552,12 @@ class TableMetadata:
     @staticmethod
     def new(location: str, schema: Schema, spec: PartitionSpec = UNPARTITIONED,
             sort_order: SortOrder = UNSORTED, properties: dict[str, str] | None = None) -> "TableMetadata":
+        # bucket ordinals are physical layout, so the hash function's int
+        # width is RECORDED at creation rather than implied by engine
+        # version: new tables hash int bucket sources at long width (ordinals
+        # survive int->long widening); tables whose metadata lacks the stamp
+        # keep the legacy int-width hash (write.resolve_bucket_fn)
+        properties = {"write.bucket-hash-width": "long", **(properties or {})}
         return TableMetadata(
             table_uuid=str(uuid_mod.uuid4()),
             location=location,

@@ -111,7 +111,9 @@ def _bucket_partition_might_match(e: Expression, entry: DataFileEntry, md: Table
             continue
         n = int(m.group(1))
         vals = [e.value] if e.op is Op.EQ else list(e.values)
-        fn = md.properties.get("write.bucket-function", "spark")
+        from .write import resolve_bucket_fn
+
+        fn = resolve_bucket_fn(md.properties)
         buckets = [bucket_for_literal(v, n, src.type, bucket_fn=fn) for v in vals]
         if any(b is None for b in buckets):
             continue
@@ -284,10 +286,12 @@ class ScanBuilder:
                 n = pq.read_metadata(path).num_rows  # footer-only, ~1 ms
                 mpaths = [path]
             if n > DISTRIBUTED_THRESHOLD:
+                from .write import resolve_bucket_fn
+
                 return plan_distributed(
                     table.spark, mpaths, enc, md.current_schema,
                     specs=md.partition_specs,
-                    bucket_fn=md.properties.get("write.bucket-function", "spark"))
+                    bucket_fn=resolve_bucket_fn(md.properties))
             if n > self._CACHE_ENTRY_LIMIT:
                 out: list[DataFileEntry] = []
                 for p in mpaths:

@@ -355,10 +355,14 @@ class Table:
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
     def _bucket_fn(self) -> str:
-        """``write.bucket-function`` property: "spark" (default, F.hash seed
-        42 — engine-internal) or "iceberg" (spec Appendix B murmur3 — bucket
-        ordinals recomputable by third-party Iceberg readers)."""
-        return self.metadata.properties.get("write.bucket-function", "spark")
+        """Resolved bucket-hash mode: "spark" (F.hash, int-as-long width),
+        "spark-int" (legacy int-width layout, tables without the
+        write.bucket-hash-width stamp) or "iceberg" (spec Appendix B —
+        ordinals recomputable by third-party readers). See
+        write.resolve_bucket_fn."""
+        from .write import resolve_bucket_fn
+
+        return resolve_bucket_fn(self.metadata.properties)
 
     def _bloom_columns(self) -> tuple[str, ...]:
         """``write.bloom-columns`` property: comma-separated integer/string
@@ -783,6 +787,7 @@ class SchemaUpdate:
     def __init__(self, table: Table):
         self.table = table
         self._fields: list[NestedField] = list(table.schema.fields)
+        self._retyped: set[str] = set()
         # never reuse an id, even from dropped columns of older schemas
         self._next_id = max(s.highest_field_id() for s in table.metadata.schemas)
 
@@ -810,6 +815,7 @@ class SchemaUpdate:
 
     def update_column_type(self, name: str, type_: IcebergType) -> "SchemaUpdate":
         # permit widening (int->long, float->double) like Iceberg
+        self._retyped.add(name)
         self._fields = [
             NestedField(f.field_id, f.name, type_, f.required, f.doc) if f.name == name else f for f in self._fields
         ]
@@ -833,6 +839,23 @@ class SchemaUpdate:
                     f"partition field {pf.name!r} ({pf.transform}) of the default "
                     "spec derives from it; update the partition spec first"
                 )
+        # on a legacy table (no write.bucket-hash-width=long stamp) bucket
+        # ordinals were computed at the source column's int width — widening
+        # a bucket source would re-hash future literals/writes at long width
+        # while the existing files keep hash(int) ordinals, silently losing
+        # rows to pruning. Require a rewrite_data_files migration instead.
+        if t._bucket_fn() == "spark-int":
+            for pf in (f for s in t.metadata.partition_specs for f in s.fields):
+                src = t.schema.find_field_by_id(pf.source_id)
+                if (src is not None and src.name in self._retyped
+                        and pf.transform.startswith("bucket[")
+                        and getattr(src.type, "name", "") == "int"):
+                    raise ValidationError(
+                        f"cannot widen bucket-source column {src.name!r} on a "
+                        "table without the write.bucket-hash-width=long stamp: "
+                        "its files hold int-width bucket ordinals; run "
+                        "rewrite_data_files and set the property first"
+                    )
         new_schema = Schema(
             schema_id=max(s.schema_id for s in t.metadata.schemas) + 1,
             struct=StructType(tuple(self._fields)),

@@ -101,6 +101,30 @@ def spark_murmur3_long(value: int, seed: int = 42) -> int:
     return _mm3_signed(_mm3_fmix(h1, 8))
 
 
+def spark_murmur3_int(value: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` for an IntegerType value (one 32-bit word),
+    driver-side mirror — the LEGACY bucket hash for int sources on tables
+    created before ``write.bucket-hash-width=long`` was stamped at
+    creation. Kept so pruning on those tables recomputes the ordinals
+    their files were actually laid out with."""
+    h1 = _mm3_mix_h1(seed, _mm3_mix_k1(value & _M32))
+    return _mm3_signed(_mm3_fmix(h1, 4))
+
+
+def resolve_bucket_fn(properties: dict) -> str:
+    """Table properties → the bucket-hash mode every write/prune site must
+    agree on: "iceberg" (spec Appendix B), "spark" (F.hash, int sources
+    cast to long — width-invariant, stamped on tables created with
+    ``write.bucket-hash-width=long``), or "spark-int" (F.hash with int
+    sources hashed at int width — the legacy layout of tables created
+    before the stamp existed; their files hold hash(int) ordinals, so
+    hashing literals as long would silently prune live files)."""
+    fn = properties.get("write.bucket-function", "spark")
+    if fn == "spark" and properties.get("write.bucket-hash-width", "int") != "long":
+        return "spark-int"
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Iceberg-spec bucket hash (spec Appendix B: murmur3_x86_32, seed 0, over the
 # value's little-endian bytes; int/date widen to long, string hashes UTF-8).
@@ -194,15 +218,30 @@ def iceberg_bucket_column(source: Column, n: int, source_type: IcebergType) -> C
         h1 = _mm3_fmix_col(h1, 8)
         return F.pmod(h1.bitwiseAND(F.lit(_INT_MAX)), F.lit(n)).cast("int")
     if isinstance(source_type, PrimitiveType) and source_type.name in ("string", "uuid"):
+        import uuid as _uuid
+
         import pandas as pd  # noqa: F401  (signature requirement)
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("int")
-        def _bucket(s):
-            return s.map(
-                lambda x: None if x is None
-                else (iceberg_murmur3_bytes(str(x).encode("utf-8")) & _INT_MAX) % n
-            )
+        if source_type.name == "uuid":
+            # spec Appendix B: hashBytes(uuidBytes(v)) — the 16-byte
+            # big-endian form, NOT the canonical string's UTF-8 (which
+            # gives a different ordinal an external reader would never
+            # recompute: "f79c3e09-..." hashes 980414783 as text but
+            # 1488055340 as uuid bytes)
+            @pandas_udf("int")
+            def _bucket(s):
+                return s.map(
+                    lambda x: None if x is None
+                    else (iceberg_murmur3_bytes(_uuid.UUID(str(x)).bytes) & _INT_MAX) % n
+                )
+        else:
+            @pandas_udf("int")
+            def _bucket(s):
+                return s.map(
+                    lambda x: None if x is None
+                    else (iceberg_murmur3_bytes(str(x).encode("utf-8")) & _INT_MAX) % n
+                )
 
         return _bucket(source)
     raise ValidationError(
@@ -221,11 +260,22 @@ def bucket_for_literal(v: Any, n: int, source_type: IcebergType,
             return None
         if source_type.name in ("int", "long") and isinstance(v, int):
             return (iceberg_murmur3_long(v) & _INT_MAX) % n
-        if source_type.name in ("string", "uuid") and isinstance(v, str):
+        if source_type.name == "uuid" and isinstance(v, str):
+            # spec: hash the 16-byte big-endian uuid, not its string form
+            try:
+                ub = uuid_mod.UUID(v).bytes
+            except ValueError:
+                return None
+            return (iceberg_murmur3_bytes(ub) & _INT_MAX) % n
+        if source_type.name == "string" and isinstance(v, str):
             return (iceberg_murmur3_bytes(v.encode("utf-8")) & _INT_MAX) % n
         return None
     if not isinstance(v, int) or isinstance(v, bool):
         return None
+    if source_type.name == "int" and bucket_fn == "spark-int":
+        # legacy table (no write.bucket-hash-width=long stamp): files were
+        # laid out with hash(int) ordinals — recompute the SAME ordinal
+        return spark_murmur3_int(v) % n
     if source_type.name in ("int", "long"):
         # int hashes as long — width-invariant, see transform_column
         return spark_murmur3_long(v) % n
@@ -250,7 +300,12 @@ def transform_column(transform: str, source: Column, source_type: IcebergType,
         # must not re-bucket existing data — Spark's hash(int) != hash(long)
         # for the same value, and the pre-r4 int hashing silently lost rows
         # to pruning after a widen (literal hashed under the new type).
-        if isinstance(source_type, PrimitiveType) and source_type.name == "int":
+        # Tables created BEFORE the width was stamped keep int-width hashing
+        # ("spark-int", resolve_bucket_fn) so their existing layout stays
+        # prunable; widening THEIR bucket source requires a rewrite
+        # migration and is rejected by SchemaUpdate.
+        if (bucket_fn != "spark-int"
+                and isinstance(source_type, PrimitiveType) and source_type.name == "int"):
             source = source.cast("long")
         return F.pmod(F.hash(source), F.lit(int(m.group(1)))).cast("int")
     m = _TRUNCATE_RE.match(transform)

@@ -1158,3 +1158,90 @@ def test_add_files_rejects_already_live_paths(spark, catalog, tmp_path):
     with pytest.raises(ValidationError, match="already registered"):
         t.add_files(files)
     assert t.scan().count() == 10
+
+
+def test_iceberg_bucket_hashes_uuid_bytes(spark, catalog):
+    """r5 (r4 ADVICE): in write.bucket-function=iceberg mode uuid sources
+    hash as the 16-byte big-endian uuid (spec Appendix B
+    hashBytes(uuidBytes(v))), not the canonical string's UTF-8 — a
+    spec-conformant external reader recomputing ordinals from uuid bytes
+    must land on the engine's partitions. Spec-checked known answer:
+    f79c3e09-677c-4bbd-a479-3f349cb785e7 hashes 1488055340 as bytes
+    (980414783 as text)."""
+    import uuid as uuid_mod
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import UUID, NestedField, Schema, StructType
+    from go_iceberg_spark.table.write import (
+        _INT_MAX,
+        bucket_for_literal,
+        iceberg_murmur3_bytes,
+    )
+
+    known = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    assert iceberg_murmur3_bytes(uuid_mod.UUID(known).bytes) == 1488055340
+
+    rows = [Row(u=str(uuid_mod.UUID(int=7919 * (i + 1))), v=i) for i in range(40)]
+    rows.append(Row(u=known, v=999))
+    df = spark.createDataFrame(rows)
+    base = from_spark_schema(df.schema)
+    fields = tuple(
+        NestedField(f.field_id, f.name, UUID if f.name == "u" else f.type, f.required)
+        for f in base.fields
+    )
+    schema = Schema(base.schema_id, StructType(fields))
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["u"], 1000, "bucket[8]", "ub"),))
+    t = catalog.create_table("db", "uuidbkt", schema, spec=spec,
+                             properties={"write.bucket-function": "iceberg"})
+    t.append(df)
+
+    # every file's ordinal is the spec hash of the uuid BYTES of its rows
+    want = (1488055340 & _INT_MAX) % 8
+    got = {e.partition["ub"] for e in t.live_entries()
+           if any(r.u == known for r in spark.read.parquet(
+               *[__import__("os").path.join(t.location, e.file_path)]).collect())}
+    assert got == {str(want)}
+    # literal path agrees with the column UDF → pruning finds the row
+    src_type = schema.find_field_by_id(fid["u"]).type
+    assert bucket_for_literal(known, 8, src_type, bucket_fn="iceberg") == want
+    assert t.scan().filter(E.eq("u", known)).count() == 1
+    files = t.scan().filter(E.eq("u", known)).plan_files()
+    assert all(f.file.partition["ub"] == str(want) for f in files)
+
+
+def test_legacy_tables_keep_int_width_bucket_hash(spark, catalog):
+    from go_iceberg_spark.errors import ValidationError
+    """r5 (r4 ADVICE): the int-as-long bucket hash is gated on a property
+    STAMPED at table creation (write.bucket-hash-width=long). A table whose
+    metadata lacks the stamp — created before the width change — keeps the
+    legacy hash(int) layout: pruning recomputes the SAME ordinals (no rows
+    silently lost), and widening its bucket source is rejected until a
+    rewrite migration."""
+    from go_iceberg_spark.schema import LONG as LONG_T
+    from go_iceberg_spark.table.write import spark_murmur3_int
+
+    df = spark.range(0, 100).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "legacybkt", schema, spec=spec)
+    t.remove_properties(["write.bucket-hash-width"])  # simulate a pre-stamp table
+    assert t._bucket_fn() == "spark-int"
+    t.append(df)
+
+    # files really are laid out at int width, and pruning agrees with them
+    assert {e.partition["kb"] for e in t.live_entries()} <= {
+        str(spark_murmur3_int(v) % 8) for v in range(100)}
+    assert t.scan().filter(E.eq("k", 42)).count() == 1
+    tasks = t.scan().filter(E.eq("k", 42)).plan_files()
+    assert all(f.file.partition["kb"] == str(spark_murmur3_int(42) % 8) for f in tasks)
+    assert len(tasks) < len(t.live_entries()), "bucket pruning inactive"
+
+    # widening the bucket source would desync literal hashing from layout
+    with pytest.raises(ValidationError, match="bucket-hash-width"):
+        t.update_schema().update_column_type("k", LONG_T).commit()
+
+    # a stamped table (the default) widens fine — covered by
+    # test_bucket_ordinals_survive_int_to_long_widening
