@@ -278,15 +278,29 @@ def _assign_lists_gemm(
     import numpy as np
     import pandas as pd
 
-    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    try:
+        C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    except (ValueError, TypeError) as ex:
+        raise ValueError(
+            "centroid vectors are ragged/non-numeric: all vectors must "
+            "share one dimension for GEMM assignment") from ex
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     cids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
 
     def assign(batches):
         for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            if V.ndim != 2 or not len(V):
+            if not len(pdf):
                 continue
+            try:
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                if V.ndim != 2:
+                    raise ValueError("inhomogeneous")
+            except (ValueError, TypeError) as ex:
+                # silently skipping would DROP these rows from candidate
+                # generation — surface the data problem instead
+                raise ValueError(
+                    f"{vec_col!r} batch is ragged/non-numeric: all vectors "
+                    "must share one dimension for GEMM assignment") from ex
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Vn @ Cn.T
             top = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
@@ -297,9 +311,10 @@ def _assign_lists_gemm(
                 "_list": cids[top].reshape(n * n_probe),
             })
 
+    id_t = emb.schema[id_col].dataType.simpleString()
     vec_t = emb.schema[vec_col].dataType.simpleString()
     return emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"_id long, _v {vec_t}, _list long"
+        assign, schema=f"_id {id_t}, _v {vec_t}, _list long"
     )
 
 

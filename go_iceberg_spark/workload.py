@@ -2559,6 +2559,21 @@ def emb_ivf_dedup_q(spark, sf):
     )
 
 
+@query("dedup_embedding_ivf_gemm", _ivf_near_dup_oracle_sql())
+def emb_ivf_dedup_gemm_q(spark, sf):
+    """r5 (VERDICT r4 task #6): the SAME IVF near-dup query executed through
+    ``assignment="gemm"`` — the Arrow-batched numpy list assignment that is
+    the actual path at n_lists in the hundreds (the literal projection
+    collapses there, measured in similarity._assign_lists_gemm) — graded
+    against the SAME oracle, so the scale path itself sits under the
+    driver's hash gate, not just a pair-identity unit test."""
+    return S.ivf_near_dup_pairs(
+        load(spark, sf, "embeddings"),
+        id_col="vec_id", vec_col="embedding", threshold=0.4, n_lists=8, n_probe=2,
+        assignment="gemm",
+    )
+
+
 def _pq_oracle_sql(m: int = 4, k_codes: int = 16, dim: int = 64) -> str:
     sub = dim // m
 
@@ -2802,6 +2817,20 @@ def kmeans_topics_q(spark, sf):
 
     emb = load(spark, sf, "embeddings")
     return kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=8, iters=2)
+
+
+@query("cluster_kmeans_topics_gemm", _kmeans_oracle_sql())
+def kmeans_topics_gemm_q(spark, sf):
+    """r5 (VERDICT r4 tasks #2+#6): k-means with ``assignment="gemm"`` —
+    the Arrow-batched numpy argmin that survives k in the hundreds
+    (measured at 20k vectors: k=256 literal 41.9 s vs 0.94 s GEMM, clustering.py) — graded
+    against the SAME oracle as the literal mode, so the scale path is
+    hash-gated, not just pair-identity unit-tested."""
+    from .operators.clustering import kmeans_assign
+
+    emb = load(spark, sf, "embeddings")
+    return kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=8, iters=2,
+                         assignment="gemm")
 
 
 @query(
