@@ -287,6 +287,8 @@ def merge(table, source: DataFrame, on: list[str], *,
           when_matched_update: dict[str, Any] | str | None = "*",
           when_not_matched_insert: bool = True,
           when_matched_delete: "bool | Column" = False,
+          when_not_matched_by_source_delete: "bool | Column" = False,
+          when_not_matched_by_source_update: dict[str, Any] | None = None,
           summary_extra: dict[str, str] | None = None):
     """MERGE INTO over the table, null-safe on composite keys.
 
@@ -297,12 +299,27 @@ def merge(table, source: DataFrame, on: list[str], *,
     rows still receive ``when_matched_update`` — the full three-clause MERGE
     surface in one commit.
 
+    The fourth clause family (``WHEN NOT MATCHED BY SOURCE`` — the CDC
+    full-sync shape: reconcile target rows whose keys are absent from the
+    source): ``when_not_matched_by_source_delete`` is ``True`` or a boolean
+    ``Column`` over the target alias ``t`` (only ``t`` exists for these
+    rows); rows it does not consume receive
+    ``when_not_matched_by_source_update`` assignments (clauses evaluate in
+    that order, like SQL MERGE's first-match-wins).
+
     Plan (shuffle-bounded at 100 TB):
     1. metadata prune: candidate files = live files whose key-column stats
        intersect the source's key min/max (computed by one tiny Spark agg);
     2. one join job over candidates ⨝ source (AQE decides broadcast vs SMJ);
     3. rewritten candidates + untouched files + appended new-key rows commit
        as one snapshot.
+
+    COST NOTE: a NOT MATCHED BY SOURCE clause disables the key-range prune —
+    every live data file is a candidate, because any file might hold a key
+    the source lacks (stats intersection proves presence, never absence).
+    That full-table rewrite potential is inherent to the full-sync shape,
+    not an implementation artifact; run it at reconciliation cadence, not
+    per-batch.
     """
     from pyspark.sql import Column
 
@@ -316,6 +333,19 @@ def merge(table, source: DataFrame, on: list[str], *,
             "choose either matched-update or matched-delete (an unconditional "
             "delete consumes every matched row; pass a Column condition to "
             "combine delete + update)")
+    nmbs_delete = when_not_matched_by_source_delete
+    nmbs_update = when_not_matched_by_source_update
+    if nmbs_delete is True and nmbs_update:
+        raise ValidationError(
+            "choose either not-matched-by-source delete or update (an "
+            "unconditional delete consumes every such row; pass a Column "
+            "condition to combine them)")
+    if nmbs_update:
+        for c in nmbs_update:
+            if schema.find_field(c) is None:
+                raise ValidationError(
+                    f"unknown column {c!r} in when_not_matched_by_source_update")
+    has_nmbs = isinstance(nmbs_delete, Column) or nmbs_delete is True or bool(nmbs_update)
 
     # align source columns to table schema (names must exist)
     src_cols = [f.name for f in schema.fields if f.name in source.columns]
@@ -331,25 +361,32 @@ def merge(table, source: DataFrame, on: list[str], *,
 
     # 1. prune candidates by source key ranges (one small agg job);
     # NULL-safe: if the source contains NULL keys, files holding NULL-key
-    # rows must stay candidates (eqNullSafe matches NULL = NULL)
-    key_bounds = source.agg(
-        *[F.min(k).alias(f"_min_{k}") for k in on],
-        *[F.max(k).alias(f"_max_{k}") for k in on],
-        *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
-    ).collect()[0]
-    from ..expr import ALWAYS_TRUE as _TRUE
-    from ..expr import and_, col as ecol, is_null as eis_null, or_
+    # rows must stay candidates (eqNullSafe matches NULL = NULL).
+    # A NOT MATCHED BY SOURCE clause must see EVERY target row (stats can
+    # prove a file holds source keys, never that it holds only them), so
+    # the prune is disabled and all live data files become candidates.
+    if has_nmbs:
+        candidates = [e for e in table.live_entries() if e.content == CONTENT_DATA]
+        untouched = []
+    else:
+        key_bounds = source.agg(
+            *[F.min(k).alias(f"_min_{k}") for k in on],
+            *[F.max(k).alias(f"_max_{k}") for k in on],
+            *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
+        ).collect()[0]
+        from ..expr import ALWAYS_TRUE as _TRUE
+        from ..expr import and_, col as ecol, is_null as eis_null, or_
 
-    prune_expr = _TRUE
-    for k in on:
-        lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
-        has_nulls = (key_bounds[f"_nulls_{k}"] or 0) > 0
-        if lo is not None and hi is not None:
-            rng = ecol(k).between(lo, hi)
-            prune_expr = and_(prune_expr, or_(rng, eis_null(k)) if has_nulls else rng)
-        elif has_nulls:
-            prune_expr = and_(prune_expr, eis_null(k))
-    candidates, untouched = _split_candidates(table, prune_expr)
+        prune_expr = _TRUE
+        for k in on:
+            lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
+            has_nulls = (key_bounds[f"_nulls_{k}"] or 0) > 0
+            if lo is not None and hi is not None:
+                rng = ecol(k).between(lo, hi)
+                prune_expr = and_(prune_expr, or_(rng, eis_null(k)) if has_nulls else rng)
+            elif has_nulls:
+                prune_expr = and_(prune_expr, eis_null(k))
+        candidates, untouched = _split_candidates(table, prune_expr)
     seq = table._next_sequence()
 
     target = _read_candidates(table, candidates) if candidates else table.spark.createDataFrame([], table.spark_schema())
@@ -375,6 +412,14 @@ def merge(table, source: DataFrame, on: list[str], *,
                    .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
         else:
             val = F.when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+        if nmbs_update and f.name in nmbs_update:
+            from pyspark.sql import Column as _C
+
+            u = nmbs_update[f.name]
+            u_c = u if isinstance(u, _C) else F.lit(u)
+            val = F.when(
+                F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull(), u_c
+            ).otherwise(val)
         out_cols.append(val.cast(_tst(f.type)).alias(f.name))
 
     result = joined
@@ -385,6 +430,11 @@ def merge(table, source: DataFrame, on: list[str], *,
         result = result.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
     elif when_matched_delete:
         result = result.filter(~matched)
+    nmbs_rows = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull()
+    if isinstance(nmbs_delete, Column):
+        result = result.filter(~(nmbs_rows & F.coalesce(nmbs_delete, F.lit(False))))
+    elif nmbs_delete:
+        result = result.filter(~nmbs_rows)
     if not when_not_matched_insert:
         result = result.filter(F.col("t._t_exists").isNotNull())
     result = result.select(*out_cols)

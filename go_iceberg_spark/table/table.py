@@ -504,12 +504,16 @@ class Table:
     def merge(self, source: DataFrame, on: list[str], *,
               when_matched_update: dict[str, Any] | str | None = "*",
               when_not_matched_insert: bool = True,
-              when_matched_delete: "bool | Column" = False) -> Snapshot:
+              when_matched_delete: "bool | Column" = False,
+              when_not_matched_by_source_delete: "bool | Column" = False,
+              when_not_matched_by_source_update: dict[str, Any] | None = None) -> Snapshot:
         from .mutate import merge as _merge
 
         return _merge(self, source, on, when_matched_update=when_matched_update,
                       when_not_matched_insert=when_not_matched_insert,
-                      when_matched_delete=when_matched_delete)
+                      when_matched_delete=when_matched_delete,
+                      when_not_matched_by_source_delete=when_not_matched_by_source_delete,
+                      when_not_matched_by_source_update=when_not_matched_by_source_update)
 
     # -- properties & schema evolution ------------------------------------
     def set_properties(self, props: dict[str, str]) -> None:

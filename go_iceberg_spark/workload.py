@@ -3276,6 +3276,41 @@ def crud_merge_scan(spark, sf):
 
 
 @query(
+    "crud_merge_not_matched_by_source_scan",
+    """
+    WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 2000),
+         s AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, o_orderpriority
+               FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000)
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE 0.0 END AS o_totalprice,
+           coalesce(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NULL
+               AND t.o_orderpriority = '1-URGENT')
+    """,
+)
+def crud_merge_nmbs_scan(spark, sf):
+    """r5 (VERDICT r4 task #4): MERGE's fourth clause family — WHEN NOT
+    MATCHED BY SOURCE, the CDC full-sync shape. Target keys absent from the
+    source are reconciled in the SAME commit: urgent ones deleted
+    (conditional), the rest marked stale (o_totalprice := 0). Matched rows
+    update from source, unmatched source rows insert. NOTE the documented
+    cost: this clause disables the key-range file prune (stats prove
+    presence, never absence), so every live data file is a candidate."""
+    o = load(spark, sf, "orders")
+    tgt = o.filter(F.col("o_orderkey") < 2000).select(*_CRUD_COLS)
+    src = (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+           .select("o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"), "o_orderpriority"))
+    t = _scratch_table(spark, "mrgnmbs", tgt)
+    t.merge(src, ["o_orderkey"],
+            when_matched_update="*",
+            when_not_matched_insert=True,
+            when_not_matched_by_source_delete=(F.col("t.o_orderpriority") == "1-URGENT"),
+            when_not_matched_by_source_update={"o_totalprice": 0.0})
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "time_travel_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey < 1000

@@ -1245,3 +1245,71 @@ def test_legacy_tables_keep_int_width_bucket_hash(spark, catalog):
 
     # a stamped table (the default) widens fine — covered by
     # test_bucket_ordinals_survive_int_to_long_widening
+
+
+def test_merge_not_matched_by_source_clause_matrix(spark, catalog):
+    """r5 (VERDICT r4 task #4): WHEN NOT MATCHED BY SOURCE — delete-all,
+    conditional delete, update, and delete+update combinations, alongside
+    the matched/not-matched clauses, each in one commit."""
+    from pyspark.sql import Row
+
+    def fresh(name):
+        df = spark.createDataFrame(
+            [Row(k=i, v=float(i), tag="old") for i in range(10)])
+        t = catalog.create_table("db", name, from_spark_schema(df.schema))
+        t.append(df)
+        return t
+
+    src = spark.createDataFrame(
+        [Row(k=i, v=100.0 + i, tag="new") for i in range(5, 15)])
+
+    # delete-all NMBS: full sync — target becomes exactly the source keys
+    t = fresh("m1")
+    t.merge(src, ["k"], when_not_matched_by_source_delete=True)
+    rows = {r.k: r for r in t.to_df().collect()}
+    assert set(rows) == set(range(5, 15))
+    assert all(rows[k].v == 100.0 + k for k in rows), "matched rows not updated"
+
+    # conditional NMBS delete: only odd stale keys die; others survive as-is
+    t = fresh("m2")
+    t.merge(src, ["k"],
+            when_not_matched_by_source_delete=(F.col("t.k") % 2 == 1))
+    keys = {r.k for r in t.to_df().collect()}
+    assert keys == {0, 2, 4} | set(range(5, 15))
+
+    # NMBS update: stale rows marked, not deleted
+    t = fresh("m3")
+    t.merge(src, ["k"], when_not_matched_by_source_update={"tag": "stale"})
+    rows = {r.k: r for r in t.to_df().collect()}
+    assert set(rows) == set(range(15))
+    assert all(rows[k].tag == "stale" for k in range(5))
+    assert all(rows[k].tag == "new" for k in range(5, 15))
+
+    # conditional delete + update on the survivors (first-match-wins order)
+    t = fresh("m4")
+    t.merge(src, ["k"],
+            when_not_matched_by_source_delete=(F.col("t.k") < 2),
+            when_not_matched_by_source_update={"tag": "stale"})
+    rows = {r.k: r for r in t.to_df().collect()}
+    assert set(rows) == {2, 3, 4} | set(range(5, 15))
+    assert all(rows[k].tag == "stale" for k in (2, 3, 4))
+
+    # unconditional delete + update is contradictory -> rejected
+    t = fresh("m5")
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError as _VE
+    with _pytest.raises(_VE, match="not-matched-by-source"):
+        t.merge(src, ["k"], when_not_matched_by_source_delete=True,
+                when_not_matched_by_source_update={"tag": "x"})
+
+    # NMBS composes with matched-delete and insert suppression
+    t = fresh("m6")
+    t.merge(src, ["k"],
+            when_matched_delete=(F.col("s.k") == 5),
+            when_not_matched_insert=False,
+            when_not_matched_by_source_update={"tag": "stale"})
+    rows = {r.k: r for r in t.to_df().collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 6, 7, 8, 9}  # 5 deleted, no inserts
+    assert all(rows[k].tag == "stale" for k in range(5))
+    assert all(rows[k].tag == "new" for k in (6, 7, 8, 9))
