@@ -713,7 +713,8 @@ def write_avro_manifest_tree(
         )
     if parent_mfs:
         for mf in parent_mfs:
-            ments = _read_one_manifest(location, mf["manifest_path"], io=io)
+            ments = _read_one_manifest(location, mf["manifest_path"], io=io,
+                                       inherit_seq=mf.get("sequence_number"))
             surv = [e for e in ments if e.file_path in cur_by_path]
             if not surv:
                 continue
@@ -831,11 +832,17 @@ def _partition_stat_value(pf, t, v):
 
 def read_avro_manifest_tree(location: str, list_rel_path: str, io=None) -> list[DataFileEntry]:
     """Manifest list → manifests → DataFileEntry list (the inverse of
-    ``write_avro_manifests``; reference: spec/avro.go:178-244 + :435-534)."""
+    ``write_avro_manifests``; reference: spec/avro.go:178-244 + :435-534).
+    The manifest-list sequence number is passed down for the spec's
+    INHERITANCE rule: an ADDED entry whose ``sequence_number`` is null on
+    the wire inherits the manifest's — the encoding Java Iceberg writers
+    produce for fresh entries, which the engine must read correctly even
+    though its own writer always stamps explicit numbers."""
     _, _, manifest_files = read_ocf(os.path.join(location, list_rel_path), io=io)
     entries: list[DataFileEntry] = []
     for mf in manifest_files:
-        entries.extend(_read_one_manifest(location, mf["manifest_path"], io=io))
+        entries.extend(_read_one_manifest(location, mf["manifest_path"], io=io,
+                                          inherit_seq=mf.get("sequence_number")))
     return entries
 
 
@@ -856,7 +863,8 @@ def _writer_partition_types(ocf_schema) -> dict:
         return {}
 
 
-def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEntry]:
+def _read_one_manifest(location: str, rel_path: str, io=None,
+                       inherit_seq: int | None = None) -> list[DataFileEntry]:
     ocf_schema, meta, records = read_ocf(os.path.join(location, rel_path), io=io)
     writer_types = _writer_partition_types(ocf_schema)
     schema = schema_from_json(json.loads(meta["schema"].decode()))
@@ -893,7 +901,13 @@ def _read_one_manifest(location: str, rel_path: str, io=None) -> list[DataFileEn
                 partition=_partition_from_record(spec_fields, schema, df.get("partition") or {},
                                                  writer_types=writer_types),
                 column_stats=stats,
-                sequence_number=r.get("sequence_number") or 0,
+                # spec inheritance: null seq on an ADDED entry = the
+                # manifest's sequence number (v2 writers may omit it)
+                sequence_number=(
+                    r["sequence_number"] if r.get("sequence_number") is not None
+                    else (inherit_seq if r.get("status") == STATUS_ADDED and inherit_seq is not None
+                          else 0)
+                ),
                 equality_ids=tuple(df.get("equality_ids") or ()),
             )
         )
