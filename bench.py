@@ -54,18 +54,25 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-2 at the target sf: a single-shot timing mixes steady-state
-    # execution with whatever GC/JIT/page-cache state the previous query
-    # left behind; the min of two runs is the standard steady-state
-    # estimator and is what a long-running cluster actually delivers.
+    # Best-of-N at the target sf (default 2; $SPARK_GRAFT_BENCH_RUNS
+    # overrides — the sf1 standing artifact uses 3, since single-run sf1
+    # numbers repeatedly mis-attributed ±20% VM noise as regressions): a
+    # single-shot timing mixes steady-state execution with whatever
+    # GC/JIT/page-cache state the previous query left behind; the min of N
+    # runs is the standard steady-state estimator and is what a
+    # long-running cluster actually delivers. Every run's time is emitted
+    # (run_times) so the artifact records the spread, not just the min.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    run_times: dict[str, list[float]] = {}
     for name, spec in bench_queries().items():
-        best = float("inf")
-        for _ in range(2):
+        times = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(round(time.perf_counter() - t0, 3))
+        run_times[name] = times
+        timings[name] = min(times)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -74,6 +81,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "run_times": run_times,
     }
     print(json.dumps(result))
 

@@ -97,11 +97,14 @@ def _entry_diff(table, snap: Snapshot) -> tuple[list[DataFileEntry], list[DataFi
     return added, removed
 
 
-def _read_entries(table, entries: list[DataFileEntry], with_lineage: bool = False) -> DataFrame | None:
+def _read_entries(table, entries: list[DataFileEntry], with_lineage: bool = False,
+                  deletes: list[DataFileEntry] | None = None) -> DataFrame | None:
     """Read data-file entries aligned to the current schema (by field id,
     same rules as scan-side ``_align_to_schema``). With ``with_lineage`` the
     ``_file``/``_pos`` identity columns are kept so position deletes can be
-    resolved against the result."""
+    resolved against the result. ``deletes`` applies MoR delete files (by
+    the scan's sequence rules) so callers can read the rows that were
+    LOGICALLY live, not the raw file contents."""
     md = table.metadata
     cur = md.current_schema
     groups: dict[int, list[DataFileEntry]] = {}
@@ -116,7 +119,18 @@ def _read_entries(table, entries: list[DataFileEntry], with_lineage: bool = Fals
             file_schema = md.schema_by_id(schema_id)
         except Exception:
             file_schema = cur
-        raw = table.spark.read.parquet(*[os.path.join(table.location, e.file_path) for e in es])
+        paths = [os.path.join(table.location, e.file_path) for e in es]
+        raw = table.spark.read.parquet(*paths)
+        if deletes:
+            from .scan import ScanBuilder
+
+            applicable = [d for d in deletes if any(
+                (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
+                or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
+                for e in es
+            )]
+            raw = ScanBuilder(table)._apply_deletes(table.spark, raw, applicable,
+                                                    file_schema, paths)
         if not with_lineage:
             parts.append(_align_to_schema(raw, file_schema, cur))
             continue
@@ -185,8 +199,19 @@ def changelog_scan(
     parts: list[DataFrame] = []
     for ordinal, snap in enumerate(chain):
         added, removed = _entry_diff(table, snap)
+        # removed files are read with the PARENT's MoR deletes applied:
+        # a compaction that materializes delete files also drops them in
+        # the same snapshot, and the already-suppressed rows must not
+        # resurface as phantom deletes (they were never logically live)
+        parent_deletes = []
+        if snap.parent_snapshot_id is not None:
+            parent_deletes = [
+                e for e in table.manifest_entries(table.snapshot_by_id(snap.parent_snapshot_id))
+                if e.content != CONTENT_DATA
+            ]
         ins = _read_entries(table, [e for e in added if e.content == CONTENT_DATA])
-        dels = _read_entries(table, [e for e in removed if e.content == CONTENT_DATA])
+        dels = _read_entries(table, [e for e in removed if e.content == CONTENT_DATA],
+                             deletes=parent_deletes)
         if ins is not None and dels is not None:
             # CoW rewrite: surviving rows appear on both sides — net them out
             ins_net = ins.select(*cols).exceptAll(dels.select(*cols))

@@ -97,3 +97,78 @@ def test_kmeans_clusters_separate_and_converge(spark):
     blobs = {b: {a2[b * 100 + i] for i in range(40)} for b in range(3)}
     assert all(len(c) == 1 for c in blobs.values())
     assert len({next(iter(c)) for c in blobs.values()}) == 3
+
+
+def test_branch_append_after_partition_evolution(spark, catalog):
+    """r5 probe pair (a): WAP over a spec-evolved table — branch appends lay
+    out by the NEW default spec, old-generation entries keep empty tuples,
+    main is isolated until fast_forward, and pruning works after publish."""
+    df = spark.range(0, 40).selectExpr("id", "id % 4 AS grp")
+    t = catalog.create_table("db", "bpe", from_spark_schema(df.schema))
+    t.append(df)                         # spec 0 (unpartitioned)
+    t.update_partition_spec("grp")       # spec 1 becomes default
+    t.create_branch("audit")
+    t.append_to_branch("audit", spark.range(100, 120).selectExpr("id", "id % 4 AS grp"))
+    assert t.scan().count() == 40, "branch write leaked into main"
+    assert t.scan().use_ref("audit").count() == 60
+    ents = t.manifest_entries(t.metadata.snapshot_by_id(t.metadata.refs["audit"].snapshot_id))
+    old = [e for e in ents if e.spec_id == 0]
+    new = [e for e in ents if e.spec_id == 1]
+    assert old and all(e.partition == {} for e in old)
+    assert new and all(e.partition.get("grp") is not None for e in new)
+    t.fast_forward("main", "audit")
+    assert t.scan().count() == 60
+    tasks = t.scan().filter(gi.eq("grp", 2)).plan_files()
+    assert len(tasks) < len(t.live_entries())
+    assert t.scan().filter(gi.eq("grp", 2)).count() == 15
+
+
+def test_add_files_after_int_to_long_retype(spark, catalog, tmp_path):
+    """r5 probe pair (b): zero-copy import of files whose column is still
+    INT after the table widened it to LONG — rows read back cast, stats
+    prune correctly, and a fresh handle sees the widened schema."""
+    from go_iceberg_spark.schema import LONG
+    import os as _os
+
+    df = spark.range(0, 30).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    t = catalog.create_table("db", "afr", from_spark_schema(df.schema))
+    t.append(df)
+    t.update_schema().update_column_type("k", LONG).commit()
+    ext = tmp_path / "ext_afr"
+    spark.range(100, 120).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.parquet(str(ext))
+    t.add_files([str(ext / n) for n in _os.listdir(ext) if n.endswith(".parquet")])
+    assert t.scan().count() == 50
+    got = t.scan().filter(gi.eq("k", 105)).to_df().collect()
+    assert len(got) == 1 and got[0]["k"] == 105
+    assert t.scan().filter(gi.gte("k", 100)).count() == 20
+    assert t.scan().filter(gi.lt("k", 100)).count() == 30
+    t2 = catalog.load_table("db", "afr")
+    assert t2.to_df().schema["k"].dataType.simpleString() == "bigint"
+
+
+def test_iceberg_bucket_survives_widening(spark, catalog):
+    """r5 probe pair (d): write.bucket-function=iceberg hashes int sources
+    at long width BY SPEC, so bucket ordinals survive int->long widening
+    with no migration — pre-widen rows stay findable and pruned-to."""
+    from go_iceberg_spark.schema import LONG
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.write import bucket_for_literal
+
+    df = spark.range(0, 60).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "ibw", schema, spec=spec,
+                             properties={"write.bucket-function": "iceberg"})
+    t.append(df)
+    assert t.scan().filter(gi.eq("k", 34)).count() == 1
+    t.update_schema().update_column_type("k", LONG).commit()
+    assert t.scan().filter(gi.eq("k", 34)).count() == 1, "pre-widen row lost"
+    t.append(spark.range(1000, 1010).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    assert t.scan().filter(gi.eq("k", 1005)).count() == 1
+    assert t.scan().filter(gi.eq("k", 34)).count() == 1
+    tasks = t.scan().filter(gi.eq("k", 34)).plan_files()
+    assert len(tasks) < len(t.live_entries()), "iceberg bucket pruning inactive"
+    want = bucket_for_literal(34, 8, t.schema.find_field("k").type, bucket_fn="iceberg")
+    assert all(f.file.partition["kb"] == str(want) for f in tasks)
