@@ -4844,66 +4844,67 @@ def bench_queries() -> dict[str, QuerySpec]:
 # locally by scripts/parity.py, just not driver-graded.
 # ---------------------------------------------------------------------------
 
-# r4 rotation (VERDICT r3 task #5): 26 rows never driver-graded in r1-r3
-# (plus this round's new distributed_plan_scan) swapped in, displacing rows
-# that were driver-green in BOTH r2 and r3; rows whose code changed this
-# round (dedup_minhash_lsh, dedup_simhash, sketch_kmv_*, crud_avro_manifest_
-# scan, streaming_session_window) are kept/included so the changes re-prove
-# under the gate.
+# r5 rotation (VERDICT r4 task #1): the 34 rows never driver-graded in
+# r1-r4 take the window (all hash-matched locally via scripts/parity.py),
+# plus this round's 3 NEW queries (the two GEMM twins and the MERGE
+# not-matched-by-source clause) and the rows whose code paths changed this
+# round (incremental.py changelog fix, clustering/similarity GEMM, bucket
+# hash-width resolution, manifest_avro typed tuples, merge) so the changes
+# re-prove under the hard gate. Displaced: rows driver-green in ≥2 rounds.
 _GRADED_FIRST = [
-    # --- changed this round / never re-proven ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sketch_kmv_distinct",
-    "sketch_kmv_set_ops",
-    "distributed_plan_scan",
-    "crud_avro_manifest_scan",
-    "streaming_session_window",
-    # --- kept r3 flagships not yet green twice ---
-    "crud_merge_scan",
-    "maintenance_expire_scan",
-    "bucket_partition_pruning_scan",
-    "text_bigram_lm_score",
-    "text_bm25_scores",
-    "pipeline_curation_end_to_end",
-    "maintenance_zorder_scan",
-    "incremental_agg_refresh",
-    "streaming_static_enrichment",
-    "decontaminate_fuzzy_minhash",
-    "similarity_ivfpq_topk",
-    "cluster_kmeans_topics",
-    "crud_schema_evolution_scan",
-    "iceberg_bucket_pruning_scan",
-    "dedup_embedding_ivf",
+    # --- new this round ---
+    "crud_merge_not_matched_by_source_scan",
+    "dedup_embedding_ivf_gemm",
+    "cluster_kmeans_topics_gemm",
+    # --- code changed this round: re-prove ---
     "changelog_cdc_scan",
-    "dedup_connected_components",
-    "dedup_exact",
-    # --- never driver-graded before r4 ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "similarity_recall_report",
-    "bloom_point_lookup_scan",
-    "sorted_write_pruned_scan",
+    "incremental_agg_refresh",
+    "cluster_kmeans_topics",
+    "dedup_embedding_ivf",
+    "iceberg_bucket_pruning_scan",
+    "bucket_partition_pruning_scan",
+    "crud_avro_manifest_scan",
+    "crud_merge_scan",
+    "crud_upsert_scan",
     "crud_add_files_scan",
-    "time_travel_rollback_scan",
-    "streaming_snapshot_source",
-    "maintenance_orphan_scan",
-    "sample_temperature_mix",
-    "sample_split_train_eval",
-    "dedup_pagerank_canonical",
-    "decontaminate_against_eval",
-    "text_quality_filter",
-    "text_tfidf_top_terms",
-    "hopping_window_counts",
-    "streaming_stateful_running_max",
-    "join_fuzzy_entity_match",
-    "sample_stratified_mix",
-    "embedding_centroid_per_bucket",
+    "sorted_write_pruned_scan",
+    "bloom_point_lookup_scan",
+    "distributed_plan_scan",
+    # --- never driver-graded before r5 (the 34-row backlog) ---
+    "window_nulls_ordering",
+    "asof_join_with_tolerance",
+    "streaming_interval_join",
+    "streaming_upsert_table_sink_scan",
+    "sequence_similarity_users",
+    "dedup_repeated_spans",
+    "text_chunk_windows",
+    "text_robust_scale_by_source",
+    "timeseries_resample_locf",
+    "timeseries_rolling_anomaly",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "scalar_json_functions",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "embedding_int8_quantize",
+    "sample_weighted_topk",
+    "pack_token_budget_bins",
+    "multimodal_feature_ann_topk",
+    "scalar_array_functions",
+    "text_html_boilerplate_strip",
+    "source_avro_roundtrip",
+    "rollup_time_bucket",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_part_values",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_predicates",
+    "q20_dominant_suppliers",
+    "q22_idle_rich_customers",
 ]
 
 
