@@ -240,10 +240,20 @@ def changelog_scan(
                         how="inner").select(*cols)
                     del_net = hit if del_net is None else del_net.unionByName(hit)
             for e in eq_files:
-                key_cols = [
-                    f.name for fid in e.equality_ids
-                    if (f := md.current_schema.find_field_by_id(fid)) is not None
-                ]
+                # key fields are FIELD IDS: the join-side names come from the
+                # current schema, but the delete parquet physically holds the
+                # names of ITS writer schema — resolve each side separately
+                # so a rename between the delete and this changes() call
+                # cannot desynchronize them (same rule as the scan path)
+                dsch = md.schema_by_id(e.schema_id) if any(
+                    s.schema_id == e.schema_id for s in md.schemas) else md.current_schema
+                key_cols, phys_cols = [], []
+                for fid in e.equality_ids:
+                    f = md.current_schema.find_field_by_id(fid)
+                    g = dsch.find_field_by_id(fid)
+                    if f is not None:
+                        key_cols.append(f.name)
+                        phys_cols.append(g.name if g is not None else f.name)
                 if not key_cols:
                     continue
                 older = [d for d in live_data if d.sequence_number < e.sequence_number]
@@ -251,7 +261,8 @@ def changelog_scan(
                 if target is None:
                     continue
                 keys = spark.read.parquet(
-                    os.path.join(table.location, e.file_path)).select(*key_cols)
+                    os.path.join(table.location, e.file_path)).select(
+                    *[F.col(p).alias(k) for p, k in zip(phys_cols, key_cols)])
                 hit = target.join(F.broadcast(keys), on=key_cols, how="left_semi").select(*cols)
                 del_net = hit if del_net is None else del_net.unionByName(hit)
 

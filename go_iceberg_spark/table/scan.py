@@ -162,23 +162,31 @@ class ScanBuilder:
         self._selected: list[str] | None = None
         self._limit: int | None = None
         self._case_sensitive = True
+        # Iceberg read-schema rule: time travel (snapshot id / as-of) and
+        # TAG reads use the snapshot's schema; current reads and BRANCH
+        # reads use the table's current schema
+        self._schema_from_snapshot = False
 
     # -- builder ----------------------------------------------------------
     def use_snapshot(self, snapshot_id: int) -> "ScanBuilder":
         self._snapshot_id = snapshot_id
+        self._schema_from_snapshot = True
         return self
 
     def use_ref(self, name: str) -> "ScanBuilder":
         """Read a branch or tag head (write-audit-publish: audit the staged
-        branch before fast-forwarding main)."""
+        branch before fast-forwarding main). Branch reads keep the table's
+        current schema, tag reads pin the snapshot's (Iceberg rule)."""
         ref = self._table.metadata.refs.get(name)
         if ref is None:
             raise NoSuchSnapshotError(f"ref {name!r} does not exist")
         self._snapshot_id = ref.snapshot_id
+        self._schema_from_snapshot = ref.type == "tag"
         return self
 
     def as_of(self, ts: dt.datetime | int) -> "ScanBuilder":
         self._as_of = ts
+        self._schema_from_snapshot = True
         return self
 
     def filter(self, expr: Expression) -> "ScanBuilder":
@@ -200,6 +208,17 @@ class ScanBuilder:
         return self
 
     # -- planning ---------------------------------------------------------
+    def _projection_schema(self, snap: "Snapshot | None") -> Schema:
+        """The schema this scan reads with: the targeted snapshot's schema
+        for time-travel / tag reads, else the current schema (Iceberg
+        time-travel semantics — a snapshot is read as it was written, so a
+        later rename/add/drop does not leak into historical reads)."""
+        md = self._table.metadata
+        if (self._schema_from_snapshot and snap is not None
+                and _has_schema(md, snap.schema_id)):
+            return md.schema_by_id(snap.schema_id)
+        return md.current_schema
+
     def _resolve_snapshot(self) -> Snapshot | None:
         """as-of > snapshot-id > current; None for empty table
         (reference: table/scan.go:80-98)."""
@@ -226,16 +245,17 @@ class ScanBuilder:
         if snap is None:
             return []
         md = self._table.metadata
+        proj = self._projection_schema(snap)
         flt = simplify(self._filter)
-        enc = _encode_filter(flt, md.current_schema)
+        enc = _encode_filter(flt, proj)
 
         from .planning import summary_might_match
 
         bounds = snap.summary.get("bounds")
-        if bounds is not None and not summary_might_match(bounds, enc, md.current_schema):
+        if bounds is not None and not summary_might_match(bounds, enc, proj):
             return []
 
-        entries = self._pruned_entries(snap, enc, md)
+        entries = self._pruned_entries(snap, enc, md, proj)
         data_files = [e for e in entries if e.content == CONTENT_DATA
                       if _bucket_partition_might_match(flt, e, md)]
         pos_deletes = [e for e in entries if e.content == CONTENT_POSITION_DELETES]
@@ -261,8 +281,12 @@ class ScanBuilder:
     # every entry in driver memory
     _CACHE_ENTRY_LIMIT = 10_000
 
-    def _pruned_entries(self, snap, enc: Expression, md: TableMetadata) -> list[DataFileEntry]:
-        """Data entries surviving stats pruning, plus ALL delete entries."""
+    def _pruned_entries(self, snap, enc: Expression, md: TableMetadata,
+                        proj: Schema | None = None) -> list[DataFileEntry]:
+        """Data entries surviving stats pruning, plus ALL delete entries.
+        ``proj`` is the scan's projection schema (time travel reads prune
+        against the snapshot's schema, not the current one)."""
+        proj = proj or md.current_schema
         import pyarrow.parquet as pq
 
         from .metadata import MANIFEST_LIST_SUFFIX, read_manifest_list
@@ -289,18 +313,18 @@ class ScanBuilder:
                 from .write import resolve_bucket_fn
 
                 return plan_distributed(
-                    table.spark, mpaths, enc, md.current_schema,
+                    table.spark, mpaths, enc, proj,
                     specs=md.partition_specs,
                     bucket_fn=resolve_bucket_fn(md.properties))
             if n > self._CACHE_ENTRY_LIMIT:
                 out: list[DataFileEntry] = []
                 for p in mpaths:
-                    out.extend(prune_manifest_driver(p, enc, md.current_schema))
+                    out.extend(prune_manifest_driver(p, enc, proj))
                 return out
         entries = table.manifest_entries(snap)
         return [
             e for e in entries
-            if e.content != CONTENT_DATA or might_match(enc, _stats_for_pruning(e, md.current_schema))
+            if e.content != CONTENT_DATA or might_match(enc, _stats_for_pruning(e, proj))
         ]
 
     # -- execution --------------------------------------------------------
@@ -310,13 +334,13 @@ class ScanBuilder:
         spark = self._table.spark
         md = self._table.metadata
         tasks = self.plan_files()
-        cur_schema = md.current_schema
+        cur_schema = self._projection_schema(self._resolve_snapshot())
         spark_schema = to_spark_type(cur_schema.struct)
 
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
         else:
-            df = self._read_aligned(spark, md, tasks)
+            df = self._read_aligned(spark, md, tasks, cur_schema)
 
         if self._filter is not ALWAYS_TRUE:
             df = df.filter(to_column(self._filter))
@@ -331,10 +355,11 @@ class ScanBuilder:
             df = df.limit(self._limit)
         return df
 
-    def _read_aligned(self, spark: SparkSession, md: TableMetadata, tasks: list[FileScanTask]) -> DataFrame:
-        """Read planned files grouped by writer schema, align to the current
-        schema by field id, apply MoR deletes, union."""
-        cur = md.current_schema
+    def _read_aligned(self, spark: SparkSession, md: TableMetadata,
+                      tasks: list[FileScanTask], target: Schema | None = None) -> DataFrame:
+        """Read planned files grouped by writer schema, align to the scan's
+        projection schema by field id, apply MoR deletes, union."""
+        cur = target or md.current_schema
 
         # group data files by (schema_id, applicable delete-file set);
         # IMPORTED files (absolute paths, hive-migration layout) also group
@@ -427,21 +452,55 @@ class ScanBuilder:
             )
         # equality deletes: drop rows whose key tuple appears in a delete file
         # (null-safe), only for data written before the delete (sequence
-        # filtering already done at planning time). Files sharing a key set
-        # are unioned into ONE anti-join — n delete files with the same
-        # equality_ids cost one join, not n.
-        by_key: dict[tuple[str, ...], list[DataFileEntry]] = {}
+        # filtering already done at planning time). Keys are FIELD IDS, so
+        # the physical column name inside each delete parquet is resolved
+        # against the delete file's OWN writer schema and the data side
+        # against ITS writer schema — a rename between the two (or between
+        # either and the current schema) must not desynchronize the join.
+        # Files sharing a key-id set still collapse into ONE anti-join
+        # (reads grouped per writer-schema generation, unioned after
+        # aliasing) — n delete files with the same equality_ids cost one
+        # join, not n. A key column absent from the data file's schema reads
+        # as NULL for every row (Iceberg missing-column semantics), matched
+        # null-safely.
+        md = self._table.metadata
+        by_ids: dict[tuple[int, ...], list[DataFileEntry]] = {}
         for d in eq:
-            key_cols = tuple(
-                f.name for fid in d.equality_ids
-                if (f := file_schema.find_field_by_id(fid)) is not None
-            )
-            if key_cols:
-                by_key.setdefault(key_cols, []).append(d)
-        for key_cols, ds in by_key.items():
-            del_df = spark.read.parquet(
-                *[os.path.join(loc, d.file_path) for d in ds]).select(*key_cols)
-            cond = [df[c].eqNullSafe(del_df[c]) for c in key_cols]
+            if d.equality_ids:
+                by_ids.setdefault(tuple(d.equality_ids), []).append(d)
+        for fid_key, ds in by_ids.items():
+            canon = []  # join-column names as the DATA side knows them
+            for fid in fid_key:
+                f = file_schema.find_field_by_id(fid)
+                if f is None:  # dropped/added around this file: any schema
+                    f = next((s.find_field_by_id(fid) for s in md.schemas
+                              if s.find_field_by_id(fid) is not None), None)
+                if f is None:
+                    raise ValueError(
+                        f"equality-delete field id {fid} unknown to every "
+                        f"table schema (files: {[x.file_path for x in ds]})")
+                canon.append(f.name)
+            parts: list[DataFrame] = []
+            by_sid: dict[int, list[DataFileEntry]] = {}
+            for d in ds:
+                by_sid.setdefault(d.schema_id, []).append(d)
+            for sid, dss in by_sid.items():
+                dsch = md.schema_by_id(sid) if _has_schema(md, sid) else file_schema
+                phys = [
+                    (g.name if (g := dsch.find_field_by_id(fid)) is not None else c)
+                    for fid, c in zip(fid_key, canon)
+                ]
+                p = spark.read.parquet(
+                    *[os.path.join(loc, d.file_path) for d in dss]).select(
+                    *[F.col(n).alias(c) for n, c in zip(phys, canon)])
+                parts.append(p)
+            del_df = parts[0]
+            for p in parts[1:]:
+                del_df = del_df.unionByName(p)
+            cond = [
+                (df[c] if c in df.columns else F.lit(None)).eqNullSafe(del_df[c])
+                for c in canon
+            ]
             df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
         return df
 

@@ -172,3 +172,135 @@ def test_iceberg_bucket_survives_widening(spark, catalog):
     assert len(tasks) < len(t.live_entries()), "iceberg bucket pruning inactive"
     want = bucket_for_literal(34, 8, t.schema.find_field("k").type, bucket_fn="iceberg")
     assert all(f.file.partition["kb"] == str(want) for f in tasks)
+
+def test_merge_nmbs_over_mor_deletes(spark, catalog):
+    """r5 probe pair: NOT MATCHED BY SOURCE over a table carrying MoR
+    position AND equality deletes — deleted rows must not resurrect through
+    the full-candidate rewrite, and the rewrite must compact the delete
+    files away (no stale delete entries pointing at removed data files)."""
+    from go_iceberg_spark.table.metadata import CONTENT_DATA
+    from go_iceberg_spark.table.mutate import merge
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.range(0, 100).selectExpr("id", "cast(id * 10 as long) AS v")
+    t = catalog.create_table("db", "nmbs_mor", from_spark_schema(df.schema))
+    t.append(df)
+    t.delete(gi.lt("id", 10), mode="merge-on-read")          # pos-delete 0..9
+    delete_equality(t, spark.range(90, 95).selectExpr("id"), ["id"])  # 90..94
+    assert t.to_df().count() == 85
+
+    src = spark.range(20, 50).selectExpr("id", "cast(id * 100 as long) AS v")
+    merge(t, src, on=["id"], when_matched_update="*",
+          when_not_matched_insert=True, when_not_matched_by_source_delete=True)
+    rows = {r.id: r.v for r in t.to_df().collect()}
+    assert set(rows) == set(range(20, 50))
+    assert rows[20] == 2000 and rows[49] == 4900
+    assert not [e for e in t.live_entries() if e.content != CONTENT_DATA], \
+        "stale delete files survived the NMBS full rewrite"
+
+
+def test_merge_nmbs_preserves_partition_tuples(spark, catalog):
+    """NMBS rewrite of a partitioned table keeps partition tuples on the
+    rewritten files (pruning must still work afterwards)."""
+    from go_iceberg_spark.table.metadata import (
+        CONTENT_DATA, PartitionField, PartitionSpec)
+    from go_iceberg_spark.table.mutate import merge
+
+    df = spark.range(0, 40).selectExpr(
+        "id", "cast(id % 4 as int) AS bkt", "cast(id as long) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["bkt"], 1000, "identity", "bkt"),))
+    t = catalog.create_table("db", "nmbs_part", schema, spec=spec)
+    t.append(df)
+    src = spark.range(0, 40, 2).selectExpr(
+        "id", "cast(id % 4 as int) AS bkt", "cast(id * 5 as long) AS v")
+    merge(t, src, on=["id"], when_matched_update="*",
+          when_not_matched_insert=True, when_not_matched_by_source_delete=True)
+    assert t.to_df().count() == 20
+    live = [e for e in t.live_entries() if e.content == CONTENT_DATA]
+    assert all(e.partition.get("bkt") is not None for e in live)
+    assert len(t.scan().filter(gi.eq("bkt", 1)).plan_files()) < len(live)
+
+
+def test_equality_delete_keys_are_field_ids_not_names(spark, catalog):
+    """r5 probe bug fix: an equality delete written AFTER a key-column rename
+    holds the new physical name in its parquet; applying it to data files
+    written under the old name must resolve by field id on both sides.
+    Before the fix the mixed-name delete group null-filled the renamed key
+    and silently deleted nothing."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.range(0, 50).selectExpr("id", "cast(id as string) AS name")
+    t = catalog.create_table("db", "eqdel_rename", from_spark_schema(df.schema))
+    t.append(df)
+    delete_equality(t, spark.range(0, 5).selectExpr("id"), ["id"])
+    assert t.to_df().count() == 45
+    t.update_schema().rename_column("id", "ident").commit()
+    got = t.to_df()
+    assert "ident" in got.columns and got.count() == 45
+    assert got.agg(F.min("ident")).collect()[0][0] == 5
+    # a NEW delete keyed on the renamed column applies to the OLD files
+    delete_equality(t, spark.createDataFrame([Row(ident=7)]), ["ident"])
+    assert t.to_df().count() == 44
+    assert t.to_df().filter("ident = 7").count() == 0
+
+
+def test_cdc_across_rollback_is_net_empty(spark, catalog):
+    """changes() spanning a rollback_to must report zero net change (the
+    rolled-back append and its reversal cancel), not replay phantom rows."""
+    df = spark.range(0, 10).selectExpr("id")
+    t = catalog.create_table("db", "rb_cdc", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.range(10, 20).selectExpr("id"))
+    t.rollback_to(s1)
+    assert t.to_df().count() == 10
+    assert t.changes(from_snapshot_id=s1).count() == 0
+
+
+def test_expire_keeps_branch_referenced_snapshot(spark, catalog):
+    """expire_snapshots must retain snapshots any ref (branch/tag) points
+    at, and the branch must stay readable afterwards."""
+    df = spark.range(0, 10).selectExpr("id")
+    t = catalog.create_table("db", "exp_branch", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("keepme")
+    t.append(spark.range(10, 20).selectExpr("id"))
+    t.append(spark.range(20, 30).selectExpr("id"))
+    t.expire_snapshots(retain_last=1)
+    assert "keepme" in t.metadata.refs
+    assert t.scan().use_ref("keepme").count() == 10
+
+
+def test_time_travel_pins_snapshot_schema(spark, catalog):
+    """r5 probe bug fix: use_snapshot/as_of (and tag reads) present the
+    SNAPSHOT's schema — columns added later don't leak in, columns dropped
+    later still appear; branch/current reads use the current schema
+    (Iceberg read-schema rule)."""
+    from go_iceberg_spark.schema import STRING
+
+    df = spark.range(0, 10).selectExpr("id", "cast(id as double) AS v")
+    t = catalog.create_table("db", "tt_schema", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.create_tag("v1", s1)
+    t.create_branch("dev")
+    t.update_schema().add_column("note", STRING).commit()
+    t.append(spark.range(10, 15).selectExpr(
+        "id", "cast(id as double) AS v", "concat('n', id) AS note"))
+
+    old = t.scan().use_snapshot(s1).to_df()
+    assert old.count() == 10 and "note" not in old.columns
+    # tag pins the snapshot schema; branch follows the current schema
+    assert "note" not in t.scan().use_ref("v1").to_df().columns
+    assert "note" in t.scan().use_ref("dev").to_df().columns
+    cur = t.to_df()
+    assert cur.count() == 15 and cur.filter("note IS NULL").count() == 10
+
+    t.update_schema().drop_column("v").commit()
+    old2 = t.scan().use_snapshot(s1).to_df()
+    assert "v" in old2.columns, "dropped column must survive in time travel"
+    assert t.to_df().columns == ["id", "note"]

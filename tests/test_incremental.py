@@ -134,3 +134,24 @@ def test_changelog_compaction_does_not_resurface_mor_deleted_rows(spark, catalog
                t.changes().groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
     assert by_type.get("insert", 0) - by_type.get("delete", 0) == 27
     assert by_type.get("delete", 0) == 3  # exactly the equality-deleted keys
+
+
+def test_changelog_eq_delete_across_rename(spark, catalog):
+    """r5 probe bug fix: changes() resolving an equality delete written
+    BEFORE a key-column rename must map the delete parquet's physical
+    (old-name) column to the current name by field id — before the fix the
+    select of the current name crashed on the old file."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.range(0, 20).selectExpr("id", "cast(id as string) AS name")
+    t = catalog.create_table("db", "clrn", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    delete_equality(t, spark.range(0, 3).selectExpr("id"), ["id"])
+    t.update_schema().rename_column("id", "ident").commit()
+    dels = {r.ident for r in t.changes(from_snapshot_id=s1)
+            .filter("_change_type = 'delete'").collect()}
+    assert dels == {0, 1, 2}
