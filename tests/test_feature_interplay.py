@@ -304,3 +304,104 @@ def test_time_travel_pins_snapshot_schema(spark, catalog):
     old2 = t.scan().use_snapshot(s1).to_df()
     assert "v" in old2.columns, "dropped column must survive in time travel"
     assert t.to_df().columns == ["id", "note"]
+
+
+def test_merge_after_schema_evolution(spark, catalog):
+    """r5 probe pins: merge with a source LACKING a newly added column
+    null-fills inserts and leaves target values of unlisted columns alone;
+    merge keyed on a RENAMED column reaches rows in pre-rename files."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.schema import STRING
+    from go_iceberg_spark.table.mutate import merge
+
+    df = spark.range(0, 20).selectExpr("id", "cast(id as long) AS v")
+    t = catalog.create_table("db", "m_evo", from_spark_schema(df.schema))
+    t.append(df)
+    t.update_schema().add_column("note", STRING).commit()
+    src = spark.range(15, 25).selectExpr("id", "cast(id * 2 as long) AS v")
+    merge(t, src, on=["id"], when_matched_update={"v": F.col("s.v")},
+          when_not_matched_insert=True)
+    rows = {r.id: (r.v, r.note) for r in t.to_df().collect()}
+    assert len(rows) == 25
+    assert rows[16] == (32, None) and rows[22] == (44, None)
+
+    t.update_schema().rename_column("id", "ident").commit()
+    src2 = spark.range(24, 28).selectExpr("id AS ident", "cast(id * 3 as long) AS v")
+    merge(t, src2, on=["ident"], when_matched_update={"v": F.col("s.v")},
+          when_not_matched_insert=True)
+    rows2 = {r.ident: r.v for r in t.to_df().collect()}
+    assert len(rows2) == 28 and rows2[24] == 72 and rows2[27] == 81
+
+
+def test_sort_order_survives_partition_evolution(spark, catalog):
+    """replace_sort_order keeps producing range-pruned files after an
+    update_partition_spec; both pruning dimensions stay active."""
+    df = spark.range(0, 4000).selectExpr("id", "cast(id % 4 as int) AS grp")
+    t = catalog.create_table("db", "sort_evo", from_spark_schema(df.schema),
+                             properties={"write.target-file-size-bytes": "8192",
+                                         "write.distribution-mode": "range"})
+    t.replace_sort_order("id")
+    t.append(df)
+    assert len(t.scan().filter(gi.lt("id", 100)).plan_files()) < len(t.scan().plan_files())
+    t.update_partition_spec("grp")
+    t.append(spark.range(4000, 8000).selectExpr("id", "cast(id % 4 as int) AS grp"))
+    n = len(t.scan().plan_files())
+    assert len(t.scan().filter(gi.gt("id", 7900)).plan_files()) < n
+    assert len(t.scan().filter(gi.eq("grp", 2)).plan_files()) < n
+    assert t.scan().filter(gi.eq("grp", 2)).count() == 2000
+
+
+def test_snapshot_stream_skips_rolled_back_snapshot(spark, catalog, tmp_path):
+    """The streaming snapshot source must not replay rows of a snapshot
+    that rollback_to removed from the main lineage."""
+    from go_iceberg_spark.streaming.source import read_snapshot_stream
+
+    df = spark.range(0, 10).selectExpr("id")
+    t = catalog.create_table("db", "stream_rb", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.range(10, 20).selectExpr("id"))
+    t.rollback_to(s1)
+    t.append(spark.range(100, 105).selectExpr("id"))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (read_snapshot_stream(spark, t)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.id for r in spark.read.parquet(sink).collect()}
+    assert got == set(range(0, 10)) | set(range(100, 105))
+
+
+def test_time_travel_after_compaction(spark, catalog):
+    """rewrite_data_files must leave snapshots before it fully readable
+    (old files stay on disk until expire_snapshots)."""
+    df = spark.range(0, 1000).selectExpr("id")
+    t = catalog.create_table("db", "compact_tt", from_spark_schema(df.schema),
+                             properties={"write.target-file-size-bytes": "4096"})
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.delete(gi.lt("id", 100))
+    t.rewrite_data_files()
+    assert t.to_df().count() == 900
+    assert t.scan().use_snapshot(s1).to_df().count() == 1000
+
+
+def test_metadata_only_delete_with_pending_eq_delete(spark, catalog):
+    """A whole-partition metadata-only drop composed with a pending equality
+    delete targeting rows inside the dropped partition keeps counts exact."""
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 2 as int) AS par")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["par"], 1000, "identity", "par"),))
+    t = catalog.create_table("db", "md_eq", schema, spec=spec)
+    t.append(df)
+    delete_equality(t, spark.createDataFrame([Row(id=3)]), ["id"])
+    assert t.to_df().count() == 99
+    t.delete(gi.eq("par", 1))
+    assert t.to_df().count() == 50
+    t.delete(gi.eq("par", 0))
+    assert t.to_df().count() == 0
