@@ -3601,6 +3601,59 @@ def crud_schema_evolution_scan(spark, sf):
 
 
 @query(
+    "crud_eq_delete_rename_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority AS priority FROM orders
+    WHERE o_orderkey < 3000
+      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def crud_eq_delete_rename_scan(spark, sf):
+    """Equality deletes across a column RENAME (r5 probe bug fix): keys are
+    field ids, so a delete written before the rename (physical column
+    o_orderpriority) and one written after it (physical column priority)
+    must BOTH apply to the same pre-rename data files. Before the fix the
+    mixed-name delete group null-filled the renamed key and silently
+    deleted nothing."""
+    from .table.transaction import delete_equality
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "eqren", base)
+    delete_equality(
+        t, spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"]),
+        ["o_orderpriority"])
+    t.update_schema().rename_column("o_orderpriority", "priority").commit()
+    delete_equality(
+        t, spark.createDataFrame([("2-HIGH",)], ["priority"]), ["priority"])
+    return t.to_df().select("o_orderkey", "o_totalprice", "priority")
+
+
+@query(
+    "time_travel_schema_scan",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def time_travel_schema_scan(spark, sf):
+    """Time travel pins the SNAPSHOT's schema (r5 probe bug fix): a column
+    added after the target snapshot must not leak into the historical read
+    (Iceberg read-schema rule: use_snapshot/as_of/tag -> snapshot schema,
+    branch/current -> current schema)."""
+    from .schema import STRING
+
+    o = load(spark, sf, "orders")
+    b1 = o.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice")
+    t = _scratch_table(spark, "ttschema", b1)
+    s1 = t.current_snapshot().snapshot_id
+    t.update_schema().add_column("o_comment", STRING).commit()
+    t.append(o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+             .select("o_orderkey", "o_totalprice", F.lit("late").alias("o_comment")))
+    out = t.scan().use_snapshot(s1).to_df()
+    assert "o_comment" not in out.columns, "time travel leaked evolved schema"
+    return out
+
+
+@query(
     "metadata_count",
     "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_orderkey < 2000",
 )
@@ -4864,8 +4917,8 @@ _GRADED_FIRST = [
     "iceberg_bucket_pruning_scan",
     "bucket_partition_pruning_scan",
     "crud_avro_manifest_scan",
-    "crud_merge_scan",
-    "crud_upsert_scan",
+    "crud_eq_delete_rename_scan",
+    "time_travel_schema_scan",
     "crud_add_files_scan",
     "sorted_write_pruned_scan",
     "bloom_point_lookup_scan",
