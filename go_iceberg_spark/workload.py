@@ -2975,6 +2975,43 @@ def join_salted_q(spark, sf):
 
 
 @query(
+    "join_hot_key_isolated",
+    """
+    WITH l AS (SELECT CASE WHEN user_id % 5 = 0 THEN -1 ELSE user_id END AS skew_key, value
+               FROM events),
+         d AS (SELECT DISTINCT skew_key, CAST(abs(skew_key) % 4 AS INT) AS seg FROM l)
+    SELECT seg, count(*) AS n_events, round(sum(l.value), 2) AS total
+    FROM l JOIN d USING (skew_key)
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    bench=True,
+)
+def join_hot_key_isolated_q(spark, sf):
+    """Isolated salting — the production skew-join shape (vs the full-salt
+    demonstration in join_salted_skew, which replicates the ENTIRE dim
+    salt_buckets x): a bounded sample-count pass detects the hot keys
+    (here ~20% of events collapse onto one synthetic key), only THOSE rows
+    are salted against a replicated hot slice of the dim, and the cold
+    majority takes the plain equi-join — the replication tax scales with
+    the hot slice, not the corpus. Results identical to the plain join,
+    pinned by the oracle."""
+    e = load(spark, sf, "events")
+    l = e.withColumn(
+        "skew_key",
+        F.when(F.col("user_id") % 5 == 0, F.lit(-1)).otherwise(F.col("user_id")),
+    ).select("skew_key", "value")
+    d = (l.select("skew_key").distinct()
+         .withColumn("seg", (F.abs(F.col("skew_key")) % 4).cast("int")))
+    j = J.hot_key_isolated_join(l, d, ["skew_key"], salt_buckets=8,
+                                salt_source="value", hot_factor=2.0)
+    return (j.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("seg"))
+
+
+@query(
     "rollup_time_bucket",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -4919,7 +4956,7 @@ _GRADED_FIRST = [
     "crud_avro_manifest_scan",
     "crud_eq_delete_rename_scan",
     "time_travel_schema_scan",
-    "crud_add_files_scan",
+    "join_hot_key_isolated",
     "sorted_write_pruned_scan",
     "bloom_point_lookup_scan",
     "distributed_plan_scan",

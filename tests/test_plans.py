@@ -162,6 +162,49 @@ def test_salted_join_result_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_hot_key_isolated_join_equals_plain_join(spark):
+    """Isolated salting: identical results to the plain join under auto
+    detection, explicit hot keys, composite keys, and a left join carrying
+    NULL keys; empty-hot-set detection degrades to the plain join."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.joins import hot_key_isolated_join
+
+    rows = [Row(k=(-1 if i % 5 == 0 else i % 40), g=i % 3, v=float(i))
+            for i in range(400)] + [Row(k=None, g=0, v=-1.0)]
+    l = spark.createDataFrame(rows)
+    r = l.select("k").distinct().withColumn("seg", F.abs(F.col("k")) % 4)
+
+    plain = l.join(r, "k").groupBy("seg").count()
+    for kw in ({"hot_factor": 3.0}, {"hot_keys": [-1]}):
+        iso = hot_key_isolated_join(l, r, ["k"], salt_source="v", **kw) \
+            .groupBy("seg").count()
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, iso.collect())), kw
+
+    # composite keys + left join: NULL-key left rows survive exactly once
+    r2 = l.select("k", "g").distinct().withColumn("seg", F.abs(F.col("k")) % 4 + F.col("g"))
+    plain2 = l.join(r2, ["k", "g"], "left")
+    iso2 = hot_key_isolated_join(l, r2, ["k", "g"], how="left",
+                                 salt_source="v", hot_keys=[(-1, 0), (-1, 1)])
+    assert sorted(map(tuple, plain2.collect()), key=repr) == sorted(map(tuple, iso2.collect()), key=repr)
+
+    # uniform data -> no hot keys -> plain join shape (no explode anywhere)
+    uni = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    out = hot_key_isolated_join(uni, uni.select("k").distinct(), ["k"], salt_source="v")
+    assert "Generate" not in P.formatted_plan(out)
+    assert out.count() == 100
+
+
+def test_hot_key_isolated_join_explodes_only_hot_slice(spark):
+    """The plan must replicate ONLY the hot slice: exactly one Generate
+    (explode) node, fed by a filtered dim — the cold join side carries no
+    explode, so the replication tax scales with the hot slice."""
+    df = q("join_hot_key_isolated", spark)
+    assert P.count_op(df, "Generate") == 1
+    plan = P.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_connected_components_semantics(spark):
     """Exact labels on a constructed graph: two chains and an isolated pair.
     Chain 1-2-3-4 (diameter > 1 forces multiple propagation iterations)."""
