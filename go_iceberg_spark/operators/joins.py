@@ -175,7 +175,17 @@ def hot_key_isolated_join(
     right side spread over ``salt_buckets`` reducers; cold rows join
     normally (AQE free to broadcast or SMJ); one union of disjoint row sets.
     NULL join keys ride the cold path (inner joins drop them, left joins
-    keep them — plain-join semantics either way)."""
+    keep them — plain-join semantics either way).
+
+    ``salt_source`` must be HIGH-CARDINALITY among the hot rows — the salt
+    is ``xxhash64(salt_source) % salt_buckets``, so a constant or
+    low-cardinality column lands every hot row in one bucket and silently
+    defeats the isolation (r5 ADVICE). Auto-pick uses the first non-key
+    column; when the left side has ONLY key columns it falls back to a
+    per-row ``monotonically_increasing_id`` spread, which is always evenly
+    distributed and never changes the result (the salt column is dropped
+    before returning). An explicit ``salt_source`` not present on the left
+    side raises ValueError."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"hot_key_isolated_join supports inner/left joins, not {how!r}")
     if hot_keys is None:
@@ -205,11 +215,21 @@ def hot_key_isolated_join(
         return functools.reduce(lambda a, b: a | b, conds)
 
     l_hot_cond = F.coalesce(is_hot(left), F.lit(False))
+    if salt_source is not None and salt_source not in left.columns:
+        raise ValueError(
+            f"salt_source {salt_source!r} is not a column of the left side "
+            f"(columns: {left.columns}); pick a high-cardinality non-key column")
     if salt_source is None:
-        salt_source = next(c for c in left.columns if c not in on)
+        salt_source = next((c for c in left.columns if c not in on), None)
+    if salt_source is None:
+        # key-only left side: nothing to hash for a salt — spread hot rows
+        # round-robin by row id instead (even by construction; the salt
+        # never reaches the output, so nondeterminism across runs is fine)
+        salt_expr = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    else:
+        salt_expr = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
     l_hot = (left.filter(l_hot_cond)
-             .withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_source)),
-                                         F.lit(salt_buckets)).cast("int")))
+             .withColumn("_salt", salt_expr.cast("int")))
     l_cold = left.filter(~l_hot_cond)
     r_hot = (right.filter(F.coalesce(is_hot(right), F.lit(False)))
              .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))))

@@ -107,28 +107,36 @@ def _read_entries(table, entries: list[DataFileEntry], with_lineage: bool = Fals
     LOGICALLY live, not the raw file contents."""
     md = table.metadata
     cur = md.current_schema
-    groups: dict[int, list[DataFileEntry]] = {}
+
+    def _applicable_idx(e: DataFileEntry) -> frozenset[int]:
+        # the scan's sequence rules, PER FILE: a position delete applies at
+        # ts >= file seq, an equality delete strictly after. Grouping by the
+        # per-file set (not any() across a schema group) keeps a delete from
+        # suppressing rows of files written AFTER it (r5 ADVICE medium #2).
+        return frozenset(
+            i for i, d in enumerate(deletes or [])
+            if (d.sequence_number >= e.sequence_number
+                if d.content == CONTENT_POSITION_DELETES
+                else d.sequence_number > e.sequence_number))
+
+    groups: dict[tuple[int, frozenset[int]], list[DataFileEntry]] = {}
     for e in entries:
         if e.content == CONTENT_DATA:
-            groups.setdefault(e.schema_id, []).append(e)
+            groups.setdefault((e.schema_id, _applicable_idx(e)), []).append(e)
     if not groups:
         return None
     parts = []
-    for schema_id, es in groups.items():
+    for (schema_id, didx), es in groups.items():
         try:
             file_schema = md.schema_by_id(schema_id)
         except Exception:
             file_schema = cur
         paths = [os.path.join(table.location, e.file_path) for e in es]
         raw = table.spark.read.parquet(*paths)
-        if deletes:
+        if deletes and didx:
             from .scan import ScanBuilder
 
-            applicable = [d for d in deletes if any(
-                (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
-                or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
-                for e in es
-            )]
+            applicable = [deletes[i] for i in sorted(didx)]
             raw = ScanBuilder(table)._apply_deletes(table.spark, raw, applicable,
                                                     file_schema, paths)
         if not with_lineage:

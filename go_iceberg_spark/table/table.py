@@ -356,13 +356,30 @@ class Table:
 
     def _bucket_fn(self) -> str:
         """Resolved bucket-hash mode: "spark" (F.hash, int-as-long width),
-        "spark-int" (legacy int-width layout, tables without the
-        write.bucket-hash-width stamp) or "iceberg" (spec Appendix B —
-        ordinals recomputable by third-party readers). See
-        write.resolve_bucket_fn."""
+        "spark-int" (declared-legacy int-width layout), "spark-unstamped"
+        (no width stamp — int-bucket literal pruning disabled) or
+        "iceberg" (spec Appendix B — ordinals recomputable by third-party
+        readers). See write.resolve_bucket_fn."""
         from .write import resolve_bucket_fn
 
         return resolve_bucket_fn(self.metadata.properties)
+
+    def stamp_bucket_hash_width(self, width: str) -> None:
+        """Migration for pre-stamp tables: declare the hash width their
+        int-sourced bucket files were actually laid out with, re-enabling
+        literal bucket pruning (disabled on unstamped tables because the
+        two pre-stamp write generations — hash(int) vs hash(long) — are
+        indistinguishable from metadata). Only the OWNER of the table's
+        history can know the width; stamping the wrong one silently prunes
+        live files. ``rewrite_data_files`` on an unstamped table rewrites
+        at int width, after which ``"int"`` is provably correct."""
+        if width not in ("int", "long"):
+            raise ValidationError(
+                f"bucket hash width must be 'int' or 'long', got {width!r}")
+        if self._bucket_fn() not in ("spark-unstamped", "spark-int", "spark"):
+            raise ValidationError(
+                "bucket hash width applies only to write.bucket-function=spark tables")
+        self.set_properties({"write.bucket-hash-width": width})
 
     def _bloom_columns(self) -> tuple[str, ...]:
         """``write.bloom-columns`` property: comma-separated integer/string
@@ -848,7 +865,7 @@ class SchemaUpdate:
         # a bucket source would re-hash future literals/writes at long width
         # while the existing files keep hash(int) ordinals, silently losing
         # rows to pruning. Require a rewrite_data_files migration instead.
-        if t._bucket_fn() == "spark-int":
+        if t._bucket_fn() in ("spark-int", "spark-unstamped"):
             for pf in (f for s in t.metadata.partition_specs for f in s.fields):
                 src = t.schema.find_field_by_id(pf.source_id)
                 if (src is not None and src.name in self._retyped

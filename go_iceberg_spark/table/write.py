@@ -115,13 +115,23 @@ def resolve_bucket_fn(properties: dict) -> str:
     """Table properties → the bucket-hash mode every write/prune site must
     agree on: "iceberg" (spec Appendix B), "spark" (F.hash, int sources
     cast to long — width-invariant, stamped on tables created with
-    ``write.bucket-hash-width=long``), or "spark-int" (F.hash with int
-    sources hashed at int width — the legacy layout of tables created
-    before the stamp existed; their files hold hash(int) ordinals, so
-    hashing literals as long would silently prune live files)."""
+    ``write.bucket-hash-width=long``), "spark-int" (F.hash with int
+    sources hashed at int width — a legacy layout DECLARED by stamping
+    ``write.bucket-hash-width=int``, e.g. via
+    ``Table.stamp_bucket_hash_width``), or "spark-unstamped" (no stamp at
+    all: the table predates the stamp and its int-bucket files could hold
+    EITHER hash(int) or hash(long) ordinals — the two pre-stamp write
+    generations are indistinguishable from metadata, so literal pruning on
+    int-sourced buckets is DISABLED (scan everything, never lose rows) and
+    appends keep int-width hashing until the user stamps the real width)."""
     fn = properties.get("write.bucket-function", "spark")
-    if fn == "spark" and properties.get("write.bucket-hash-width", "int") != "long":
-        return "spark-int"
+    if fn == "spark":
+        width = properties.get("write.bucket-hash-width")
+        if width == "long":
+            return "spark"
+        if width == "int":
+            return "spark-int"
+        return "spark-unstamped"
     return fn
 
 
@@ -272,9 +282,15 @@ def bucket_for_literal(v: Any, n: int, source_type: IcebergType,
         return None
     if not isinstance(v, int) or isinstance(v, bool):
         return None
+    if source_type.name == "int" and bucket_fn == "spark-unstamped":
+        # unstamped pre-stamp table: files could hold hash(int) OR
+        # hash(long) ordinals (two write generations, indistinguishable
+        # from metadata) — guessing a width would silently prune live
+        # files, so never prune; None makes plan_files keep the file
+        return None
     if source_type.name == "int" and bucket_fn == "spark-int":
-        # legacy table (no write.bucket-hash-width=long stamp): files were
-        # laid out with hash(int) ordinals — recompute the SAME ordinal
+        # declared-legacy table (write.bucket-hash-width=int stamped by a
+        # migration): files hold hash(int) ordinals — recompute the SAME one
         return spark_murmur3_int(v) % n
     if source_type.name in ("int", "long"):
         # int hashes as long — width-invariant, see transform_column
@@ -301,10 +317,10 @@ def transform_column(transform: str, source: Column, source_type: IcebergType,
         # for the same value, and the pre-r4 int hashing silently lost rows
         # to pruning after a widen (literal hashed under the new type).
         # Tables created BEFORE the width was stamped keep int-width hashing
-        # ("spark-int", resolve_bucket_fn) so their existing layout stays
-        # prunable; widening THEIR bucket source requires a rewrite
-        # migration and is rejected by SchemaUpdate.
-        if (bucket_fn != "spark-int"
+        # ("spark-int" declared-legacy / "spark-unstamped", resolve_bucket_fn)
+        # so a true-legacy layout stays consistent; widening THEIR bucket
+        # source requires a rewrite migration and is rejected by SchemaUpdate.
+        if (bucket_fn not in ("spark-int", "spark-unstamped")
                 and isinstance(source_type, PrimitiveType) and source_type.name == "int"):
             source = source.cast("long")
         return F.pmod(F.hash(source), F.lit(int(m.group(1)))).cast("int")

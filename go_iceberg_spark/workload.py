@@ -1982,22 +1982,34 @@ def sample_temperature_q(spark, sf):
 @query(
     "embedding_int8_quantize",
     f"""
-    SELECT vec_id,
-           list_transform(embedding, x -> CASE
-             WHEN sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) > 0
-             THEN CAST(round(127.0 * CAST(x AS DOUBLE)
-                             / sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 0) AS INT)
-             ELSE 0 END) AS qvec,
-           round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS norm
-    FROM embeddings
+    WITH qt AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CASE
+               WHEN sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) > 0
+               THEN CAST(round(127.0 * CAST(x AS DOUBLE)
+                               / sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 0) AS INT)
+               ELSE 0 END) AS qvec,
+             round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 6) AS norm
+      FROM embeddings)
+    SELECT vec_id, CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS i,
+           unnest(qvec) AS q, norm
+    FROM qt
     """,
 )
 def int8_quantize_q(spark, sf):
     """Scalar int8 quantization for ANN serving: L2-normalize and map each
     component to round(127 * x/norm) — fp32 -> int8 is a 4x memory cut with
     integer dot products downstream. Pure higher-order functions, linear,
-    no shuffle."""
-    return S.quantize_int8(load(spark, sf, "embeddings"))
+    no shuffle. The operator returns (vec_id, qvec array<int>, norm); the
+    GRADED shape posexplodes qvec to scalar (vec_id, i, q, norm) rows
+    because the driver's canonicalizer sorts/hashes column values and
+    cannot order an array column (r5's only never-green row)."""
+    out = S.quantize_int8(load(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.posexplode("qvec").alias("i", "q"),
+        "norm",
+    )
 
 
 @query(
@@ -4934,67 +4946,71 @@ def bench_queries() -> dict[str, QuerySpec]:
 # locally by scripts/parity.py, just not driver-graded.
 # ---------------------------------------------------------------------------
 
-# r5 rotation (VERDICT r4 task #1): the 34 rows never driver-graded in
-# r1-r4 take the window (all hash-matched locally via scripts/parity.py),
-# plus this round's 3 NEW queries (the two GEMM twins and the MERGE
-# not-matched-by-source clause) and the rows whose code paths changed this
-# round (incremental.py changelog fix, clustering/similarity GEMM, bucket
-# hash-width resolution, manifest_avro typed tuples, merge) so the changes
-# re-prove under the hard gate. Displaced: rows driver-green in ≥2 rounds.
+# r6 rotation (VERDICT r5 tasks #1/#3): embedding_int8_quantize leads (the
+# only row never driver-green — output now scalar and canonicalizable),
+# then fresh rows over every scan path r5's bug fixes rewired (eq-delete
+# field-id resolution, snapshot-pinned schemas, changelog per-file delete
+# grouping, bucket hash-width tri-state), then the r5 flagships for one
+# more green round, then pass-prior rows cycling back so no query goes
+# many rounds ungraded. Displaced: rows driver-green in ≥2 recent rounds.
 _GRADED_FIRST = [
-    # --- new this round ---
+    # --- r6: the one query never driver-green (output reshaped to scalars) ---
+    "embedding_int8_quantize",
+    # --- r6 VERDICT task #3: fresh rows over the scan paths the r5 bug
+    #     fixes rewired (eq-delete-by-field-id, snapshot-pinned schemas) ---
+    "crud_delete_eq_scan",
+    "crud_delete_mor_scan",
+    "time_travel_scan",
+    "incremental_append_scan",
+    "partition_evolution_scan",
+    "wap_branch_publish_scan",
+    # --- code changed this round (r5 ADVICE fixes): re-prove ---
+    "changelog_cdc_scan",
+    "incremental_agg_refresh",
+    "iceberg_bucket_pruning_scan",
+    "bucket_partition_pruning_scan",
+    "join_hot_key_isolated",
+    "crud_eq_delete_rename_scan",
+    "time_travel_schema_scan",
+    # --- r5 flagships kept under grade (one more green round each) ---
     "crud_merge_not_matched_by_source_scan",
     "dedup_embedding_ivf_gemm",
     "cluster_kmeans_topics_gemm",
-    # --- code changed this round: re-prove ---
-    "changelog_cdc_scan",
-    "incremental_agg_refresh",
-    "cluster_kmeans_topics",
-    "dedup_embedding_ivf",
-    "iceberg_bucket_pruning_scan",
-    "bucket_partition_pruning_scan",
     "crud_avro_manifest_scan",
-    "crud_eq_delete_rename_scan",
-    "time_travel_schema_scan",
-    "join_hot_key_isolated",
     "sorted_write_pruned_scan",
     "bloom_point_lookup_scan",
     "distributed_plan_scan",
-    # --- never driver-graded before r5 (the 34-row backlog) ---
-    "window_nulls_ordering",
-    "asof_join_with_tolerance",
     "streaming_interval_join",
     "streaming_upsert_table_sink_scan",
-    "sequence_similarity_users",
-    "dedup_repeated_spans",
-    "text_chunk_windows",
-    "text_robust_scale_by_source",
-    "timeseries_resample_locf",
-    "timeseries_rolling_anomaly",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "scalar_json_functions",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "embedding_int8_quantize",
-    "sample_weighted_topk",
-    "pack_token_budget_bins",
-    "multimodal_feature_ann_topk",
-    "scalar_array_functions",
-    "text_html_boilerplate_strip",
-    "source_avro_roundtrip",
-    "rollup_time_bucket",
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_part_values",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_predicates",
-    "q20_dominant_suppliers",
-    "q22_idle_rich_customers",
+    # --- rotation: pass-prior rows cycling back for a fresh grade ---
+    "crud_upsert_scan",
+    "crud_update_scan",
+    "crud_overwrite_scan",
+    "crud_delete_scan",
+    "crud_schema_evolution_scan",
+    "crud_add_files_scan",
+    "metadata_count",
+    "scan_filter_project_dsl",
+    "filter_not_three_valued_logic",
+    "maintenance_expire_scan",
+    "maintenance_zorder_scan",
+    "time_travel_rollback_scan",
+    "streaming_session_window",
+    "hopping_window_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_ivf",
+    "cluster_kmeans_topics",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "asof_join_purchase_to_view",
+    "window_running_and_lag",
 ]
 
 

@@ -155,3 +155,33 @@ def test_changelog_eq_delete_across_rename(spark, catalog):
     dels = {r.ident for r in t.changes(from_snapshot_id=s1)
             .filter("_change_type = 'delete'").collect()}
     assert dels == {0, 1, 2}
+
+
+def test_changelog_compaction_mixed_sequence_removed_group(spark, catalog):
+    """r6 (r5 ADVICE medium #2): the removed-files side of a compaction
+    snapshot groups files by schema id; when that group MIXES files written
+    BEFORE and AFTER an equality delete (same key re-inserted), applying
+    the delete to the whole group with any(...) suppressed the re-inserted
+    row too — the compaction slice showed it as a phantom insert. Deletes
+    must apply per-file (sub-grouped by each file's applicable set)."""
+    df1 = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+    t = catalog.create_table("db", "cdc_mixseq", gi.schema.from_spark_schema(df1.schema))
+    t.append(df1)                                                    # seq 1: k=0..9
+    s2 = delete_equality(t, spark.createDataFrame([Row(k=3)]), ["k"])  # seq 2: -k=3
+    # seq 3: k=3 comes BACK (and some fresh keys) — lives above the delete
+    t.append(spark.createDataFrame([Row(k=3, v=30.0), Row(k=100, v=100.0)]))
+    s4 = t.rewrite_data_files()                                      # compaction
+    assert s4 is not None and t.scan().count() == 11
+
+    # pure compaction: the slice after the re-insert append is logically empty
+    assert t.changes(from_snapshot_id=s2.snapshot_id).count() == 2  # the seq-3 inserts only
+    changes_s4 = t.changes(
+        from_snapshot_id=t.snapshot_by_id(s4.snapshot_id).parent_snapshot_id)
+    assert changes_s4.count() == 0, \
+        "compaction slice must be empty — phantom rows mean the eq delete " \
+        "was applied to a file written after it"
+    # full-range net: inserts - deletes == live rows; exactly one real delete
+    by_type = {r["_change_type"]: r["n"] for r in
+               t.changes().groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type.get("insert", 0) - by_type.get("delete", 0) == 11
+    assert by_type.get("delete", 0) == 1

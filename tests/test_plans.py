@@ -195,14 +195,44 @@ def test_hot_key_isolated_join_equals_plain_join(spark):
     assert out.count() == 100
 
 
+def test_hot_key_isolated_join_salt_source_edge_cases(spark):
+    """r6 (r5 ADVICE low): a key-only left side no longer dies with a bare
+    StopIteration — auto-pick falls back to a row-id salt and the result
+    still equals the plain join; an explicit salt_source that isn't a left
+    column raises a clear ValueError instead of silently mis-salting."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.joins import hot_key_isolated_join
+
+    # every left column is a join key (semi-join-ish shape)
+    l = spark.createDataFrame([Row(k=(-1 if i % 4 == 0 else i % 30)) for i in range(200)])
+    r = l.select("k").distinct().withColumn("seg", F.abs(F.col("k")) % 4)
+    plain = l.join(r, "k").groupBy("seg").count()
+    iso = hot_key_isolated_join(l, r, ["k"], hot_keys=[-1]).groupBy("seg").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, iso.collect()))
+
+    with pytest.raises(ValueError, match="salt_source.*not a column"):
+        hot_key_isolated_join(l, r, ["k"], salt_source="nope", hot_keys=[-1])
+
+
 def test_hot_key_isolated_join_explodes_only_hot_slice(spark):
     """The plan must replicate ONLY the hot slice: exactly one Generate
     (explode) node, fed by a filtered dim — the cold join side carries no
-    explode, so the replication tax scales with the hot slice."""
+    explode, so the replication tax scales with the hot slice. r6: the
+    exploded slice must flow into a BroadcastExchange (replication never
+    buys a shuffle), and both join sides stay hash joins."""
     df = q("join_hot_key_isolated", spark)
     assert P.count_op(df, "Generate") == 1
     plan = P.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # tree section: the Generate node's parent must be a BroadcastExchange
+    tree = plan.split("\n\n")[0].splitlines()
+    gen = [i for i, ln in enumerate(tree) if "Generate (" in ln]
+    assert len(gen) == 1
+    depth = tree[gen[0]].index("+- ")
+    parent = next(ln for ln in reversed(tree[:gen[0]])
+                  if "+- " in ln and ln.index("+- ") < depth)
+    assert "BroadcastExchange" in parent, parent
 
 
 def test_connected_components_semantics(spark):
