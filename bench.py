@@ -54,15 +54,16 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-N at the target sf (default 2; $SPARK_GRAFT_BENCH_RUNS
-    # overrides — the sf1 standing artifact uses 3, since single-run sf1
-    # numbers repeatedly mis-attributed ±20% VM noise as regressions): a
+    # Best-of-N at the target sf (default 3; $SPARK_GRAFT_BENCH_RUNS
+    # overrides — r5's first-run column showed 20-35% cold-start inflation
+    # at sf0.1, and single-run sf1 numbers repeatedly mis-attributed ±20%
+    # VM noise as regressions): a
     # single-shot timing mixes steady-state execution with whatever
     # GC/JIT/page-cache state the previous query left behind; the min of N
     # runs is the standard steady-state estimator and is what a
     # long-running cluster actually delivers. Every run's time is emitted
     # (run_times) so the artifact records the spread, not just the min.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     run_times: dict[str, list[float]] = {}
     for name, spec in bench_queries().items():

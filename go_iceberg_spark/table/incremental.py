@@ -220,16 +220,17 @@ def changelog_scan(
         ins = _read_entries(table, [e for e in added if e.content == CONTENT_DATA])
         dels = _read_entries(table, [e for e in removed if e.content == CONTENT_DATA],
                              deletes=parent_deletes)
-        if ins is not None and dels is not None:
-            # CoW rewrite: surviving rows appear on both sides — net them out
-            ins_net = ins.select(*cols).exceptAll(dels.select(*cols))
-            del_net = dels.select(*cols).exceptAll(ins.select(*cols))
-        else:
-            ins_net = ins.select(*cols) if ins is not None else None
-            del_net = dels.select(*cols) if dels is not None else None
+        del_parts: list[DataFrame] = []
+        if dels is not None:
+            del_parts.append(dels.select(*cols))
 
         # MoR: delete files added in this snapshot suppress rows of files
-        # that remain live — resolve them to concrete rows
+        # that remain live — resolve them to concrete rows. Collected BEFORE
+        # the insert/delete netting below: when one diff window contains both
+        # a data file and a delete file over it (an expired-gap-compacted
+        # lineage — expire_snapshots rewires parent pointers across the gap),
+        # the inserted-then-deleted rows must net to ZERO, not surface as an
+        # insert+delete pair at the same ordinal (r6 probe find).
         pos_files = [e for e in added if e.content == CONTENT_POSITION_DELETES]
         eq_files = [e for e in added if e.content == CONTENT_EQUALITY_DELETES]
         if pos_files or eq_files:
@@ -246,7 +247,7 @@ def changelog_scan(
                         on=[F.col("_file") == F.col("_del_file"),
                             F.col("_pos") == F.col("_del_pos")],
                         how="inner").select(*cols)
-                    del_net = hit if del_net is None else del_net.unionByName(hit)
+                    del_parts.append(hit)
             for e in eq_files:
                 # key fields are FIELD IDS: the join-side names come from the
                 # current schema, but the delete parquet physically holds the
@@ -272,7 +273,19 @@ def changelog_scan(
                     os.path.join(table.location, e.file_path)).select(
                     *[F.col(p).alias(k) for p, k in zip(phys_cols, key_cols)])
                 hit = target.join(F.broadcast(keys), on=key_cols, how="left_semi").select(*cols)
-                del_net = hit if del_net is None else del_net.unionByName(hit)
+                del_parts.append(hit)
+
+        del_all = del_parts[0] if del_parts else None
+        for p in del_parts[1:]:
+            del_all = del_all.unionByName(p)
+        if ins is not None and del_all is not None:
+            # net rows appearing on both sides of ONE diff window: CoW
+            # rewrite carryover AND same-window insert+MoR-delete pairs
+            ins_net = ins.select(*cols).exceptAll(del_all)
+            del_net = del_all.exceptAll(ins.select(*cols))
+        else:
+            ins_net = ins.select(*cols) if ins is not None else None
+            del_net = del_all
 
         for change_type, df in (("insert", ins_net), ("delete", del_net)):
             if df is not None:

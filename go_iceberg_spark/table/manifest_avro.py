@@ -39,6 +39,20 @@ Mapping to the engine's model:
   Manifests written BEFORE a type gained its typed form declare
   [null, string] in their OCF writer schema; the reader keys off that
   schema and passes those legacy string values through unconverted.
+
+ADR (r6, closes the float/double typed-tuple question): the two
+[null, string] fallbacks above are PERMANENT until a real third-party
+Iceberg reader is available in the environment to adjudicate
+(pip/pyiceberg remains unreachable — no network; retried every round).
+Rationale: (a) the only consumers that exist today — this engine's two
+dialects — are bit-identical under the string form and round-trip-tested;
+(b) shipping a hand-rolled FloatingDecimal to synthesize Java's legacy
+float rendering risks a silent near-miss that desynchronizes partition
+dicts, strictly worse than an honest string; (c) the affected shapes are
+rare in practice (timestamps partition via typed y/m/d/h transforms, and
+float/double identity partitioning is an anti-pattern the reference also
+never exercises). Revisit iff an external reader can be installed; the
+conformance gap is documented in README's limitations.
 """
 
 from __future__ import annotations

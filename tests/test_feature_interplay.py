@@ -405,3 +405,173 @@ def test_metadata_only_delete_with_pending_eq_delete(spark, catalog):
     assert t.to_df().count() == 50
     t.delete(gi.eq("par", 0))
     assert t.to_df().count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r6 probe sweep (round 4 of the recipe): five untried feature pairs.
+# Four passed as designed (pinned below); one found a real bug —
+# changes() over an expired-gap lineage surfaced rows inserted AND
+# MoR-deleted inside the gap as an insert+delete pair at one ordinal
+# instead of netting to zero (fixed in incremental.py changelog netting).
+# ---------------------------------------------------------------------------
+
+
+def test_nmbs_merge_across_partition_spec_generations(spark, catalog):
+    """r6 probe: MERGE WHEN NOT MATCHED BY SOURCE must widen its candidate
+    set across partition-spec generations — rows live under the OLD spec
+    are just as deletable as rows under the current default."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    df0 = spark.createDataFrame(
+        [Row(k=i, region=("eu" if i % 2 else "us"), v=float(i)) for i in range(10)])
+    sch = from_spark_schema(df0.schema)
+    fid = {f.name: f.field_id for f in sch.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["region"], 1000, "identity", "region"),))
+    t = catalog.create_table("db", "nmbs_specgen", sch, spec=spec)
+    t.append(df0)                                     # gen-0 files (identity spec)
+    t.update_partition_spec(("k", "bucket[4]"))
+    t.append(spark.createDataFrame(
+        [Row(k=100 + i, region="ap", v=float(i)) for i in range(10)]))  # gen-1
+
+    src = spark.createDataFrame([Row(k=k) for k in (0, 1, 100, 101)])
+    t.merge(src, ["k"], when_matched_update=None, when_not_matched_insert=False,
+            when_not_matched_by_source_delete=True)
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 100, 101]
+    # survivors were rewritten under the CURRENT default spec with real tuples
+    assert {e.spec_id for e in t.live_entries()} == {1}
+    assert all("k_bucket" in e.partition for e in t.live_entries())
+    # both old- and new-spec scan predicates still work
+    assert t.scan().filter(gi.eq("region", "eu")).count() == 1
+    assert t.scan().filter(gi.eq("k", 100)).count() == 1
+
+    # conditional NMBS update also reaches both generations
+    t.merge(spark.createDataFrame([Row(k=0)]), ["k"], when_matched_update=None,
+            when_not_matched_insert=False,
+            when_not_matched_by_source_update={"v": F.lit(-1.0)})
+    vals = {r.k: r.v for r in t.to_df().collect()}
+    assert vals == {0: 0.0, 1: -1.0, 100: -1.0, 101: -1.0}
+
+
+def test_tag_read_pins_schema_and_ignores_later_eq_delete(spark, catalog):
+    """r6 probe: a tag read composes the two r5 rules — it pins the TAGGED
+    snapshot's schema (pre-rename column names) and, because MoR delete
+    applicability is sequence-based, an equality delete committed AFTER the
+    tagged snapshot must not suppress the tag's rows."""
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame([Row(uid=i, v=float(i)) for i in range(8)])
+    t = catalog.create_table("db", "tag_eqdel", from_spark_schema(df.schema))
+    s1 = t.append(df)
+    t.create_tag("v1", s1.snapshot_id)
+
+    t.update_schema().rename_column("uid", "user_id").commit()
+    delete_equality(t, spark.createDataFrame(
+        [Row(user_id=3), Row(user_id=5)]), ["user_id"])
+
+    cur = t.to_df()
+    assert cur.columns == ["user_id", "v"]
+    assert sorted(r.user_id for r in cur.collect()) == [0, 1, 2, 4, 6, 7]
+
+    tag_df = t.scan().use_ref("v1").to_df()
+    assert tag_df.columns == ["uid", "v"]              # pinned pre-rename schema
+    assert sorted(r.uid for r in tag_df.collect()) == list(range(8))  # no delete
+
+    # a tag AFTER the rename sees new names and pre-delete data
+    s3 = t.append(spark.createDataFrame([Row(user_id=100, v=1.0)]))
+    t.create_tag("v2", s3.snapshot_id)
+    delete_equality(t, spark.createDataFrame([Row(user_id=100)]), ["user_id"])
+    assert 100 in [r.user_id for r in t.scan().use_ref("v2").to_df().collect()]
+    assert 100 not in [r.user_id for r in t.to_df().collect()]
+
+
+def test_add_files_survive_avro_manifest_rewrite(spark, catalog, tmp_path):
+    """r6 probe: zero-copy imported (out-of-tree) files stay fully
+    represented through rewrite_manifests — in the engine scan AND on the
+    external Avro wire (spec-only reader sees their absolute paths and
+    record counts)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_external_reader import external_table_state
+
+    ext = str(tmp_path / "ext_data")
+    spark.createDataFrame([Row(k=i, v=float(i)) for i in range(20)]).coalesce(2)\
+         .write.mode("overwrite").parquet(ext)
+    paths = [os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")]
+
+    df = spark.createDataFrame([Row(k=100, v=1.0)])
+    t = catalog.create_table("db", "addavro", from_spark_schema(df.schema))
+    t.append(df)
+    t.add_files(paths)
+    assert t.scan().count() == 21
+    t.rewrite_manifests()
+    assert t.scan().count() == 21
+
+    _, _, _, entries = external_table_state(spark, t.location)
+    epaths = [e["data_file"]["file_path"] for e in entries]
+    assert sum(1 for p in epaths if "ext_data" in p) == 2
+    assert sum(e["data_file"]["record_count"] for e in entries) == 21
+
+
+def test_changes_nets_rows_deleted_inside_expired_gap(spark, catalog):
+    """r6 probe BUG FIX: expire_snapshots rewires parent pointers across the
+    removed gap, so one changes() diff window can contain both a data file
+    and a later MoR delete over it. Rows inserted AND deleted inside the
+    gap must net to zero — before the fix they surfaced as an insert and a
+    delete at the same ordinal (and the eq-delete also double-counted)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)])
+    t = catalog.create_table("db", "gap_net", from_spark_schema(df.schema))
+    s1 = t.append(df)
+    t.create_branch("dev", s1.snapshot_id)
+    t.append(spark.createDataFrame([Row(k=10, v=10.0)]))        # gap: insert
+    delete_equality(t, spark.createDataFrame([Row(k=10)]), ["k"])  # gap: delete
+    s4 = t.append(spark.createDataFrame([Row(k=20, v=20.0)]))
+
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=1)
+    assert {s.snapshot_id for s in t.snapshots()} == {s1.snapshot_id, s4.snapshot_id}
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 3, 4, 20]
+
+    ch = t.changes(from_snapshot_id=s1.snapshot_id)
+    assert sorted((r.k, r["_change_type"]) for r in ch.collect()) == [(20, "insert")]
+    bt = {r["_change_type"]: r["n"] for r in
+          t.changes().groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert bt == {"insert": 6}
+    # the branch is untouched by expiry and still readable
+    assert sorted(r.k for r in t.scan().use_ref("dev").to_df().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_unstamped_bucket_table_rewrite_then_stamp_migration(spark, catalog):
+    """r6 probe: the documented migration path for pre-stamp bucket tables —
+    rewrite_data_files on an unstamped table lays every file out at int
+    width, after which stamping 'int' is provably correct and re-enables
+    pruning; no key becomes unreachable at any step."""
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.write import spark_murmur3_int
+
+    df = spark.range(0, 100).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    sch = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in sch.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "mig_stamp", sch, spec=spec)
+    t.append(df)                                  # stamped default: long-width
+    t.remove_properties(["write.bucket-hash-width"])
+    assert t._bucket_fn() == "spark-unstamped"
+
+    t.rewrite_data_files()
+    int_parts = {str(spark_murmur3_int(v) % 8) for v in range(100)}
+    assert {e.partition["kb"] for e in t.live_entries()} <= int_parts
+    assert t.scan().count() == 100
+
+    t.stamp_bucket_hash_width("int")
+    tasks = t.scan().filter(gi.eq("k", 42)).plan_files()
+    assert len(tasks) < len(t.live_entries())
+    assert all(t.scan().filter(gi.eq("k", v)).count() == 1 for v in range(0, 100, 7))
