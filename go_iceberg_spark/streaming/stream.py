@@ -51,21 +51,39 @@ def read_stream(spark: SparkSession, table: Table) -> DataFrame:
 
 
 BATCH_MARKER_KEY = "streaming-batch"
+HIGH_WATER_PROP = "streaming.batch-high-water."  # + ckpt_id -> max batch_id
+
+
+def _batch_already_committed(table: Table, ckpt_id: str, batch_id: int) -> bool:
+    """A replayed batch is detected by EITHER signal: the per-checkpoint
+    high-water property (survives snapshot expiry — r6 probe found that an
+    expire_snapshots between crash and restart could remove the marker
+    snapshot and let the replay double-apply), or the (ckpt, batch) marker
+    in a retained snapshot summary (covers tables whose properties were
+    hand-edited). Batch ids are monotonic per Structured Streaming query,
+    so the high-water comparison is exact for the only replay Spark does
+    (the last uncommitted batch)."""
+    hw = table.metadata.properties.get(HIGH_WATER_PROP + ckpt_id)
+    if hw is not None and batch_id <= int(hw):
+        return True
+    marker = f"{ckpt_id}:{batch_id}"
+    return any(s.summary.get(BATCH_MARKER_KEY) == marker for s in table.snapshots())
 
 
 def append_batch_exactly_once(table: Table, batch_df: DataFrame,
                               ckpt_id: str, batch_id: int) -> bool:
     """Idempotent micro-batch append: the (checkpoint, batch_id) marker is
-    written into the snapshot SUMMARY — atomic with the commit — and a
-    replayed batch (restart after the table committed but before the
-    checkpoint recorded it) finds its marker and skips. Returns True if
-    this call appended."""
-    marker = f"{ckpt_id}:{batch_id}"
+    written into the snapshot SUMMARY and the checkpoint's high-water mark
+    into table PROPERTIES — both atomic with the commit — and a replayed
+    batch (restart after the table committed but before the checkpoint
+    recorded it) finds either and skips. Returns True if this call
+    appended."""
     table.refresh()
-    for s in table.snapshots():
-        if s.summary.get(BATCH_MARKER_KEY) == marker:
-            return False
-    table.append(batch_df, summary_extra={BATCH_MARKER_KEY: marker})
+    if _batch_already_committed(table, ckpt_id, batch_id):
+        return False
+    table.append(batch_df,
+                 summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+                 properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id)})
     return True
 
 
@@ -113,9 +131,8 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = f"{ckpt_id}:{batch_id}"
         table.refresh()
-        if any(s.summary.get(BATCH_MARKER_KEY) == marker for s in table.snapshots()):
+        if _batch_already_committed(table, ckpt_id, batch_id):
             return
         order = [c for c in batch_df.columns if c not in keys]
         w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
@@ -123,7 +140,9 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
         )
-        table.upsert(latest, keys, summary_extra={BATCH_MARKER_KEY: marker})
+        table.upsert(latest, keys,
+                     summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+                     properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id)})
 
     w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

@@ -160,13 +160,26 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
         doomed_manifests.add(rel)
 
     if expired_any:
-        # fix parent pointers across the removal gap, keep refs valid
+        # fix parent pointers across the removal gap, keep refs valid.
+        # Each retained snapshot's new parent is its nearest retained
+        # ANCESTOR on the ORIGINAL parent chain — never "the previous
+        # retained snapshot in timestamp order", which with interleaved
+        # main/branch commits wires a main snapshot onto a branch snapshot
+        # and leaks branch-only rows into the main changelog as phantom
+        # insert+delete pairs (r6 probe find).
         retained_ids = {s.snapshot_id for s in retained}
-        fixed = []
-        prev_id = None
-        for s in retained:
-            fixed.append(replace(s, parent_snapshot_id=prev_id if s.parent_snapshot_id not in retained_ids else s.parent_snapshot_id))
-            prev_id = s.snapshot_id
+        orig_by_id = {s.snapshot_id: s for s in snaps}
+
+        def nearest_retained_ancestor(s):
+            cur = s.parent_snapshot_id
+            while cur is not None and cur not in retained_ids:
+                parent = orig_by_id.get(cur)
+                cur = parent.parent_snapshot_id if parent is not None else None
+            return cur
+
+        fixed = [replace(s, parent_snapshot_id=nearest_retained_ancestor(s))
+                 if s.parent_snapshot_id not in retained_ids else s
+                 for s in retained]
         refs = {name: r for name, r in md.refs.items()
                 if r.snapshot_id in retained_ids or name == MAIN_BRANCH}
         new_md = replace(

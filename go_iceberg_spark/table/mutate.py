@@ -276,11 +276,13 @@ def to_spark_field_type(schema, name: str):
 
 
 def upsert(table, source: DataFrame, key_columns: list[str],
-           summary_extra: dict[str, str] | None = None):
+           summary_extra: dict[str, str] | None = None,
+           properties_extra: dict[str, str] | None = None):
     """Upsert = MERGE matched→update-all, not-matched→insert
     (reference: table/update.go:360-459)."""
     return merge(table, source, key_columns, when_matched_update="*",
-                 when_not_matched_insert=True, summary_extra=summary_extra)
+                 when_not_matched_insert=True, summary_extra=summary_extra,
+                 properties_extra=properties_extra)
 
 
 def merge(table, source: DataFrame, on: list[str], *,
@@ -289,7 +291,8 @@ def merge(table, source: DataFrame, on: list[str], *,
           when_matched_delete: "bool | Column" = False,
           when_not_matched_by_source_delete: "bool | Column" = False,
           when_not_matched_by_source_update: dict[str, Any] | None = None,
-          summary_extra: dict[str, str] | None = None):
+          summary_extra: dict[str, str] | None = None,
+          properties_extra: dict[str, str] | None = None):
     """MERGE INTO over the table, null-safe on composite keys.
 
     ``when_matched_delete`` may be ``True`` (delete ALL matched rows —
@@ -451,4 +454,5 @@ def merge(table, source: DataFrame, on: list[str], *,
     )
     remaining_deletes = _deletes_still_needed(table, untouched)
     return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,
-                                  summary_extra=summary_extra)
+                                  summary_extra=summary_extra,
+                                  properties_extra=properties_extra)

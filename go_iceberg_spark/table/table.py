@@ -184,11 +184,15 @@ class Table:
                          summary_extra: dict[str, str] | None = None,
                          schema_override: Schema | None = None,
                          ref: str = MAIN_BRANCH,
-                         compact_manifests: bool = False) -> Snapshot:
+                         compact_manifests: bool = False,
+                         properties_extra: dict[str, str] | None = None) -> Snapshot:
         """Write manifest + new metadata version. ``entries`` is the FULL live
         file set of the new snapshot (single-manifest design, metadata.py).
         ``ref`` targets a branch: only that ref moves; main (and the table's
-        read view) is untouched until a fast_forward publishes it."""
+        read view) is untouched until a fast_forward publishes it.
+        ``properties_extra`` merges into table properties IN THE SAME
+        metadata commit — atomic with the snapshot (the streaming sink's
+        expiry-proof batch high-water mark rides here)."""
         md = self.metadata
         if ref == MAIN_BRANCH or ref not in md.refs:
             parent = md.current_snapshot()
@@ -255,6 +259,11 @@ class Table:
             avro_manifest_path=avro_rel,
         )
         new_md = md.with_snapshot(snap, ref=ref)
+        if properties_extra:
+            from dataclasses import replace as _rpl
+
+            new_md = _rpl(new_md,
+                          properties={**new_md.properties, **properties_extra})
         self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
         return snap
@@ -388,11 +397,14 @@ class Table:
         raw = self.metadata.properties.get("write.bloom-columns", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
-    def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None) -> Snapshot:
+    def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None,
+               properties_extra: dict[str, str] | None = None) -> Snapshot:
         """Append rows (reference: table/insert.go:49-109 Insert/Append).
         Data files are written once; only the metadata commit retries.
         ``summary_extra`` lands in the snapshot summary atomically with the
-        commit (the streaming sink's exactly-once batch marker)."""
+        commit (the streaming sink's exactly-once batch marker);
+        ``properties_extra`` merges into table properties in the same
+        commit (the sink's expiry-proof batch high-water mark)."""
         md = self.metadata
         new_files = write_data_files(
             self.spark, df, self.location, md.current_schema, md.default_spec,
@@ -417,7 +429,8 @@ class Table:
                      if new_files and new_files[0].sequence_number != seq else new_files)
             live = self.live_entries()
             return self._commit_snapshot(OP_APPEND, live + files,
-                                         summary_extra=summary_extra)
+                                         summary_extra=summary_extra,
+                                         properties_extra=properties_extra)
 
         return self._retrying(commit)
 
@@ -501,7 +514,8 @@ class Table:
         return _update(self, filter, assignments)
 
     def upsert(self, df: DataFrame, key_columns: list[str] | None = None,
-               summary_extra: dict[str, str] | None = None) -> Snapshot:
+               summary_extra: dict[str, str] | None = None,
+               properties_extra: dict[str, str] | None = None) -> Snapshot:
         """MERGE on ``key_columns``; when omitted, the schema's
         identifier fields (reference: spec/schema.go:25-31
         identifier-field-ids) are the merge key."""
@@ -516,7 +530,8 @@ class Table:
             if not key_columns:
                 raise ValidationError(
                     "upsert without key_columns requires schema identifier fields")
-        return _upsert(self, df, key_columns, summary_extra=summary_extra)
+        return _upsert(self, df, key_columns, summary_extra=summary_extra,
+                       properties_extra=properties_extra)
 
     def merge(self, source: DataFrame, on: list[str], *,
               when_matched_update: dict[str, Any] | str | None = "*",

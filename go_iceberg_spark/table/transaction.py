@@ -62,21 +62,36 @@ class Transaction:
         return self
 
     def commit(self):
+        from dataclasses import replace as _rpl
+
         from ..expr import or_
         from .mutate import rewrite_for_delete
 
         if self._committed:
             raise ValidationError("transaction already committed")
-        if self._staged_delete_filters:
-            combined = or_(*self._staged_delete_filters)
-            entries = rewrite_for_delete(self.table, combined)
-        else:
-            entries = self.table.live_entries()
-        snap = self.table._commit_snapshot(
-            OP_OVERWRITE if self._staged_adds and self._staged_delete_filters
-            else (OP_DELETE if self._staged_delete_filters else "append"),
-            entries + self._staged_adds,
-        )
+        op = (OP_OVERWRITE if self._staged_adds and self._staged_delete_filters
+              else (OP_DELETE if self._staged_delete_filters else "append"))
+
+        def build_and_commit():
+            # re-evaluated on each retry against the RELOADED metadata:
+            # a concurrent commit between stage and commit must not kill the
+            # transaction (r6 probe — the raw _commit_snapshot call here
+            # conflicted and orphaned the staged files while BulkWriter
+            # already retried); delete filters re-run so concurrently added
+            # matching files are rewritten too, and staged adds re-stamp
+            # their sequence numbers to the winning snapshot's
+            if self._staged_delete_filters:
+                combined = or_(*self._staged_delete_filters)
+                entries = rewrite_for_delete(self.table, combined)
+            else:
+                entries = self.table.live_entries()
+            seq = self.table._next_sequence()
+            adds = ([_rpl(f, sequence_number=seq) for f in self._staged_adds]
+                    if self._staged_adds and self._staged_adds[0].sequence_number != seq
+                    else self._staged_adds)
+            return self.table._commit_snapshot(op, entries + adds)
+
+        snap = self.table._retrying(build_and_commit)
         self._committed = True
         return snap
 

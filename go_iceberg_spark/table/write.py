@@ -647,6 +647,17 @@ def _import_partition_values(path: str, spec: PartitionSpec) -> dict[str, Any]:
     )
     vals: dict[str, Any] = {}
     for pf in spec.fields:
+        if pf.transform.startswith("bucket["):
+            # Iceberg's add_files contract: bucket-partitioned imports are
+            # rejected. A path segment like kb=3 is UNPROVABLE — external
+            # writers do not share the engine's bucket hash, and a wrong
+            # ordinal silently prunes the file's rows out of existence.
+            raise ValidationError(
+                f"add_files: table partitions by {pf.transform} ({pf.name!r}); "
+                "bucket ordinals cannot be verified from a directory layout — "
+                "rewrite the data through append() instead (Iceberg rejects "
+                "bucket-partitioned imports for the same reason)"
+            )
         if pf.name not in segs:
             raise ValidationError(
                 f"add_files: {path!r} has no '{pf.name}=' path segment for "

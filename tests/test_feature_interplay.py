@@ -575,3 +575,81 @@ def test_unstamped_bucket_table_rewrite_then_stamp_migration(spark, catalog):
     tasks = t.scan().filter(gi.eq("k", 42)).plan_files()
     assert len(tasks) < len(t.live_entries())
     assert all(t.scan().filter(gi.eq("k", v)).count() == 1 for v in range(0, 100, 7))
+
+
+def test_selective_overwrite_and_update_across_rename(spark, catalog):
+    """r6 probe (passed as designed, pinned): selective overwrite and
+    update() filtered on a RENAMED column still rewrite the matching rows
+    of files written under the old name — field-id alignment end-to-end."""
+    df = spark.createDataFrame(
+        [Row(uid=i, grp="a" if i < 5 else "b", v=float(i)) for i in range(10)])
+    t = catalog.create_table("db", "ovr_rename", from_spark_schema(df.schema))
+    t.append(df)
+    t.update_schema().rename_column("uid", "user_id").commit()
+
+    t.overwrite(spark.createDataFrame([Row(user_id=100, grp="a", v=-1.0)]),
+                filter=gi.eq("grp", "a"))
+    assert sorted((r.user_id, r.grp) for r in t.to_df().collect()) == \
+        [(5, "b"), (6, "b"), (7, "b"), (8, "b"), (9, "b"), (100, "a")]
+
+    t.overwrite(spark.createDataFrame([Row(user_id=7, grp="b", v=-2.0)]),
+                filter=gi.eq("user_id", 7))
+    vals = {r.user_id: r.v for r in t.to_df().collect()}
+    assert vals[7] == -2.0 and len(vals) == 6
+
+    t.update(gi.lt("user_id", 6), {"v": 99.0})
+    assert {r.user_id: r.v for r in t.to_df().collect()}[5] == 99.0
+
+
+def test_transaction_commit_retries_past_concurrent_writer(spark, catalog):
+    """r6 probe BUG FIX: Transaction.commit() used to call _commit_snapshot
+    raw — a concurrent commit landing between stage and commit raised
+    CommitConflictError and orphaned the staged files (BulkWriter already
+    retried). commit() now rebuilds against reloaded metadata and retries:
+    both writers' rows land."""
+    from go_iceberg_spark.table.transaction import Transaction
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)])
+    t = catalog.create_table("db", "tx_race", from_spark_schema(df.schema))
+    t.append(df)
+
+    tx = Transaction(t)
+    tx.append(spark.createDataFrame([Row(k=10, v=10.0)]))
+    tx.append(spark.createDataFrame([Row(k=11, v=11.0)]))
+    t2 = catalog.load_table("db", "tx_race")
+    t2.append(spark.createDataFrame([Row(k=20, v=20.0)]))  # concurrent writer
+    tx.commit()                                            # must retry, not die
+    t.refresh()
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 3, 4, 10, 11, 20]
+
+    # delete+append transaction racing a concurrent append: filters re-run
+    # against the reloaded metadata, one OVERWRITE snapshot lands
+    tx2 = Transaction(t)
+    tx2.delete(gi.eq("k", 0))
+    tx2.append(spark.createDataFrame([Row(k=30, v=30.0)]))
+    t2.refresh()
+    t2.append(spark.createDataFrame([Row(k=40, v=40.0)]))
+    tx2.commit()
+    t.refresh()
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3, 4, 10, 11, 20, 30, 40]
+
+
+def test_wap_publish_after_schema_change_on_main(spark, catalog):
+    """r6 probe (passed as designed, pinned): stage rows on an audit branch,
+    add a column on main, then fast-forward main to the branch head — the
+    published read uses the CURRENT schema (new column null for every row)
+    and loses nothing."""
+    from go_iceberg_spark.schema import STRING
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(3)])
+    t = catalog.create_table("db", "wap_schema", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("audit")
+    t.append_to_branch("audit", spark.createDataFrame([Row(k=30, v=30.0)]))
+    t.update_schema().add_column("tag", STRING).commit()
+    t.fast_forward("main", "audit")
+    t.refresh()
+    out = t.to_df()
+    assert out.columns == ["k", "v", "tag"]
+    assert sorted(r.k for r in out.collect()) == [0, 1, 2, 30]
+    assert all(r.tag is None for r in out.collect())

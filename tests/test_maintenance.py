@@ -268,3 +268,40 @@ def test_branch_retention_knobs_protect_ancestors(spark, catalog):
     expire_snapshots(t2, retain_last=1)
     alive2 = {s.snapshot_id for s in t2.snapshots()}
     assert first in alive2 and len(alive2) == 2  # tag target + current
+
+
+def test_expire_rewires_parents_by_ancestry_not_timestamp(spark, catalog):
+    """r6 probe BUG FIX: with interleaved main and branch commits, expiry's
+    parent-pointer rewiring must follow each snapshot's ORIGINAL ancestor
+    chain. The old timestamp-order rewiring gave a main snapshot a BRANCH
+    parent, leaking the branch-only row into the main changelog as a
+    phantom insert+delete pair."""
+    import time
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(3)])
+    t = catalog.create_table("db", "ilv_expire", from_spark_schema(df.schema))
+    s1 = t.append(df)                                       # main
+    t.create_branch("dev", s1.snapshot_id)
+    b1 = t.append_to_branch("dev", spark.createDataFrame([Row(k=100, v=100.0)]))
+    t.append(spark.createDataFrame([Row(k=10, v=10.0)]))    # main (between branch ts)
+    s3 = t.append(spark.createDataFrame([Row(k=20, v=20.0)]))
+
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=1)
+    snaps = {s.snapshot_id: s for s in t.snapshots()}
+    assert set(snaps) == {b1.snapshot_id, s3.snapshot_id}
+    # s3's original ancestors (s2, s1) are gone -> parent rewires to None,
+    # NEVER to the timestamp-adjacent branch snapshot b1
+    assert snaps[s3.snapshot_id].parent_snapshot_id is None
+    assert snaps[b1.snapshot_id].parent_snapshot_id is None
+
+    # main changelog contains only main-lineage rows
+    ch = sorted((r.k, r["_change_type"]) for r in t.changes().collect())
+    assert ch == [(0, "insert"), (1, "insert"), (2, "insert"),
+                  (10, "insert"), (20, "insert")]
+    # both heads still read correctly
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 10, 20]
+    assert sorted(r.k for r in t.scan().use_ref("dev").to_df().collect()) == [0, 1, 2, 100]

@@ -236,3 +236,42 @@ def test_rest_concurrent_appends_all_land(spark, rcat):
     live = {e.file_path for e in t.manifest_entries(t.current_snapshot())}
     added = sum(int(s.summary.get("added-data-files", "0")) for s in snaps)
     assert len(live) == added, "lost data files through the REST commit path"
+
+
+def test_rest_expire_rewires_parents_and_changes_work(spark, rcat):
+    """r6 probe BUG FIX: the remove-snapshots update used to drop snapshots
+    server-side WITHOUT rewiring retained snapshots' parent pointers (the
+    client rewires locally, but modified-retained snapshots are neither
+    added nor removed on the wire) — every changelog/incremental read over
+    the gap then died with 'no longer retained'. The applier now rewires by
+    original ancestry, converging with the local expire result."""
+    import time
+
+    rcat.create_namespace(("db",))
+    df = spark.createDataFrame([Row(id=0, name="a")])
+    t = rcat.create_table(("db",), "rexp", from_spark_schema(df.schema))
+    t.append(df)
+    s2 = t.append(spark.createDataFrame([Row(id=1, name="b")]))
+    s3 = t.append(spark.createDataFrame([Row(id=2, name="c")]))
+
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=2)
+
+    t2 = rcat.load_table(("db",), "rexp")      # fresh load: server-side truth
+    parents = {s.snapshot_id: s.parent_snapshot_id for s in t2.snapshots()}
+    assert set(parents) == {s2.snapshot_id, s3.snapshot_id}
+    assert parents[s2.snapshot_id] is None     # rewired past the expired root
+    ch = sorted((r.id, r["_change_type"]) for r in t2.changes().collect())
+    assert ch == [(0, "insert"), (1, "insert"), (2, "insert")]
+
+    # the streaming high-water property commits atomically through REST too
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_PROP,
+        append_batch_exactly_once,
+    )
+
+    assert append_batch_exactly_once(
+        t2, spark.createDataFrame([Row(id=9, name="z")]), "ck", 1) is True
+    t3 = rcat.load_table(("db",), "rexp")
+    assert t3.metadata.properties.get(HIGH_WATER_PROP + "ck") == "1"
+    assert append_batch_exactly_once(
+        t3, spark.createDataFrame([Row(id=9, name="z")]), "ck", 1) is False

@@ -263,3 +263,39 @@ def test_append_batch_replay_is_exactly_once(spark, catalog):
     assert append_batch_exactly_once(t, df, "ckptA", 1) is True
     assert append_batch_exactly_once(t, df, "ckptB", 0) is True
     assert t.to_df().count() == 3
+
+
+def test_batch_replay_skipped_after_marker_snapshot_expires(spark, catalog):
+    """r6 probe BUG FIX: the exactly-once marker used to live ONLY in the
+    snapshot summary — a maintenance expire_snapshots between a crash and
+    the restart could remove the marker snapshot and let the replayed batch
+    double-apply. The checkpoint's high-water mark now also rides table
+    PROPERTIES, atomic with the commit, and survives expiry."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_PROP,
+        append_batch_exactly_once,
+    )
+
+    proto = spark.createDataFrame([Row(k=0, v=0.0)])
+    t = catalog.create_table("db", "eo_expire", from_spark_schema(proto.schema))
+    t.append(proto)
+    b1 = spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)])
+    assert append_batch_exactly_once(t, b1, "ck", 1) is True
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "1"
+
+    # compaction between micro-batches, then expiry drops the marker snapshot
+    t.rewrite_data_files()
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+
+    # crash-replay of batch 1 after the marker snapshot is gone: still skipped
+    assert append_batch_exactly_once(t, b1, "ck", 1) is False
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2]
+    # and the stream continues with the next batch
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=3, v=3.0)]), "ck", 2) is True
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "2"

@@ -1360,3 +1360,24 @@ def test_merge_not_matched_by_source_clause_matrix(spark, catalog):
     assert set(rows) == {0, 1, 2, 3, 4, 6, 7, 8, 9}  # 5 deleted, no inserts
     assert all(rows[k].tag == "stale" for k in range(5))
     assert all(rows[k].tag == "new" for k in (6, 7, 8, 9))
+
+
+def test_add_files_rejects_bucket_partitioned_import(spark, catalog, tmp_path):
+    """r6 probe: an imported file's bucket ordinal cannot be verified from
+    its directory layout (external writers do not share the engine's bucket
+    hash), and a lying `kb=N` segment would silently prune live rows —
+    reject the import, as Iceberg's add_files procedure does."""
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.range(0, 10).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "addbkt", schema, spec=spec)
+
+    ext = str(tmp_path / "kb=3")
+    df.coalesce(1).write.mode("overwrite").parquet(ext)
+    paths = [str(p) for p in (tmp_path / "kb=3").glob("*.parquet")]
+    with pytest.raises(ValidationError, match="bucket"):
+        t.add_files(paths)
+    assert t.scan().count() == 0  # nothing registered
