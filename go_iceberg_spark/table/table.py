@@ -897,10 +897,37 @@ class SchemaUpdate:
             struct=StructType(tuple(self._fields)),
             identifier_field_ids=t.schema.identifier_field_ids,
         )
+        # NAME-KEYED write properties follow the rename (and drop) in the
+        # SAME commit — otherwise write.bloom-columns / nan-count-columns
+        # silently detach after a rename and every future file loses its
+        # blooms/NaN counts, degrading point-lookup and metadata-delete
+        # pruning with no error anywhere (r6 probe find). Sort orders and
+        # partition specs reference field IDS and need no rewrite.
+        new_by_id = {f.field_id: f.name for f in self._fields}
+        renames = {
+            old.name: new_by_id[old.field_id]
+            for old in t.schema.fields
+            if old.field_id in new_by_id and new_by_id[old.field_id] != old.name
+        }
+        dropped = {old.name for old in t.schema.fields if old.field_id not in new_by_id}
+        properties = t.metadata.properties
+        if renames or dropped:
+            properties = dict(properties)
+            for prop in ("write.bloom-columns", "write.nan-count-columns"):
+                raw = properties.get(prop)
+                if not raw:
+                    continue
+                cols = [c.strip() for c in raw.split(",") if c.strip()]
+                cols = [renames.get(c, c) for c in cols if c not in dropped]
+                if cols:
+                    properties[prop] = ",".join(cols)
+                else:
+                    properties.pop(prop, None)
         md = replace(
             t.metadata,
             schemas=t.metadata.schemas + (new_schema,),
             current_schema_id=new_schema.schema_id,
+            properties=properties,
             last_updated_ms=now_ms(),
         )
         t.version = t._commit_fn(md, t.version)

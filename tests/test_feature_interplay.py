@@ -653,3 +653,94 @@ def test_wap_publish_after_schema_change_on_main(spark, catalog):
     assert out.columns == ["k", "v", "tag"]
     assert sorted(r.k for r in out.collect()) == [0, 1, 2, 30]
     assert all(r.tag is None for r in out.collect())
+
+
+def test_eq_delete_survives_drop_and_widen_of_key_column(spark, catalog):
+    """r6 probe (passed as designed, pinned): a live equality delete keeps
+    suppressing its rows after the KEY column is dropped from the current
+    schema (physical resolution via the delete's writer schema + field id),
+    and after an int->long widen of the key column (aligned casts)."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.schema import LONG
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame(
+        [Row(k=i, tag="a" if i % 2 else "b", v=float(i)) for i in range(8)])
+    t = catalog.create_table("db", "drop_eqkey", from_spark_schema(df.schema))
+    t.append(df)
+    delete_equality(t, spark.createDataFrame([Row(tag="a")]), ["tag"])
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 2, 4, 6]
+    t.update_schema().drop_column("tag").commit()
+    assert t.to_df().columns == ["k", "v"]
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 2, 4, 6]
+
+    df2 = spark.createDataFrame([Row(ik=i, v=float(i)) for i in range(6)]) \
+        .withColumn("ik", F.col("ik").cast("int"))
+    t2 = catalog.create_table("db", "widen_eqkey", from_spark_schema(df2.schema))
+    t2.append(df2)
+    delete_equality(t2, spark.createDataFrame([Row(ik=2)])
+                    .withColumn("ik", F.col("ik").cast("int")), ["ik"])
+    t2.update_schema().update_column_type("ik", LONG).commit()
+    assert sorted(r.ik for r in t2.to_df().collect()) == [0, 1, 3, 4, 5]
+
+
+def test_bloom_and_nan_properties_follow_rename_and_drop(spark, catalog):
+    """r6 probe BUG FIX: write.bloom-columns / write.nan-count-columns are
+    NAME-keyed; a rename used to silently detach them, so every later file
+    lost its blooms (point-lookup pruning degraded with no error). The
+    schema commit now rewrites both properties; a dropped column leaves
+    the list."""
+    df = spark.createDataFrame(
+        [Row(k=i, code=f"c{i:04d}", v=float(i)) for i in range(2000)])
+    t = catalog.create_table(
+        "db", "bloom_rename", from_spark_schema(df.schema),
+        properties={"write.bloom-columns": "code",
+                    "write.nan-count-columns": "v",
+                    "write.target-file-size-bytes": "8192"})
+    t.append(df)
+    fid_code = {f.name: f.field_id for f in t.schema.fields}["code"]
+    assert all(e.column_stats.get(fid_code, {}).get("bloom")
+               for e in t.live_entries())
+
+    t.update_schema().rename_column("code", "sku").commit()
+    assert t.metadata.properties["write.bloom-columns"] == "sku"
+    t.append(spark.createDataFrame(
+        [Row(k=9000 + i, sku=f"x{i:04d}", v=1.0) for i in range(2000)]))
+    new_files = [e for e in t.live_entries() if e.schema_id == t.schema.schema_id]
+    assert new_files and all(
+        e.column_stats.get(fid_code, {}).get("bloom") for e in new_files)
+    # bloom point lookup still prunes across the rename boundary
+    assert len(t.scan().filter(gi.eq("sku", "c0007")).plan_files()) < \
+        len(t.scan().plan_files())
+    assert t.scan().filter(gi.eq("sku", "c0007")).count() == 1
+
+    # dropping the column removes it from the property instead of leaving
+    # a dangling name
+    t.update_schema().drop_column("v").commit()
+    assert "write.nan-count-columns" not in t.metadata.properties
+
+
+def test_partition_pruning_survives_source_column_rename(spark, catalog):
+    """r6 probe (passed as designed, pinned): renaming an identity
+    partition's SOURCE column keeps everything working — pruning by the
+    new name, value reconstitution on read, appends under the same spec
+    (the spec field keeps its own name, keyed by source field id)."""
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    df = spark.createDataFrame(
+        [Row(k=i, region="eu" if i % 2 else "us", v=float(i)) for i in range(10)])
+    sch = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in sch.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["region"], 1000, "identity", "region"),))
+    t = catalog.create_table("db", "part_rename", sch, spec=spec)
+    t.append(df)
+    n_all = len(t.scan().plan_files())
+
+    t.update_schema().rename_column("region", "zone").commit()
+    assert len(t.scan().filter(gi.eq("zone", "eu")).plan_files()) < n_all
+    assert t.scan().filter(gi.eq("zone", "eu")).count() == 5
+    assert {r.zone for r in t.scan().filter(gi.eq("zone", "eu")).to_df().collect()} == {"eu"}
+    t.append(spark.createDataFrame([Row(k=100, zone="ap", v=1.0)]))
+    assert t.scan().count() == 11
+    assert t.scan().filter(gi.eq("zone", "ap")).count() == 1
