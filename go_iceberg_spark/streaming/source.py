@@ -68,6 +68,18 @@ def _lineage(md: TableMetadata, from_id: int | None, to_id: int | None) -> list[
             return []
         to_id = cur.snapshot_id
     by_id = {s.snapshot_id: s for s in md.snapshots}
+    if from_id is not None and from_id not in by_id:
+        # the checkpoint's offset snapshot was EXPIRED: its manifest (the
+        # only record of what the stream already delivered) is gone, so an
+        # incremental resume cannot be reconstructed — say that, instead of
+        # the misleading "not an ancestor" a failed ancestry walk produces
+        # (r6 probe). Protect streams by retaining at least the checkpoint
+        # horizon (retain_last / a branch ref on the offset snapshot).
+        raise ValidationError(
+            f"stream offset snapshot {from_id} has been expired from the "
+            "table's history; cannot compute an incremental diff — restart "
+            "the stream with a fresh checkpoint, and size expire_snapshots "
+            "retention to cover the streaming checkpoint horizon")
     chain: list[Snapshot] = []
     cursor: int | None = to_id
     while cursor is not None and cursor != from_id:

@@ -101,7 +101,10 @@ def test_expired_parent_raises_instead_of_full_replay(spark, table, tmp_path):
         s for s in md.snapshots if s.snapshot_id != b))
     t.version = t._commit_fn(new_md, t.version)
     reader = SnapshotStreamReader({"location": t.location})
-    with pytest.raises(Exception, match="no longer retained"):
+    # r6: the offset snapshot itself is the expired one, so the explicit
+    # expired-offset diagnostic fires (a dangling parent elsewhere in the
+    # range still raises "no longer retained")
+    with pytest.raises(Exception, match="has been expired|no longer retained"):
         reader.partitions({"snapshot_id": b}, {"snapshot_id": c})
 
 
@@ -121,3 +124,29 @@ def test_reader_pins_schema_at_construction(spark, table):
     assert parts, "expected at least one file partition"
     for p in parts:
         assert [f.name for f in p.target] == pinned  # no 'extra' mid-stream
+
+
+def test_stream_resumes_across_expired_gap_and_errors_on_expired_offset(
+        spark, table, tmp_path):
+    """r6 probe: (a) when the checkpoint's offset snapshot SURVIVES an
+    expire, the stream resumes incrementally — expiry rewires parents by
+    ancestry, so the gap's appends arrive as one net batch, exactly once;
+    (b) when the offset snapshot itself is expired, the source raises the
+    explicit 'has been expired' diagnostic (not a misleading ancestry
+    error) — the delivered-set record is genuinely gone."""
+    import time
+
+    t = table
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    assert drain(spark, t, ckpt, sink) == [0, 1, 2, 3]
+
+    t.append(spark.createDataFrame([Row(id=10, v=1.0)]))
+    t.append(spark.createDataFrame([Row(id=11, v=1.0)]))
+    t.append(spark.createDataFrame([Row(id=12, v=1.0)]))
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=4)
+    assert drain(spark, t, ckpt, sink) == [0, 1, 2, 3, 10, 11, 12]
+
+    t.append(spark.createDataFrame([Row(id=20, v=1.0)]))
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=1)
+    with pytest.raises(Exception, match="has been expired"):
+        drain(spark, t, ckpt, sink)
