@@ -232,28 +232,36 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
     multi-column filters prune files that a single-column sort cannot."""
     from .metadata import CONTENT_DATA, OP_REPLACE
 
-    live = table.live_entries()
-    data_files = [e for e in live if e.content == CONTENT_DATA]
-    if len(data_files) < min_input_files:
-        return None
-    df = table.to_df()  # scan applies MoR deletes -> compaction materializes them
-    md = table.metadata
-    summary = {"compacted-input-files": str(len(live))}
-    if zorder_by:
-        df = _zorder_cluster(df, zorder_by)
-        summary["zorder-by"] = ",".join(zorder_by)
-    new_entries = write_data_files(
-        table.spark, df, table.location, md.current_schema, md.default_spec,
-        md.default_sort_order if not zorder_by else None,
-        md.current_schema_id, table._next_sequence(),
-        target_file_size=target_file_size_bytes,
-        distribution_mode=table._distribution_mode() if not zorder_by else "none",
-        bloom_columns=table._bloom_columns(),
-        nan_count_columns=table._nan_count_columns(),
-        data_location=table._data_location(),
-        bucket_fn=table._bucket_fn(),
-    )
-    return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
+    def build_and_commit():
+        # rebuilt per retry (r6): a compaction racing a writer must re-read
+        # the RELOADED live set, or the concurrent commit's files would be
+        # silently dropped from the replacement snapshot
+        live = table.live_entries()
+        data_files = [e for e in live if e.content == CONTENT_DATA]
+        if len(data_files) < min_input_files:
+            return None
+        df = table.to_df()  # scan applies MoR deletes -> compaction materializes them
+        md = table.metadata
+        summary = {"compacted-input-files": str(len(live))}
+        if zorder_by:
+            dfz = _zorder_cluster(df, zorder_by)
+            summary["zorder-by"] = ",".join(zorder_by)
+        else:
+            dfz = df
+        new_entries = write_data_files(
+            table.spark, dfz, table.location, md.current_schema, md.default_spec,
+            md.default_sort_order if not zorder_by else None,
+            md.current_schema_id, table._next_sequence(),
+            target_file_size=target_file_size_bytes,
+            distribution_mode=table._distribution_mode() if not zorder_by else "none",
+            bloom_columns=table._bloom_columns(),
+            nan_count_columns=table._nan_count_columns(),
+            data_location=table._data_location(),
+            bucket_fn=table._bucket_fn(),
+        )
+        return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
+
+    return table._retrying(build_and_commit)
 
 
 _ZORDER_BITS = 8  # 256 bins per dimension

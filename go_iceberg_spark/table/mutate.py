@@ -149,12 +149,18 @@ def _deletes_still_needed(table, data_entries: list[DataFileEntry]) -> list[Data
 
 
 def delete(table, filter_: Expression, mode: str = COPY_ON_WRITE):
-    """DELETE FROM … WHERE filter (reference: table/delete.go:56-79 dispatch)."""
+    """DELETE FROM … WHERE filter (reference: table/delete.go:56-79 dispatch).
+
+    Retries past concurrent commits like every other mutation (r6): the
+    rewrite recomputes against the RELOADED metadata on each attempt, so a
+    racing append's rows survive and a racing delete's files don't
+    resurrect. Conflicts are rare; recomputing the rewrite is the price of
+    never committing against stale state."""
     if mode == COPY_ON_WRITE:
-        entries = rewrite_for_delete(table, filter_)
-        return table._commit_snapshot(OP_DELETE, entries)
+        return table._retrying(
+            lambda: table._commit_snapshot(OP_DELETE, rewrite_for_delete(table, filter_)))
     if mode == MERGE_ON_READ:
-        return _delete_merge_on_read(table, filter_)
+        return table._retrying(lambda: _delete_merge_on_read(table, filter_))
     raise ValidationError(f"unknown delete mode {mode!r}")
 
 
@@ -243,30 +249,34 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
     for c in assignments:
         if md.current_schema.find_field(c) is None:
             raise ValidationError(f"unknown column {c!r} in update")
-    candidates, untouched = _split_candidates(table, filter_)
-    if not candidates:
-        return table._commit_snapshot(OP_REPLACE, table.live_entries())
-    seq = table._next_sequence()
-    df = _read_candidates(table, candidates)
-    cond = to_column(filter_)
-    from pyspark.sql import Column as _Col
+    def build_and_commit():
+        md = table.metadata  # reloaded by _retrying on conflict
+        candidates, untouched = _split_candidates(table, filter_)
+        if not candidates:
+            return table._commit_snapshot(OP_REPLACE, table.live_entries())
+        seq = table._next_sequence()
+        df = _read_candidates(table, candidates)
+        cond = to_column(filter_)
+        from pyspark.sql import Column as _Col
 
-    for c, v in assignments.items():
-        val = v if isinstance(v, _Col) else F.lit(v)
-        field_type = to_spark_field_type(md.current_schema, c)
-        df = df.withColumn(c, F.when(cond, val.cast(field_type)).otherwise(F.col(c)))
-    new_files = write_data_files(
-        table.spark, df, table.location, md.current_schema, md.default_spec,
-        md.default_sort_order, md.current_schema_id, seq,
-        target_file_size=table._target_file_size(),
-        distribution_mode=table._distribution_mode(),
-        bloom_columns=table._bloom_columns(),
-        nan_count_columns=table._nan_count_columns(),
-        data_location=table._data_location(),
-        bucket_fn=table._bucket_fn(),
-    )
-    remaining_deletes = _deletes_still_needed(table, untouched)
-    return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
+        for c, v in assignments.items():
+            val = v if isinstance(v, _Col) else F.lit(v)
+            field_type = to_spark_field_type(md.current_schema, c)
+            df = df.withColumn(c, F.when(cond, val.cast(field_type)).otherwise(F.col(c)))
+        new_files = write_data_files(
+            table.spark, df, table.location, md.current_schema, md.default_spec,
+            md.default_sort_order, md.current_schema_id, seq,
+            target_file_size=table._target_file_size(),
+            distribution_mode=table._distribution_mode(),
+            bloom_columns=table._bloom_columns(),
+            nan_count_columns=table._nan_count_columns(),
+            data_location=table._data_location(),
+            bucket_fn=table._bucket_fn(),
+        )
+        remaining_deletes = _deletes_still_needed(table, untouched)
+        return table._commit_snapshot(OP_REPLACE, untouched + remaining_deletes + new_files)
+
+    return table._retrying(build_and_commit)
 
 
 def to_spark_field_type(schema, name: str):
@@ -350,109 +360,117 @@ def merge(table, source: DataFrame, on: list[str], *,
                     f"unknown column {c!r} in when_not_matched_by_source_update")
     has_nmbs = isinstance(nmbs_delete, Column) or nmbs_delete is True or bool(nmbs_update)
 
-    # align source columns to table schema (names must exist)
-    src_cols = [f.name for f in schema.fields if f.name in source.columns]
-    missing_keys = [k for k in on if k not in source.columns]
-    if missing_keys:
-        raise ValidationError(f"source missing key columns {missing_keys}")
-    from ..schema import to_spark_type as _tst
+    def build_and_commit(source=source):
+        # re-entered by _retrying after a conflict: metadata (and thus the
+        # schema, live files, and candidate prune) recompute from the
+        # reloaded state; the ORIGINAL source df re-aligns each attempt
+        md = table.metadata
+        schema = md.current_schema
+        # align source columns to table schema (names must exist)
+        src_cols = [f.name for f in schema.fields if f.name in source.columns]
+        missing_keys = [k for k in on if k not in source.columns]
+        if missing_keys:
+            raise ValidationError(f"source missing key columns {missing_keys}")
+        from ..schema import to_spark_type as _tst
 
-    source = source.select(*[
-        (F.col(f.name) if f.name in source.columns else F.lit(None)).cast(_tst(f.type)).alias(f.name)
-        for f in schema.fields
-    ])
+        source = source.select(*[
+            (F.col(f.name) if f.name in source.columns else F.lit(None)).cast(_tst(f.type)).alias(f.name)
+            for f in schema.fields
+        ])
 
-    # 1. prune candidates by source key ranges (one small agg job);
-    # NULL-safe: if the source contains NULL keys, files holding NULL-key
-    # rows must stay candidates (eqNullSafe matches NULL = NULL).
-    # A NOT MATCHED BY SOURCE clause must see EVERY target row (stats can
-    # prove a file holds source keys, never that it holds only them), so
-    # the prune is disabled and all live data files become candidates.
-    if has_nmbs:
-        candidates = [e for e in table.live_entries() if e.content == CONTENT_DATA]
-        untouched = []
-    else:
-        key_bounds = source.agg(
-            *[F.min(k).alias(f"_min_{k}") for k in on],
-            *[F.max(k).alias(f"_max_{k}") for k in on],
-            *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
-        ).collect()[0]
-        from ..expr import ALWAYS_TRUE as _TRUE
-        from ..expr import and_, col as ecol, is_null as eis_null, or_
-
-        prune_expr = _TRUE
-        for k in on:
-            lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
-            has_nulls = (key_bounds[f"_nulls_{k}"] or 0) > 0
-            if lo is not None and hi is not None:
-                rng = ecol(k).between(lo, hi)
-                prune_expr = and_(prune_expr, or_(rng, eis_null(k)) if has_nulls else rng)
-            elif has_nulls:
-                prune_expr = and_(prune_expr, eis_null(k))
-        candidates, untouched = _split_candidates(table, prune_expr)
-    seq = table._next_sequence()
-
-    target = _read_candidates(table, candidates) if candidates else table.spark.createDataFrame([], table.spark_schema())
-
-    # 2. the join: null-safe equality on keys (fix of SURVEY §2.6.6);
-    # explicit _exists flags make matched/not-matched tests null-proof
-    target = target.withColumn("_t_exists", F.lit(True))
-    source = source.withColumn("_s_exists", F.lit(True))
-    joined = target.alias("t").join(source.alias("s"), on=[target[k].eqNullSafe(source[k]) for k in on], how="full_outer")
-
-    out_cols = []
-    for f in schema.fields:
-        t_c, s_c = F.col(f"t.{f.name}"), F.col(f"s.{f.name}")
-        if when_matched_update == "*":
-            val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), s_c) \
-                   .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
-        elif isinstance(when_matched_update, dict) and f.name in when_matched_update:
-            from pyspark.sql import Column as _C
-
-            upd = when_matched_update[f.name]
-            upd_c = upd if isinstance(upd, _C) else F.lit(upd)
-            val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), upd_c) \
-                   .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+        # 1. prune candidates by source key ranges (one small agg job);
+        # NULL-safe: if the source contains NULL keys, files holding NULL-key
+        # rows must stay candidates (eqNullSafe matches NULL = NULL).
+        # A NOT MATCHED BY SOURCE clause must see EVERY target row (stats can
+        # prove a file holds source keys, never that it holds only them), so
+        # the prune is disabled and all live data files become candidates.
+        if has_nmbs:
+            candidates = [e for e in table.live_entries() if e.content == CONTENT_DATA]
+            untouched = []
         else:
-            val = F.when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
-        if nmbs_update and f.name in nmbs_update:
-            from pyspark.sql import Column as _C
+            key_bounds = source.agg(
+                *[F.min(k).alias(f"_min_{k}") for k in on],
+                *[F.max(k).alias(f"_max_{k}") for k in on],
+                *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
+            ).collect()[0]
+            from ..expr import ALWAYS_TRUE as _TRUE
+            from ..expr import and_, col as ecol, is_null as eis_null, or_
 
-            u = nmbs_update[f.name]
-            u_c = u if isinstance(u, _C) else F.lit(u)
-            val = F.when(
-                F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull(), u_c
-            ).otherwise(val)
-        out_cols.append(val.cast(_tst(f.type)).alias(f.name))
+            prune_expr = _TRUE
+            for k in on:
+                lo, hi = key_bounds[f"_min_{k}"], key_bounds[f"_max_{k}"]
+                has_nulls = (key_bounds[f"_nulls_{k}"] or 0) > 0
+                if lo is not None and hi is not None:
+                    rng = ecol(k).between(lo, hi)
+                    prune_expr = and_(prune_expr, or_(rng, eis_null(k)) if has_nulls else rng)
+                elif has_nulls:
+                    prune_expr = and_(prune_expr, eis_null(k))
+            candidates, untouched = _split_candidates(table, prune_expr)
+        seq = table._next_sequence()
 
-    result = joined
-    matched = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()
-    if isinstance(when_matched_delete, Column):
-        # conditional delete: NULL condition = no match = keep (SQL MERGE
-        # WHEN MATCHED AND cond semantics)
-        result = result.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
-    elif when_matched_delete:
-        result = result.filter(~matched)
-    nmbs_rows = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull()
-    if isinstance(nmbs_delete, Column):
-        result = result.filter(~(nmbs_rows & F.coalesce(nmbs_delete, F.lit(False))))
-    elif nmbs_delete:
-        result = result.filter(~nmbs_rows)
-    if not when_not_matched_insert:
-        result = result.filter(F.col("t._t_exists").isNotNull())
-    result = result.select(*out_cols)
+        target = _read_candidates(table, candidates) if candidates else table.spark.createDataFrame([], table.spark_schema())
 
-    new_files = write_data_files(
-        table.spark, result, table.location, schema, md.default_spec,
-        md.default_sort_order, md.current_schema_id, seq,
-        target_file_size=table._target_file_size(),
-        distribution_mode=table._distribution_mode(),
-        bloom_columns=table._bloom_columns(),
-        nan_count_columns=table._nan_count_columns(),
-        data_location=table._data_location(),
-        bucket_fn=table._bucket_fn(),
-    )
-    remaining_deletes = _deletes_still_needed(table, untouched)
-    return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,
-                                  summary_extra=summary_extra,
-                                  properties_extra=properties_extra)
+        # 2. the join: null-safe equality on keys (fix of SURVEY §2.6.6);
+        # explicit _exists flags make matched/not-matched tests null-proof
+        target = target.withColumn("_t_exists", F.lit(True))
+        source = source.withColumn("_s_exists", F.lit(True))
+        joined = target.alias("t").join(source.alias("s"), on=[target[k].eqNullSafe(source[k]) for k in on], how="full_outer")
+
+        out_cols = []
+        for f in schema.fields:
+            t_c, s_c = F.col(f"t.{f.name}"), F.col(f"s.{f.name}")
+            if when_matched_update == "*":
+                val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), s_c) \
+                       .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+            elif isinstance(when_matched_update, dict) and f.name in when_matched_update:
+                from pyspark.sql import Column as _C
+
+                upd = when_matched_update[f.name]
+                upd_c = upd if isinstance(upd, _C) else F.lit(upd)
+                val = F.when(F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull(), upd_c) \
+                       .when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+            else:
+                val = F.when(F.col("t._t_exists").isNotNull(), t_c).otherwise(s_c)
+            if nmbs_update and f.name in nmbs_update:
+                from pyspark.sql import Column as _C
+
+                u = nmbs_update[f.name]
+                u_c = u if isinstance(u, _C) else F.lit(u)
+                val = F.when(
+                    F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull(), u_c
+                ).otherwise(val)
+            out_cols.append(val.cast(_tst(f.type)).alias(f.name))
+
+        result = joined
+        matched = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()
+        if isinstance(when_matched_delete, Column):
+            # conditional delete: NULL condition = no match = keep (SQL MERGE
+            # WHEN MATCHED AND cond semantics)
+            result = result.filter(~(matched & F.coalesce(when_matched_delete, F.lit(False))))
+        elif when_matched_delete:
+            result = result.filter(~matched)
+        nmbs_rows = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNull()
+        if isinstance(nmbs_delete, Column):
+            result = result.filter(~(nmbs_rows & F.coalesce(nmbs_delete, F.lit(False))))
+        elif nmbs_delete:
+            result = result.filter(~nmbs_rows)
+        if not when_not_matched_insert:
+            result = result.filter(F.col("t._t_exists").isNotNull())
+        result = result.select(*out_cols)
+
+        new_files = write_data_files(
+            table.spark, result, table.location, schema, md.default_spec,
+            md.default_sort_order, md.current_schema_id, seq,
+            target_file_size=table._target_file_size(),
+            distribution_mode=table._distribution_mode(),
+            bloom_columns=table._bloom_columns(),
+            nan_count_columns=table._nan_count_columns(),
+            data_location=table._data_location(),
+            bucket_fn=table._bucket_fn(),
+        )
+        remaining_deletes = _deletes_still_needed(table, untouched)
+        return table._commit_snapshot(OP_OVERWRITE, untouched + remaining_deletes + new_files,
+                                      summary_extra=summary_extra,
+                                      properties_extra=properties_extra)
+
+    return table._retrying(build_and_commit)

@@ -476,31 +476,40 @@ class Table:
         whole files whose stats match, deleting non-matching rows with them,
         reference: table/insert.go:216-252)."""
         if filter is None or filter is ALWAYS_TRUE:
+            # full overwrite: the replacement files don't depend on table
+            # state, so write once and only retry the metadata commit
             new_files = write_data_files(
                 self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
                 self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
                 target_file_size=self._target_file_size(),
-            distribution_mode=self._distribution_mode(),
-            bloom_columns=self._bloom_columns(),
-            nan_count_columns=self._nan_count_columns(),
+                distribution_mode=self._distribution_mode(),
+                bloom_columns=self._bloom_columns(),
+                nan_count_columns=self._nan_count_columns(),
                 data_location=self._data_location(),
                 bucket_fn=self._bucket_fn(),
             )
-            return self._commit_snapshot(OP_OVERWRITE, new_files)
-        from .mutate import rewrite_for_delete
+            return self._retrying(
+                lambda: self._commit_snapshot(OP_OVERWRITE, new_files))
 
-        surviving = rewrite_for_delete(self, filter)
-        new_files = write_data_files(
-            self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
-            self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
-            target_file_size=self._target_file_size(),
-            distribution_mode=self._distribution_mode(),
-            bloom_columns=self._bloom_columns(),
-            nan_count_columns=self._nan_count_columns(),
-            data_location=self._data_location(),
-            bucket_fn=self._bucket_fn(),
-        )
-        return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
+        def build_and_commit():
+            # selective overwrite races like any mutation: the CoW rewrite
+            # recomputes against reloaded metadata on each retry (r6)
+            from .mutate import rewrite_for_delete
+
+            surviving = rewrite_for_delete(self, filter)
+            new_files = write_data_files(
+                self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
+                self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
+                target_file_size=self._target_file_size(),
+                distribution_mode=self._distribution_mode(),
+                bloom_columns=self._bloom_columns(),
+                nan_count_columns=self._nan_count_columns(),
+                data_location=self._data_location(),
+                bucket_fn=self._bucket_fn(),
+            )
+            return self._commit_snapshot(OP_OVERWRITE, surviving + new_files)
+
+        return self._retrying(build_and_commit)
 
     # -- mutations (delegates; reference: table/delete.go, table/update.go) -
     def delete(self, filter: Expression, mode: str = "copy-on-write") -> Snapshot:

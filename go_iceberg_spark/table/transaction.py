@@ -162,4 +162,16 @@ def delete_equality(table, keys_df: DataFrame, key_columns: list[str]):
         bucket_fn=table._bucket_fn(),
     )
     files = [DataFileEntry(**{**f.__dict__, "equality_ids": tuple(eq_ids)}) for f in files]
-    return table._commit_snapshot(OP_DELETE, table.live_entries() + files)
+
+    def build_and_commit():
+        # retry past concurrent commits (r6): the delete file is already
+        # written; re-stamp its sequence to the winning snapshot's so MoR
+        # applicability (strictly-greater rule) keys off the real commit
+        from dataclasses import replace as _rpl
+
+        seq = table._next_sequence()
+        stamped = ([_rpl(f, sequence_number=seq) for f in files]
+                   if files and files[0].sequence_number != seq else files)
+        return table._commit_snapshot(OP_DELETE, table.live_entries() + stamped)
+
+    return table._retrying(build_and_commit)

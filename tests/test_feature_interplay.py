@@ -744,3 +744,80 @@ def test_partition_pruning_survives_source_column_rename(spark, catalog):
     t.append(spark.createDataFrame([Row(k=100, zone="ap", v=1.0)]))
     assert t.scan().count() == 11
     assert t.scan().filter(gi.eq("zone", "ap")).count() == 1
+
+
+def test_every_mutation_retries_past_concurrent_append(spark, catalog):
+    """r6 probe BUG FIX (systemic): only append paths wrapped commits in
+    _retrying — delete (CoW + MoR), update, merge, delete_equality,
+    overwrite and rewrite_data_files all died with CommitConflictError when
+    any writer landed between their metadata read and their commit, and the
+    CoW variants rebuilt from stale state would have dropped the racer's
+    rows. Each now rebuilds against reloaded metadata under _retrying.
+    The race is injected deterministically: the first commit attempt
+    triggers a concurrent append through a second handle."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    def make(name):
+        df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+        t = catalog.create_table("db", name, from_spark_schema(df.schema))
+        t.append(df)
+        return t
+
+    def inject_conflict(t, racer_rows):
+        """First commit attempt loses to a concurrent append of racer_rows."""
+        real = t._commit_fn
+        state = {"fired": False}
+
+        def wrapped(md, v):
+            if not state["fired"]:
+                state["fired"] = True
+                t2 = catalog.load_table("db", t.identifier[-1])
+                t2.append(spark.createDataFrame(racer_rows))
+            return real(md, v)
+
+        t._commit_fn = wrapped
+        return t
+
+    # CoW delete: racer's row survives, delete applies
+    t = inject_conflict(make("race_del"), [Row(k=100, v=100.0)])
+    t.delete(gi.eq("k", 3))
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+
+    # MoR delete
+    t = inject_conflict(make("race_mor"), [Row(k=100, v=100.0)])
+    t.delete(gi.eq("k", 3), mode="merge-on-read")
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+
+    # update
+    t = inject_conflict(make("race_upd"), [Row(k=100, v=100.0)])
+    t.update(gi.eq("k", 3), {"v": -1.0})
+    vals = {r.k: r.v for r in t.to_df().collect()}
+    assert vals[3] == -1.0 and vals[100] == 100.0
+
+    # merge (upsert shape)
+    t = inject_conflict(make("race_mrg"), [Row(k=100, v=100.0)])
+    t.merge(spark.createDataFrame([Row(k=3, v=-3.0), Row(k=50, v=50.0)]), ["k"])
+    vals = {r.k: r.v for r in t.to_df().collect()}
+    assert vals[3] == -3.0 and vals[50] == 50.0 and vals[100] == 100.0
+
+    # equality delete (file written once, sequence re-stamped on retry)
+    t = inject_conflict(make("race_eq"), [Row(k=100, v=100.0)])
+    delete_equality(t, spark.createDataFrame([Row(k=3)]), ["k"])
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+
+    # selective overwrite
+    t = inject_conflict(make("race_ovr"), [Row(k=100, v=100.0)])
+    t.overwrite(spark.createDataFrame([Row(k=3, v=-3.0)]), filter=gi.eq("k", 3))
+    vals = {r.k: r.v for r in t.to_df().collect()}
+    assert vals[3] == -3.0 and vals[100] == 100.0 and len(vals) == 11
+
+    # compaction: racer's file must be IN the replacement snapshot
+    # (second append so the table holds >= min_input_files data files and
+    # the rewrite actually commits)
+    t = make("race_rw")
+    t.append(spark.createDataFrame([Row(k=50, v=50.0)]))
+    t = inject_conflict(t, [Row(k=100, v=100.0)])
+    assert t.rewrite_data_files() is not None
+    assert sorted(r.k for r in t.to_df().collect()) == list(range(10)) + [50, 100]
