@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 from typing import Any
 
 from pyspark.sql import Column
@@ -244,6 +245,21 @@ def referenced_columns(e: Expression) -> list[str]:
 
     walk(e)
     return out
+
+
+def rename_columns(e: Expression, mapping: dict[str, str]) -> Expression:
+    """Clone with leaf column names rewritten. Used to re-bind a filter
+    captured against one schema generation onto a concurrently-evolved
+    schema: names map through field ids, so a rename mid-operation follows
+    the field, never the stale name. Single-pass, so swap renames
+    (a→b, b→a) apply simultaneously."""
+    if not mapping:
+        return e
+    if e.children:
+        return dc_replace(e, children=tuple(rename_columns(c, mapping) for c in e.children))
+    if e.column is not None and e.column in mapping:
+        return dc_replace(e, column=mapping[e.column])
+    return e
 
 
 def to_column(e: Expression) -> Column:

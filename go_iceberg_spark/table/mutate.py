@@ -148,6 +148,41 @@ def _deletes_still_needed(table, data_entries: list[DataFileEntry]) -> list[Data
     return out
 
 
+def _rebind_to_current(entry_schema, current_schema, names, what: str) -> dict[str, str]:
+    """Map column names captured at operation entry onto the (possibly
+    concurrently-evolved) current schema by FIELD ID.
+
+    User-facing names bind to field ids when the operation is issued — the
+    Iceberg rule. A retry after a losing commit race must re-express those
+    ids in the reloaded schema's names: a concurrent rename follows the
+    field, a concurrent drop of a referenced field is a real conflict and
+    raises. Calling with entry == current doubles as eager name validation
+    (previously a stale-name delete filter "worked" only when Spark's
+    analyzer could resolve the old name through the alignment Project into
+    files that physically carried it — correct or crashing by file vintage)."""
+    mapping: dict[str, str] = {}
+    for n in dict.fromkeys(names):
+        fe = entry_schema.find_field(n)
+        if fe is None:
+            raise ValidationError(f"unknown column {n!r} in {what}")
+        fc = current_schema.find_field_by_id(fe.field_id)
+        if fc is None:
+            raise ValidationError(
+                f"column {n!r} (field {fe.field_id}) referenced by {what} "
+                "was dropped by a concurrent schema change")
+        if fc.name != n:
+            mapping[n] = fc.name
+    return mapping
+
+
+def _rebind_filter(entry_schema, current_schema, filter_: Expression, what: str) -> Expression:
+    from ..expr import referenced_columns, rename_columns
+
+    mapping = _rebind_to_current(
+        entry_schema, current_schema, referenced_columns(filter_), what)
+    return rename_columns(filter_, mapping)
+
+
 def delete(table, filter_: Expression, mode: str = COPY_ON_WRITE):
     """DELETE FROM … WHERE filter (reference: table/delete.go:56-79 dispatch).
 
@@ -155,12 +190,25 @@ def delete(table, filter_: Expression, mode: str = COPY_ON_WRITE):
     rewrite recomputes against the RELOADED metadata on each attempt, so a
     racing append's rows survive and a racing delete's files don't
     resurrect. Conflicts are rare; recomputing the rewrite is the price of
-    never committing against stale state."""
+    never committing against stale state. Filter names bind to field ids at
+    entry and re-bind per attempt, so a concurrent column rename follows
+    the field."""
+    entry_schema = table.metadata.current_schema
+    _rebind_filter(entry_schema, entry_schema, filter_, "delete filter")
     if mode == COPY_ON_WRITE:
-        return table._retrying(
-            lambda: table._commit_snapshot(OP_DELETE, rewrite_for_delete(table, filter_)))
+        def build_and_commit():
+            f = _rebind_filter(entry_schema, table.metadata.current_schema,
+                               filter_, "delete filter")
+            return table._commit_snapshot(OP_DELETE, rewrite_for_delete(table, f))
+
+        return table._retrying(build_and_commit)
     if mode == MERGE_ON_READ:
-        return table._retrying(lambda: _delete_merge_on_read(table, filter_))
+        def build_and_commit_mor():
+            f = _rebind_filter(entry_schema, table.metadata.current_schema,
+                               filter_, "delete filter")
+            return _delete_merge_on_read(table, f)
+
+        return table._retrying(build_and_commit_mor)
     raise ValidationError(f"unknown delete mode {mode!r}")
 
 
@@ -245,21 +293,31 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
     candidate file are rewritten unchanged (SURVEY §2.6.7) — but in one
     distributed job with a vectorized CASE WHEN instead of a per-row driver
     loop."""
-    md = table.metadata
+    entry_schema = table.metadata.current_schema
     for c in assignments:
-        if md.current_schema.find_field(c) is None:
+        if entry_schema.find_field(c) is None:
             raise ValidationError(f"unknown column {c!r} in update")
+    from ..expr import referenced_columns, rename_columns
+
+    _rebind_to_current(entry_schema, entry_schema,
+                       referenced_columns(filter_), "update filter")
+
     def build_and_commit():
         md = table.metadata  # reloaded by _retrying on conflict
-        candidates, untouched = _split_candidates(table, filter_)
+        mapping = _rebind_to_current(
+            entry_schema, md.current_schema,
+            list(assignments) + referenced_columns(filter_), "update")
+        flt = rename_columns(filter_, mapping)
+        candidates, untouched = _split_candidates(table, flt)
         if not candidates:
             return table._commit_snapshot(OP_REPLACE, table.live_entries())
         seq = table._next_sequence()
         df = _read_candidates(table, candidates)
-        cond = to_column(filter_)
+        cond = to_column(flt)
         from pyspark.sql import Column as _Col
 
         for c, v in assignments.items():
+            c = mapping.get(c, c)
             val = v if isinstance(v, _Col) else F.lit(v)
             field_type = to_spark_field_type(md.current_schema, c)
             df = df.withColumn(c, F.when(cond, val.cast(field_type)).otherwise(F.col(c)))
@@ -327,6 +385,11 @@ def merge(table, source: DataFrame, on: list[str], *,
     3. rewritten candidates + untouched files + appended new-key rows commit
        as one snapshot.
 
+    Source columns missing from the table schema are ignored; table columns
+    missing from the source are filled with NULL — including on matched
+    rows under ``when_matched_update="*"`` (the update writes the source's
+    NULL). Pass an explicit update dict to leave unmentioned columns alone.
+
     COST NOTE: a NOT MATCHED BY SOURCE clause disables the key-range prune —
     every live data file is a candidate, because any file might hold a key
     the source lacks (stats intersection proves presence, never absence).
@@ -337,10 +400,14 @@ def merge(table, source: DataFrame, on: list[str], *,
     from pyspark.sql import Column
 
     md = table.metadata
-    schema = md.current_schema
+    entry_schema = schema = md.current_schema
     for k in on:
         if schema.find_field(k) is None:
             raise ValidationError(f"merge key {k!r} not in schema")
+    if isinstance(when_matched_update, dict):
+        for c in when_matched_update:
+            if schema.find_field(c) is None:
+                raise ValidationError(f"unknown column {c!r} in when_matched_update")
     if when_matched_delete is True and when_matched_update:
         raise ValidationError(
             "choose either matched-update or matched-delete (an unconditional "
@@ -360,21 +427,47 @@ def merge(table, source: DataFrame, on: list[str], *,
                     f"unknown column {c!r} in when_not_matched_by_source_update")
     has_nmbs = isinstance(nmbs_delete, Column) or nmbs_delete is True or bool(nmbs_update)
 
-    def build_and_commit(source=source):
+    def build_and_commit(source=source, on=on,
+                         when_matched_update=when_matched_update,
+                         nmbs_update=nmbs_update):
         # re-entered by _retrying after a conflict: metadata (and thus the
         # schema, live files, and candidate prune) recompute from the
-        # reloaded state; the ORIGINAL source df re-aligns each attempt
+        # reloaded state; the ORIGINAL source df re-aligns each attempt.
+        # User-supplied names (keys, assignment dicts, source columns) were
+        # bound against the ENTRY schema — re-express them in the reloaded
+        # schema's names via field ids, so a concurrent rename follows the
+        # field instead of NULLing it out of the rewrite.
         md = table.metadata
         schema = md.current_schema
-        # align source columns to table schema (names must exist)
-        src_cols = [f.name for f in schema.fields if f.name in source.columns]
-        missing_keys = [k for k in on if k not in source.columns]
+        mapping = _rebind_to_current(
+            entry_schema, schema,
+            list(on)
+            + (list(when_matched_update) if isinstance(when_matched_update, dict) else [])
+            + (list(nmbs_update) if nmbs_update else []),
+            "merge")
+        on = [mapping.get(k, k) for k in on]
+        if isinstance(when_matched_update, dict):
+            when_matched_update = {mapping.get(c, c): v for c, v in when_matched_update.items()}
+        if nmbs_update:
+            nmbs_update = {mapping.get(c, c): v for c, v in nmbs_update.items()}
+
+        def _src_name(f):
+            # source columns carry entry-schema names; accept the current
+            # name too so a no-race call or a source built post-rename works
+            fe = entry_schema.find_field_by_id(f.field_id)
+            if fe is not None and fe.name in source.columns:
+                return fe.name
+            if f.name in source.columns:
+                return f.name
+            return None
+
+        missing_keys = [k for k in on if _src_name(schema.find_field(k)) is None]
         if missing_keys:
             raise ValidationError(f"source missing key columns {missing_keys}")
         from ..schema import to_spark_type as _tst
 
         source = source.select(*[
-            (F.col(f.name) if f.name in source.columns else F.lit(None)).cast(_tst(f.type)).alias(f.name)
+            (F.col(_src_name(f)) if _src_name(f) is not None else F.lit(None)).cast(_tst(f.type)).alias(f.name)
             for f in schema.fields
         ])
 

@@ -491,14 +491,30 @@ class Table:
             return self._retrying(
                 lambda: self._commit_snapshot(OP_OVERWRITE, new_files))
 
+        from .mutate import _rebind_filter
+
+        entry_schema = self.metadata.current_schema
+        _rebind_filter(entry_schema, entry_schema, filter, "overwrite filter")
+
         def build_and_commit():
             # selective overwrite races like any mutation: the CoW rewrite
-            # recomputes against reloaded metadata on each retry (r6)
-            from .mutate import rewrite_for_delete
+            # recomputes against reloaded metadata on each retry (r6); the
+            # filter AND the replacement rows (authored against the entry
+            # schema) re-bind by field id so a concurrent rename follows
+            from .mutate import _rebind_to_current, rewrite_for_delete
 
-            surviving = rewrite_for_delete(self, filter)
+            cur = self.metadata.current_schema
+            flt = _rebind_filter(entry_schema, cur, filter, "overwrite filter")
+            col_map = _rebind_to_current(
+                entry_schema, cur,
+                [c for c in df.columns if entry_schema.find_field(c) is not None],
+                "overwrite")
+            new_df = df
+            for old, new in col_map.items():
+                new_df = new_df.withColumnRenamed(old, new)
+            surviving = rewrite_for_delete(self, flt)
             new_files = write_data_files(
-                self.spark, df, self.location, self.metadata.current_schema, self.metadata.default_spec,
+                self.spark, new_df, self.location, self.metadata.current_schema, self.metadata.default_spec,
                 self.metadata.default_sort_order, self.metadata.current_schema_id, self._next_sequence(),
                 target_file_size=self._target_file_size(),
                 distribution_mode=self._distribution_mode(),

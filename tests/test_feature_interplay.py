@@ -821,3 +821,88 @@ def test_every_mutation_retries_past_concurrent_append(spark, catalog):
     t = inject_conflict(t, [Row(k=100, v=100.0)])
     assert t.rewrite_data_files() is not None
     assert sorted(r.k for r in t.to_df().collect()) == list(range(10)) + [50, 100]
+
+
+def test_mutations_follow_concurrent_column_rename(spark, catalog):
+    """r6 probe BUG FIX: user-supplied names bind to FIELD IDS at operation
+    entry and re-bind per retry attempt. Before, a retry re-aligned the
+    merge source / update assignment / overwrite replacement by NAME
+    against the reloaded schema, so a concurrent rename NULLed the renamed
+    column on every row the mutation touched (silent data loss); a delete
+    filter on the stale name only worked when Spark's analyzer could
+    resolve it through the alignment Project into files that physically
+    carried it. Now renames follow the field, drops of a referenced field
+    raise, and stale names are rejected eagerly."""
+    from go_iceberg_spark.errors import ValidationError
+
+    def make(name):
+        df = spark.createDataFrame([Row(k=i, v=float(i), w=f"s{i}") for i in range(10)])
+        t = catalog.create_table("db", name, from_spark_schema(df.schema))
+        t.append(df)
+        return t
+
+    def inject_rename(t, old, new):
+        real = t._commit_fn
+        state = {"fired": False}
+
+        def wrapped(md, v):
+            if not state["fired"]:
+                state["fired"] = True
+                t2 = catalog.load_table("db", t.identifier[-1])
+                t2.update_schema().rename_column(old, new).commit()
+            return real(md, v)
+
+        t._commit_fn = wrapped
+        return t
+
+    # merge racing rename of a non-key column: values follow the field
+    t = inject_rename(make("ren_mrg"), "v", "v2")
+    t.merge(spark.createDataFrame([Row(k=3, v=-3.0, w="X"), Row(k=50, v=50.0, w="n")]), ["k"])
+    rows = {r.k: (r.v2, r.w) for r in t.to_df().collect()}
+    assert rows[3] == (-3.0, "X") and rows[50] == (50.0, "n") and rows[4] == (4.0, "s4")
+
+    # merge racing rename of the KEY column
+    t = inject_rename(make("ren_key"), "k", "id")
+    t.merge(spark.createDataFrame([Row(k=3, v=-3.0, w="X")]), ["k"])
+    rows = {r.id: r.v for r in t.to_df().collect()}
+    assert rows[3] == -3.0 and len(rows) == 10
+
+    # update racing rename of the assigned column
+    t = inject_rename(make("ren_upd"), "v", "v2")
+    t.update(gi.eq("k", 5), {"v": -5.0})
+    vals = {r.k: r.v2 for r in t.to_df().collect()}
+    assert vals[5] == -5.0 and vals[4] == 4.0
+
+    # CoW + MoR delete racing rename of the filter column
+    for name, mode in (("ren_del", "copy-on-write"), ("ren_mor", "merge-on-read")):
+        t = inject_rename(make(name), "v", "v2")
+        t.delete(gi.eq("v", 3.0), mode=mode)
+        assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+    # selective overwrite racing rename: replacement rows follow the field too
+    t = inject_rename(make("ren_ovr"), "v", "v2")
+    t.overwrite(spark.createDataFrame([Row(k=3, v=-3.0, w="X")]), filter=gi.eq("v", 3.0))
+    rows = {r.k: r.v2 for r in t.to_df().collect()}
+    assert rows[3] == -3.0 and rows[4] == 4.0 and len(rows) == 10
+
+    # racing a DROP of a referenced column is a real conflict -> clear error
+    t = make("ren_drop")
+    real = t._commit_fn
+    fired = {}
+
+    def wrapped(md, v):
+        if not fired:
+            fired["x"] = True
+            t2 = catalog.load_table("db", "ren_drop")
+            t2.update_schema().drop_column("v").commit()
+        return real(md, v)
+
+    t._commit_fn = wrapped
+    with pytest.raises(ValidationError, match="dropped by a concurrent"):
+        t.update(gi.eq("k", 5), {"v": -5.0})
+
+    # stale names are rejected eagerly (no race), same as update always did
+    t = make("ren_eager")
+    t.update_schema().rename_column("v", "v2").commit()
+    with pytest.raises(ValidationError, match="unknown column 'v'"):
+        t.delete(gi.eq("v", 3.0))
