@@ -44,7 +44,8 @@ class Transaction:
     def __init__(self, table):
         self.table = table
         self._staged_adds: list[DataFileEntry] = []
-        self._staged_delete_filters: list[Expression] = []
+        # (stage-time schema, filter) pairs — names re-bind by field id at commit
+        self._staged_delete_filters: list[tuple[Any, Expression]] = []
         self._committed = False
 
     def append(self, df: DataFrame) -> "Transaction":
@@ -58,14 +59,20 @@ class Transaction:
         return self
 
     def delete(self, filter_: Expression) -> "Transaction":
-        self._staged_delete_filters.append(filter_)
+        from .mutate import _rebind_filter
+
+        # bind names to field ids NOW (eager stale-name validation); the
+        # commit retry re-binds onto whatever schema wins the race
+        schema = self.table.metadata.current_schema
+        _rebind_filter(schema, schema, filter_, "transaction delete filter")
+        self._staged_delete_filters.append((schema, filter_))
         return self
 
     def commit(self):
         from dataclasses import replace as _rpl
 
         from ..expr import or_
-        from .mutate import rewrite_for_delete
+        from .mutate import _rebind_filter, rewrite_for_delete
 
         if self._committed:
             raise ValidationError("transaction already committed")
@@ -81,7 +88,13 @@ class Transaction:
             # matching files are rewritten too, and staged adds re-stamp
             # their sequence numbers to the winning snapshot's
             if self._staged_delete_filters:
-                combined = or_(*self._staged_delete_filters)
+                # each filter re-binds from its STAGE-time schema to the
+                # reloaded current schema by field id, so a rename between
+                # stage and commit (or during a retry race) follows the field
+                cur = self.table.metadata.current_schema
+                combined = or_(*[
+                    _rebind_filter(entry_schema, cur, f, "transaction delete filter")
+                    for entry_schema, f in self._staged_delete_filters])
                 entries = rewrite_for_delete(self.table, combined)
             else:
                 entries = self.table.live_entries()

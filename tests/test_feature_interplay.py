@@ -906,3 +906,32 @@ def test_mutations_follow_concurrent_column_rename(spark, catalog):
     t.update_schema().rename_column("v", "v2").commit()
     with pytest.raises(ValidationError, match="unknown column 'v'"):
         t.delete(gi.eq("v", 3.0))
+
+
+def test_transaction_delete_filter_follows_rename_between_stage_and_commit(spark, catalog):
+    """r6: Transaction.delete stages (schema, filter) pairs; commit re-binds
+    each filter from its stage-time schema to the winning schema by field
+    id. A rename BETWEEN stage and commit (the transaction window is wide
+    by design) must follow the field, and a stale name at stage time is
+    rejected eagerly."""
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.transaction import Transaction
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)])
+    t = catalog.create_table("db", "txn_ren", from_spark_schema(df.schema))
+    t.append(df)
+
+    tx = Transaction(t)
+    tx.delete(gi.eq("v", 3.0))
+    tx.append(spark.createDataFrame([Row(k=50, v=50.0)]))
+    # rename lands through a second handle while the transaction is open
+    t2 = catalog.load_table("db", "txn_ren")
+    t2.update_schema().rename_column("v", "v2").commit()
+    t.refresh()
+    tx.commit()
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 50]
+
+    # stale name at stage time raises immediately, not at commit
+    tx2 = Transaction(t)
+    with pytest.raises(ValidationError, match="unknown column 'v'"):
+        tx2.delete(gi.eq("v", 1.0))
