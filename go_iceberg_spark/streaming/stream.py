@@ -54,20 +54,75 @@ BATCH_MARKER_KEY = "streaming-batch"
 HIGH_WATER_PROP = "streaming.batch-high-water."  # + ckpt_id -> max batch_id
 
 
+def _ancestry_ids(md) -> set:
+    """Snapshot ids on the current head's parent chain (the MAIN lineage)."""
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    out, sid = set(), md.current_snapshot_id
+    while sid in by_id:
+        out.add(sid)
+        sid = by_id[sid].parent_snapshot_id
+    return out
+
+
 def _batch_already_committed(table: Table, ckpt_id: str, batch_id: int) -> bool:
     """A replayed batch is detected by EITHER signal: the per-checkpoint
     high-water property (survives snapshot expiry — r6 probe found that an
     expire_snapshots between crash and restart could remove the marker
     snapshot and let the replay double-apply), or the (ckpt, batch) marker
-    in a retained snapshot summary (covers tables whose properties were
-    hand-edited). Batch ids are monotonic per Structured Streaming query,
-    so the high-water comparison is exact for the only replay Spark does
-    (the last uncommitted batch)."""
+    in a snapshot summary ON THE CURRENT LINEAGE (covers tables whose
+    properties were hand-edited; abandoned rollback branches don't count —
+    their batches are no longer in the table state). Batch ids are
+    monotonic per Structured Streaming query, so the high-water comparison
+    is exact for the only replay Spark does (the last uncommitted batch).
+    ``rollback_to`` rebases the high-water properties so a batch undone by
+    a rollback replays, while expired-but-applied batches stay deduped
+    (``rebased_stream_high_water``)."""
     hw = table.metadata.properties.get(HIGH_WATER_PROP + ckpt_id)
     if hw is not None and batch_id <= int(hw):
         return True
     marker = f"{ckpt_id}:{batch_id}"
-    return any(s.summary.get(BATCH_MARKER_KEY) == marker for s in table.snapshots())
+    anc = _ancestry_ids(table.metadata)
+    return any(s.summary.get(BATCH_MARKER_KEY) == marker
+               for s in table.snapshots() if s.snapshot_id in anc)
+
+
+def rebased_stream_high_water(md, new_head_id: int) -> dict[str, str]:
+    """Properties dict with the streaming high-water marks re-expressed for
+    a rollback that moves main to ``new_head_id``.
+
+    A rollback abandons the marker snapshots above the target, so their
+    batches are NO LONGER applied and must be allowed to replay: for each
+    checkpoint with abandoned markers, the high water drops to just below
+    the smallest abandoned batch id (batch ids are commit-ordered, so
+    everything at or above the smallest abandoned batch is abandoned too).
+    Markers still on (or re-entering, for a roll-forward) the target's
+    ancestry raise the mark back up. A checkpoint whose marker snapshots
+    were all EXPIRED has no abandonment evidence and keeps its current mark
+    — expired ancestors were applied, and their data is still in the table."""
+    props = dict(md.properties)
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    anc, sid = set(), new_head_id
+    while sid in by_id:
+        anc.add(sid)
+        sid = by_id[sid].parent_snapshot_id
+    in_anc: dict[str, list[int]] = {}
+    abandoned: dict[str, list[int]] = {}
+    for s in md.snapshots:
+        m = s.summary.get(BATCH_MARKER_KEY)
+        if not m:
+            continue
+        ckpt, _, b = m.rpartition(":")
+        (in_anc if s.snapshot_id in anc else abandoned).setdefault(ckpt, []).append(int(b))
+    for ckpt in set(in_anc) | set(abandoned):
+        key = HIGH_WATER_PROP + ckpt
+        cur = int(props.get(key, -1))
+        ia = max(in_anc.get(ckpt, [-1]))
+        new = max(ia, min(abandoned[ckpt]) - 1) if ckpt in abandoned else max(cur, ia)
+        if new < 0:
+            props.pop(key, None)
+        else:
+            props[key] = str(new)
+    return props
 
 
 def append_batch_exactly_once(table: Table, batch_df: DataFrame,

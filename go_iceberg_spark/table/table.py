@@ -758,11 +758,16 @@ class Table:
         """Point main back at an older snapshot (superset of reference)."""
         from dataclasses import replace
 
+        from ..streaming.stream import rebased_stream_high_water
+
         snap = self.metadata.snapshot_by_id(snapshot_id)
         refs = dict(self.metadata.refs)
         refs[MAIN_BRANCH] = SnapshotRef(snap.snapshot_id, "branch")
         md = replace(
             self.metadata, current_snapshot_id=snap.snapshot_id, refs=refs,
+            # streaming exactly-once marks rebase: batches abandoned by this
+            # rollback may legitimately replay; applied/expired ones may not
+            properties=rebased_stream_high_water(self.metadata, snap.snapshot_id),
             snapshot_log=self.metadata.snapshot_log + ({"timestamp-ms": now_ms(), "snapshot-id": snap.snapshot_id},),
             last_updated_ms=now_ms(),
         )

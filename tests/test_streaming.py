@@ -299,3 +299,59 @@ def test_batch_replay_skipped_after_marker_snapshot_expires(spark, catalog):
     assert append_batch_exactly_once(
         t, spark.createDataFrame([Row(k=3, v=3.0)]), "ck", 2) is True
     assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "2"
+
+
+def test_batch_replays_after_rollback_but_not_after_expire(spark, catalog):
+    """r6 probe BUG FIX: rollback_to rebases the streaming high-water marks.
+    A batch that committed and was then ROLLED BACK is no longer in the
+    table state, so the crash-replay of that batch must APPLY (before, the
+    high-water property and the all-snapshots marker scan both said
+    "committed" and the batch was lost forever). Expired-but-applied
+    batches keep deduping, and rolling FORWARD onto the original head
+    restores the dedup for the batches it re-includes."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_PROP,
+        append_batch_exactly_once,
+    )
+
+    proto = spark.createDataFrame([Row(k=0, v=0.0)])
+    t = catalog.create_table("db", "eo_rollback", from_spark_schema(proto.schema))
+    t.append(proto)
+    base = t.current_snapshot().snapshot_id
+
+    b0 = spark.createDataFrame([Row(k=1, v=1.0)])
+    assert append_batch_exactly_once(t, b0, "ck", 0) is True
+    head_with_batch = t.current_snapshot().snapshot_id
+
+    # rollback abandons the batch-0 snapshot: its replay must apply
+    t.rollback_to(base)
+    assert HIGH_WATER_PROP + "ck" not in t.metadata.properties
+    assert append_batch_exactly_once(t, b0, "ck", 0) is True
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1]
+    # but not twice
+    assert append_batch_exactly_once(t, b0, "ck", 0) is False
+
+    # roll FORWARD onto the abandoned head that contains its own batch-0
+    # marker: the mark is restored, replay of batch 0 is skipped again
+    t.rollback_to(head_with_batch)
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "0"
+    assert append_batch_exactly_once(t, b0, "ck", 0) is False
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1]
+
+    # partial rollback: batches 1 and 2 commit, rollback to after batch 1 —
+    # batch 2 replays, batch 1 stays deduped
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 1) is True
+    mid = t.current_snapshot().snapshot_id
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=3, v=3.0)]), "ck", 2) is True
+    t.rollback_to(mid)
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "1"
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 1) is False
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=3, v=3.0)]), "ck", 2) is True
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 3]
