@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import secrets
 import time
 import uuid as uuid_mod
@@ -94,6 +95,95 @@ class PartitionSpec:
 
 
 UNPARTITIONED = PartitionSpec(0, ())
+
+_BUCKET_TRANSFORM_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNCATE_TRANSFORM_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+# Iceberg-spec transform/source-type compatibility ("Partition Transforms"
+# table; reference validates the same surface in spec/partition.go:11-19).
+# float/double are EXCLUDED from bucket and truncate by the spec (NaN and
+# -0.0 make their hashes/orderings unstable across engines); hour applies to
+# timestamps only; year/month/day to dates and timestamps.
+_BUCKETABLE = {"int", "long", "decimal", "date", "time", "timestamp",
+               "timestamptz", "string", "uuid", "fixed", "binary"}
+_TRUNCATABLE = {"int", "long", "decimal", "string", "binary"}
+_DATE_TRANSFORM_SOURCES = {"date", "timestamp", "timestamptz"}
+
+
+def _primitive_name(t) -> str | None:
+    """Spec-table name for a source type; None for nested (struct/list/map)."""
+    from ..schema import DecimalType, FixedType, PrimitiveType
+
+    if isinstance(t, PrimitiveType):
+        return t.name
+    if isinstance(t, DecimalType):
+        return "decimal"
+    if isinstance(t, FixedType):
+        return "fixed"
+    return None
+
+
+def validate_partition_spec(schema: Schema, spec: PartitionSpec) -> None:
+    """Reject spec-illegal transform/source-type pairs at DDL time instead of
+    producing engine-divergent layouts at write time (Iceberg spec
+    "Partition Transforms"; reference: spec/partition.go:11-19). Runs on
+    CREATE and on partition evolution only — never on metadata load, so
+    pre-existing tables keep opening."""
+    for pf in spec.fields:
+        src = schema.find_field_by_id(pf.source_id)
+        if src is None:
+            raise ValidationError(
+                f"partition field {pf.name!r}: source id {pf.source_id} not in schema")
+        tname = _primitive_name(src.type)
+        if tname is None:
+            raise ValidationError(
+                f"partition field {pf.name!r}: source column {src.name!r} is nested; "
+                f"partition sources must be primitive")
+        tr = pf.transform
+        if tr == "void":
+            continue
+        if tr == "identity":
+            if tname in ("binary", "fixed"):
+                raise ValidationError(
+                    f"partition field {pf.name!r}: identity over {tname} is not "
+                    f"supported (Spark cannot partition by binary columns; see "
+                    f"manifest_avro.py ADR)")
+            continue
+        m = _BUCKET_TRANSFORM_RE.match(tr)
+        if m:
+            if int(m.group(1)) < 1:
+                raise ValidationError(f"partition field {pf.name!r}: bucket N must be >= 1")
+            if tname not in _BUCKETABLE:
+                raise ValidationError(
+                    f"partition field {pf.name!r}: bucket over {tname} is not allowed "
+                    f"by the Iceberg spec (unstable hash for float/double/boolean)")
+            continue
+        m = _TRUNCATE_TRANSFORM_RE.match(tr)
+        if m:
+            if int(m.group(1)) < 1:
+                raise ValidationError(f"partition field {pf.name!r}: truncate W must be >= 1")
+            if tname not in _TRUNCATABLE:
+                raise ValidationError(
+                    f"partition field {pf.name!r}: truncate over {tname} is not allowed "
+                    f"by the Iceberg spec")
+            if tname == "binary":
+                raise ValidationError(
+                    f"partition field {pf.name!r}: truncate over binary is spec-legal "
+                    f"but unsupported here (Spark cannot partition by binary columns)")
+            continue
+        if tr in ("year", "month", "day"):
+            if tname not in _DATE_TRANSFORM_SOURCES:
+                raise ValidationError(
+                    f"partition field {pf.name!r}: {tr} requires a date/timestamp "
+                    f"source, got {tname}")
+            continue
+        if tr == "hour":
+            if tname not in ("timestamp", "timestamptz"):
+                raise ValidationError(
+                    f"partition field {pf.name!r}: hour requires a timestamp source, "
+                    f"got {tname}")
+            continue
+        raise ValidationError(f"partition field {pf.name!r}: unknown transform {tr!r}")
 
 
 @dataclass(frozen=True)
@@ -558,6 +648,7 @@ class TableMetadata:
         # survive int->long widening); tables whose metadata lacks the stamp
         # keep the legacy int-width hash (write.resolve_bucket_fn)
         properties = {"write.bucket-hash-width": "long", **(properties or {})}
+        validate_partition_spec(schema, spec)
         return TableMetadata(
             table_uuid=str(uuid_mod.uuid4()),
             location=location,

@@ -607,6 +607,8 @@ class Table:
             next_fid += 1
         spec_id = max(s.spec_id for s in self.metadata.partition_specs) + 1
         spec = PartitionSpec(spec_id, tuple(pfs))
+        from .metadata import validate_partition_spec
+        validate_partition_spec(self.metadata.current_schema, spec)
         md = replace(self.metadata,
                      partition_specs=(*self.metadata.partition_specs, spec),
                      default_spec_id=spec_id,

@@ -330,7 +330,18 @@ def transform_column(transform: str, source: Column, source_type: IcebergType,
         if isinstance(source_type, PrimitiveType) and source_type.name in ("int", "long"):
             return (source - F.pmod(source, F.lit(w))).cast("long")
         if isinstance(source_type, DecimalType):
-            return source - F.pmod(source, F.lit(w))
+            # Iceberg-spec decimal truncate interprets W in UNSCALED units:
+            # scaled_W = decimal(W, scale(v)); v - ((v % scaled_W + scaled_W)
+            # % scaled_W). Spec check value: W=50, scale=2, 10.65 -> 10.50
+            # (pre-r6 this applied W in the SCALED space -> 0.00, a layout an
+            # external spec reader could never recompute). pmod already gives
+            # the floor remainder for negatives: -0.05 -> -0.50.
+            # precision+1: negative values at the precision floor truncate
+            # DOWN past it (decimal(3,2): -9.99 -> -10.00) and an exact-
+            # precision cast would throw under ANSI mode.
+            scaled_w = decimal.Decimal(w).scaleb(-source_type.scale)
+            return (source - F.pmod(source, F.lit(scaled_w)))\
+                .cast(f"decimal({min(source_type.precision + 1, 38)},{source_type.scale})")
         return F.substring(source, 1, w)
     if transform == "identity":
         return source

@@ -630,7 +630,10 @@ def test_external_typed_decimal_timestamp_partition_tuples(spark, catalog, props
     # -- the engine's own read of the wire agrees (string round-trip) ------
     assert t.scan().filter(gi.eq("ts", target)).count() == 20
     assert {e.partition["dec"] for e in t.live_entries()} == {"10.50", "11.50", "12.50"}
-    assert {e.partition["dec_trunc"] for e in t.live_entries()} <= {"10.00", "0.00"}
+    # spec decimal truncate (r6): W=10 at scale 2 steps by 0.10, so every
+    # x.50 value is already on a boundary and truncates to itself
+    assert ({e.partition["dec_trunc"] for e in t.live_entries()}
+            == {"10.50", "11.50", "12.50"})
 
 
 def test_legacy_string_partition_members_read_correctly(spark, catalog, monkeypatch):

@@ -556,8 +556,9 @@ def test_partition_evolution(spark, catalog):
     assert all(tk.file.partition.get("grp") == "a" for tk in new_hit)
     assert len(tasks) < len(t.live_entries())
 
-    # evolving with a transform
-    t.update_partition_spec(("v", "bucket[4]"))
+    # evolving with a transform (id, not v: bucket over double is spec-illegal
+    # and rejected since r6)
+    t.update_partition_spec(("id", "bucket[4]"))
     assert t.metadata.default_spec.fields[0].transform == "bucket[4]"
 
     with __import__("pytest").raises(Exception):
@@ -1381,3 +1382,97 @@ def test_add_files_rejects_bucket_partitioned_import(spark, catalog, tmp_path):
     with pytest.raises(ValidationError, match="bucket"):
         t.add_files(paths)
     assert t.scan().count() == 0  # nothing registered
+
+
+def test_decimal_truncate_is_spec_conformant(spark):
+    """r6 probe: Iceberg's truncate[W] on decimal interprets W in UNSCALED
+    units (spec check value: W=50, scale 2, 10.65 -> 10.50). Pre-r6 the
+    transform applied W in the scaled space (10.65 -> 0.00), a layout no
+    spec-conformant external reader could recompute. Int truncate pins the
+    spec's negative example too (-1, W=10 -> -10)."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from go_iceberg_spark.schema import INT
+    from go_iceberg_spark.table.write import transform_column
+
+    sch = T.StructType([T.StructField("d", T.DecimalType(9, 2)),
+                        T.StructField("i", T.IntegerType())])
+    df = spark.createDataFrame(
+        [(Decimal("10.65"), 1), (Decimal("-0.05"), -1), (Decimal("10.50"), 0)], sch)
+    dec_t = from_spark_schema(df.schema).fields[0].type
+    out = {str(r.d): (str(r.dt), r.it) for r in df.select(
+        "d",
+        transform_column("truncate[50]", df["d"], dec_t).alias("dt"),
+        transform_column("truncate[10]", df["i"], INT).alias("it")).collect()}
+    assert out["10.65"][0] == "10.50"
+    assert out["-0.05"][0] == "-0.50"
+    assert out["10.50"][0] == "10.50"
+    assert out["10.65"][1] == 0 and out["-0.05"][1] == -10 and out["10.50"][1] == 0
+
+    # precision-floor edge: -9.99 truncates DOWN to -10.00 (needs p+1 under
+    # ANSI mode, not a null/error)
+    sch2 = T.StructType([T.StructField("d", T.DecimalType(3, 2))])
+    df2 = spark.createDataFrame([(Decimal("-9.99"),)], sch2)
+    d2 = from_spark_schema(df2.schema).fields[0].type
+    [r] = df2.select(transform_column("truncate[50]", df2["d"], d2).alias("t")).collect()
+    assert str(r.t) == "-10.00"
+
+
+def test_partition_spec_transform_type_validation(spark, catalog):
+    """r6 probe: spec-illegal transform/source pairs (bucket or truncate on
+    float/double, hour on a date, year on an int, unknown transforms) are
+    rejected at CREATE and at partition evolution — not discovered as a
+    write-time crash or an engine-divergent layout. Legacy metadata with an
+    illegal spec still LOADS (validation never runs on from_json)."""
+    from pyspark.sql import types as T
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.metadata import TableMetadata
+
+    sch = T.StructType([
+        T.StructField("f", T.DoubleType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("s", T.StringType()),
+    ])
+    schema = from_spark_schema(sch)
+    fid = {f.name: f.field_id for f in schema.fields}
+
+    bad = [
+        (PartitionField(fid["f"], 1000, "bucket[8]", "fb"), "bucket over double"),
+        (PartitionField(fid["f"], 1000, "truncate[10]", "ft"), "truncate over double"),
+        (PartitionField(fid["d"], 1000, "hour", "dh"), "hour requires a timestamp"),
+        (PartitionField(fid["i"], 1000, "year", "iy"), "year requires a date"),
+        (PartitionField(fid["i"], 1000, "bucket[0]", "b0"), "bucket N"),
+        (PartitionField(fid["s"], 1000, "chunk[4]", "sx"), "unknown transform"),
+        (PartitionField(9999, 1000, "identity", "gone"), "not in schema"),
+    ]
+    for pf, frag in bad:
+        with pytest.raises(ValidationError, match=frag.split()[0]):
+            catalog.create_table("db", "specval_bad", schema,
+                                 spec=PartitionSpec(0, (pf,)))
+
+    # legal pairs create fine (bucket on int/string/date, truncate on string,
+    # y/m/d on date)
+    ok = PartitionSpec(0, (
+        PartitionField(fid["i"], 1000, "bucket[8]", "ib"),
+        PartitionField(fid["s"], 1001, "truncate[4]", "st"),
+        PartitionField(fid["d"], 1002, "month", "dm"),
+    ))
+    t = catalog.create_table("db", "specval_ok", schema, spec=ok)
+
+    # partition evolution enforces the same rules
+    with pytest.raises(ValidationError, match="bucket over double"):
+        t.update_partition_spec(("f", "bucket[4]"))
+    t.update_partition_spec(("d", "day"))  # legal evolution still works
+    assert t.metadata.default_spec_id == 1
+
+    # legacy load path: an illegal spec in stored JSON still parses
+    j = t.metadata.to_json()
+    j["partition-specs"].append(
+        {"spec-id": 9, "fields": [{"source-id": fid["f"], "field-id": 1009,
+                                   "transform": "bucket[4]", "name": "fb"}]})
+    md = TableMetadata.from_json(j)
+    assert any(s.spec_id == 9 for s in md.partition_specs)
