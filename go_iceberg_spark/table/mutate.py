@@ -477,14 +477,25 @@ def merge(table, source: DataFrame, on: list[str], *,
         # A NOT MATCHED BY SOURCE clause must see EVERY target row (stats can
         # prove a file holds source keys, never that it holds only them), so
         # the prune is disabled and all live data files become candidates.
+        # cardinality pre-signal, free-riding on the single source agg pass:
+        # count vs distinct key tuples (struct() so null-bearing tuples still
+        # count — countDistinct would skip bare-null args). Only when the
+        # source actually repeats a key does the precise matched-row check
+        # below spend a second job.
+        _dup_aggs = [
+            F.count(F.lit(1)).alias("_src_n"),
+            F.count_distinct(F.struct(*[F.col(k) for k in on])).alias("_src_keys"),
+        ]
         if has_nmbs:
             candidates = [e for e in table.live_entries() if e.content == CONTENT_DATA]
             untouched = []
+            _card = source.agg(*_dup_aggs).collect()[0]
         else:
-            key_bounds = source.agg(
+            key_bounds = _card = source.agg(
                 *[F.min(k).alias(f"_min_{k}") for k in on],
                 *[F.max(k).alias(f"_max_{k}") for k in on],
                 *[F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"_nulls_{k}") for k in on],
+                *_dup_aggs,
             ).collect()[0]
             from ..expr import ALWAYS_TRUE as _TRUE
             from ..expr import and_, col as ecol, is_null as eis_null, or_
@@ -502,6 +513,24 @@ def merge(table, source: DataFrame, on: list[str], *,
         seq = table._next_sequence()
 
         target = _read_candidates(table, candidates) if candidates else table.spark.createDataFrame([], table.spark_schema())
+
+        # SQL MERGE cardinality rule: multiple source rows matching ONE
+        # target row is an error, not a row multiplication (pre-r6 the
+        # full-outer join silently duplicated the matched target row once
+        # per source duplicate). Duplicate keys that match no target row
+        # remain legal — each NOT MATCHED row inserts, as in SQL.
+        if _card["_src_n"] != _card["_src_keys"] and candidates:
+            dup_keys = (source.groupBy(*[F.col(k) for k in on])
+                        .agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1))
+            offending = (target.join(
+                F.broadcast(dup_keys),
+                on=[target[k].eqNullSafe(dup_keys[k]) for k in on], how="inner")
+                .select(*[dup_keys[k] for k in on]).limit(5).collect())
+            if offending:
+                raise ValidationError(
+                    "MERGE: multiple source rows match the same target row for "
+                    f"key(s) {[tuple(r) for r in offending]}; de-duplicate the "
+                    "source on the merge keys first")
 
         # 2. the join: null-safe equality on keys (fix of SURVEY §2.6.6);
         # explicit _exists flags make matched/not-matched tests null-proof

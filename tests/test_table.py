@@ -1476,3 +1476,32 @@ def test_partition_spec_transform_type_validation(spark, catalog):
                                    "transform": "bucket[4]", "name": "fb"}]})
     md = TableMetadata.from_json(j)
     assert any(s.spec_id == 9 for s in md.partition_specs)
+
+
+def test_merge_duplicate_source_keys_raise_cardinality_error(spark, catalog):
+    """r6 probe: SQL MERGE's cardinality rule — multiple source rows matching
+    ONE target row is an error, not a silent row multiplication (pre-r6 the
+    full-outer join duplicated the matched target row once per source
+    duplicate). Duplicates that match NO target row stay legal: each NOT
+    MATCHED row inserts, as in SQL. NULL keys match null-safely, so a
+    duplicated NULL-key source row against a NULL-key target row raises too."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.mutate import merge
+
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=None, v="n")])
+    t = catalog.create_table("db", "mrgdup", from_spark_schema(df.schema))
+    t.append(df)
+
+    with pytest.raises(ValidationError, match="multiple source rows"):
+        merge(t, spark.createDataFrame([Row(k=1, v="x1"), Row(k=1, v="x2")]), ["k"])
+    with pytest.raises(ValidationError, match="multiple source rows"):
+        merge(t, spark.createDataFrame([(None, "p"), (None, "q")], "k bigint, v string"),
+              ["k"], when_not_matched_by_source_delete=True)
+    assert t.scan().count() == 2  # both rejected merges left no snapshot behind
+
+    # duplicates on UNMATCHED keys insert one row each
+    merge(t, spark.createDataFrame([Row(k=9, v="x1"), Row(k=9, v="x2")]), ["k"])
+    assert sorted((str(r.k), r.v) for r in t.to_df().collect()) == [
+        ("1", "a"), ("9", "x1"), ("9", "x2"), ("None", "n")]
