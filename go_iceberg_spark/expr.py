@@ -22,6 +22,7 @@ for plain filters the observable results coincide (NULL rows are dropped); for
 from __future__ import annotations
 
 import enum
+import math
 from dataclasses import dataclass, field
 from dataclasses import replace as dc_replace
 from typing import Any
@@ -384,6 +385,19 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
     if lo is None or hi is None:
         return True
 
+    # NaN guard (r6, mirrors must_match's): Spark/Iceberg order NaN ABOVE
+    # every float, but parquet min/max bounds EXCLUDE NaN — so a float file
+    # whose non-NaN max is 5 can still hold rows satisfying x > 100 (its NaN
+    # rows). Pruning on the HIGH side, or on a NaN literal, is only legal
+    # with a PROVEN-zero nan count (write.nan-count-columns); unknown stays
+    # conservative.
+    def _nan(v: Any) -> bool:
+        return isinstance(v, float) and math.isnan(v)
+
+    if _nan(lo) or _nan(hi):
+        return True  # degenerate bounds: never prune on them
+    may_nan = (isinstance(lo, float) or isinstance(hi, float)) and s.nan_count != 0
+
     def _le(a: Any, b: Any) -> bool | None:
         try:
             return bool(a <= b)
@@ -397,6 +411,8 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
             return None
 
     if op is Op.EQ:  # some row == v possible iff v ∈ [lo, hi]
+        if _nan(e.value):  # NaN = NaN matches in Spark; bounds never see NaN
+            return may_nan
         r1, r2 = _le(lo, e.value), _le(e.value, hi)
         if r1 is False or r2 is False:
             return False
@@ -406,16 +422,26 @@ def might_match(e: Expression, stats: dict[str, ColumnStats]) -> bool:
             return bloom_might_contain(s.bloom, e.value)
         return True
     if op is Op.LT:  # some row < v possible iff lo < v
+        if _nan(e.value):  # every non-NaN row is < NaN; bounds prove some exist
+            return True
         return _lt(lo, e.value) is not False
     if op is Op.LTE:  # some row <= v possible iff lo <= v
+        if _nan(e.value):
+            return True
         return _le(lo, e.value) is not False
-    if op is Op.GT:  # some row > v possible iff hi > v
-        return _lt(e.value, hi) is not False
-    if op is Op.GTE:  # some row >= v possible iff hi >= v
-        return _le(e.value, hi) is not False
+    if op is Op.GT:  # some row > v possible iff hi > v (or a NaN row exists)
+        if _nan(e.value):
+            return False  # nothing sorts above NaN, not even NaN
+        return may_nan or _lt(e.value, hi) is not False
+    if op is Op.GTE:  # some row >= v possible iff hi >= v (or a NaN row exists)
+        if _nan(e.value):
+            return may_nan  # only NaN >= NaN
+        return may_nan or _le(e.value, hi) is not False
     if op is Op.IN:
-        in_range = [v for v in e.values
-                    if not (_le(lo, v) is False or _le(v, hi) is False)]
+        if may_nan and any(_nan(v) for v in e.values):
+            return True
+        in_range = [v for v in e.values if not _nan(v)
+                    and not (_le(lo, v) is False or _le(v, hi) is False)]
         if not in_range:
             return False
         if s.bloom:

@@ -100,6 +100,11 @@ class _ColArrays:
         _, self.maxs = pick("stats_max_json", dec_num) if numeric else (None, None)
         _, self.nulls = pick("stats_null_counts", dec_int)
         _, self.vals = pick("stats_value_counts", dec_int)
+        # NaN counts: -1/absent = unknown (see metadata.MANIFEST_SCHEMA)
+        if "stats_nan_counts" in t.column_names:
+            _, self.nans = pick("stats_nan_counts", dec_int)
+        else:
+            self.nans = np.full(len(sel), -1.0)
         self.rows = rows
         self.n = n
 
@@ -138,6 +143,9 @@ def _vector_match(flt: Expression, t, schema: Schema):
                 "maxs": ca.scatter(ca.maxs),
                 "nulls": ca.scatter(ca.nulls),
                 "vals": ca.scatter(ca.vals),
+                # scatter fills NaN (=unknown) for rows without a stats entry
+                "nans": ca.scatter(ca.nans),
+                "is_float": prim in ("float", "double"),
             }
         return cache[f.field_id]
 
@@ -180,18 +188,25 @@ def _vector_match(flt: Expression, t, schema: Schema):
                 fvals = [float(v) for v in values]
             except (TypeError, ValueError):
                 raise _NotVectorizable(f"non-numeric literal for {e.column}")
+            if any(np.isnan(v) for v in fvals):
+                # NaN literals need expr.might_match's NaN ordering rules
+                raise _NotVectorizable(f"NaN literal for {e.column}")
             if any(abs(v) > 2.0**53 for v in fvals):
                 # beyond exact float64 integers the comparison could prune a
                 # file wrongly — use the exact per-row path instead
                 raise _NotVectorizable(f"literal beyond float64 precision for {e.column}")
+            # high-side prunes on float columns are only legal with a PROVEN
+            # zero nan count: NaN rows sort above every bound (expr.py NaN
+            # guard). nans: NaN = unknown, -1 = not collected, 0 = proven.
+            may_nan = a["is_float"] & ~(a["nans"] == 0)
             if e.op in (Op.EQ, Op.IN):
                 pred = ~TRUE
                 for v in fvals:
                     pred = pred | ((lo <= v) & (v <= hi))
             elif e.op is Op.GT:
-                pred = hi > fvals[0]
+                pred = (hi > fvals[0]) | may_nan
             elif e.op is Op.GTE:
-                pred = hi >= fvals[0]
+                pred = (hi >= fvals[0]) | may_nan
             elif e.op is Op.LT:
                 pred = lo < fvals[0]
             else:
@@ -244,17 +259,21 @@ def _perrow_match(flt: Expression, t, schema: Schema):
     maxs_l = t.column("stats_max_json").to_pylist()
     nulls_l = t.column("stats_null_counts").to_pylist()
     vals_l = t.column("stats_value_counts").to_pylist()
+    nans_l = (t.column("stats_nan_counts").to_pylist()
+              if "stats_nan_counts" in t.column_names else None)
     out = np.zeros(n, dtype=bool)
     for i in range(n):
         stats: dict[str, ColumnStats] = {}
         for j, fid in enumerate(fids_l[i]):
             name = needed.get(fid)
             if name is not None:
+                nan_ct = nans_l[i][j] if nans_l is not None else None
                 stats[name] = ColumnStats(
                     min=json.loads(mins_l[i][j]),
                     max=json.loads(maxs_l[i][j]),
                     null_count=nulls_l[i][j],
                     value_count=vals_l[i][j],
+                    nan_count=nan_ct if nan_ct is not None and nan_ct >= 0 else None,
                 )
         out[i] = might_match(flt, stats)
     return out
@@ -268,6 +287,7 @@ def _stats_by_name(e: DataFileEntry, schema: Schema) -> dict[str, ColumnStats]:
             out[f.name] = ColumnStats(
                 min=s.get("min"), max=s.get("max"),
                 null_count=s.get("null_count"), value_count=s.get("value_count"),
+                nan_count=s.get("nan_count"),
             )
     return out
 
@@ -295,7 +315,11 @@ def _stats_predicate(flt: Expression, schema: Schema):
     def bound(fid: int, which: str):
         pos = F.array_position(F.col("stats_fids"), F.lit(fid)).cast("int")
         raw = F.when(pos > 0, F.element_at(F.col(f"stats_{which}_json"), pos))
-        return raw  # JSON scalar string or NULL
+        # JSON-encoded None is the STRING "null" — map it to SQL NULL before
+        # any ANSI cast sees it. Latent crash pre-r6: a NaN-only float file
+        # has absent bounds but null_count < value_count, so the all_null
+        # short-circuit no longer guards the cast.
+        return F.when(raw != F.lit("null"), raw)
 
     def counts(fid: int):
         pos = F.array_position(F.col("stats_fids"), F.lit(fid)).cast("int")
@@ -335,26 +359,37 @@ def _stats_predicate(flt: Expression, schema: Schema):
         cast_t = _NUMERIC_CAST.get(getattr(f.type, "name", None))
         if cast_t is None:
             return TRUE  # string/binary bounds: driver path prunes these
+        _vals = [e.value] if e.op is not Op.IN else list(e.values)
+        if any(isinstance(v, float) and v != v for v in _vals):
+            return TRUE  # NaN literal: expr.might_match's NaN rules; row
+            # filter finishes the job (conservative, never prunes)
         lo = bound(fid, "min").cast(cast_t)
         hi = bound(fid, "max").cast(cast_t)
         # all-null file: comparisons never match (expr.py:362)
         all_null = nulls.isNotNull() & vals.isNotNull() & (nulls == vals) & (vals > 0)
         no_bounds = lo.isNull() | hi.isNull()
+        if getattr(f.type, "name", None) in ("float", "double"):
+            # high-side prunes need a PROVEN-zero nan count — NaN rows sort
+            # above every bound and bounds exclude NaN (expr.py NaN guard)
+            pos = F.array_position(F.col("stats_fids"), F.lit(fid)).cast("int")
+            nan_ct = F.when(pos > 0, F.element_at(F.col("stats_nan_counts"), pos))
+            may_nan = nan_ct.isNull() | (nan_ct != 0)
+        else:
+            may_nan = F.lit(False)
 
         def cmp(pred):
             return ~all_null & (no_bounds | pred)
 
         if e.op in (Op.EQ, Op.IN):
-            values = [e.value] if e.op is Op.EQ else list(e.values)
             anyhit = F.lit(False)
-            for v in values:
+            for v in _vals:
                 lv = F.lit(v).cast(cast_t)
                 anyhit = anyhit | ((lo <= lv) & (lv <= hi))
             return cmp(anyhit)
         if e.op is Op.GT:
-            return cmp(hi > F.lit(e.value).cast(cast_t))
+            return cmp((hi > F.lit(e.value).cast(cast_t)) | may_nan)
         if e.op is Op.GTE:
-            return cmp(hi >= F.lit(e.value).cast(cast_t))
+            return cmp((hi >= F.lit(e.value).cast(cast_t)) | may_nan)
         if e.op is Op.LT:
             return cmp(lo < F.lit(e.value).cast(cast_t))
         if e.op is Op.LTE:

@@ -73,6 +73,7 @@ def _stats_for_pruning(entry: DataFileEntry, schema: Schema) -> dict[str, Column
         out[f.name] = ColumnStats(
             min=s.get("min"), max=s.get("max"), null_count=s.get("null_count"),
             value_count=s.get("value_count"), bloom=s.get("bloom"),
+            nan_count=s.get("nan_count"),
         )
     return out
 

@@ -42,6 +42,10 @@ _NUMERIC_OPS = {Op.EQ, Op.IN, Op.LT, Op.LTE, Op.GT, Op.GTE,
                 Op.ALWAYS_TRUE, Op.ALWAYS_FALSE}
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
 def _numeric_only(e, schema) -> bool:
     if e.op not in _NUMERIC_OPS:
         return False
@@ -51,6 +55,11 @@ def _numeric_only(e, schema) -> bool:
         t = getattr(schema.find_field(e.column).type, "name", None)
         if t not in ("int", "long", "float", "double"):
             return False
+    # NaN literals: the vector tier defers to exact might_match while the
+    # Catalyst tier stays conservative-TRUE — identical only up to ⊆
+    vals = list(e.values) if e.values else ([e.value] if e.value is not None else [])
+    if any(_is_nan(v) for v in vals):
+        return False
     return True
 
 
@@ -61,7 +70,11 @@ def _gen_files(rng):
     for i in range(N_FILES):
         k = rng.randint(1, 8)
         x = [None if rng.random() < 0.25 else rng.randint(-40, 40) for _ in range(k)]
-        y = [None if rng.random() < 0.25 else round(rng.uniform(-40, 40), 2) for _ in range(k)]
+        # double column: NaN rows in ~1/4 of files (r6 — parquet bounds
+        # EXCLUDE NaN, Spark orders NaN above every double)
+        y = [None if rng.random() < 0.25
+             else (float("nan") if rng.random() < 0.08 else round(rng.uniform(-40, 40), 2))
+             for _ in range(k)]
         s = [None if rng.random() < 0.25 else rng.choice("abcdmnwxyz") * 2 for _ in range(k)]
         # occasionally: all-null column, or stats missing entirely
         if rng.random() < 0.1:
@@ -70,13 +83,15 @@ def _gen_files(rng):
         for fid_idx, rows in (("x", x), ("y", y), ("s", s)):
             if rng.random() < 0.12:
                 continue  # file predates stats collection for this column
-            present = [r for r in rows if r is not None]
+            present = [r for r in rows if r is not None and not _is_nan(r)]
             stats[fid_idx] = {
                 "min": min(present) if present else None,
                 "max": max(present) if present else None,
                 "null_count": sum(1 for r in rows if r is None),
                 "value_count": len(rows),
             }
+            if fid_idx == "y" and rng.random() < 0.5:  # opt-in nan counts
+                stats[fid_idx]["nan_count"] = sum(1 for r in rows if _is_nan(r))
         files.append({"path": f"data/f{i:04d}.parquet", "x": x, "y": y, "s": s,
                       "stats": stats})
     return files
@@ -92,6 +107,7 @@ def _gen_filters(rng):
         out.extend([
             X.eq(v), X.lt(v), X.gte(v), X.isin(v, v + 7, -v),
             Y.lte(w), Y.gt(w),
+            Y.eq(float("nan")), Y.gte(float("nan")), Y.lt(float("nan")),
             (X.gte(v) & X.lte(v + 10)), (X.lt(v) | Y.gt(w)),
             X.not_eq(v), X.not_in(v, v + 1),
             X.is_null(), Y.is_not_null(),
@@ -118,15 +134,24 @@ def _row_truth(f, file) -> bool:
             return v is not None
         if v is None:
             return False
+
+        # Spark orders NaN ABOVE every double and NaN == NaN is true; with
+        # no real infinities in the generated domain, mapping NaN -> +inf
+        # reproduces those semantics under Python comparisons
+        def K(a):
+            import math
+            return math.inf if _is_nan(a) else a
+
+        v = K(v)
         return {
-            Op.EQ: lambda: v == e.value,
-            Op.NOT_EQ: lambda: v != e.value,
-            Op.LT: lambda: v < e.value,
-            Op.LTE: lambda: v <= e.value,
-            Op.GT: lambda: v > e.value,
-            Op.GTE: lambda: v >= e.value,
-            Op.IN: lambda: v in e.values,
-            Op.NOT_IN: lambda: v not in e.values,
+            Op.EQ: lambda: v == K(e.value),
+            Op.NOT_EQ: lambda: v != K(e.value),
+            Op.LT: lambda: v < K(e.value),
+            Op.LTE: lambda: v <= K(e.value),
+            Op.GT: lambda: v > K(e.value),
+            Op.GTE: lambda: v >= K(e.value),
+            Op.IN: lambda: v in [K(w) for w in e.values],
+            Op.NOT_IN: lambda: v not in [K(w) for w in e.values],
             Op.STARTS_WITH: lambda: v.startswith(e.value),
             Op.NOT_STARTS_WITH: lambda: not v.startswith(e.value),
         }[e.op]()
@@ -160,7 +185,8 @@ def test_planning_tiers_agree(spark, fuzz_manifest):
 
     def stats_by_name(f):
         return {n: ColumnStats(min=s["min"], max=s["max"],
-                               null_count=s["null_count"], value_count=s["value_count"])
+                               null_count=s["null_count"], value_count=s["value_count"],
+                               nan_count=s.get("nan_count"))
                 for n, s in f["stats"].items()}
 
     checked = 0

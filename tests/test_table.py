@@ -1505,3 +1505,32 @@ def test_merge_duplicate_source_keys_raise_cardinality_error(spark, catalog):
     merge(t, spark.createDataFrame([Row(k=9, v="x1"), Row(k=9, v="x2")]), ["k"])
     assert sorted((str(r.k), r.v) for r in t.to_df().collect()) == [
         ("1", "a"), ("9", "x1"), ("9", "x2"), ("None", "n")]
+
+
+def test_nan_rows_survive_stats_pruning(spark, catalog):
+    """r6 probe: Spark (and DuckDB) order NaN ABOVE every double, but parquet
+    min/max bounds EXCLUDE NaN — so `x > 100` over a file whose non-NaN max
+    is 5 must still scan it for NaN rows. Pre-r6 every prune tier dropped the
+    file (silent row loss). A PROVEN-zero nan count (write.nan-count-columns)
+    re-enables the high-side prune; low-side and int pruning are unaffected."""
+    import go_iceberg_spark as gi
+
+    df = spark.createDataFrame([(1, 1.0), (2, 5.0), (3, float("nan"))],
+                               "id bigint, x double")
+    t = catalog.create_table("db", "nanprune", from_spark_schema(df.schema))
+    t.append(df)
+    assert [r.id for r in t.scan().filter(gi.gt("x", 100.0)).to_df().collect()] == [3]
+    assert [r.id for r in t.scan().filter(gi.eq("x", float("nan"))).to_df().collect()] == [3]
+    assert len(t.scan().filter(gi.gt("x", 100.0)).plan_files()) == 1
+    # NaN never satisfies < : low side still prunes correct rows
+    assert [r.id for r in t.scan().filter(gi.lt("x", 2.0)).to_df().collect()] == [1]
+
+    # opted-in nan counts: a proven-NaN-free file prunes on the high side,
+    # a nan_count>0 file stays planned
+    t2 = catalog.create_table("db", "nanprune2", from_spark_schema(df.schema),
+                              properties={"write.nan-count-columns": "x"})
+    t2.append(spark.createDataFrame([(1, 1.0), (2, 5.0)], "id bigint, x double"))
+    assert len(t2.scan().filter(gi.gt("x", 100.0)).plan_files()) == 0
+    t2.append(spark.createDataFrame([(3, float("nan"))], "id bigint, x double"))
+    assert [r.id for r in t2.scan().filter(gi.gt("x", 100.0)).to_df().collect()] == [3]
+    assert len(t2.scan().filter(gi.gt("x", 100.0)).plan_files()) == 1
