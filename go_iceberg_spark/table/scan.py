@@ -35,7 +35,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..errors import NoSuchSnapshotError
+from ..errors import NoSuchSnapshotError, ValidationError
 from ..expr import ALWAYS_TRUE, ColumnStats, Expression, might_match, simplify, to_column
 from ..schema import Schema, to_spark_type
 from .metadata import (
@@ -344,6 +344,21 @@ class ScanBuilder:
             df = self._read_aligned(spark, md, tasks, cur_schema)
 
         if self._filter is not ALWAYS_TRUE:
+            # bind filter columns against the PROJECTION schema first: a
+            # filter referencing a column unknown to a time-travel/tag
+            # snapshot's pinned schema gets the engine's taxonomy, not a raw
+            # Spark AnalysisException (r6 probe)
+            from ..expr import referenced_columns
+
+            known = {f.name for f in cur_schema.fields}
+            if not self._case_sensitive:
+                known |= {n.lower() for n in known}
+            for c in referenced_columns(self._filter):
+                if (c if self._case_sensitive else c.lower()) not in known:
+                    raise ValidationError(
+                        f"filter column {c!r} not in the scanned schema "
+                        f"(schema id {cur_schema.schema_id}; time-travel and "
+                        f"tag reads pin the snapshot's schema)")
             df = df.filter(to_column(self._filter))
         if self._selected:
             if not self._case_sensitive:

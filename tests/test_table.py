@@ -1534,3 +1534,36 @@ def test_nan_rows_survive_stats_pruning(spark, catalog):
     t2.append(spark.createDataFrame([(3, float("nan"))], "id bigint, x double"))
     assert [r.id for r in t2.scan().filter(gi.gt("x", 100.0)).to_df().collect()] == [3]
     assert len(t2.scan().filter(gi.gt("x", 100.0)).plan_files()) == 1
+
+    # mutations share the candidate prune: delete/update over gt() must see
+    # the NaN rows too
+    t.delete(gi.gt("x", 100.0))
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2]
+
+
+def test_scan_filter_binding_and_limit_composition(spark, catalog):
+    """r6 probe: (1) a filter on a column the select() drops still applies
+    (filter binds before projection); (2) limit applies AFTER MoR delete
+    resolution; (3) filtering a time-travel read on a column added later
+    raises the engine's ValidationError, not a raw Spark AnalysisException."""
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.schema import LONG
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id bigint, x double")
+    t = catalog.create_table("db", "scomp", from_spark_schema(df.schema))
+    t.append(df)
+
+    got = t.scan().select("id").filter(gi.gt("x", 5.0)).to_df()
+    assert got.columns == ["id"]
+    assert sorted(r.id for r in got.collect()) == [6, 7, 8, 9]
+
+    t.delete(gi.lt("id", 6), mode="merge-on-read")
+    assert t.scan().limit(3).to_df().count() == 3
+    assert sorted(r.id for r in t.scan().limit(10).to_df().collect()) == [6, 7, 8, 9]
+
+    from go_iceberg_spark.errors import ValidationError
+
+    old = t.current_snapshot().snapshot_id
+    t.update_schema().add_column("z", LONG).commit()
+    with pytest.raises(ValidationError, match="filter column 'z'"):
+        t.scan().use_snapshot(old).filter(gi.gt("z", 1)).to_df()
