@@ -17,6 +17,7 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 
 BLOOM_BITS = 2048
@@ -31,7 +32,20 @@ def _positions(key: str) -> list[int]:
 
 
 def bloom_key(value) -> str:
-    """Canonical probe key — must match on write and probe sides."""
+    """Canonical probe key — must match on write and probe sides.
+
+    Integral numerics canonicalize to the int rendering: Spark coerces
+    ``int_col = 5.0`` to a match, so a float/decimal literal must probe the
+    same key the int column's writer hashed (pre-r6 ``str(5.0)`` = "5.0"
+    missed the stored "5" — a bloom false NEGATIVE, i.e. silent row loss).
+    Non-integral numerics keep their rendering: they can never equal an int
+    value, so a miss is correct."""
+    if isinstance(value, bool):
+        return str(int(value))
+    if isinstance(value, float) and not (value != value) and value.is_integer():
+        return str(int(value))
+    if isinstance(value, decimal.Decimal) and value == value.to_integral_value():
+        return str(int(value))
     return str(value)
 
 

@@ -1567,3 +1567,26 @@ def test_scan_filter_binding_and_limit_composition(spark, catalog):
     t.update_schema().add_column("z", LONG).commit()
     with pytest.raises(ValidationError, match="filter column 'z'"):
         t.scan().use_snapshot(old).filter(gi.gt("z", 1)).to_df()
+
+
+def test_bloom_probe_type_coercion(spark, catalog):
+    """r6 probe: Spark coerces `int_col = 5.0` (and `'5' = 5`) to a match,
+    so bloom probe keys canonicalize integral numerics — pre-r6 a float
+    literal probing an int column's bloom hashed "5.0" against the stored
+    "5": a false NEGATIVE that silently pruned the live file."""
+    from decimal import Decimal
+
+    import go_iceberg_spark as gi
+
+    df = spark.createDataFrame([(i, f"{i}") for i in range(100)], "id bigint, s string")
+    t = catalog.create_table("db", "bloomco", from_spark_schema(df.schema),
+                             properties={"write.bloom-columns": "id,s"})
+    t.append(df)
+    assert t.scan().filter(gi.eq("id", 5)).to_df().count() == 1
+    assert t.scan().filter(gi.eq("id", 5.0)).to_df().count() == 1
+    assert t.scan().filter(gi.eq("id", Decimal("5"))).to_df().count() == 1
+    assert t.scan().filter(gi.isin("id", 5.0, 7)).to_df().count() == 2
+    # string bloom probed with an int literal (Spark: '5' = 5 is true)
+    assert t.scan().filter(gi.eq("s", 5)).to_df().count() == 1
+    # non-integral float can never equal an int: a bloom miss is correct
+    assert t.scan().filter(gi.eq("id", 5.5)).to_df().count() == 0
