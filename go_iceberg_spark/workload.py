@@ -3109,6 +3109,30 @@ def crud_delete_scan(spark, sf):
 
 
 @query(
+    "float_nan_pruning_scan",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey < 3000
+      AND (CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+                ELSE o_totalprice END) > 1000000.0
+    """,
+)
+def float_nan_pruning_scan(spark, sf):
+    """NaN scan semantics under the oracle gate (r6 probe fix): Spark and
+    DuckDB both order NaN ABOVE every double, while parquet min/max bounds
+    EXCLUDE NaN — so `x > 1e6` must return exactly the NaN rows even though
+    every file's recorded max is far below the threshold. Pre-r6 all three
+    prune tiers dropped those files (silent row loss; expr.might_match NaN
+    guard, planning.py numpy + Catalyst twins)."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(float("nan")))
+         .otherwise(F.col("o_totalprice")).alias("x"))
+    t = _scratch_table(spark, "nanscan", base)
+    return t.scan().filter(C("x").gt(1_000_000.0)).to_df().select("o_orderkey")
+
+
+@query(
     "crud_avro_manifest_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -4964,6 +4988,10 @@ _GRADED_FIRST = [
     "incremental_append_scan",
     "partition_evolution_scan",
     "wap_branch_publish_scan",
+    # --- late-r6 probe fixes under the gate ---
+    "float_nan_pruning_scan",
+    "bloom_point_lookup_scan",
+    "crud_merge_scan",
     # --- code changed this round (r5 ADVICE fixes): re-prove ---
     "changelog_cdc_scan",
     "incremental_agg_refresh",
@@ -4978,7 +5006,6 @@ _GRADED_FIRST = [
     "cluster_kmeans_topics_gemm",
     "crud_avro_manifest_scan",
     "sorted_write_pruned_scan",
-    "bloom_point_lookup_scan",
     "distributed_plan_scan",
     "streaming_interval_join",
     "streaming_upsert_table_sink_scan",
