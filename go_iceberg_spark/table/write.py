@@ -497,6 +497,71 @@ def _unescape_hive(v: str) -> str:
     return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v)
 
 
+# Safe implicit widenings on write: (incoming Spark type simpleString ->
+# allowed table types). Everything else must match exactly or cast
+# explicitly — an incompatible frame must fail DRIVER-SIDE with a clear
+# error, not write orphan parquet and die in manifest serde (r6 probe), or
+# worse, commit a file whose physical type the read path cannot cast.
+_SAFE_WIDEN = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+    "date": set(), "string": set(),
+}
+
+
+def _align_to_schema(df: DataFrame, schema: Schema, subset_ok: bool = False) -> DataFrame:
+    """Validate + align an incoming frame to the table schema: columns are
+    matched BY NAME (any order), missing optional columns fill NULL, missing
+    REQUIRED columns and incompatible types raise ValidationError, extra
+    columns are rejected (silently dropping data a caller thought it wrote
+    is worse than an error), and every column is cast to the schema's exact
+    Spark type so data files carry canonical physical types. ``subset_ok``
+    (delete-content files): the frame may carry any SUBSET of the schema —
+    equality deletes hold only their key columns."""
+    from ..schema import DecimalType as _Dec
+    from ..schema import to_spark_type as _tst
+
+    by_name = {f.name: f for f in schema.fields}
+    extra = [c for c in df.columns if c not in by_name]
+    if extra:
+        raise ValidationError(
+            f"columns {extra} not in table schema "
+            f"{sorted(by_name)} — drop or rename them before writing")
+    df_types = dict(df.dtypes)
+    fields = [f for f in schema.fields if not subset_ok or f.name in df_types]
+    cols = []
+    for f in fields:
+        want = _tst(f.type)
+        if f.name not in df_types:
+            if f.required:
+                raise ValidationError(f"required column {f.name!r} missing from frame")
+            cols.append(F.lit(None).cast(want).alias(f.name))
+            continue
+        have = df_types[f.name]
+        want_s = want.simpleString()
+        if have != want_s:
+            widen_ok = want_s in _SAFE_WIDEN.get(have, ())
+            dec_ok = (isinstance(f.type, _Dec) and have.startswith("decimal(")
+                      and _decimal_widens(have, f.type))
+            if not (widen_ok or dec_ok):
+                raise ValidationError(
+                    f"column {f.name!r}: frame type {have} does not fit table "
+                    f"type {want_s}; cast explicitly if the conversion is intended")
+        cols.append(F.col(f.name).cast(want).alias(f.name))
+    return df.select(*cols)
+
+
+def _decimal_widens(have: str, want) -> bool:
+    """decimal(p1,s) fits decimal(p2,s) when p2 >= p1 and scales match."""
+    try:
+        p1, s1 = map(int, have[len("decimal("):-1].split(","))
+    except ValueError:
+        return False
+    return s1 == want.scale and p1 <= want.precision
+
+
 def write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -527,6 +592,10 @@ def write_data_files(
     write_id = uuid_mod.uuid4().hex[:16]
     data_root = data_location or location
     out_dir = os.path.join(data_root, subdir, write_id)
+
+    # equality-delete files legitimately carry ONLY their key columns (the
+    # equality_ids); align/validate against just those fields for them
+    df = _align_to_schema(df, schema, subset_ok=(content != CONTENT_DATA))
 
     fid_by_name = {f.name: f.field_id for f in schema.fields}
     type_by_name = {f.name: f.type for f in schema.fields}

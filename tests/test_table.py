@@ -1590,3 +1590,37 @@ def test_bloom_probe_type_coercion(spark, catalog):
     assert t.scan().filter(gi.eq("s", 5)).to_df().count() == 1
     # non-integral float can never equal an int: a bloom miss is correct
     assert t.scan().filter(gi.eq("id", 5.5)).to_df().count() == 0
+
+
+def test_append_aligns_and_validates_frame_schema(spark, catalog):
+    """r6 probe: writes align the frame to the table schema BY NAME (any
+    column order), fill missing optional columns with NULL, and fail
+    driver-side — before any parquet lands — on extra columns (silently
+    dropping data is worse than an error) and on types that don't fit
+    (pre-r6 a string-typed x wrote orphan data files, then died in manifest
+    bound serde). Safe widenings (int->long, float->double, decimal
+    precision growth at equal scale) cast to the canonical physical type."""
+    import os
+
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "id bigint, s string, x double")
+    t = catalog.create_table("db", "alignw", from_spark_schema(df.schema))
+    t.append(df)
+    t.append(spark.createDataFrame([("b", 2.5, 2)], "s string, x double, id bigint"))
+    t.append(spark.createDataFrame([(3, "c", 3.5)], "id int, s string, x float"))
+    t.append(spark.createDataFrame([(4, "d")], "id bigint, s string"))
+    assert sorted((r.id, r.s, str(r.x)) for r in t.to_df().collect()) == [
+        (1, "a", "1.5"), (2, "b", "2.5"), (3, "c", "3.5"), (4, "d", "None")]
+
+    with pytest.raises(ValidationError, match="not in table schema"):
+        t.append(spark.createDataFrame([(5, "e", 5.5, 9)],
+                                       "id bigint, s string, x double, zz bigint"))
+    with pytest.raises(ValidationError, match="does not fit table type"):
+        t.append(spark.createDataFrame([(6, "f", "oops")],
+                                       "id bigint, s string, x string"))
+    # the rejects wrote NOTHING: files on disk == live entries
+    n_disk = sum(len([f for f in fs if f.endswith(".parquet")])
+                 for _, _, fs in os.walk(os.path.join(t.location, "data")))
+    assert n_disk == len(t.live_entries())
+    assert t.scan().count() == 4
