@@ -76,20 +76,28 @@ def _read_candidates(table, candidates: list[DataFileEntry]) -> DataFrame:
     md = table.metadata
     sb = ScanBuilder(table)
     dels = _other_deletes(table)
-    groups: dict[int, list[DataFileEntry]] = {}
+
+    # group by (schema, per-FILE applicable delete set) — grouping on schema
+    # alone applied an equality delete to EVERY file of the group when any
+    # one file predated it, silently deleting rows re-inserted AFTER the
+    # delete from the rewrite output (r6 probe; same sequence rules as
+    # ScanBuilder._read_aligned / incremental._read_entries)
+    def _applicable(e: DataFileEntry) -> tuple[int, ...]:
+        return tuple(
+            i for i, d in enumerate(dels)
+            if (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
+            or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
+        )
+
+    groups: dict[tuple[int, tuple[int, ...]], list[DataFileEntry]] = {}
     for e in candidates:
-        groups.setdefault(e.schema_id, []).append(e)
+        groups.setdefault((e.schema_id, _applicable(e)), []).append(e)
     parts = []
-    for sid, es in groups.items():
+    for (sid, didx), es in groups.items():
         file_schema = md.schema_by_id(sid) if any(s.schema_id == sid for s in md.schemas) else md.current_schema
         paths = [os.path.join(table.location, e.file_path) for e in es]
         raw = table.spark.read.parquet(*paths)
-        applicable = [d for d in dels if any(
-            (d.content == CONTENT_POSITION_DELETES and d.sequence_number >= e.sequence_number)
-            or (d.content != CONTENT_POSITION_DELETES and d.sequence_number > e.sequence_number)
-            for e in es
-        )]
-        raw = sb._apply_deletes(table.spark, raw, applicable, file_schema, paths)
+        raw = sb._apply_deletes(table.spark, raw, [dels[i] for i in didx], file_schema, paths)
         parts.append(_align_to_schema(raw, file_schema, md.current_schema))
     df = parts[0]
     for p in parts[1:]:

@@ -935,3 +935,34 @@ def test_transaction_delete_filter_follows_rename_between_stage_and_commit(spark
     tx2 = Transaction(t)
     with pytest.raises(ValidationError, match="unknown column 'v'"):
         tx2.delete(gi.eq("v", 1.0))
+
+
+def test_rewrite_does_not_reapply_eq_delete_to_later_files(spark, catalog):
+    """r6 probe: a CoW rewrite (update/merge/overwrite share
+    _read_candidates) grouped candidate files by schema alone and applied an
+    equality delete to EVERY file in the group when any ONE file predated
+    it — silently deleting rows re-inserted AFTER the delete. Files now
+    group by their per-file applicable delete set (scan-path sequence
+    rules)."""
+    from pyspark.sql import functions as F
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.table.mutate import merge
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    t = catalog.create_table("db", "rwseq", from_spark_schema(df.schema))
+    t.append(df)                                                     # seq 1
+    delete_equality(t, spark.createDataFrame([(1,)], "k bigint"), ["k"])  # seq 2
+    t.append(spark.createDataFrame([(1, "reborn")], "k bigint, v string"))  # seq 3
+    assert sorted((r.k, r.v) for r in t.to_df().collect()) == [(1, "reborn"), (2, "b")]
+
+    # update rewrites BOTH files: the reborn row must survive (uppercased)
+    t.update(gi.gte("k", 0), {"v": F.upper(F.col("v"))})
+    assert sorted((r.k, r.v) for r in t.to_df().collect()) == [(1, "REBORN"), (2, "B")]
+
+    # same shape through MERGE (candidates span the delete boundary again)
+    delete_equality(t, spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    t.append(spark.createDataFrame([(2, "back")], "k bigint, v string"))
+    merge(t, spark.createDataFrame([(1, "m1")], "k bigint, v string"), ["k"])
+    assert sorted((r.k, r.v) for r in t.to_df().collect()) == [(1, "m1"), (2, "back")]
