@@ -750,6 +750,70 @@ def _import_partition_values(path: str, spec: PartitionSpec) -> dict[str, Any]:
     return vals
 
 
+def _arrow_fits(itype: IcebergType, at) -> bool:
+    """Can a parquet column of arrow type ``at`` be read AS Iceberg type
+    ``itype`` without changing values or the scan's output schema? Equal or
+    upward-widening physical types only — importing a double file under a
+    long column silently retyped the whole scan (schema merge widened it)
+    and let fractional values into an integer column (r6 probe)."""
+    import pyarrow as pa
+
+    from ..schema import DecimalType, FixedType, PrimitiveType
+
+    if isinstance(itype, DecimalType):
+        return (pa.types.is_decimal(at)
+                and at.scale == itype.scale and at.precision <= itype.precision)
+    if isinstance(itype, FixedType):
+        return pa.types.is_fixed_size_binary(at)
+    if not isinstance(itype, PrimitiveType):
+        return True  # nested: top-level pruning/alignment only
+    n = itype.name
+    if n == "long":
+        return pa.types.is_signed_integer(at)
+    if n == "int":
+        return pa.types.is_signed_integer(at) and at.bit_width <= 32
+    if n == "double":
+        return pa.types.is_floating(at)
+    if n == "float":
+        return pa.types.is_float32(at) or pa.types.is_float16(at)
+    if n == "string":
+        return pa.types.is_string(at) or pa.types.is_large_string(at)
+    if n == "boolean":
+        return pa.types.is_boolean(at)
+    if n == "date":
+        return pa.types.is_date(at)
+    if n in ("timestamp", "timestamptz"):
+        return pa.types.is_timestamp(at)
+    if n == "time":
+        return pa.types.is_time(at)
+    if n == "binary":
+        return pa.types.is_binary(at) or pa.types.is_large_binary(at)
+    if n == "uuid":
+        return (pa.types.is_string(at)
+                or (pa.types.is_fixed_size_binary(at) and at.byte_width == 16))
+    return True
+
+
+def _validate_import_types(paths: list[str], fields: list[tuple]) -> None:
+    """Executor-side add_files guard: every file column present in the table
+    schema must physically FIT the declared type (see ``_arrow_fits``)."""
+    import pyarrow.parquet as pq
+
+    by_name = dict(fields)
+    for path in paths:
+        asch = pq.ParquetFile(path).schema_arrow
+        for aname in asch.names:
+            it = by_name.get(aname)
+            if it is None:
+                continue
+            at = asch.field(aname).type
+            if not _arrow_fits(it, at):
+                raise ValidationError(
+                    f"add_files: {path!r} column {aname!r} has physical type "
+                    f"{at} which does not fit table type {it}; rewrite or "
+                    f"cast the file before importing")
+
+
 def register_data_files(
     spark: SparkSession,
     paths: list[str],
@@ -794,11 +858,27 @@ def register_data_files(
     fid_by_name = {f.name: f.field_id for f in schema.fields}
     sc = spark.sparkContext
     n_slices = max(1, min(len(paths), sc.defaultParallelism))
-    raw = (
-        sc.parallelize(paths, n_slices)
-        .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name))
-        .collect()
-    )
+    field_types = [(f.name, f.type) for f in schema.fields]
+    if len(paths) <= 1000:  # small imports: clean driver-side error
+        _validate_import_types(paths, field_types)
+
+    def _validate_and_collect(it):
+        ps = list(it)
+        _validate_import_types(ps, field_types)  # scale path: executor-side
+        return _collect_file_stats(ps, fid_by_name)
+
+    try:
+        raw = (
+            sc.parallelize(paths, n_slices)
+            .mapPartitions(_validate_and_collect)
+            .collect()
+        )
+    except Exception as e:  # surface the executor-side guard cleanly
+        msg = str(e)
+        if "add_files:" in msg:
+            start = msg.index("add_files:")
+            raise ValidationError(msg[start:].split("\n")[0]) from None
+        raise
     out = []
     for r in raw:
         vals = _import_partition_values(r["file_path"], spec)

@@ -1624,3 +1624,32 @@ def test_append_aligns_and_validates_frame_schema(spark, catalog):
                  for _, _, fs in os.walk(os.path.join(t.location, "data")))
     assert n_disk == len(t.live_entries())
     assert t.scan().count() == 4
+
+
+def test_add_files_rejects_nonfitting_physical_types(spark, catalog, tmp_path):
+    """r6 probe: importing a parquet whose physical type does not FIT the
+    table column corrupted the table — a double file under a bigint column
+    silently retyped the whole scan (schema merge widened it) and let
+    fractional values into an integer column. add_files now validates every
+    file's arrow schema; equal-or-upward widenings (int32 under long,
+    float32 under double) still import zero-copy."""
+    import os
+
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.createDataFrame([(1, 10)], "id bigint, x bigint")
+    t = catalog.create_table("db", "afty", from_spark_schema(df.schema))
+    t.append(df)
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(2, 2.75)], "id bigint, x double").coalesce(1)\
+        .write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValidationError, match="does not fit table type"):
+        t.add_files([os.path.join(bad, f) for f in os.listdir(bad) if f.endswith(".parquet")])
+    assert t.scan().count() == 1
+
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame([(3, 30)], "id int, x int").coalesce(1)\
+        .write.mode("overwrite").parquet(ok)
+    t.add_files([os.path.join(ok, f) for f in os.listdir(ok) if f.endswith(".parquet")])
+    assert sorted((r.id, r.x) for r in t.to_df().collect()) == [(1, 10), (3, 30)]
