@@ -752,7 +752,15 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=
     )
     if io is not None:
         # S3: conditional PUT (If-None-Match: *) gives the same exclusive-
-        # create primitive as O_EXCL locally (io/fileio.py S3FileIO.create)
+        # create primitive as O_EXCL locally (io/fileio.py S3FileIO.create).
+        # Same zombie guard as the local branch: the prior version must
+        # still exist, else the table was dropped/renamed under this handle.
+        if expected_version > 0 and not io.exists(
+                os.path.join(mdir, f"v{expected_version}.metadata.json")):
+            from ..errors import TableNotFoundError
+            raise TableNotFoundError(
+                f"metadata v{expected_version} gone at {location!r} (table "
+                f"dropped or renamed concurrently); reload from the catalog")
         try:
             io.create(path, json.dumps(md.to_json(), indent=1).encode())
         except FileExistsError as e:
@@ -762,7 +770,16 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=
         except OSError:
             pass
         return new_v
-    os.makedirs(mdir, exist_ok=True)
+    if expected_version == 0:
+        os.makedirs(mdir, exist_ok=True)  # first commit creates the tree
+    elif not os.path.isdir(mdir):
+        # the table tree is GONE (dropped or renamed since this handle
+        # loaded) — recreating it here would resurrect a zombie table
+        # directory the catalog no longer knows about (r6 probe)
+        from ..errors import TableNotFoundError
+        raise TableNotFoundError(
+            f"table metadata directory {mdir!r} no longer exists (table "
+            f"dropped or renamed concurrently); reload from the catalog")
     try:
         with open(path, "x") as f:
             json.dump(md.to_json(), f, indent=1)

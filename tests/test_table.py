@@ -1653,3 +1653,19 @@ def test_add_files_rejects_nonfitting_physical_types(spark, catalog, tmp_path):
         .write.mode("overwrite").parquet(ok)
     t.add_files([os.path.join(ok, f) for f in os.listdir(ok) if f.endswith(".parquet")])
     assert sorted((r.id, r.x) for r in t.to_df().collect()) == [(1, 10), (3, 30)]
+
+
+def test_stale_handle_cannot_resurrect_dropped_table(spark, catalog):
+    """r6 probe: committing through a handle loaded BEFORE a drop/rename
+    recreated the old metadata directory (makedirs in commit_metadata) — a
+    zombie table the catalog no longer knows about. Non-initial commits now
+    require the metadata tree to still exist and raise TableNotFoundError
+    (same guard on the S3 path via io.exists on the expected version)."""
+    import os
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    t = catalog.create_table("db", "zomb", from_spark_schema(df.schema))
+    catalog.drop_table("db", "zomb")
+    with pytest.raises(TableNotFoundError, match="dropped or renamed"):
+        t.set_properties({"zombie": "yes"})
+    assert not os.path.isdir(os.path.join(t.location, "metadata"))
