@@ -1,0 +1,174 @@
+"""Model-based mutation fuzz (r6): a seeded random walk of table operations
+runs against BOTH the engine table and a plain in-memory model; after every
+step the scan must equal the model, and a randomly chosen RETAINED snapshot
+must equal the model's recorded state at that snapshot (time-travel
+consistency through every later mutation, compaction, and expiry).
+
+This mechanizes the manual probe sweep that found the round 3-6 composition
+bugs (changelog netting, per-file delete application, rewrite
+over-suppression, ...): instead of hand-picking feature PAIRS, the walk
+composes append / CoW+MoR delete / equality delete / update / upsert /
+merge(+NOT MATCHED BY SOURCE) / rollback / compaction / expiry in random
+order and checks full-table equality at every step.
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+import random
+
+import pytest
+
+import go_iceberg_spark as gi
+from go_iceberg_spark.schema import from_spark_schema
+from go_iceberg_spark.table.mutate import merge
+from go_iceberg_spark.table.transaction import delete_equality
+
+COLS = ("k", "v", "x")
+
+
+def _norm(x):
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return None
+    if isinstance(x, float):
+        return round(x, 9)
+    return x
+
+
+def _engine_rows(t):
+    return sorted(tuple(_norm(r[c]) for c in COLS) for r in t.to_df().collect())
+
+
+def _model_rows(rows):
+    return sorted(tuple(_norm(r[c]) for c in COLS) for r in rows)
+
+
+def _batch(spark, rng, ks):
+    rows = [(k, f"v{rng.randint(0, 99)}",
+             float("nan") if rng.random() < 0.1 else round(rng.uniform(-50, 50), 2))
+            for k in ks]
+    return (spark.createDataFrame(rows, "k bigint, v string, x double"),
+            [dict(zip(COLS, r)) for r in rows])
+
+
+def _walk(spark, catalog, seed: int, steps: int):
+    rng = random.Random(seed)
+    df, model = _batch(spark, rng, range(1, 9))
+    t = catalog.create_table("db", f"fuzz{seed}", from_spark_schema(df.schema))
+    t.append(df)
+    next_k = 100
+    # snapshot-id -> deep-copied model state, for time-travel checks
+    history = {t.current_snapshot().snapshot_id: copy.deepcopy(model)}
+
+    def record():
+        history[t.current_snapshot().snapshot_id] = copy.deepcopy(model)
+
+    for step in range(steps):
+        op = rng.choice(
+            ["append", "delete_cow", "delete_mor", "eq_delete", "update",
+             "upsert", "merge_nmbs", "rollback", "compact", "expire"])
+        ks = [r["k"] for r in model]
+        if op == "append":
+            new_ks = [next_k + i for i in range(rng.randint(1, 4))]
+            # ~1/3 of appends re-insert an existing key (duplicates are legal)
+            if ks and rng.random() < 0.3:
+                new_ks[0] = rng.choice(ks)
+            next_k += 10
+            df, rows = _batch(spark, rng, new_ks)
+            t.append(df)
+            model.extend(rows)
+            record()
+        elif op in ("delete_cow", "delete_mor"):
+            if ks and rng.random() < 0.5:
+                pivot = rng.choice(ks)
+                flt, pred = gi.eq("k", pivot), (lambda r, p=pivot: r["k"] == p)
+            else:
+                cut = next_k - 15
+                flt, pred = gi.gt("k", cut), (lambda r, c=cut: r["k"] > c)
+            t.delete(flt, mode="merge-on-read" if op == "delete_mor" else "copy-on-write")
+            model[:] = [r for r in model if not pred(r)]
+            record()
+        elif op == "eq_delete":
+            if not ks:
+                continue
+            dks = list({rng.choice(ks) for _ in range(rng.randint(1, 3))})
+            delete_equality(t, spark.createDataFrame([(k,) for k in dks], "k bigint"), ["k"])
+            model[:] = [r for r in model if r["k"] not in dks]
+            record()
+        elif op == "update":
+            if not ks:
+                continue
+            pivot = rng.choice(ks)
+            from pyspark.sql import functions as F
+            t.update(gi.gte("k", pivot), {"v": F.concat(F.col("v"), F.lit("_u"))})
+            for r in model:
+                if r["k"] >= pivot:
+                    r["v"] += "_u"
+            record()
+        elif op == "upsert":
+            src_ks = list({rng.choice(ks) if ks and rng.random() < 0.6 else next_k + i
+                           for i in range(rng.randint(1, 3))})
+            next_k += 10
+            df, rows = _batch(spark, rng, src_ks)
+            t.upsert(df, ["k"])
+            by_k = {r["k"]: r for r in rows}
+            hit = set()
+            for r in model:
+                if r["k"] in by_k:
+                    r.update(by_k[r["k"]])
+                    hit.add(r["k"])
+            model.extend(r for k, r in by_k.items() if k not in hit)
+            record()
+        elif op == "merge_nmbs":
+            if len(ks) < 2:
+                continue
+            keep = list({rng.choice(ks) for _ in range(max(1, len(set(ks)) // 2))})
+            df, rows = _batch(spark, rng, keep)
+            merge(t, df, ["k"], when_matched_update="*",
+                  when_not_matched_insert=True,
+                  when_not_matched_by_source_delete=True)
+            by_k = {r["k"]: r for r in rows}
+            nxt = []
+            for r in model:
+                if r["k"] in by_k:
+                    nxt.append({**by_k[r["k"]]})
+            have = {r["k"] for r in model}
+            nxt.extend({**r} for k, r in by_k.items() if k not in have)
+            model[:] = nxt
+            record()
+        elif op == "rollback":
+            retained = {s.snapshot_id for s in t.snapshots()}
+            pool = [sid for sid in history if sid in retained]
+            if not pool:
+                continue
+            target = rng.choice(pool)
+            t.rollback_to(target)
+            model[:] = copy.deepcopy(history[target])
+            record()
+        elif op == "compact":
+            t.rewrite_data_files(min_input_files=2)
+            record()  # metadata-only: model unchanged, new snapshot maybe
+        elif op == "expire":
+            t.expire_snapshots(retain_last=rng.randint(2, 4))
+            retained = {s.snapshot_id for s in t.snapshots()}
+            for sid in list(history):
+                if sid not in retained:
+                    del history[sid]
+
+        got, want = _engine_rows(t), _model_rows(model)
+        assert got == want, (seed, step, op, got[:5], want[:5])
+
+        # time-travel spot check against a retained recorded snapshot
+        retained = {s.snapshot_id for s in t.snapshots()}
+        pool = [sid for sid in history if sid in retained]
+        if pool:
+            sid = rng.choice(pool)
+            tt = sorted(tuple(_norm(r[c]) for c in COLS)
+                        for r in t.scan().use_snapshot(sid).to_df().collect())
+            assert tt == _model_rows(history[sid]), (seed, step, op, "time-travel", sid)
+
+
+@pytest.mark.parametrize("seed", [20260815, 977])
+def test_mutation_walk_matches_model(spark, catalog, seed):
+    _walk(spark, catalog, seed, steps=14)
