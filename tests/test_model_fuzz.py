@@ -36,38 +36,50 @@ def _norm(x):
     return x
 
 
-def _engine_rows(t):
-    return sorted(tuple(_norm(r[c]) for c in COLS) for r in t.to_df().collect())
+def _engine_rows(t, names):
+    return sorted(tuple(_norm(r[names[c]]) for c in COLS) for r in t.to_df().collect())
 
 
 def _model_rows(rows):
     return sorted(tuple(_norm(r[c]) for c in COLS) for r in rows)
 
 
-def _batch(spark, rng, ks):
+def _batch(spark, rng, ks, names=None):
+    names = names or dict(zip(COLS, COLS))
     rows = [(k, f"v{rng.randint(0, 99)}",
              float("nan") if rng.random() < 0.1 else round(rng.uniform(-50, 50), 2))
             for k in ks]
-    return (spark.createDataFrame(rows, "k bigint, v string, x double"),
+    ddl = f"{names['k']} bigint, {names['v']} string, {names['x']} double"
+    return (spark.createDataFrame(rows, ddl),
             [dict(zip(COLS, r)) for r in rows])
 
 
 def _walk(spark, catalog, seed: int, steps: int):
     rng = random.Random(seed)
+    names = dict(zip(COLS, COLS))  # logical -> CURRENT physical column name
     df, model = _batch(spark, rng, range(1, 9))
     t = catalog.create_table("db", f"fuzz{seed}", from_spark_schema(df.schema))
     t.append(df)
     next_k = 100
-    # snapshot-id -> deep-copied model state, for time-travel checks
-    history = {t.current_snapshot().snapshot_id: copy.deepcopy(model)}
+    # snapshot-id -> (model state, column names AT SNAPSHOT CREATION): a
+    # time-travel read pins the snapshot's schema, so later renames must NOT
+    # retitle already-recorded snapshots
+    history = {t.current_snapshot().snapshot_id: (copy.deepcopy(model), dict(names))}
 
     def record():
-        history[t.current_snapshot().snapshot_id] = copy.deepcopy(model)
+        # insert-once: a snapshot's state is immutable. A NO-OP commit (e.g.
+        # compaction below min_input_files) leaves the current snapshot id
+        # unchanged; re-recording it would retitle a pre-rename snapshot
+        # with post-rename column names.
+        sid = t.current_snapshot().snapshot_id
+        if sid not in history:
+            history[sid] = (copy.deepcopy(model), dict(names))
 
     for step in range(steps):
         op = rng.choice(
             ["append", "delete_cow", "delete_mor", "eq_delete", "update",
-             "upsert", "merge_nmbs", "rollback", "compact", "expire"])
+             "upsert", "merge_nmbs", "rollback", "compact", "expire",
+             "rename", "rename"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -75,17 +87,17 @@ def _walk(spark, catalog, seed: int, steps: int):
             if ks and rng.random() < 0.3:
                 new_ks[0] = rng.choice(ks)
             next_k += 10
-            df, rows = _batch(spark, rng, new_ks)
+            df, rows = _batch(spark, rng, new_ks, names)
             t.append(df)
             model.extend(rows)
             record()
         elif op in ("delete_cow", "delete_mor"):
             if ks and rng.random() < 0.5:
                 pivot = rng.choice(ks)
-                flt, pred = gi.eq("k", pivot), (lambda r, p=pivot: r["k"] == p)
+                flt, pred = gi.eq(names["k"], pivot), (lambda r, p=pivot: r["k"] == p)
             else:
                 cut = next_k - 15
-                flt, pred = gi.gt("k", cut), (lambda r, c=cut: r["k"] > c)
+                flt, pred = gi.gt(names["k"], cut), (lambda r, c=cut: r["k"] > c)
             t.delete(flt, mode="merge-on-read" if op == "delete_mor" else "copy-on-write")
             model[:] = [r for r in model if not pred(r)]
             record()
@@ -93,7 +105,8 @@ def _walk(spark, catalog, seed: int, steps: int):
             if not ks:
                 continue
             dks = list({rng.choice(ks) for _ in range(rng.randint(1, 3))})
-            delete_equality(t, spark.createDataFrame([(k,) for k in dks], "k bigint"), ["k"])
+            delete_equality(t, spark.createDataFrame(
+                [(k,) for k in dks], f"{names['k']} bigint"), [names["k"]])
             model[:] = [r for r in model if r["k"] not in dks]
             record()
         elif op == "update":
@@ -101,7 +114,8 @@ def _walk(spark, catalog, seed: int, steps: int):
                 continue
             pivot = rng.choice(ks)
             from pyspark.sql import functions as F
-            t.update(gi.gte("k", pivot), {"v": F.concat(F.col("v"), F.lit("_u"))})
+            t.update(gi.gte(names["k"], pivot),
+                     {names["v"]: F.concat(F.col(names["v"]), F.lit("_u"))})
             for r in model:
                 if r["k"] >= pivot:
                     r["v"] += "_u"
@@ -110,8 +124,8 @@ def _walk(spark, catalog, seed: int, steps: int):
             src_ks = list({rng.choice(ks) if ks and rng.random() < 0.6 else next_k + i
                            for i in range(rng.randint(1, 3))})
             next_k += 10
-            df, rows = _batch(spark, rng, src_ks)
-            t.upsert(df, ["k"])
+            df, rows = _batch(spark, rng, src_ks, names)
+            t.upsert(df, [names["k"]])
             by_k = {r["k"]: r for r in rows}
             hit = set()
             for r in model:
@@ -124,8 +138,8 @@ def _walk(spark, catalog, seed: int, steps: int):
             if len(ks) < 2:
                 continue
             keep = list({rng.choice(ks) for _ in range(max(1, len(set(ks)) // 2))})
-            df, rows = _batch(spark, rng, keep)
-            merge(t, df, ["k"], when_matched_update="*",
+            df, rows = _batch(spark, rng, keep, names)
+            merge(t, df, [names["k"]], when_matched_update="*",
                   when_not_matched_insert=True,
                   when_not_matched_by_source_delete=True)
             by_k = {r["k"]: r for r in rows}
@@ -144,11 +158,19 @@ def _walk(spark, catalog, seed: int, steps: int):
                 continue
             target = rng.choice(pool)
             t.rollback_to(target)
-            model[:] = copy.deepcopy(history[target])
-            record()
+            # rows revert; the CURRENT schema (names) does not — and the
+            # target snapshot keeps its creation-time schema in history
+            model[:] = copy.deepcopy(history[target][0])
         elif op == "compact":
             t.rewrite_data_files(min_input_files=2)
             record()  # metadata-only: model unchanged, new snapshot maybe
+        elif op == "rename":
+            c = rng.choice(COLS)
+            new = f"{c}_{step}"
+            t.update_schema().rename_column(names[c], new).commit()
+            names[c] = new
+            # no new snapshot: current reads see the new name, recorded
+            # snapshots keep their creation-time names (pinned schemas)
         elif op == "expire":
             t.expire_snapshots(retain_last=rng.randint(2, 4))
             retained = {s.snapshot_id for s in t.snapshots()}
@@ -156,7 +178,7 @@ def _walk(spark, catalog, seed: int, steps: int):
                 if sid not in retained:
                     del history[sid]
 
-        got, want = _engine_rows(t), _model_rows(model)
+        got, want = _engine_rows(t, names), _model_rows(model)
         assert got == want, (seed, step, op, got[:5], want[:5])
 
         # time-travel spot check against a retained recorded snapshot
@@ -164,9 +186,10 @@ def _walk(spark, catalog, seed: int, steps: int):
         pool = [sid for sid in history if sid in retained]
         if pool:
             sid = rng.choice(pool)
-            tt = sorted(tuple(_norm(r[c]) for c in COLS)
+            st, snames = history[sid]
+            tt = sorted(tuple(_norm(r[snames[c]]) for c in COLS)
                         for r in t.scan().use_snapshot(sid).to_df().collect())
-            assert tt == _model_rows(history[sid]), (seed, step, op, "time-travel", sid)
+            assert tt == _model_rows(st), (seed, step, op, "time-travel", sid)
 
 
 @pytest.mark.parametrize("seed", [20260815, 977])
