@@ -54,11 +54,19 @@ def _batch(spark, rng, ks, names=None):
             [dict(zip(COLS, r)) for r in rows])
 
 
-def _walk(spark, catalog, seed: int, steps: int):
+def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False):
     rng = random.Random(seed)
     names = dict(zip(COLS, COLS))  # logical -> CURRENT physical column name
     df, model = _batch(spark, rng, range(1, 9))
-    t = catalog.create_table("db", f"fuzz{seed}", from_spark_schema(df.schema))
+    schema = from_spark_schema(df.schema)
+    spec = None
+    if partitioned:
+        from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+        kid = next(f.field_id for f in schema.fields if f.name == "k")
+        spec = PartitionSpec(0, (PartitionField(kid, 1000, "bucket[4]", "kb"),))
+    t = catalog.create_table("db", f"fuzz{seed}{'p' if partitioned else ''}",
+                             schema, **({"spec": spec} if spec else {}))
     t.append(df)
     next_k = 100
     # snapshot-id -> (model state, column names AT SNAPSHOT CREATION): a
@@ -195,3 +203,9 @@ def _walk(spark, catalog, seed: int, steps: int):
 @pytest.mark.parametrize("seed", [20260815, 977])
 def test_mutation_walk_matches_model(spark, catalog, seed):
     _walk(spark, catalog, seed, steps=14)
+
+
+def test_mutation_walk_matches_model_bucket_partitioned(spark, catalog):
+    """Same walk over a bucket[4]-partitioned table: every op then exercises
+    partitioned writes, per-spec partition tuples, and bucket pruning."""
+    _walk(spark, catalog, 424242, steps=14, partitioned=True)
