@@ -54,7 +54,8 @@ def _batch(spark, rng, ks, names=None):
             [dict(zip(COLS, r)) for r in rows])
 
 
-def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False):
+def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
+          properties: dict | None = None):
     rng = random.Random(seed)
     names = dict(zip(COLS, COLS))  # logical -> CURRENT physical column name
     df, model = _batch(spark, rng, range(1, 9))
@@ -66,7 +67,8 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False):
         kid = next(f.field_id for f in schema.fields if f.name == "k")
         spec = PartitionSpec(0, (PartitionField(kid, 1000, "bucket[4]", "kb"),))
     t = catalog.create_table("db", f"fuzz{seed}{'p' if partitioned else ''}",
-                             schema, **({"spec": spec} if spec else {}))
+                             schema, **({"spec": spec} if spec else {}),
+                             **({"properties": properties} if properties else {}))
     t.append(df)
     next_k = 100
     # snapshot-id -> (model state, column names AT SNAPSHOT CREATION): a
@@ -209,3 +211,11 @@ def test_mutation_walk_matches_model_bucket_partitioned(spark, catalog):
     """Same walk over a bucket[4]-partitioned table: every op then exercises
     partitioned writes, per-spec partition tuples, and bucket pruning."""
     _walk(spark, catalog, 424242, steps=14, partitioned=True)
+
+
+def test_mutation_walk_matches_model_avro_manifests(spark, catalog):
+    """Same walk with manifest-format=avro: every snapshot's live set rides
+    the Iceberg-spec OCF serde (manifest list + manifests + binary bound
+    round-trip) through mutations, renames, rollbacks, and expiry."""
+    _walk(spark, catalog, 31337, steps=14,
+          properties={"manifest-format": "avro"})
