@@ -52,7 +52,13 @@ def norm_expr(a) -> F.Column:
 
 
 def cosine_expr(a, b) -> F.Column:
-    return (dot_expr(a, b) / (norm_expr(a) * norm_expr(b))).cast("double")
+    """Cosine similarity; NULL for zero-norm vectors (r6: cosine with a
+    zero vector is undefined — a NULL never passes a >= threshold filter
+    and sorts last in a top-k, instead of crashing the job with a
+    divide-by-zero on real-world corpora that contain failed/padded
+    embeddings). The GEMM paths guard the same way via np.maximum."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom != F.lit(0.0), dot_expr(a, b) / denom).cast("double")
 
 
 def cosine_topk(
@@ -77,6 +83,7 @@ def cosine_topk(
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -145,6 +152,7 @@ def lsh_topk(
         c.join(_broadcast_if_small(q), on="_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -254,6 +262,7 @@ def ivf_topk(
         c.join(_broadcast_if_small(q), on="_cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (

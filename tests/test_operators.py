@@ -189,3 +189,27 @@ def test_gemm_assignment_rejects_ragged_batches(spark):
     out = ivf_near_dup_pairs(emb, n_lists=8, n_probe=2, assignment="gemm")
     assert dict(out.dtypes)["id_a"] == "string"
     assert out.count() > 0
+
+
+def test_similarity_zero_norm_vectors_never_match(spark):
+    """r6 probe: real corpora contain zero vectors (failed/padded
+    embeddings); cosine with a zero norm is undefined and previously
+    crashed the job with DIVIDE_BY_ZERO. cosine_expr now yields NULL for
+    zero-norm operands: near-dup pairs exclude them, and top-k rankings
+    drop NULL-cosine candidates (a zero-vector query has no neighbors)."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.dedup import embedding_near_dup_pairs
+    from go_iceberg_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]), Row(vec_id=2, embedding=[0.0, 0.0]),
+         Row(vec_id=3, embedding=[0.9, 0.1])], "vec_id bigint, embedding array<float>")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(1, 3)]
+
+    q = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0]), Row(vec_id=11, embedding=[0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    out = sorted((r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=2).collect())
+    assert out == [(10, 1), (10, 3)]  # the zero-vector query has NO neighbors
