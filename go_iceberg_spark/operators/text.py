@@ -389,7 +389,12 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     All built-ins: split/explode + two aggregations — per-doc keyed shuffles,
     linear in corpus size, no Python in the loop."""
-    toks = F.split(F.col(text_col), " ")
+    # coalesce: NULL-text docs must score (as empty), not vanish. Bigrams
+    # via slice+zip_with, not sequence(1, size-1): Spark's sequence runs
+    # DESCENDING when start > stop, so a one-token doc produced [1, 0] and
+    # element_at(_t, 2) crashed with an out-of-bounds (r6 probe); slice with
+    # length 0 just yields no bigrams.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     base = df.select(F.col(id_col), toks.alias("_t"))
     words = (
         base.select(F.col(id_col), F.explode("_t").alias("_w"))
@@ -400,8 +405,9 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         base.select(
             F.col(id_col),
             F.expr(
-                "transform(sequence(1, size(_t) - 1),"
-                " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+                "zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+                " slice(_t, 2, greatest(size(_t) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
             ).alias("_bgs"),
         )
         .select(F.col(id_col), F.explode("_bgs").alias("_bg"))
@@ -410,8 +416,10 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.max("_c").alias("_topc"), F.sum("_c").alias("_total"))
     )
-    return words.join(bigrams, id_col).select(
+    # left join: docs with no bigrams (zero or one token) keep a row with
+    # top_bigram_frac 0.0 instead of dropping out of the quality report
+    return words.join(bigrams, id_col, "left").select(
         F.col(id_col),
         F.round(F.lit(1.0) - F.col("_du") / F.col("_nw"), 4).alias("dup_word_frac"),
-        F.round(F.col("_topc") / F.col("_total"), 4).alias("top_bigram_frac"),
+        F.round(F.coalesce(F.col("_topc") / F.col("_total"), F.lit(0.0)), 4).alias("top_bigram_frac"),
     )

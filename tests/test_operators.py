@@ -213,3 +213,22 @@ def test_similarity_zero_norm_vectors_never_match(spark):
         "vec_id bigint, embedding array<float>")
     out = sorted((r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=2).collect())
     assert out == [(10, 1), (10, 3)]  # the zero-vector query has NO neighbors
+
+
+def test_repetition_scores_degenerate_docs(spark):
+    """r6 probe: one-token and NULL/empty docs crashed repetition_scores —
+    Spark's sequence(1, size-1) runs DESCENDING for a one-element array,
+    so element_at(_t, 2) threw out-of-bounds; NULL-text docs vanished from
+    the output entirely. Every input doc now scores: no bigrams ->
+    top_bigram_frac 0.0."""
+    from go_iceberg_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "word"), (4, "a a a a"), (5, "x y x y")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: (r.dup_word_frac, r.top_bigram_frac)
+           for r in repetition_scores(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (0.0, 0.0) and out[2] == (0.0, 0.0) and out[3] == (0.0, 0.0)
+    assert out[4] == (0.75, 1.0)          # "a a a" bigrams: all the same
+    assert out[5] == (0.5, round(2 / 3, 4))  # "x y" twice of 3 bigrams
