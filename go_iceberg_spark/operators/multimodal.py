@@ -88,7 +88,12 @@ def extract_features(df: DataFrame, id_col: str, bytes_col: str = "media_bytes")
                 }
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+    # NULL payloads (fetch failures are routine in media tables) have no
+    # features — drop them BEFORE the Arrow batch instead of len(None)-ing
+    # inside it (r6 probe)
+    return (df.select(id_col, bytes_col)
+            .filter(F.col(bytes_col).isNotNull())
+            .mapInPandas(process, out_schema))
 
 
 def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes"):
@@ -134,7 +139,9 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+    return (df.select(id_col, bytes_col)
+            .filter(F.col(bytes_col).isNotNull())  # see extract_features
+            .mapInPandas(process, out_schema))
 
 
 def sample_frames(
@@ -172,7 +179,9 @@ def sample_frames(
                  "frame_bytes": frames, "byte_offset": pd.Series(offs, dtype="int64")}
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(process, out_schema)
+    return (df.select(id_col, bytes_col)
+            .filter(F.col(bytes_col).isNotNull())  # see extract_features
+            .mapInPandas(process, out_schema))
 
 
 def media_repartition(df: DataFrame, bytes_col: str, target_partition_bytes: int = 256 * 1024 * 1024) -> DataFrame:

@@ -232,3 +232,16 @@ def test_repetition_scores_degenerate_docs(spark):
     assert out[1] == (0.0, 0.0) and out[2] == (0.0, 0.0) and out[3] == (0.0, 0.0)
     assert out[4] == (0.75, 1.0)          # "a a a" bigrams: all the same
     assert out[5] == (0.5, round(2 / 3, 4))  # "x y" twice of 3 bigrams
+
+
+def test_multimodal_null_payloads_dropped(spark):
+    """r6 probe: NULL media payloads (fetch failures are routine) crashed
+    all three mapInPandas media UDFs with len(None) inside the Arrow batch;
+    NULL rows now drop before the batch. Empty payloads still process."""
+    from go_iceberg_spark.operators import multimodal as M
+
+    mm = spark.createDataFrame([(1, None), (2, b""), (3, b"abcdef")],
+                               "id bigint, media_bytes binary")
+    assert sorted(r.id for r in M.extract_features(mm, "id").collect()) == [2, 3]
+    assert sorted(r.id for r in M.resize_images(mm, "id").collect()) == [2, 3]
+    assert sorted(set(r.id for r in M.sample_frames(mm, "id").collect())) == [2, 3]
