@@ -89,7 +89,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         op = rng.choice(
             ["append", "delete_cow", "delete_mor", "eq_delete", "update",
              "upsert", "merge_nmbs", "rollback", "compact", "expire",
-             "rename", "rename"])
+             "rename", "rename", "txn"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -174,6 +174,25 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         elif op == "compact":
             t.rewrite_data_files(min_input_files=2)
             record()  # metadata-only: model unchanged, new snapshot maybe
+        elif op == "txn":
+            # one atomic snapshot: a staged delete applies to PRE-txn rows
+            # only; staged appends land regardless of the delete filter
+            from go_iceberg_spark.table.transaction import Transaction
+
+            tx = Transaction(t)
+            cut = rng.choice(ks) if ks and rng.random() < 0.7 else next_k - 15
+            tx.delete(gi.gte(names["k"], cut))
+            new_ks = [next_k + i for i in range(rng.randint(1, 3))]
+            next_k += 10
+            df, rows = _batch(spark, rng, new_ks, names)
+            tx.append(df)
+            n_snaps = len(t.snapshots())
+            tx.commit()
+            t.refresh()
+            assert len(t.snapshots()) == n_snaps + 1  # ONE snapshot for both ops
+            model[:] = [r for r in model if r["k"] < cut]
+            model.extend(rows)
+            record()
         elif op == "rename":
             c = rng.choice(COLS)
             new = f"{c}_{step}"
