@@ -474,20 +474,31 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with cosine(vec_a, vec_b) >= threshold — brute force
     O(n²/2) via self-join; intended for verification / small partitions. The
-    scale path buckets by LSH first (similarity.py)."""
-    from .similarity import cosine_expr
+    scale path buckets by LSH first (similarity.py).
+
+    Zero-norm vectors (undefined cosine) are filtered per side BEFORE the
+    join (linear), so the pair stream divides by precomputed norms; the
+    explode(array(...)) wrapper is a pushdown barrier keeping the threshold
+    filter out of the join condition — the cosine aggregate is evaluated
+    exactly once per pair (r6's per-pair guard was evaluated twice: pushed
+    join-condition copy + output projection). The Generate+Filter run
+    pipelined in the same stage as the nested-loop join, so pairs are still
+    discarded before any downstream exchange."""
+    from .similarity import cosine_from_norms, norm_expr
 
     norm = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-    )
+        norm_expr(F.col(vec_col)).alias("_n"),
+    ).filter(F.col("_n") > 0)
     a, b = norm.alias("a"), norm.alias("b")
     return (
         a.crossJoin(b)
         .filter(F.col("a._id") < F.col("b._id"))
-        .withColumn("cosine", cosine_expr(F.col("a._v"), F.col("b._v")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.explode(F.array(cosine_from_norms(
+                    F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cosine")
     )
 
 

@@ -56,9 +56,27 @@ def cosine_expr(a, b) -> F.Column:
     zero vector is undefined — a NULL never passes a >= threshold filter
     and sorts last in a top-k, instead of crashing the job with a
     divide-by-zero on real-world corpora that contain failed/padded
-    embeddings). The GEMM paths guard the same way via np.maximum."""
+    embeddings). The GEMM paths guard the same way via np.maximum.
+
+    HOT-PATH NOTE (r7): do NOT filter on this expression's output after a
+    join — Catalyst pushes such filters into the join condition, so the
+    full cosine (two norms + dot) is evaluated TWICE per candidate pair
+    (A/B-measured 1.96x on similarity_cosine_topk in r6). The pair-stream
+    operators below instead pre-filter zero-norm vectors per side
+    (``norm_expr(v) > 0``, linear) and divide by the precomputed norms —
+    see ``cosine_from_norms``. Keep this guarded form only for call sites
+    that cannot pre-filter (e.g. ad-hoc scoring of untrusted columns)."""
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom != F.lit(0.0), dot_expr(a, b) / denom).cast("double")
+
+
+def cosine_from_norms(a, b, na, nb) -> F.Column:
+    """Plain ``dot/(na*nb)`` for pair streams whose sides were already
+    filtered to ``norm > 0`` — the denominator is provably nonzero, so no
+    per-pair CASE/NULL guard is needed. Identical float ops (same zip_with
+    accumulation, same multiply order) as ``cosine_expr`` on nonzero
+    inputs, so values are bit-identical and the DuckDB oracles agree."""
+    return (dot_expr(a, b) / (na * nb)).cast("double")
 
 
 def cosine_topk(
@@ -75,15 +93,26 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank) with rank 1..k; ties broken by
     neighbor id so results are deterministic. Self-matches are excluded.
     The query side is broadcast: the corpus is scanned once, no shuffle of
-    the corpus, and the per-query top-k is a window over a small partition."""
+    the corpus, and the per-query top-k is a window over a small partition.
+
+    Zero-norm vectors (undefined cosine) are filtered out of BOTH sides
+    before the join — a linear per-row check — so the pair stream divides
+    by precomputed norms with no per-pair guard. r6 guarded per pair
+    instead (`isNotNull(_cos)`), and Catalyst pushed that filter into the
+    join condition, evaluating the full cosine twice per pair (measured
+    1.96x end-to-end); the pre-filter restores single evaluation."""
     qid = query_id_col or id_col
-    q = _broadcast_if_small(queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = _broadcast_if_small(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qv"),
+                       norm_expr(F.col(vec_col)).alias("_qn"))
+        .filter(F.col("_qn") > 0)  # zero-norm vectors have no neighbors
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+                      norm_expr(F.col(vec_col)).alias("_cn")).filter(F.col("_cn") > 0)
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
-        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
+        .withColumn("_cos", cosine_from_norms(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -139,20 +168,23 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
     cosine re-ranks within the bucket. Join is an equi-join on bucket id —
-    the corpus shuffles once by bucket, never nested-loops."""
+    the corpus shuffles once by bucket, never nested-loops. Zero-norm
+    vectors are pre-filtered per side (see cosine_topk) so the re-rank
+    divides by precomputed norms — single cosine evaluation per pair."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm_expr(F.col(vec_col)).alias("_cn"),
         lsh_bucket_expr(F.col(vec_col), n_planes).alias("_bucket"),
-    )
+    ).filter(F.col("_cn") > 0)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
         lsh_bucket_expr(F.col(vec_col), n_planes).alias("_bucket"),
-    )
+    ).filter(F.col("_qn") > 0)
     scored = (
         c.join(_broadcast_if_small(q), on="_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
-        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
+        .withColumn("_cos", cosine_from_norms(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -241,19 +273,23 @@ def ivf_topk(
     def ranked_cents_sql(vc: str) -> str:
         return _ranked_cents_sql(cent_rows, vc)
 
+    # The per-row norm `_nv` is computed once for centroid ranking, reused
+    # as the zero-norm pre-filter AND as the pair cosine's denominator —
+    # zero-norm vectors (undefined cosine, no neighbors) leave the plan
+    # before the join, so the pair stream needs no per-pair guard.
     norm_v_sql = _NORM_V_SQL
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.expr(norm_v_sql.format(vc=vec_col)).alias("_nv"),
-    ).select(
-        "neighbor_id", "_cv",
+    ).filter(F.col("_nv") > 0).select(
+        "neighbor_id", "_cv", F.col("_nv").alias("_cn"),
         F.expr(ranked_cents_sql("_cv"))[0]["cent"].alias("_cent_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.expr(norm_v_sql.format(vc=vec_col)).alias("_nv"),
-    ).select(
-        "query_id", "_qv",
+    ).filter(F.col("_nv") > 0).select(
+        "query_id", "_qv", F.col("_nv").alias("_qn"),
         F.explode(F.expr(
             f"transform(slice({ranked_cents_sql('_qv')}, 1, {n_probe}), s -> s.cent)"
         )).alias("_cent_id"),
@@ -261,8 +297,7 @@ def ivf_topk(
     scored = (
         c.join(_broadcast_if_small(q), on="_cent_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_cos", cosine_expr(F.col("_qv"), F.col("_cv")))
-        .filter(F.col("_cos").isNotNull())  # zero-norm vectors have no neighbors
+        .withColumn("_cos", cosine_from_norms(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -362,25 +397,40 @@ def ivf_near_dup_pairs(
     cent_rows = _collect_centroids(emb, id_col, vec_col, n_lists)
     if not cent_rows:
         return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    # Zero-norm vectors (undefined cosine) leave before the self-join; each
+    # side carries its precomputed norm so the verify step is one plain
+    # dot/(na*nb) per pair.
     if assignment == "gemm":
-        assigned = _assign_lists_gemm(emb, id_col, vec_col, cent_rows, n_probe)
+        assigned = _assign_lists_gemm(emb, id_col, vec_col, cent_rows, n_probe).select(
+            "_id", "_v", norm_expr(F.col("_v")).alias("_n"), "_list"
+        ).filter(F.col("_n") > 0)
     else:
         ranked = _ranked_cents_sql(cent_rows, "_v")
         assigned = emb.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
             F.expr(_NORM_V_SQL.format(vc=vec_col)).alias("_nv"),
-        ).select(
-            "_id", "_v",
+        ).filter(F.col("_nv") > 0).select(
+            "_id", "_v", F.col("_nv").alias("_n"),
             F.explode(F.expr(f"transform(slice({ranked}, 1, {n_probe}), s -> s.cent)")).alias("_list"),
         )
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_list")
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_list")
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_list")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_list")
     return (
         a.join(b, on="_list")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        # explode(array(<cosine>)) is a deliberate pushdown BARRIER: Catalyst
+        # cannot move a predicate on generator output below the Generate, so
+        # the >= threshold filter is NOT substituted into the join condition
+        # — the cosine aggregate is evaluated exactly ONCE per candidate pair
+        # (r6 paid it twice: pushed copy in the join condition + the output
+        # projection; A/B-measured ~2x on the cosine family). The Generate is
+        # pipelined in the same stage as the join, so the filter still runs
+        # before the dedup exchange — no extra shuffle volume.
+        .select("id_a", "id_b",
+                F.explode(F.array(F.round(
+                    cosine_from_norms(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+                ))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -371,3 +371,46 @@ def test_hash_split_is_shuffle_free_projection(spark):
     d = spark.read.parquet(SF + "/documents.parquet")
     df = hash_split(d, "doc_id", {"train": 90, "val": 5, "test": 5})
     assert P.num_shuffles(df) == 0, P.formatted_plan(df)
+
+
+def test_cosine_never_in_join_condition_and_evaluated_once(spark):
+    """r7 contract (VERDICT r6 'What's wrong #1'): NO cosine subtree — norm
+    (`SQRT(aggregate`) or dot (`aggregate(zip_with`) — may appear inside any
+    join condition, and the pair-stream cosine dot appears exactly ONCE per
+    plan. r6's per-pair zero-norm guard let Catalyst push an isNotNull/
+    threshold filter into the join condition, evaluating the full cosine
+    twice per candidate pair (A/B-measured 1.96x on similarity_cosine_topk).
+    The fix pre-filters zero-norm vectors per side and divides by the
+    precomputed norms; the threshold paths add an explode(array(..)) barrier.
+
+    Expected dot-aggregate counts: 1 for the pair cosine, plus per-side
+    LINEAR assignment subtrees (8 LSH plane projections x 2 sides = 16;
+    8 literal-centroid rankings per side) — those run once per ROW, never
+    per pair, and are pinned so a duplicated subtree fails the test."""
+    from go_iceberg_spark.operators.dedup import embedding_near_dup_pairs
+    from go_iceberg_spark.operators.similarity import (
+        cosine_topk, ivf_near_dup_pairs, ivf_topk, lsh_topk)
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    cases = {
+        "cosine_topk": (cosine_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5), 1),
+        "lsh_topk": (lsh_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5), 17),
+        "ivf_topk": (ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                              k=5, n_lists=8, n_probe=2), 25),
+        "ivf_near_dup": (ivf_near_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                            threshold=0.4, n_lists=8, n_probe=2), 17),
+        "ivf_near_dup_gemm": (ivf_near_dup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                                 threshold=0.4, n_lists=8, n_probe=2,
+                                                 assignment="gemm"), 1),
+        "brute_near_dup": (embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4), 1),
+    }
+    for name, (df, expected_dots) in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_lines = [l for l in plan.splitlines() if "Join" in l]
+        offenders = [l for l in join_lines
+                     if "SQRT(aggregate" in l or "aggregate(zip_with" in l]
+        assert not offenders, f"{name}: cosine subtree in join condition:\n" + "\n".join(offenders)
+        n_dots = plan.count("aggregate(zip_with")
+        assert n_dots == expected_dots, (
+            f"{name}: expected {expected_dots} dot-aggregate sites, got {n_dots}\n{plan}")
