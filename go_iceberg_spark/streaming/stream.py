@@ -52,6 +52,10 @@ def read_stream(spark: SparkSession, table: Table) -> DataFrame:
 
 BATCH_MARKER_KEY = "streaming-batch"
 HIGH_WATER_PROP = "streaming.batch-high-water."  # + ckpt_id -> max batch_id
+# sequence number of the commit that established the high-water mark (stamped
+# atomically via COMMIT_SEQ_PLACEHOLDER): lets rollback_to prove whether the
+# mark's batch data survives a rollback even after its marker snapshot expired
+HIGH_WATER_SEQ_PROP = "streaming.batch-high-water-seq."  # + ckpt_id -> seq
 
 
 def _ancestry_ids(md) -> set:
@@ -96,32 +100,68 @@ def rebased_stream_high_water(md, new_head_id: int) -> dict[str, str]:
     the smallest abandoned batch id (batch ids are commit-ordered, so
     everything at or above the smallest abandoned batch is abandoned too).
     Markers still on (or re-entering, for a roll-forward) the target's
-    ancestry raise the mark back up. A checkpoint whose marker snapshots
-    were all EXPIRED has no abandonment evidence and keeps its current mark
-    — expired ancestors were applied, and their data is still in the table."""
+    ancestry raise the mark back up.
+
+    A checkpoint whose marker snapshots were EXPIRED has no per-batch
+    evidence; the mark's own commit sequence (``HIGH_WATER_SEQ_PROP``,
+    stamped atomically with every sink commit) decides: if it is at or
+    below the target's sequence, the mark's data survives the rollback and
+    the mark keeps; if it is ABOVE, the rollback undoes that batch's data
+    even though its marker snapshot is gone (e.g. rollback to a tag-
+    retained snapshot across an expired gap), so keeping the mark would
+    permanently dedupe a legitimately replayable batch — silent stream
+    data loss (r6 ADVICE). The mark drops to what retained in-ancestry
+    markers prove (or is removed). Legacy tables without the seq property
+    keep the old behavior (expired ⇒ assume applied)."""
     props = dict(md.properties)
     by_id = {s.snapshot_id: s for s in md.snapshots}
     anc, sid = set(), new_head_id
     while sid in by_id:
         anc.add(sid)
         sid = by_id[sid].parent_snapshot_id
-    in_anc: dict[str, list[int]] = {}
+    target_seq = by_id[new_head_id].sequence_number if new_head_id in by_id else 0
+    in_anc: dict[str, list[tuple[int, int]]] = {}  # ckpt -> [(batch, seq)]
     abandoned: dict[str, list[int]] = {}
     for s in md.snapshots:
         m = s.summary.get(BATCH_MARKER_KEY)
         if not m:
             continue
         ckpt, _, b = m.rpartition(":")
-        (in_anc if s.snapshot_id in anc else abandoned).setdefault(ckpt, []).append(int(b))
-    for ckpt in set(in_anc) | set(abandoned):
+        if s.snapshot_id in anc:
+            in_anc.setdefault(ckpt, []).append((int(b), s.sequence_number))
+        else:
+            abandoned.setdefault(ckpt, []).append(int(b))
+    # property-only checkpoints (all markers expired) must be re-examined
+    # too — they were the r6 blind spot
+    prop_ckpts = {k[len(HIGH_WATER_PROP):] for k in props if k.startswith(HIGH_WATER_PROP)}
+    for ckpt in set(in_anc) | set(abandoned) | prop_ckpts:
         key = HIGH_WATER_PROP + ckpt
+        skey = HIGH_WATER_SEQ_PROP + ckpt
         cur = int(props.get(key, -1))
-        ia = max(in_anc.get(ckpt, [-1]))
-        new = max(ia, min(abandoned[ckpt]) - 1) if ckpt in abandoned else max(cur, ia)
+        ia_pairs = in_anc.get(ckpt, [])
+        ia = max((b for b, _ in ia_pairs), default=-1)
+        if ckpt in abandoned:
+            new = max(ia, min(abandoned[ckpt]) - 1)
+        else:
+            hw_seq = props.get(skey)
+            if hw_seq is not None and int(hw_seq) > target_seq:
+                new = ia  # mark's commit is above the target: batch undone
+            else:
+                new = max(cur, ia)
         if new < 0:
             props.pop(key, None)
-        else:
-            props[key] = str(new)
+            props.pop(skey, None)
+            continue
+        props[key] = str(new)
+        if ia_pairs and new == ia:
+            # exact: the retained marker snapshot that establishes the mark
+            props[skey] = str(max(s for b, s in ia_pairs if b == ia))
+        elif new != cur or (props.get(skey) and int(props[skey]) > target_seq):
+            # derived from abandonment evidence (or clamped after a drop):
+            # the mark's data is within the target's ancestry, so its commit
+            # is at or below the target — a conservative upper bound that a
+            # deeper future rollback will re-examine
+            props[skey] = str(min(int(props.get(skey, target_seq)), target_seq))
     return props
 
 
@@ -132,14 +172,23 @@ def append_batch_exactly_once(table: Table, batch_df: DataFrame,
     into table PROPERTIES — both atomic with the commit — and a replayed
     batch (restart after the table committed but before the checkpoint
     recorded it) finds either and skips. Returns True if this call
-    appended."""
+    appended. The check ALSO re-runs inside the commit's conflict-retry
+    closure (after metadata reload): two writers racing the same replayed
+    (ckpt, batch) can otherwise both pass the entry check and both apply
+    it — the loser's retry now sees the winner's marker and backs off."""
+    from ..table.table import COMMIT_SEQ_PLACEHOLDER
+
     table.refresh()
     if _batch_already_committed(table, ckpt_id, batch_id):
         return False
-    table.append(batch_df,
-                 summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
-                 properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id)})
-    return True
+    snap = table.append(
+        batch_df,
+        summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+        properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
+                          HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
+        pre_commit_check=lambda: not _batch_already_committed(table, ckpt_id, batch_id),
+    )
+    return snap is not None
 
 
 def append_stream(df: DataFrame, table: Table, checkpoint_dir: str, *,
@@ -184,6 +233,8 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
     ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..table.table import COMMIT_SEQ_PLACEHOLDER
+
         if batch_df.isEmpty():
             return
         table.refresh()
@@ -197,7 +248,12 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
         )
         table.upsert(latest, keys,
                      summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
-                     properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id)})
+                     properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
+                                       HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
+                     # re-checked on every conflict retry after reload: a
+                     # racing writer replaying the same batch backs off
+                     pre_commit_check=lambda: not _batch_already_committed(
+                         table, ckpt_id, batch_id))
 
     w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:

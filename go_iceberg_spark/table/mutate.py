@@ -353,12 +353,14 @@ def to_spark_field_type(schema, name: str):
 
 def upsert(table, source: DataFrame, key_columns: list[str],
            summary_extra: dict[str, str] | None = None,
-           properties_extra: dict[str, str] | None = None):
+           properties_extra: dict[str, str] | None = None,
+           pre_commit_check=None):
     """Upsert = MERGE matched→update-all, not-matched→insert
     (reference: table/update.go:360-459)."""
     return merge(table, source, key_columns, when_matched_update="*",
                  when_not_matched_insert=True, summary_extra=summary_extra,
-                 properties_extra=properties_extra)
+                 properties_extra=properties_extra,
+                 pre_commit_check=pre_commit_check)
 
 
 def merge(table, source: DataFrame, on: list[str], *,
@@ -368,7 +370,8 @@ def merge(table, source: DataFrame, on: list[str], *,
           when_not_matched_by_source_delete: "bool | Column" = False,
           when_not_matched_by_source_update: dict[str, Any] | None = None,
           summary_extra: dict[str, str] | None = None,
-          properties_extra: dict[str, str] | None = None):
+          properties_extra: dict[str, str] | None = None,
+          pre_commit_check=None):
     """MERGE INTO over the table, null-safe on composite keys.
 
     ``when_matched_delete`` may be ``True`` (delete ALL matched rows —
@@ -441,6 +444,11 @@ def merge(table, source: DataFrame, on: list[str], *,
         # re-entered by _retrying after a conflict: metadata (and thus the
         # schema, live files, and candidate prune) recompute from the
         # reloaded state; the ORIGINAL source df re-aligns each attempt.
+        # pre_commit_check re-runs per attempt against the reloaded state
+        # (the streaming sink's replayed-batch recheck) — a False abandons
+        # the merge without a commit.
+        if pre_commit_check is not None and not pre_commit_check():
+            return None
         # User-supplied names (keys, assignment dicts, source columns) were
         # bound against the ENTRY schema — re-express them in the reloaded
         # schema's names via field ids, so a concurrent rename follows the

@@ -58,6 +58,11 @@ from .write import write_data_files
 
 import os
 
+# Sentinel value in ``properties_extra``: replaced by the committing
+# snapshot's sequence number inside _commit_snapshot (a conflict retry
+# re-sequences, so callers cannot know it up front).
+COMMIT_SEQ_PLACEHOLDER = "__commit-seq__"
+
 
 class Table:
     """A loaded table: identifier + metadata + spark session
@@ -262,8 +267,13 @@ class Table:
         if properties_extra:
             from dataclasses import replace as _rpl
 
+            # COMMIT_SEQ_PLACEHOLDER values resolve to THIS commit's sequence
+            # number — callers (the streaming sink's high-water-seq mark)
+            # can't know it up front because a conflict retry re-sequences
+            props = {k: (str(seq) if v == COMMIT_SEQ_PLACEHOLDER else v)
+                     for k, v in properties_extra.items()}
             new_md = _rpl(new_md,
-                          properties={**new_md.properties, **properties_extra})
+                          properties={**new_md.properties, **props})
         self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
         return snap
@@ -373,7 +383,7 @@ class Table:
 
         return resolve_bucket_fn(self.metadata.properties)
 
-    def stamp_bucket_hash_width(self, width: str) -> None:
+    def stamp_bucket_hash_width(self, width: str, *, force: bool = False) -> None:
         """Migration for pre-stamp tables: declare the hash width their
         int-sourced bucket files were actually laid out with, re-enabling
         literal bucket pruning (disabled on unstamped tables because the
@@ -381,13 +391,25 @@ class Table:
         indistinguishable from metadata). Only the OWNER of the table's
         history can know the width; stamping the wrong one silently prunes
         live files. ``rewrite_data_files`` on an unstamped table rewrites
-        at int width, after which ``"int"`` is provably correct."""
+        at int width, after which ``"int"`` is provably correct.
+
+        Only ``spark-unstamped`` tables may be stamped: a table already
+        resolved to a width ("spark"/"spark-int") has correct pruning, and
+        overwriting its stamp would silently re-enable WRONG-width literal
+        pruning (rows lost). Pass ``force=True`` only to correct a stamp
+        you know was itself wrong."""
         if width not in ("int", "long"):
             raise ValidationError(
                 f"bucket hash width must be 'int' or 'long', got {width!r}")
-        if self._bucket_fn() not in ("spark-unstamped", "spark-int", "spark"):
+        mode = self._bucket_fn()
+        if mode not in ("spark-unstamped", "spark-int", "spark"):
             raise ValidationError(
                 "bucket hash width applies only to write.bucket-function=spark tables")
+        if mode != "spark-unstamped" and not force:
+            raise ValidationError(
+                f"table already resolves to bucket width {mode!r}; re-stamping would "
+                "change which files literal pruning keeps — pass force=True only if "
+                "the existing stamp is known-wrong")
         self.set_properties({"write.bucket-hash-width": width})
 
     def _bloom_columns(self) -> tuple[str, ...]:
@@ -398,13 +420,20 @@ class Table:
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
     def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None,
-               properties_extra: dict[str, str] | None = None) -> Snapshot:
+               properties_extra: dict[str, str] | None = None,
+               pre_commit_check=None) -> Snapshot | None:
         """Append rows (reference: table/insert.go:49-109 Insert/Append).
         Data files are written once; only the metadata commit retries.
         ``summary_extra`` lands in the snapshot summary atomically with the
         commit (the streaming sink's exactly-once batch marker);
         ``properties_extra`` merges into table properties in the same
-        commit (the sink's expiry-proof batch high-water mark)."""
+        commit (the sink's expiry-proof batch high-water mark).
+        ``pre_commit_check`` (optional ``() -> bool``) re-runs inside every
+        commit attempt — including conflict retries, AFTER metadata reload —
+        and a False abandons the append, returning None (the streaming
+        sink's check-then-act fix: two writers racing the same replayed
+        batch must not both apply it; the loser's retry sees the winner's
+        marker in the reloaded state and backs off)."""
         md = self.metadata
         new_files = write_data_files(
             self.spark, df, self.location, md.current_schema, md.default_spec,
@@ -420,6 +449,8 @@ class Table:
         def commit():
             from dataclasses import replace as _rpl
 
+            if pre_commit_check is not None and not pre_commit_check():
+                return None
             # a conflict retry reloads metadata and advances the sequence;
             # re-stamp the (already written) files so entry sequence numbers
             # agree with the snapshot that finally commits them — MoR delete
@@ -488,8 +519,20 @@ class Table:
                 data_location=self._data_location(),
                 bucket_fn=self._bucket_fn(),
             )
-            return self._retrying(
-                lambda: self._commit_snapshot(OP_OVERWRITE, new_files))
+            def commit_full():
+                from dataclasses import replace as _rpl
+
+                # same re-stamp as append: a conflict retry advances the
+                # sequence, and committing files stamped with the stale
+                # pre-conflict sequence would mis-order MoR delete
+                # applicability against concurrent eq/pos deletes
+                seq = self._next_sequence()
+                files = ([_rpl(f, sequence_number=seq) for f in new_files]
+                         if new_files and new_files[0].sequence_number != seq
+                         else new_files)
+                return self._commit_snapshot(OP_OVERWRITE, files)
+
+            return self._retrying(commit_full)
 
         from .mutate import _rebind_filter
 
@@ -540,7 +583,8 @@ class Table:
 
     def upsert(self, df: DataFrame, key_columns: list[str] | None = None,
                summary_extra: dict[str, str] | None = None,
-               properties_extra: dict[str, str] | None = None) -> Snapshot:
+               properties_extra: dict[str, str] | None = None,
+               pre_commit_check=None) -> Snapshot | None:
         """MERGE on ``key_columns``; when omitted, the schema's
         identifier fields (reference: spec/schema.go:25-31
         identifier-field-ids) are the merge key."""
@@ -556,7 +600,8 @@ class Table:
                 raise ValidationError(
                     "upsert without key_columns requires schema identifier fields")
         return _upsert(self, df, key_columns, summary_extra=summary_extra,
-                       properties_extra=properties_extra)
+                       properties_extra=properties_extra,
+                       pre_commit_check=pre_commit_check)
 
     def merge(self, source: DataFrame, on: list[str], *,
               when_matched_update: dict[str, Any] | str | None = "*",

@@ -355,3 +355,111 @@ def test_batch_replays_after_rollback_but_not_after_expire(spark, catalog):
     assert append_batch_exactly_once(
         t, spark.createDataFrame([Row(k=3, v=3.0)]), "ck", 2) is True
     assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 3]
+
+
+def test_high_water_seq_rides_the_commit(spark, catalog):
+    """Every sink commit stamps HIGH_WATER_SEQ_PROP with the committing
+    snapshot's OWN sequence number (placeholder resolved inside the commit,
+    so a conflict retry can't leave a stale pre-conflict value)."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_SEQ_PROP,
+        append_batch_exactly_once,
+    )
+
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    t = catalog.create_table("db", "eo_seq", from_spark_schema(df.schema))
+    assert append_batch_exactly_once(t, df, "ck", 0) is True
+    assert int(t.metadata.properties[HIGH_WATER_SEQ_PROP + "ck"]) == \
+        t.current_snapshot().sequence_number
+    assert append_batch_exactly_once(t, df, "ck", 1) is True
+    assert int(t.metadata.properties[HIGH_WATER_SEQ_PROP + "ck"]) == \
+        t.current_snapshot().sequence_number
+
+
+def test_rollback_below_expired_marker_gap_allows_replay(spark, catalog):
+    """r6 ADVICE (medium): rollback to a TAG-RETAINED snapshot across an
+    expired marker gap. The batch's marker snapshot was expired (so there is
+    no abandonment evidence), but the rollback undoes the batch's DATA —
+    keeping the high-water mark would permanently dedupe the batch and its
+    rows would be lost silently. The mark's own commit sequence (stamped per
+    commit) proves it postdates the rollback target, so the mark drops and
+    the batch replays; a batch committed BELOW the target keeps deduping."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_PROP,
+        append_batch_exactly_once,
+    )
+
+    proto = spark.createDataFrame([Row(k=0, v=0.0)])
+    t = catalog.create_table("db", "eo_gap", from_spark_schema(proto.schema))
+    t.append(proto)
+    # batch 0 lands BELOW the future rollback target: stays deduped throughout
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=1, v=1.0)]), "ck", 0) is True
+    base = t.current_snapshot().snapshot_id
+    t.create_tag("good", base)
+
+    # batch 1 lands ABOVE the target, then compaction + expiry removes its
+    # marker snapshot (tag keeps base alive; head kept by retain_last)
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 1) is True
+    t.rewrite_data_files()
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert all(s.summary.get("streaming-batch") != "ck:1" for s in t.snapshots()), \
+        "precondition: batch-1 marker snapshot must be expired"
+
+    t.rollback_to(base)
+    # batch 1's data is undone and its mark must have dropped to batch 0
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "0"
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 1) is True
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2]
+    # batch 0 (below the target) never replays
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=1, v=1.0)]), "ck", 0) is False
+
+
+def test_racing_replay_rechecks_marker_inside_commit_retry(spark, catalog):
+    """r6 ADVICE (low): two writers replaying the same (ckpt, batch) could
+    BOTH pass the entry check-then-act and double-apply the batch — the
+    loser's conflict retry re-committed without rechecking. The marker
+    check now re-runs inside the retry closure after metadata reload, so
+    the loser backs off. Race injected deterministically: the loser's
+    first commit attempt triggers the winner's commit."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import CommitConflictError
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.streaming.stream import append_batch_exactly_once
+
+    proto = spark.createDataFrame([Row(k=0, v=0.0)])
+    t1 = catalog.create_table("db", "eo_race", from_spark_schema(proto.schema))
+    t1.append(proto)
+    t2 = catalog.load_table("db", "eo_race")
+    batch = spark.createDataFrame([Row(k=1, v=1.0)])
+
+    real = t2._commit_fn
+    state = {"fired": False}
+
+    def wrapped(md, v):
+        if not state["fired"]:
+            state["fired"] = True
+            assert append_batch_exactly_once(t1, batch, "ck", 0) is True  # winner
+            raise CommitConflictError("concurrent commit")
+        return real(md, v)
+
+    t2._commit_fn = wrapped
+    # loser: passes the entry check (marker not there yet), conflicts, and
+    # the in-retry recheck finds the winner's marker -> no second apply
+    assert append_batch_exactly_once(t2, batch, "ck", 0) is False
+    t1.refresh()
+    assert sorted(r.k for r in t1.to_df().collect()) == [0, 1]
+    assert sum(1 for s in t1.snapshots()
+               if s.summary.get("streaming-batch") == "ck:0") == 1

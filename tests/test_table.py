@@ -1669,3 +1669,76 @@ def test_stale_handle_cannot_resurrect_dropped_table(spark, catalog):
     with pytest.raises(TableNotFoundError, match="dropped or renamed"):
         t.set_properties({"zombie": "yes"})
     assert not os.path.isdir(os.path.join(t.location, "metadata"))
+
+
+def test_stamp_refuses_overwriting_resolved_width(spark, catalog):
+    """r6 ADVICE (low): stamping a width over a table that already RESOLVES
+    to one ("spark" long / "spark-int") would silently re-enable wrong-width
+    literal pruning and lose rows — only "spark-unstamped" tables may be
+    stamped; correcting a known-wrong stamp needs force=True."""
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.range(0, 10).selectExpr("CAST(id AS INT) AS k", "CAST(id AS DOUBLE) AS v")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(fid["k"], 1000, "bucket[8]", "kb"),))
+    t = catalog.create_table("db", "stampguard", schema, spec=spec)
+    t.append(df)
+    assert t._bucket_fn() == "spark"  # default stamped long
+
+    with pytest.raises(ValidationError, match="already resolves"):
+        t.stamp_bucket_hash_width("int")
+    assert t._bucket_fn() == "spark"
+
+    t.stamp_bucket_hash_width("int", force=True)
+    assert t._bucket_fn() == "spark-int"
+    with pytest.raises(ValidationError, match="already resolves"):
+        t.stamp_bucket_hash_width("long")
+
+    t.remove_properties(["write.bucket-hash-width"])
+    assert t._bucket_fn() == "spark-unstamped"
+    t.stamp_bucket_hash_width("long")  # unstamped: no force needed
+    assert t._bucket_fn() == "spark"
+
+
+def test_full_overwrite_retry_restamps_sequence(spark, catalog):
+    """r6 ADVICE (low): the full-overwrite retry committed files stamped
+    with the pre-conflict sequence number — after losing a race its data
+    files carried a stale, LOWER sequence than their snapshot, mis-ordering
+    MoR delete applicability. The retry closure now re-stamps like append."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(5)])
+    t = catalog.create_table("db", "ow_restamp", from_spark_schema(df.schema))
+    t.append(df)
+
+    real = t._commit_fn
+    state = {"fired": False}
+
+    def wrapped(md, v):
+        if not state["fired"]:
+            state["fired"] = True
+            t2 = catalog.load_table("db", "ow_restamp")
+            t2.append(spark.createDataFrame([Row(k=100, v=100.0)]))
+        return real(md, v)
+
+    t._commit_fn = wrapped
+    t.overwrite(spark.createDataFrame([Row(k=7, v=7.0)]))
+    snap_seq = t.current_snapshot().sequence_number
+    assert all(e.sequence_number == snap_seq for e in t.live_entries()), \
+        [(e.file_path, e.sequence_number, snap_seq) for e in t.live_entries()]
+    assert sorted(r.k for r in t.to_df().collect()) == [7]
+
+
+def test_append_pre_commit_check_aborts_without_commit(spark, catalog):
+    """pre_commit_check returning False abandons the commit: no snapshot,
+    append/upsert return None."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "precheck", from_spark_schema(df.schema))
+    t.append(df)
+    n = len(t.snapshots())
+    assert t.append(df, pre_commit_check=lambda: False) is None
+    assert t.upsert(df, ["k"], pre_commit_check=lambda: False) is None
+    assert len(t.snapshots()) == n and t.to_df().count() == 1
