@@ -64,6 +64,20 @@ def main() -> None:
     # long-running cluster actually delivers. Every run's time is emitted
     # (run_times) so the artifact records the spread, not just the min.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Fixed-cost CALIBRATION row (r6 VERDICT task #5): a pure in-memory
+    # aggregation whose cost is independent of the repo's code and of the
+    # data on disk. Round-over-round bench tables divide by this to
+    # normalize for VM state — r6's +18.5% "regression" was mostly the VM
+    # itself running slower than at r5 bench time (idle re-runs returned
+    # individual queries to r5 levels). Not included in the headline total.
+    cal_times = []
+    for _ in range(max(runs, 3)):
+        t0 = time.perf_counter()
+        spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2 + 1)").collect()
+        cal_times.append(round(time.perf_counter() - t0, 3))
+    calibration = min(cal_times)
+
     timings: dict[str, float] = {}
     run_times: dict[str, list[float]] = {}
     for name, spec in bench_queries().items():
@@ -84,6 +98,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "run_times": run_times,
+        # VM-state normalizer: in-memory spark.range sum, best-of-N; compare
+        # ratios of (query / calibration_sec) across rounds, not raw seconds
+        "calibration_sec": calibration,
+        "calibration_runs": cal_times,
     }
     print(json.dumps(result))
 
