@@ -100,8 +100,14 @@ def range_join_days(
 
     The right side is exploded to one row per day its interval overlaps, so
     the join is a plain shuffled equi-join on (key, day) — no nested loop.
-    Interval lengths bound the explosion factor (days per interval)."""
-    r = right.withColumn(
+    Interval lengths bound the explosion factor (days per interval).
+
+    Degenerate intervals are dropped BEFORE the explode: an inverted
+    interval (lo > hi) matches nothing but would crash ``sequence`` with
+    'Illegal sequence boundaries' — at corpus scale one bad row must not
+    kill the job; NULL-bounded intervals likewise match nothing (the
+    residual filter is three-valued) and are dropped with the same guard."""
+    r = right.filter(F.to_date(right_lo) <= F.to_date(right_hi)).withColumn(
         "_bucket",
         F.explode(F.sequence(F.to_date(right_lo), F.to_date(right_hi), F.expr("interval 1 day"))),
     )
@@ -137,8 +143,15 @@ def salted_join(
         # salt_buckets times under right/full outer joins
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     if salt_source is None:
-        salt_source = next(c for c in left.columns if c not in on)
-    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets)).cast("int"))
+        salt_source = next((c for c in left.columns if c not in on), None)
+    if salt_source is None:
+        # key-only left side (same fallback as hot_key_isolated_join, r6
+        # ADVICE): nothing to hash — spread rows round-robin by row id; the
+        # salt never reaches the output so nondeterminism across runs is fine
+        salt_expr = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    else:
+        salt_expr = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+    l = left.withColumn("_salt", salt_expr.cast("int"))
     r = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
 

@@ -50,8 +50,14 @@ def resample_locf(
         .select("_k", F.explode(F.expr(f"sequence(_lo, _hi, interval 1 {bucket})")).alias("_b"))
     )
     w = Window.partitionBy("_k").orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    # null-SAFE key equality: a NULL key is a legal group (groupBy keeps it),
+    # but a null-unsafe spine join would never match it — its cells all came
+    # back n=0 with the events silently zeroed (r7 degenerate sweep find).
+    # _b needs no null-safety (spine buckets come from sequence(), never NULL;
+    # NULL-ts events have no grid cell and stay out by design).
     return (
-        spine.join(agg, ["_k", "_b"], "left")
+        spine.join(agg, [spine["_k"].eqNullSafe(agg["_k"]), spine["_b"] == agg["_b"]], "left")
+        .drop(agg["_k"]).drop(agg["_b"])
         .select(
             F.col("_k").alias(key_col),
             F.col("_b").alias("bucket_ts"),

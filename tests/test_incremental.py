@@ -185,3 +185,57 @@ def test_changelog_compaction_mixed_sequence_removed_group(spark, catalog):
                t.changes().groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
     assert by_type.get("insert", 0) - by_type.get("delete", 0) == 11
     assert by_type.get("delete", 0) == 1
+
+
+def test_degenerate_ranges_pinned(spark, catalog):
+    """r7 degenerate sweep over the incremental/changelog surface, pinned
+    pass-as-designed: empty ranges (from==to, empty-append-only,
+    snapshotless table) yield 0 rows; delete-only ranges raise for the
+    strict append scan (skip with ignore_non_append) and emit pure deletes
+    from the changelog (CoW and MoR alike); inverted ranges and unknown
+    snapshot ids raise ValidationError, never a crash or a silent empty."""
+    import pytest
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.incremental import (
+        changelog_scan,
+        incremental_append_scan,
+    )
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(6)])
+    t = catalog.create_table("db", "degen_ranges", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+
+    assert incremental_append_scan(t, s1, s1).count() == 0
+    assert changelog_scan(t, s1, s1).count() == 0
+
+    t.delete(gi.gte("k", 4))  # CoW: delete-only range
+    s2 = t.current_snapshot().snapshot_id
+    with pytest.raises(ValidationError, match="not append"):
+        incremental_append_scan(t, s1, s2)
+    assert incremental_append_scan(t, s1, s2, ignore_non_append=True).count() == 0
+    assert sorted((r._change_type, r.k) for r in changelog_scan(t, s1, s2).collect()) \
+        == [("delete", 4), ("delete", 5)]
+
+    t.delete(gi.eq("k", 1), mode="merge-on-read")  # MoR delete-only range
+    s3 = t.current_snapshot().snapshot_id
+    assert sorted((r._change_type, r.k) for r in changelog_scan(t, s2, s3).collect()) \
+        == [("delete", 1)]
+
+    t.append(df.limit(0))  # empty append inside the range
+    s4 = t.current_snapshot().snapshot_id
+    assert changelog_scan(t, s3, s4).count() == 0
+    assert incremental_append_scan(t, s3, s4).count() == 0
+
+    t2 = catalog.create_table("db", "degen_empty", from_spark_schema(df.schema))
+    assert incremental_append_scan(t2).count() == 0
+    assert changelog_scan(t2).count() == 0
+
+    with pytest.raises(ValidationError, match="ancestor"):
+        incremental_append_scan(t, s4, s1)
+    with pytest.raises(ValidationError, match="unknown"):
+        changelog_scan(t, 999999, s4)

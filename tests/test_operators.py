@@ -245,3 +245,63 @@ def test_multimodal_null_payloads_dropped(spark):
     assert sorted(r.id for r in M.extract_features(mm, "id").collect()) == [2, 3]
     assert sorted(r.id for r in M.resize_images(mm, "id").collect()) == [2, 3]
     assert sorted(set(r.id for r in M.sample_frames(mm, "id").collect())) == [2, 3]
+
+
+def test_salted_join_key_only_left_falls_back(spark):
+    """r7 degenerate sweep: salted_join on a key-only left side raised
+    StopIteration picking an auto salt_source (the r6 ADVICE fix covered
+    only hot_key_isolated_join) — now falls back to a row-id round-robin
+    salt, matching the plain join's result."""
+    from go_iceberg_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k bigint")
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, rv double")
+    got = sorted(((r.k is None, r.k, r.rv) for r in
+                  salted_join(left, right, ["k"]).collect()))
+    want = sorted(((r.k is None, r.k, r.rv) for r in
+                   left.join(right, ["k"]).collect()))
+    assert got == want
+
+
+def test_range_join_drops_degenerate_intervals(spark):
+    """r7 degenerate sweep: an inverted interval (lo > hi) crashed the day
+    explode with 'Illegal sequence boundaries' — one bad row must not kill
+    a corpus-scale job. Inverted and NULL-bounded intervals match nothing
+    and are dropped; well-formed intervals are unaffected."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.joins import range_join_days
+
+    right = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", "2024-01-01 00:00:00"),   # inverted
+         (1, None, "2024-01-09 00:00:00"),                    # NULL lo
+         (1, "2024-01-02 00:00:00", "2024-01-04 00:00:00")],  # good
+        "k bigint, lo string, hi string"
+    ).select("k", F.col("lo").cast("timestamp").alias("lo"),
+             F.col("hi").cast("timestamp").alias("hi"))
+    left = spark.createDataFrame([(1, "2024-01-03 00:00:00")], "k bigint, ts string"
+                                 ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = range_join_days(left, right, ["k"], "ts", "lo", "hi").collect()
+    assert len(out) == 1 and str(out[0].lo).startswith("2024-01-02")
+
+
+def test_resample_locf_null_key_counts_events(spark):
+    """r7 degenerate sweep: a NULL key is a legal group, but the spine join
+    was null-UNSAFE — every NULL-key cell came back n=0 while the events
+    silently vanished. The join is now null-safe on the key; NULL-timestamp
+    events still have no grid cell (by design)."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.timeseries import resample_locf
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:15:00", 1.0),
+         (None, "2024-01-01 11:30:00", 7.0),
+         (2, None, 9.0)],
+        "k bigint, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = resample_locf(ev, "ts", "k", "v")
+    nullk = {str(r.bucket_ts): r.n for r in out.filter(F.col("k").isNull()).collect()}
+    assert nullk["2024-01-01 11:00:00"] == 1, nullk
+    # NULL-ts events never land on the grid
+    assert out.filter(F.col("k") == 2).agg(F.sum("n")).collect()[0][0] == 0
