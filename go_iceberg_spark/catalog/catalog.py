@@ -182,6 +182,23 @@ class FilesystemCatalog(Catalog):
             raise TableAlreadyExistsError(f"table {new_ns}.{new} exists")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
+        # rewrite metadata.location to the destination: Table.load overrides
+        # it with the directory path so engine reads kept working, but the
+        # metadata FILE still claimed the source dir — REST attachments and
+        # any external reader resolving relative paths against `location`
+        # would read (and write) under the stale directory (r7 probe find)
+        from dataclasses import replace as _rpl
+
+        from ..table.metadata import load_metadata, now_ms
+        for _ in range(5):
+            md, v = load_metadata(dst)
+            if md.location == dst:
+                break
+            try:
+                commit_metadata(dst, _rpl(md, location=dst, last_updated_ms=now_ms()), v)
+                break
+            except CommitConflictError:
+                continue
 
     def table_exists(self, ns, name: str) -> bool:
         return current_metadata_version(self._table_path(ns, name)) > 0

@@ -257,6 +257,27 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(409, "destination exists")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
+        # the moved metadata still records the SOURCE location, and clients
+        # attach tables at metadata.location — every relative manifest/data
+        # path would resolve (and new data files would land!) under the
+        # stale directory (r7 probe: rename-then-read raised
+        # FileNotFoundError on the old path). Commit a location rewrite as
+        # a new metadata version at the destination; a concurrent commit
+        # racing the rewrite loses O_EXCL and we re-apply on its successor.
+        from dataclasses import replace as _rpl
+
+        from ..table.metadata import now_ms
+        for _ in range(5):
+            md, v = load_metadata(dst)
+            if md.location == dst:
+                break
+            try:
+                commit_metadata(dst, _rpl(md, location=dst, last_updated_ms=now_ms()), v)
+                break
+            except CommitConflictError:
+                continue
+        else:
+            return self._error(500, "rename could not rewrite table location")
         return self._send(204)
 
 

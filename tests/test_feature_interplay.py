@@ -966,3 +966,103 @@ def test_rewrite_does_not_reapply_eq_delete_to_later_files(spark, catalog):
     t.append(spark.createDataFrame([(2, "back")], "k bigint, v string"))
     merge(t, spark.createDataFrame([(1, "m1")], "k bigint, v string"), ["k"])
     assert sorted((r.k, r.v) for r in t.to_df().collect()) == [(1, "m1"), (2, "back")]
+
+
+def test_add_files_time_travel_expiry_reimport(spark, catalog, tmp_path):
+    """r7 probe sweep: add_files composed with time travel, expiry, rollback
+    and re-import. External files must survive expiry AND CoW deletes on
+    disk; a tag keeps the import snapshot time-travelable across expiry; a
+    path that left the live set may be re-imported."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(3)])
+    t = catalog.create_table("db", "af_compose", from_spark_schema(df.schema))
+    t.append(df)
+    ext = str(tmp_path / "ext1.parquet")
+    pq.write_table(pa.table({"k": pa.array([100, 101], pa.int64()),
+                             "v": pa.array([100.0, 101.0])}), ext)
+    t.add_files([ext])
+    s_import = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(k=7, v=7.0)]))
+    t.create_tag("keep", s_import)
+
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert os.path.exists(ext), "expiry deleted the EXTERNAL file"
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 7, 100, 101]
+    assert sorted(r.k for r in t.scan().use_snapshot(s_import).to_df().collect()) \
+        == [0, 1, 2, 100, 101]
+
+    t.rollback_to(s_import)
+    t.delete(gi.gte("k", 100))  # file leaves the live set
+    assert os.path.exists(ext), "CoW delete removed the external file from disk"
+    t.add_files([ext])          # re-import a non-live path
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert os.path.exists(ext)
+    assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 100, 101]
+
+
+def test_streaming_sink_branch_refs_rollback(spark, catalog):
+    """r7 probe sweep: exactly-once sink markers composed with WAP branches.
+    A staged audit branch never affects main's dedup; a sink batch landing
+    on main after the branch fork makes fast_forward fail ancestry; after
+    rolling main back to the fork the publish applies and the abandoned
+    batch replays exactly once."""
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.streaming.stream import (
+        HIGH_WATER_PROP,
+        append_batch_exactly_once,
+    )
+
+    proto = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "sink_branch", from_spark_schema(proto.schema))
+    t.append(proto)
+    assert append_batch_exactly_once(t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 0)
+    base = t.current_snapshot().snapshot_id
+    t.create_branch("audit")
+    t.append_to_branch("audit", spark.createDataFrame([Row(k=3, v=3.0)]))
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(k=2, v=2.0)]), "ck", 0) is False  # still deduped
+    assert append_batch_exactly_once(t, spark.createDataFrame([Row(k=4, v=4.0)]), "ck", 1)
+    with _pytest.raises(ValidationError):
+        t.fast_forward("main", "audit")  # main diverged past the fork
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 4]
+
+    t.rollback_to(base)
+    assert t.metadata.properties[HIGH_WATER_PROP + "ck"] == "0"
+    t.fast_forward("main", "audit")
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3]
+    assert append_batch_exactly_once(t, spark.createDataFrame([Row(k=4, v=4.0)]), "ck", 1) is True
+    assert append_batch_exactly_once(t, spark.createDataFrame([Row(k=4, v=4.0)]), "ck", 1) is False
+    assert sorted(r.k for r in t.to_df().collect()) == [1, 2, 3, 4]
+
+
+def test_eq_delete_spec_evolution_compaction(spark, catalog):
+    """r7 probe sweep: equality deletes composed with partition evolution
+    and compaction in one lineage — the compaction rewrites a MIXED-spec
+    file set with eq-deletes applied; time travel to the pre-evolution
+    snapshot sees neither; a post-compaction eq-delete still applies."""
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame([Row(k=i, v=float(i), s=f"s{i % 3}") for i in range(12)])
+    sch = from_spark_schema(df.schema)
+    kid = next(f.field_id for f in sch.fields if f.name == "k")
+    t = catalog.create_table("db", "evo_compose", sch,
+                             spec=PartitionSpec(0, (PartitionField(kid, 1000, "bucket[4]", "kb"),)))
+    t.append(df)
+    s0 = t.current_snapshot().snapshot_id
+    delete_equality(t, spark.createDataFrame([(2,), (5,)], "k bigint"), ["k"])
+    t.update_partition_spec(("s", "truncate[1]"))
+    t.append(spark.createDataFrame([Row(k=20, v=20.0, s="zz")]))
+    t.create_tag("pre", s0)
+    t.rewrite_data_files(min_input_files=1)
+    assert sorted(r.k for r in t.to_df().collect()) == sorted(set(range(12)) - {2, 5}) + [20]
+    assert sorted(r.k for r in t.scan().use_snapshot(s0).to_df().collect()) == list(range(12))
+    delete_equality(t, spark.createDataFrame([(20,), (7,)], "k bigint"), ["k"])
+    assert sorted(r.k for r in t.to_df().collect()) == sorted(set(range(12)) - {2, 5, 7})

@@ -275,3 +275,55 @@ def test_rest_expire_rewires_parents_and_changes_work(spark, rcat):
     assert t3.metadata.properties.get(HIGH_WATER_PROP + "ck") == "1"
     assert append_batch_exactly_once(
         t3, spark.createDataFrame([Row(id=9, name="z")]), "ck", 1) is False
+
+
+def test_rename_rewrites_location_and_data_follows(spark, rcat):
+    """r7 probe find: the server-side rename moved the table directory but
+    the metadata kept the SOURCE location — clients attach at
+    metadata.location, so reads through the new name raised
+    FileNotFoundError on the stale path and new writes would have landed
+    there. Rename now commits a location rewrite at the destination."""
+    t = rcat.create_table(("db",), "mv_src", from_spark_schema(proto_df(spark).schema))
+    t.append(proto_df(spark, 3))
+    rcat.rename_table(("db",), "mv_src", ("db",), "mv_dst")
+
+    t2 = rcat.load_table(("db",), "mv_dst")
+    assert t2.location.endswith("/db/mv_dst")
+    assert t2.to_df().count() == 3          # reads resolve under the new dir
+    t2.append(proto_df(spark, 2, offset=100))  # writes land under the new dir
+    assert rcat.load_table(("db",), "mv_dst").to_df().count() == 5
+
+    # a second rename keeps following
+    rcat.rename_table(("db",), "mv_dst", ("db",), "mv_final")
+    t3 = rcat.load_table(("db",), "mv_final")
+    assert t3.location.endswith("/db/mv_final") and t3.to_df().count() == 5
+
+
+def test_rename_races_two_clients(spark, rcat, service):
+    """r7 probe sweep (rename-vs-rename through two handles): the loser of a
+    same-source rename race gets TableNotFoundError; racing to the same
+    destination gets TableAlreadyExistsError with the loser's source
+    intact; a commit through a renamed-away handle is refused and must not
+    resurrect the old name."""
+    other = RESTCatalog(spark, service)
+
+    rcat.create_table(("db",), "race_t", from_spark_schema(proto_df(spark).schema))
+    rcat.rename_table(("db",), "race_t", ("db",), "race_a")
+    with pytest.raises(TableNotFoundError):
+        other.rename_table(("db",), "race_t", ("db",), "race_b")
+    assert rcat.table_exists(("db",), "race_a") and not rcat.table_exists(("db",), "race_b")
+
+    rcat.create_table(("db",), "race_s1", from_spark_schema(proto_df(spark).schema))
+    rcat.create_table(("db",), "race_s2", from_spark_schema(proto_df(spark).schema))
+    rcat.rename_table(("db",), "race_s1", ("db",), "race_dest")
+    with pytest.raises(TableAlreadyExistsError):
+        other.rename_table(("db",), "race_s2", ("db",), "race_dest")
+    assert other.table_exists(("db",), "race_s2")
+
+    h = rcat.create_table(("db",), "race_h", from_spark_schema(proto_df(spark).schema))
+    h.append(proto_df(spark, 2))
+    other.rename_table(("db",), "race_h", ("db",), "race_h2")
+    with pytest.raises((TableNotFoundError, FileNotFoundError, CommitConflictError)):
+        h.append(proto_df(spark, 2, offset=50))  # stale handle: refused
+    assert not rcat.table_exists(("db",), "race_h")  # old name not resurrected
+    assert rcat.load_table(("db",), "race_h2").to_df().count() == 2

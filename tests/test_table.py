@@ -1742,3 +1742,26 @@ def test_append_pre_commit_check_aborts_without_commit(spark, catalog):
     assert t.append(df, pre_commit_check=lambda: False) is None
     assert t.upsert(df, ["k"], pre_commit_check=lambda: False) is None
     assert len(t.snapshots()) == n and t.to_df().count() == 1
+
+
+def test_fs_rename_rewrites_metadata_location(spark, catalog):
+    """r7 probe find (FilesystemCatalog flavor): rename moved the directory
+    but the metadata file on disk kept the source location — Table.load
+    masked it for engine reads (it overrides location with the directory
+    path), but any reader resolving relative paths against the metadata's
+    own `location` field (REST attachments, the spec-only external reader)
+    saw a stale directory. Rename now rewrites location at the destination."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.table.metadata import load_metadata
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "fsmv", from_spark_schema(df.schema))
+    t.append(df)
+    catalog.rename_table("db", "fsmv", "db", "fsmv2")
+    t2 = catalog.load_table("db", "fsmv2")
+    md, _ = load_metadata(t2.location)
+    assert md.location == t2.location and md.location.endswith("/db/fsmv2")
+    assert t2.to_df().count() == 1
+    t2.append(df)
+    assert catalog.load_table("db", "fsmv2").to_df().count() == 2
