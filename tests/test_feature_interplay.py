@@ -1066,3 +1066,80 @@ def test_eq_delete_spec_evolution_compaction(spark, catalog):
     assert sorted(r.k for r in t.scan().use_snapshot(s0).to_df().collect()) == list(range(12))
     delete_equality(t, spark.createDataFrame([(20,), (7,)], "k bigint"), ["k"])
     assert sorted(r.k for r in t.to_df().collect()) == sorted(set(range(12)) - {2, 5, 7})
+
+
+def test_add_files_after_schema_evolution_shapes(spark, catalog, tmp_path):
+    """r7 probe sweep, pinned pass-as-designed: after an add_column, an
+    import whose file LACKS the new (optional) column is rejected — the
+    add_files contract requires every table column in the file (the engine
+    could NULL-fill, but a silent fill hides data-shape drift at import
+    time); a file with an EXTRA unknown column is accepted and the extra
+    column is ignored by scans (projection is by table schema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import INT
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "af_evo", from_spark_schema(df.schema))
+    t.append(df)
+    t.update_schema().add_column("w", INT).commit()
+
+    old_shape = str(tmp_path / "old.parquet")
+    pq.write_table(pa.table({"k": pa.array([9], pa.int64()), "v": pa.array([9.0])}), old_shape)
+    with _pytest.raises(ValidationError, match="lack table columns"):
+        t.add_files([old_shape])
+
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(pa.table({"k": pa.array([10], pa.int64()), "v": pa.array([10.0]),
+                             "w": pa.array([1], pa.int32()), "zz": pa.array(["x"])}), extra)
+    t.add_files([extra])
+    assert sorted((r.k, r.w) for r in t.to_df().collect()) == [(1, None), (10, 1)]
+
+
+def test_eq_delete_across_key_type_widening(spark, catalog):
+    """r7 probe sweep: equality deletes keyed on a column that is WIDENED
+    (int -> long) mid-lineage — pre-widen deletes (int frames) and
+    post-widen deletes (long frames) both apply by field id across the
+    mixed-width file set."""
+    from go_iceberg_spark.schema import LONG
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame([Row(k=i, w=i % 4) for i in range(8)], "k bigint, w int")
+    t = catalog.create_table("db", "w_eq", from_spark_schema(df.schema))
+    t.append(df)
+    delete_equality(t, spark.createDataFrame([(3,)], "w int"), ["w"])
+    t.update_schema().update_column_type("w", LONG).commit()
+    t.append(spark.createDataFrame([Row(k=100, w=3)], "k bigint, w bigint"))
+    delete_equality(t, spark.createDataFrame([(2,)], "w bigint"), ["w"])
+    got = sorted((r.k, r.w) for r in t.to_df().collect())
+    want = sorted([(k, k % 4) for k in range(8) if k % 4 not in (2, 3)] + [(100, 3)])
+    assert got == want
+
+
+def test_branch_survives_expiry_and_diverged_publish_refused(spark, catalog):
+    """r7 probe sweep, pinned pass-as-designed: a dev branch's head (and its
+    readability) survives expire_snapshots; fast_forward onto a main that
+    diverged past the fork refuses with ValidationError and leaves the
+    branch intact."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "bret", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("dev")
+    for i in range(4):
+        t.append_to_branch("dev", spark.createDataFrame([Row(k=10 + i, v=float(i))]))
+    for i in range(3):
+        t.append(spark.createDataFrame([Row(k=50 + i, v=float(i))]))
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert t.scan().use_ref("dev").to_df().count() == 5
+    with _pytest.raises(ValidationError):
+        t.fast_forward("main", "dev")
+    assert t.scan().use_ref("dev").to_df().count() == 5

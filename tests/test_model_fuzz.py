@@ -336,3 +336,20 @@ def test_mutation_walk_new_vocabulary(spark, catalog, seed):
     """r7: longer walks weighted toward the new ops (spec evolution, WAP,
     add_files, widening) composing with the r6 vocabulary."""
     _walk(spark, catalog, seed, steps=20)
+
+
+def test_mutation_walk_matches_model_rest_catalog(spark, tmp_path):
+    """r7: the extended walk (spec evolution, WAP, add_files, widening +
+    the r6 ops) through the REST catalog — every mutation then rides the
+    commit protocol's requirements/updates vocabulary instead of direct
+    filesystem metadata commits."""
+    from go_iceberg_spark.catalog.rest import RESTCatalog
+    from go_iceberg_spark.catalog.rest_server import serve_background
+
+    srv, uri = serve_background(str(tmp_path / "wh"))
+    try:
+        rcat = RESTCatalog(spark, uri)
+        rcat.create_namespace(("db",))
+        _walk(spark, rcat, 5150, steps=14)
+    finally:
+        srv.shutdown()
