@@ -276,15 +276,23 @@ def fuzzy_match_join(
     Names differing inside the first ``block_len`` chars will not match —
     the standard blocking trade-off; run multiple passes with different
     keys for higher recall. Output: left row + matched right value +
-    ``dist``."""
+    ``dist``.
+
+    The explode(array(levenshtein)) wrapper is a pushdown barrier (same
+    pattern as the cosine pair streams, r7): without it Catalyst pushes the
+    ``dist <= max_dist`` filter into the hash-join condition, evaluating
+    the O(len²) levenshtein TWICE per in-block pair — once in the condition
+    and again for the output column. The Generate pipelines in the join
+    stage, so pairs still filter before any downstream exchange."""
+    lcols = list(left.columns)
     lb = F.substring(F.col(left_col), 1, block_len)
     rb = F.substring(F.col(right_col), 1, block_len)
     r = right.select(F.col(right_col).alias("_match"), rb.alias("_rb"))
-    out = (
+    return (
         left.withColumn("_lb", lb)
         .join(r, F.col("_lb") == F.col("_rb"))
-        .withColumn("dist", F.levenshtein(F.col(left_col), F.col("_match")).cast("int"))
+        .select(*lcols, "_match",
+                F.explode(F.array(
+                    F.levenshtein(F.col(left_col), F.col("_match")).cast("int"))).alias("dist"))
         .filter(F.col("dist") <= max_dist)
-        .drop("_lb", "_rb")
     )
-    return out

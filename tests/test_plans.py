@@ -414,3 +414,20 @@ def test_cosine_never_in_join_condition_and_evaluated_once(spark):
         n_dots = plan.count("aggregate(zip_with")
         assert n_dots == expected_dots, (
             f"{name}: expected {expected_dots} dot-aggregate sites, got {n_dots}\n{plan}")
+
+
+def test_levenshtein_never_in_join_condition_and_evaluated_once(spark):
+    """Same contract as the cosine family, for the fuzzy entity join: the
+    dist <= max_dist filter must not be pushed into the blocking join's
+    condition (the O(len²) levenshtein would run twice per in-block pair);
+    exactly one levenshtein site in the plan."""
+    from go_iceberg_spark.operators.joins import fuzzy_match_join
+
+    d = spark.read.parquet(SF + "/documents.parquet").limit(200)
+    left = d.selectExpr("substring(text, 1, 24) AS dirty_name")
+    right = d.selectExpr("substring(text, 1, 24) AS clean_name")
+    df = fuzzy_match_join(left, right, "dirty_name", "clean_name", max_dist=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    offenders = [l for l in plan.splitlines() if "Join" in l and "levenshtein" in l]
+    assert not offenders, "\n".join(offenders)
+    assert plan.count("levenshtein") == 1, plan
