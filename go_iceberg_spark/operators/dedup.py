@@ -511,6 +511,36 @@ def keep_greedy(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def keep_best_quality(
+    df: DataFrame, pairs: DataFrame, scores: DataFrame, id_col: str,
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware dedup keep-list: within every near-dup CLUSTER
+    (connected component of the pair graph) keep exactly the row with the
+    highest ``score_col`` (ties → lowest id), drop the rest; rows outside
+    any cluster are untouched. The production alternative to
+    ``keep_greedy``'s min-id policy — a training pipeline wants the
+    best-quality representative of each duplicate cluster, not an
+    arbitrary one.
+
+    Scale shape: components come from bounded-iteration min-label
+    propagation (``connected_components``); the winner election is one
+    row_number window partitioned by component (clusters are small by
+    construction); the keep-list lands as a single anti-join of the drop
+    set. Scores are ranked at 6-decimal precision so the election is
+    reproducible across engines (same contract as the quality oracle)."""
+    comps = connected_components(pairs).withColumnRenamed("id", id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
+    drops = (
+        comps.join(scores.select(id_col, score_col), on=id_col)
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") > 1)
+        .select(id_col)
+    )
+    return df.join(drops, on=id_col, how="left_anti")
+
+
 def pagerank(pairs: DataFrame, *, iterations: int = 3, damping: float = 0.85) -> DataFrame:
     """PageRank over an undirected near-dup pair graph (fixed iteration
     count, deterministic): rank concentrates on documents with many

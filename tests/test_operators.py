@@ -305,3 +305,19 @@ def test_resample_locf_null_key_counts_events(spark):
     assert nullk["2024-01-01 11:00:00"] == 1, nullk
     # NULL-ts events never land on the grid
     assert out.filter(F.col("k") == 2).agg(F.sum("n")).collect()[0][0] == 0
+
+
+def test_keep_best_quality_elects_top_scorer_per_cluster(spark):
+    """keep_best_quality keeps exactly the highest-score row of each
+    near-dup component (ties -> lowest id) and passes singletons through."""
+    from go_iceberg_spark.operators.dedup import keep_best_quality
+
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # components: {1,2,3} (chain), {4,5}; 6 is a singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.0)],
+        "doc_id long, quality double")
+    kept = sorted(r.doc_id for r in keep_best_quality(df, pairs, scores, "doc_id").collect())
+    # cluster 1: 2 and 3 tie at 0.9 -> lowest id (2) wins; cluster 2: 4 wins
+    assert kept == [2, 4, 6], kept
