@@ -380,6 +380,50 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+def hashing_vectorize(
+    df: DataFrame, id_col: str, text_col: str, *, dim: int = 32,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectorizer: each token is
+    hashed into one of ``dim`` buckets with a ±1 sign bit, and the document
+    vector is the signed token-count per bucket — the classic HashingTF/
+    hashing-vectorizer representation, model-free and vocabulary-free, so
+    text flows straight into the cosine/LSH/IVF ANN operators without an
+    embedding service. Empty documents yield the zero vector (which the ANN
+    pre-filters drop, zero-norm contract).
+
+    Portability: bucket = ``portable_hash60(token) % dim`` and sign = parity
+    of the md5's 16th hex digit — both reproducible bit-for-bit in DuckDB,
+    and the vector entries are exact integer sums, so oracles agree exactly.
+
+    Scale shape: a PURE PROJECTION — tokens are hashed once into (bucket,
+    sign) structs, then folded into a dim-length accumulator with
+    aggregate+transform; no explode, no shuffle, linear in
+    n_tokens x dim per row. For dim in the thousands prefer the
+    explode + groupBy(id, bucket) + map_from_entries assembly instead (one
+    shuffle, O(n_tokens) work)."""
+    from .dedup import portable_hash60
+
+    toks = tokens_expr(F.col(text_col))
+    hashed = F.transform(
+        toks,
+        lambda t: F.struct(
+            (portable_hash60(t) % dim).alias("b"),
+            F.when(F.conv(F.substring(F.md5(t), 16, 1), 16, 10).cast("long") % 2 == 0,
+                   F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        ),
+    )
+    vec = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.transform(
+            acc, lambda x, i: x + F.when(h["b"] == i.cast("long"), h["s"]).otherwise(F.lit(0.0))),
+    )
+    # NULL text propagates a NULL array through the fold — a NULL doc must
+    # vectorize like an empty one (zero vector), not vanish downstream
+    vec = F.coalesce(vec, F.array_repeat(F.lit(0.0), dim))
+    return df.select(F.col(id_col), vec.alias("vec"))
+
+
 def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signals for training-data quality filtering
     (Rae et al. 2021 §A1.1): per document, the fraction of word occurrences

@@ -321,3 +321,25 @@ def test_keep_best_quality_elects_top_scorer_per_cluster(spark):
     kept = sorted(r.doc_id for r in keep_best_quality(df, pairs, scores, "doc_id").collect())
     # cluster 1: 2 and 3 tie at 0.9 -> lowest id (2) wins; cluster 2: 4 wins
     assert kept == [2, 4, 6], kept
+
+
+def test_hashing_vectorize_shape_and_degenerates(spark):
+    """Hashing-trick vectors: dim-length, signed integer-valued entries,
+    empty/NULL docs give the zero vector, and the op is a shuffle-free
+    projection (scale contract)."""
+    from go_iceberg_spark.operators.text import hashing_vectorize
+    from go_iceberg_spark.plans import inspect as P
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "the the the")],
+        "doc_id long, text string")
+    out = hashing_vectorize(df, "doc_id", "text", dim=16)
+    assert P.num_shuffles(out) == 0
+    rows = {r.doc_id: r.vec for r in out.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    assert rows[2] == [0.0] * 16 and rows[3] == [0.0] * 16
+    # repeated token: |entry| == 3 in exactly one bucket
+    assert sorted(abs(x) for x in rows[4])[-1] == 3.0
+    assert sum(1 for x in rows[4] if x != 0.0) == 1
+    # deterministic across evaluations
+    assert rows == {r.doc_id: r.vec for r in out.collect()}
