@@ -241,11 +241,16 @@ def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[s
         if _batch_already_committed(table, ckpt_id, batch_id):
             return
         order = [c for c in batch_df.columns if c not in keys]
-        w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn")
-        )
+        if order:
+            w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+        else:
+            # key-only batch: every row of a key is identical — the window
+            # form crashed on its empty ORDER BY (r7 degenerate sweep)
+            latest = batch_df.dropDuplicates(keys)
         table.upsert(latest, keys,
                      summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
                      properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),

@@ -463,3 +463,29 @@ def test_racing_replay_rechecks_marker_inside_commit_retry(spark, catalog):
     assert sorted(r.k for r in t1.to_df().collect()) == [0, 1]
     assert sum(1 for s in t1.snapshots()
                if s.summary.get("streaming-batch") == "ck:0") == 1
+
+
+def test_upsert_stream_key_only_batch(spark, catalog, tmp_path):
+    """r7 degenerate sweep: a key-only source (every column is a merge key)
+    crashed the latest-row window with an empty ORDER BY — now dedupes with
+    dropDuplicates (rows of a key are identical by construction). NULL keys
+    keep merging null-safely."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark.streaming.stream as ST
+    from go_iceberg_spark.schema import from_spark_schema
+
+    src_t = catalog.create_table(
+        "db", "src_keyonly",
+        from_spark_schema(spark.createDataFrame([(1,)], "user_id long").schema))
+    src_t.append(spark.createDataFrame([(1,), (1,), (2,)], "user_id long"))
+    out = catalog.create_table(
+        "db", "tgt_keyonly",
+        from_spark_schema(spark.createDataFrame([(0,)], "user_id long").schema))
+    out.append(spark.createDataFrame([(0,)], "user_id long"))
+
+    q = ST.upsert_stream(ST.read_stream(spark, src_t), out,
+                         str(tmp_path / "ck"), ["user_id"], trigger_once=True)
+    q.awaitTermination(120)
+    out.refresh()
+    assert sorted(r.user_id for r in out.to_df().collect()) == [0, 1, 2]
