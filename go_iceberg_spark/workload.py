@@ -2146,9 +2146,11 @@ _HASHVEC_SUMS_SQL = """
 def hashing_vectorize_q(spark, sf):
     """Feature-hashing vectorizer (hashing trick): signed token counts in 32
     buckets, model- and vocabulary-free — the standard text→vector path when
-    no embedding service exists. A pure shuffle-free projection; graded in
-    scalar (doc_id, i, val) shape. Entries are exact integer sums, so both
-    engines agree bit-for-bit."""
+    no embedding service exists. Explode + map-side partial aggregation
+    (the shuffle carries ≤ docs × dim tiny rows, never the token stream;
+    measured 39% faster than the shuffle-free per-row fold at sf1 — see the
+    operator docstring); graded in scalar (doc_id, i, val) shape. Entries
+    are exact integer sums, so both engines agree bit-for-bit."""
     v = X.hashing_vectorize(load(spark, sf, "documents"), "doc_id", "text", dim=32)
     return v.select(
         "doc_id", F.posexplode("vec").alias("i", "val")
@@ -2180,9 +2182,10 @@ def hashing_vectorize_q(spark, sf):
 def hashing_ann_q(spark, sf):
     """End-to-end text similarity WITHOUT a model: hashing-trick vectors
     feed the exact cosine top-k — raw text to nearest-neighbors entirely in
-    built-in expressions (vectorize is a shuffle-free projection; the ANN
-    inherits cosine_topk's broadcast-query single-corpus-scan shape and its
-    zero-norm pre-filter, which the oracle mirrors)."""
+    built-in expressions (vectorize collapses tokens map-side before its
+    one small shuffle; the ANN inherits cosine_topk's broadcast-query
+    single-corpus-scan shape and its zero-norm pre-filter, which the
+    oracle mirrors)."""
     v = X.hashing_vectorize(load(spark, sf, "documents"), "doc_id", "text", dim=32)
     return S.cosine_topk(v, v.filter(F.col("doc_id") < 5), id_col="doc_id", vec_col="vec", k=5)
 

@@ -128,3 +128,38 @@ def test_s3_avro_tree_externally_readable(spark, s3cat):
     assert snap.avro_manifest_path
     entries = read_avro_manifest_tree(t.location, snap.avro_manifest_path, io=io)
     assert sum(e.record_count for e in entries if e.content == 0) == 15
+
+
+def test_s3_spec_evolution_wap_and_eq_delete_compose(spark, s3cat, tmp_path):
+    """r7 probe sweep: the round's composition vocabulary on an s3://
+    warehouse — partition-spec evolution mid-lineage, an eq-delete, a WAP
+    branch publish, compaction, and expiry all commit through S3
+    conditional PUT with every metadata byte on the object store."""
+    import time as _time
+
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    cat, io = s3cat
+    df = _proto(spark, 12)
+    t = cat.create_table(("db",), "compose", from_spark_schema(df.schema))
+    t.append(df)
+    s0 = t.current_snapshot().snapshot_id
+
+    delete_equality(t, spark.createDataFrame([(3,), (5,)], "id bigint"), ["id"])
+    t.update_partition_spec(("tag", "identity"))
+    t.append(_proto(spark, 3, off=100))
+
+    t.create_branch("audit")
+    t.append_to_branch("audit", _proto(spark, 2, off=200))
+    assert t.to_df().count() == 13  # staged rows invisible on main
+    t.fast_forward("main", "audit")
+    assert sorted(r.id for r in t.to_df().collect()) == \
+        sorted(set(range(12)) - {3, 5}) + [100, 101, 102, 200, 201]
+
+    t.create_tag("pre", s0)
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
+    assert sorted(r.id for r in t.to_df().collect()) == \
+        sorted(set(range(12)) - {3, 5}) + [100, 101, 102, 200, 201]
+    # tag-retained time travel across the expired gap
+    assert sorted(r.id for r in t.scan().use_snapshot(s0).to_df().collect()) == list(range(12))
