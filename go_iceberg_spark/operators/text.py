@@ -470,3 +470,85 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.lit(1.0) - F.col("_du") / F.col("_nw"), 4).alias("dup_word_frac"),
         F.round(F.coalesce(F.col("_topc") / F.col("_total"), F.lit(0.0)), 4).alias("top_bigram_frac"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): per-document log importance weight
+    between a TARGET distribution (rows where ``target`` is true — e.g. a
+    trusted source) and the RAW corpus, over hashed n-gram features:
+
+        feature space  = unigrams + space-joined bigrams, hashed into
+                         ``buckets`` via portable_hash60 % buckets
+        log w(d)       = sum over d's features f of n_d(f) * ln(p_tgt(b_f)
+                         / p_raw(b_f)),  Laplace-smoothed (alpha = 0.5)
+
+    High-weight documents look like the target; resampling the raw corpus
+    by these weights is the published recipe for cheap quality-domain
+    selection at pre-training scale. Returns (id, n_feats, log_weight);
+    docs with no tokens (empty/NULL text) score 0 with n_feats 0.
+
+    The per-bucket log ratio is quantized to floor(lr * 2^20) BIGINTs
+    before the weighted sum (the bigram-LM trick), so scores are
+    bit-identical across engines regardless of float summation order.
+
+    Scale shape: one corpus shuffle keyed on (doc, bucket) — map-side
+    combine bounds it at docs x buckets rows, never the token stream; the
+    bucket distribution table is ONE groupBy bounded at ``buckets`` rows
+    after partial agg, and joins back as a broadcast. The "model" (the
+    two hashed LMs) is never collected to the driver as Python state —
+    it lives in a <=buckets-row DataFrame, so the same plan serves a
+    100 TB raw corpus: the only wide exchange carries per-doc bucket
+    counts. No reference equivalent (beyond-reference LLM-ops suite)."""
+    from .dedup import portable_hash60
+
+    toks = df.select(
+        F.col(id_col),
+        tokens_expr(F.col(text_col)).alias("_t"),
+        target.alias("_tgt"),
+    )
+    feats = F.concat(
+        F.col("_t"),
+        F.when(F.size("_t") >= 2, F.expr(
+            "transform(slice(_t, 1, size(_t) - 1), (w, i) -> concat(w, ' ', _t[i + 1]))"
+        )).otherwise(F.array().cast("array<string>")),
+    )
+    ex = toks.select(F.col(id_col), F.col("_tgt"), F.explode(feats).alias("_f")).select(
+        F.col(id_col), F.col("_tgt"),
+        (portable_hash60(F.col("_f")) % buckets).alias("_b"),
+    )
+    doc_b = ex.groupBy(F.col(id_col), "_b").agg(F.count(F.lit(1)).alias("_n"))
+    bc = ex.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_tgt")).alias("_ct"),
+    )
+    tot = bc.agg(F.sum("_cr").alias("_tcr"), F.sum("_ct").alias("_tct"))
+    half_b = F.lit(0.5 * buckets)
+    ratio = bc.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.floor(
+            (F.log((F.col("_ct") + 0.5) / (F.col("_tct") + half_b))
+             - F.log((F.col("_cr") + 0.5) / (F.col("_tcr") + half_b)))
+            * F.lit(1048576)
+        ).cast("long").alias("_qlr"),
+    )
+    scored = (
+        doc_b.join(F.broadcast(ratio), "_b")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.sum("_n").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("_n") * F.col("_qlr")) / F.lit(1048576.0), 6)
+            .alias("log_weight"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )

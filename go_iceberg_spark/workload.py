@@ -2191,6 +2191,52 @@ def hashing_ann_q(spark, sf):
 
 
 @query(
+    "text_dsir_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+             (source = 'src0') AS tgt
+      FROM documents WHERE length(trim(text)) > 0),
+    feats AS (
+      SELECT doc_id, tgt, unnest(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, tgt, t[i + 1] || ' ' || t[i + 2] AS f
+      FROM (SELECT doc_id, tgt, t, unnest(generate_series(0, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    fb AS (SELECT doc_id, tgt, ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+           FROM feats),
+    doc_b AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY 1, 2),
+    bc AS (SELECT b, count(*) AS cr,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+           FROM fb GROUP BY 1),
+    tot AS (SELECT sum(cr) AS tcr, sum(ct) AS tct FROM bc),
+    ratio AS (
+      SELECT b, CAST(floor((ln((ct + 0.5) / (tct + 0.5 * 256))
+                            - ln((cr + 0.5) / (tcr + 0.5 * 256))) * 1048576)
+                AS BIGINT) AS qlr
+      FROM bc, tot),
+    scored AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+             round(sum(n * qlr) / 1048576.0, 6) AS log_weight
+      FROM doc_b JOIN ratio USING (b) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(coalesce(s.log_weight, 0.0) AS DOUBLE) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def dsir_importance_q(spark, sf):
+    """DSIR data selection (hashed n-gram importance resampling weights):
+    log p_target/p_raw over unigram+bigram hash buckets, target = the
+    trusted 'src0' slice. The two hashed LMs stay distributed (a
+    <=256-row bucket table, broadcast back); the corpus' one wide
+    shuffle carries per-doc bucket counts. Per-bucket log ratios are
+    integer-quantized so both engines agree bit-for-bit."""
+    d = load(spark, sf, "documents")
+    return X.dsir_importance(d, "doc_id", "text", F.col("source") == "src0",
+                             buckets=256)
+
+
+@query(
     "multimodal_extract_features",
     """
     SELECT doc_id,

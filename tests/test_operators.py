@@ -344,3 +344,39 @@ def test_hashing_vectorize_shape_and_degenerates(spark):
     assert sum(1 for x in rows[4] if x != 0.0) == 1
     # deterministic across evaluations
     assert rows == {r.doc_id: r.vec for r in out.collect()}
+
+
+def test_dsir_importance_degenerates_and_plan(spark):
+    """DSIR weights: empty/NULL docs score 0 with n_feats 0; target-looking
+    docs outscore off-target ones; the bucket-LM model joins back as a
+    broadcast (no corpus-sized shuffle for the ratio table); all-target and
+    no-target corpora stay finite (Laplace smoothing)."""
+    from go_iceberg_spark.operators.text import dsir_importance
+    from go_iceberg_spark.plans import inspect as P
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha beta gamma", "good"),
+         (2, "alpha beta gamma alpha beta", "good"),
+         (3, "zig zag zog quux blorp", "junk"),
+         (4, "", "junk"), (5, None, "junk"),
+         (6, "alpha beta alpha", "junk")],
+        "doc_id long, text string, source string")
+    out = dsir_importance(df, "doc_id", "text", F.col("source") == "good",
+                          buckets=64)
+    plan = P.formatted_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[4].n_feats == 0 and rows[4].log_weight == 0.0
+    assert rows[5].n_feats == 0 and rows[5].log_weight == 0.0
+    # doc 6 shares the target's n-grams, doc 3 shares none
+    assert rows[6].log_weight > rows[3].log_weight
+    # absolute sign depends on the smoothing mass at tiny counts; the
+    # DSIR property is the ORDERING: target-like docs outscore junk
+    assert rows[1].log_weight > rows[3].log_weight
+    assert rows[2].log_weight > rows[3].log_weight
+
+    # degenerate target splits stay finite and defined
+    for tgt in (F.lit(True), F.lit(False)):
+        vals = dsir_importance(df, "doc_id", "text", tgt, buckets=64).collect()
+        assert all(r.log_weight is not None for r in vals)
