@@ -370,8 +370,12 @@ MANIFEST_LIST_SUFFIX = ".manifest-list.json"
 
 
 def write_manifest_list(path: str, members: list[dict], io=None) -> None:
-    """Manifest list: JSON array of {"path": <rel manifest>, "n": <entries>}.
-    The list is O(commits since last compaction); member manifests are
+    """Manifest list: JSON array of {"path": <rel manifest>, "n": <entries>,
+    "nd": <delete entries>, "bounds": <aggregate column-bounds JSON>}. "nd"
+    and "bounds" (stamped since r7, optional for older lists) are the
+    Iceberg manifest-list partition-summary analogue: scans skip READING a
+    delete-free member whose bounds contradict the filter (scan.py). The
+    list is O(commits since last compaction); member manifests are
     immutable and REUSED across snapshots — an append commit writes one new
     member for the added files instead of rewriting the full live set
     (single-manifest design made incremental; Iceberg's manifest-list role,

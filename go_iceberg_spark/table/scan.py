@@ -304,7 +304,18 @@ class ScanBuilder:
         # metadata (table._mio set) goes through the FileIO full read below
         if not cached and table._mio is None and not snap.manifest_path.endswith(".avro"):
             if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
-                members = read_manifest_list(path)
+                from .planning import summary_might_match
+
+                # member-level skip (Iceberg manifest-list partition
+                # summaries): a member whose aggregate bounds contradict the
+                # filter is never READ — planning I/O scales with matching
+                # members, not commits. Members holding delete entries
+                # (nd > 0) or without stamped bounds are always read.
+                members = [
+                    m for m in read_manifest_list(path)
+                    if m.get("nd", 1) or "bounds" not in m
+                    or summary_might_match(m["bounds"], enc, proj)
+                ]
                 n = sum(m["n"] for m in members)
                 mpaths = [os.path.join(table.location, m["path"]) for m in members]
             else:

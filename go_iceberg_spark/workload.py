@@ -4975,6 +4975,55 @@ def maintenance_zorder_scan_q(spark, sf):
 
 
 @query(
+    "maintenance_rewrite_manifests_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey <> 42
+    """,
+)
+def maintenance_rewrite_manifests_q(spark, sf):
+    """rewrite_manifests under the graded gate (Iceberg procedure parity):
+    range-disjoint appends + one MoR delete, then a metadata-ONLY rewrite
+    clustering manifest members by value range. Asserted inline: the data
+    file set is untouched; every list member carries bounds; a point
+    filter's bounds check keeps a strict subset of the data members (the
+    manifest-tier skip that makes 1M-file planning read only matching
+    members); the delete entries sit in their own always-read member, so
+    the deleted row stays deleted after the skip."""
+    import os as _os
+
+    from .expr import lt as _lt
+    from .table.metadata import read_manifest_list
+    from .table.planning import summary_might_match
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "rwman", base.filter(F.col("o_orderkey") < 1000))
+    t.append(base.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.append(base.filter(F.col("o_orderkey") >= 2000))
+    t.delete(eq("o_orderkey", 42), mode="merge-on-read")
+    files_before = sorted(e.file_path for e in t.live_entries())
+
+    t.rewrite_manifests(target_entries_per_manifest=1)
+
+    if sorted(e.file_path for e in t.live_entries()) != files_before:
+        raise AssertionError("rewrite_manifests touched data files")
+    members = read_manifest_list(
+        _os.path.join(t.location, t.current_snapshot().manifest_path))
+    if not all("bounds" in m and "nd" in m for m in members):
+        raise AssertionError(f"members missing bounds/nd: {members}")
+    if sum(1 for m in members if m["nd"] > 0) != 1:
+        raise AssertionError("MoR delete entries not isolated in one member")
+    data_m = [m for m in members if m["nd"] == 0]
+    schema = t.metadata.current_schema
+    kept = [m for m in data_m
+            if summary_might_match(m["bounds"], _lt("o_orderkey", 500), schema)]
+    if not 0 < len(kept) < len(data_m):
+        raise AssertionError(
+            f"member bounds gave no skip: {len(kept)}/{len(data_m)} members match")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "bucket_partition_pruning_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -5154,10 +5203,14 @@ _GRADED_FIRST = [
     "text_repetition_scores",
     "multimodal_extract_features",
     "multimodal_feature_ann_topk",
+    # --- r7 NEW operators: manifest-list bounds + member-clustering
+    #     rewrite (touches every commit's manifest tree) and DSIR
+    #     importance scoring (displaced: embedding_int8_quantize,
+    #     crud_merge_scan — both green r5+r6, paths unchanged r7) ---
+    "maintenance_rewrite_manifests_scan",
+    "text_dsir_importance",
     # --- keep one more green round on recent fixes ---
-    "embedding_int8_quantize",
     "float_nan_pruning_scan",
-    "crud_merge_scan",
     "crud_merge_not_matched_by_source_scan",
     "crud_delete_eq_scan",
     "crud_delete_mor_scan",

@@ -1143,3 +1143,58 @@ def test_branch_survives_expiry_and_diverged_publish_refused(spark, catalog):
     with _pytest.raises(ValidationError):
         t.fast_forward("main", "dev")
     assert t.scan().use_ref("dev").to_df().count() == 5
+
+
+def test_rewrite_manifests_spec_evolution_eq_delete_expiry(spark, catalog):
+    """r7 probe sweep: manifest-list bounds composed with the round's
+    vocabulary — partition evolution mid-lineage, an eq-delete, a
+    member-clustering rewrite over the MIXED-SPEC entry set, filtered scans
+    across both generations, time travel past the rewrite, and expiry
+    sweeping the pre-rewrite members while the clustered ones survive."""
+    import os
+    import time
+
+    from go_iceberg_spark.table.metadata import read_manifest_list
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df = spark.createDataFrame(
+        [Row(id=i, tag="a" if i % 2 else "b", v=float(i)) for i in range(20)])
+    t = catalog.create_table("db", "rwm_compose", from_spark_schema(df.schema))
+    t.append(df)
+    s0 = t.current_snapshot().snapshot_id
+    t.update_partition_spec(("tag", "identity"))
+    t.append(spark.createDataFrame([Row(id=100 + i, tag="c", v=1.0) for i in range(5)]))
+    delete_equality(t, spark.createDataFrame([(3,), (100,)], "id bigint"), ["id"])
+    expect = sorted(set(range(20)) - {3} | {101, 102, 103, 104})
+
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    assert sorted(r.id for r in t.to_df().collect()) == expect
+    ml = read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path))
+    assert all("bounds" in m and "nd" in m for m in ml)
+    assert sorted(r.id for r in t.scan().filter(gi.gt("id", 99)).to_df().collect()) \
+        == [101, 102, 103, 104]
+    assert sorted(r.id for r in t.scan().use_snapshot(s0).to_df().collect()) \
+        == list(range(20))
+
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000,
+                       retain_last=1, sweep_grace_ms=0)
+    assert sorted(r.id for r in t.to_df().collect()) == expect
+    assert sorted(r.id for r in t.scan().filter(gi.lt("id", 10)).to_df().collect()) \
+        == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+
+def test_rewrite_manifests_blocks_stale_wap_fast_forward(spark, catalog):
+    """r7 probe sweep, pinned pass-as-designed: a metadata-only
+    rewrite_manifests on main AFTER a WAP branch diverged makes
+    publish-by-fast-forward refuse (ancestry rule) — Iceberg semantics;
+    the audit branch must be re-staged on the new main."""
+    df = spark.createDataFrame([Row(id=i, x=i) for i in range(10)])
+    t = catalog.create_table("db", "rwm_wap", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("audit")
+    t.append_to_branch("audit", spark.createDataFrame([Row(id=200, x=0)]))
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    assert t.to_df().count() == 10
+    with pytest.raises(gi.ValidationError):
+        t.fast_forward("main", "audit")

@@ -305,3 +305,74 @@ def test_expire_rewires_parents_by_ancestry_not_timestamp(spark, catalog):
     # both heads still read correctly
     assert sorted(r.k for r in t.to_df().collect()) == [0, 1, 2, 10, 20]
     assert sorted(r.k for r in t.scan().use_ref("dev").to_df().collect()) == [0, 1, 2, 100]
+
+
+def test_rewrite_manifests_clusters_members_with_bounds(spark, catalog):
+    """rewrite_manifests(target_entries_per_manifest=1): one member per data
+    file, clustered by value range; each list member carries nd + bounds;
+    data files and rows are untouched (pure metadata commit); MoR delete
+    entries land in their own member."""
+    from go_iceberg_spark.table.metadata import read_manifest_list
+
+    t = mk(spark, catalog, "rwm", batches=3, rows=10)
+    t.delete(gi.eq("id", 5), mode="merge-on-read")
+    files_before = sorted(e.file_path for e in t.live_entries())
+    rows_before = sorted(r.id for r in t.to_df().collect())
+
+    snap = t.rewrite_manifests(target_entries_per_manifest=1)
+    assert snap.operation == "replace"
+    assert snap.summary["rewritten-manifests"] == "4"  # 3 data + 1 deletes
+
+    assert sorted(e.file_path for e in t.live_entries()) == files_before
+    assert sorted(r.id for r in t.to_df().collect()) == rows_before
+
+    members = read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path))
+    assert len(members) == 4
+    assert all("bounds" in m and "nd" in m for m in members)
+    assert sum(1 for m in members if m["nd"] > 0) == 1
+    # a later incremental append keeps every member's bounds stamped
+    t.append(spark.createDataFrame([Row(id=900, v=9.0)]))
+    members2 = read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path))
+    assert len(members2) == 5 and all("bounds" in m for m in members2)
+
+    with pytest.raises(gi.ValidationError):
+        t.rewrite_manifests(target_entries_per_manifest=0)
+
+
+def test_member_level_skip_reads_only_matching_manifests(spark, catalog, monkeypatch):
+    """The manifest-list bounds skip: a point filter reads ONLY the member
+    whose range covers it — the other member manifests are never opened
+    (planning I/O follows matching members, not commits). Delete members
+    are always read, so MoR semantics survive the skip."""
+    from go_iceberg_spark.table import planning as P
+    from go_iceberg_spark.table.scan import ScanBuilder
+
+    t = mk(spark, catalog, "rwmskip", batches=4, rows=25)  # ids 0..99
+    t.delete(gi.eq("id", 7), mode="merge-on-read")
+    t.rewrite_manifests(target_entries_per_manifest=1)
+
+    # force the driver pruned-read tier (no full-cache path) and spy on it
+    monkeypatch.setattr(ScanBuilder, "_CACHE_ENTRY_LIMIT", 0)
+    t._manifest_cache.clear()
+    read_paths: list[str] = []
+    real = P.prune_manifest_driver
+
+    def spy(path, *a, **kw):
+        read_paths.append(os.path.basename(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(P, "prune_manifest_driver", spy)
+
+    got = sorted(r.id for r in t.scan().filter(gi.eq("id", 30)).to_df().collect())
+    assert got == [30]
+    data_reads = [p for p in read_paths if "-g4." not in p]
+    assert len(data_reads) == 1, read_paths  # only the covering data member
+    # the delete member (last group) was read despite the data filter
+    assert any("-g4." in p for p in read_paths), read_paths
+
+    # the skipped-member plan still applies the MoR delete
+    read_paths.clear()
+    assert sorted(r.id for r in t.scan().filter(gi.lt("id", 10)).to_df().collect()) \
+        == [0, 1, 2, 3, 4, 5, 6, 8, 9]
