@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 
 from .dedup import portable_hash60
 
+# NULL ids must hash DETERMINISTICALLY (all NULL-id rows share one hash and
+# keep or drop together per rate), not silently vanish from every sample:
+# hash(NULL) is NULL, NULL < rate is NULL, and a NULL filter condition drops
+# the row — the r7 degenerate sweep's silent-loss class (resample_locf's
+# twin). Oracles mirror the same sentinel. Collision with a real string id
+# literally equal to '<<null>>' is accepted and documented.
+NULL_ID_SENTINEL = "<<null>>"
+
+
+def _id_str(id_col: str):
+    return F.coalesce(F.col(id_col).cast("string"), F.lit(NULL_ID_SENTINEL))
+
 
 def hash_sample(df: DataFrame, id_col: str, rate_pct: int, *, salt: str = "sample") -> DataFrame:
     """Keep ~rate_pct% of rows, chosen by ``portable_hash60(salt || id) %
@@ -30,7 +42,7 @@ def hash_sample(df: DataFrame, id_col: str, rate_pct: int, *, salt: str = "sampl
     re-partitioning; different salts give independent samples."""
     if not 0 <= rate_pct <= 100:
         raise ValueError(f"rate_pct must be 0..100, got {rate_pct}")
-    h = portable_hash60(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    h = portable_hash60(F.concat(F.lit(salt + "_"), _id_str(id_col)))
     return df.filter(F.pmod(h, F.lit(100)) < rate_pct)
 
 
@@ -41,7 +53,7 @@ def stratified_hash_sample(df: DataFrame, id_col: str, stratum_col: str,
     each stratum value keeps its own percentage, unlisted strata keep
     ``default_pct``. One stateless filter — no shuffle, no collect."""
     h = F.pmod(portable_hash60(
-        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(100))
+        F.concat(F.lit(salt + "_"), _id_str(id_col))), F.lit(100))
     rate = F.lit(default_pct)
     for value, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
@@ -63,7 +75,7 @@ def hash_split(df: DataFrame, id_col: str, splits: dict[str, int],
     if sum(splits.values()) != 100:
         raise ValueError(f"split percentages must sum to 100, got {splits}")
     h = F.pmod(portable_hash60(
-        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(100))
+        F.concat(F.lit(salt + "_"), _id_str(id_col))), F.lit(100))
     expr = F.lit(None).cast("string")
     lo = 0
     for name, pct in splits.items():
@@ -82,7 +94,7 @@ def pack_by_token_budget(df: DataFrame, id_col: str, token_col: str,
     before this doc in its bin)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    shard = F.pmod(portable_hash60(F.col(id_col).cast("string")), F.lit(n_shards))
+    shard = F.pmod(portable_hash60(_id_str(id_col)), F.lit(n_shards))
     w = (Window.partitionBy("_shard").orderBy(F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
@@ -122,18 +134,23 @@ def temperature_mix(df: DataFrame, id_col: str, stratum_col: str, *,
         "_wq", F.floor(F.pow(F.col("_n").cast("double"), F.lit(inv)) * F.lit(1048576)).cast("long"))
     tot = counts.agg(F.sum("_n").alias("_tot_n"), F.sum("_wq").alias("_tot_w"))
     rates = counts.join(F.broadcast(tot)).select(
-        F.col(stratum_col),
+        F.col(stratum_col).alias("_stratum"),
         F.floor(F.least(
             F.lit(1.0),
             F.lit(target_fraction) * F.col("_tot_n") * F.col("_wq") / F.col("_tot_w") / F.col("_n"),
         ) * F.lit(1_000_000)).cast("long").alias("_ppm"),
     )
     h = F.pmod(portable_hash60(
-        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))), F.lit(1_000_000))
+        F.concat(F.lit(salt + "_"), _id_str(id_col))), F.lit(1_000_000))
+    # null-safe stratum equality: a NULL-source stratum is a real stratum
+    # (its rows got counted above) — a plain equi-join would silently drop
+    # every NULL-stratum row from the mix regardless of its rate; <=> is
+    # hash-joinable, so the broadcast join shape is unchanged.
     return (
-        df.join(F.broadcast(rates), on=stratum_col)
+        df.join(F.broadcast(rates),
+                on=F.col(stratum_col).eqNullSafe(F.col("_stratum")))
         .filter(h < F.col("_ppm"))
-        .drop("_ppm")
+        .drop("_stratum", "_ppm")
     )
 
 
@@ -148,7 +165,7 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
     Distributed shape: score is a per-row expression; top-k is a global
     TakeOrdered (no full sort materialized). Rows with non-positive weight
     are excluded (their limit score is -inf)."""
-    u = (portable_hash60(F.concat(F.lit(salt + "_"), F.col(id_col).cast("string")))
+    u = (portable_hash60(F.concat(F.lit(salt + "_"), _id_str(id_col)))
          .cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     score = F.log(u) / F.col(weight_col)
     return (

@@ -31,9 +31,14 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str, *, k: int
     """Per-group KMV distinct estimate + exact count (for small groups the
     sketch IS exact: fewer than k distinct values -> estimate = n)."""
     # md5 needs string/binary input; numeric keys hash via their decimal
-    # string form (matches the oracle's CAST(x AS VARCHAR))
+    # string form (matches the oracle's CAST(x AS VARCHAR)). NULL values
+    # are NOT distinct values (COUNT DISTINCT semantics) — and their NULL
+    # hash used to inflate n_exact past the sketch's size while
+    # collect_list dropped it, so a group with exactly k distincts plus a
+    # NULL crashed ANSI element_at(_mins, k) (r7 degenerate sweep).
     h = portable_hash60(F.col(value_col).cast("string"))
-    g = df.select(*group_cols, h.alias("_h")).distinct()
+    g = (df.filter(F.col(value_col).isNotNull())
+         .select(*group_cols, h.alias("_h")).distinct())
     # Bounded two-level shape: rank within group (sort-based window, spills),
     # keep k, THEN collect — the collect_list buffer is ≤ k elements. The
     # exact count reuses g's exchange (same grouping key).
@@ -70,9 +75,11 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, *, k: int = 64) -> D
     the set algebra is array expressions over the two single rows — nothing
     corpus-sized ever joins or aggregates."""
     def sketch(df: DataFrame, name: str) -> DataFrame:
+        # NULLs are not set members (kmv_distinct's r7 NULL rule)
         h = portable_hash60(F.col(value_col).cast("string"))
         return (
-            df.select(h.alias("_h")).distinct()
+            df.filter(F.col(value_col).isNotNull())
+            .select(h.alias("_h")).distinct()
             .orderBy("_h").limit(k)
             .agg(F.array_sort(F.collect_list("_h")).alias(name))
         )
@@ -92,7 +99,10 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, *, k: int = 64) -> D
         lambda h: F.array_contains(F.col("_ma"), h) & F.array_contains(F.col("_mb"), h),
     ))
     est_u = est(F.col("_mu"), F.col("_nu"))
-    jacc = inter.cast("double") / F.col("_nu")
+    # two empty audiences: union sketch is empty — Jaccard is defined as
+    # 0.0 rather than crashing ANSI division (r7 degenerate sweep)
+    jacc = F.when(F.col("_nu") > 0,
+                  inter.cast("double") / F.col("_nu")).otherwise(F.lit(0.0))
     return out.select(
         est(F.col("_ma"), F.col("_na")).alias("est_a"),
         est(F.col("_mb"), F.col("_nb")).alias("est_b"),

@@ -1899,7 +1899,7 @@ def text_repetition_q(spark, sf):
     "sample_stratified_mix",
     """
     SELECT o_orderkey, o_orderpriority FROM orders
-    WHERE ('0x' || substr(md5('mix_' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 <
+    WHERE ('0x' || substr(md5('mix_' || coalesce(CAST(o_orderkey AS VARCHAR), '<<null>>')), 1, 15))::BIGINT % 100 <
           CASE o_orderpriority WHEN '1-URGENT' THEN 50 WHEN '2-HIGH' THEN 20 ELSE 5 END
     """,
 )
@@ -1923,8 +1923,8 @@ def sample_stratified_q(spark, sf):
     WITH assigned AS (
       SELECT doc_id, lang, n_chars,
              CASE
-               WHEN ('0x' || substr(md5('cut_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
-               WHEN ('0x' || substr(md5('cut_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+               WHEN ('0x' || substr(md5('cut_' || coalesce(CAST(doc_id AS VARCHAR), '<<null>>')), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5('cut_' || coalesce(CAST(doc_id AS VARCHAR), '<<null>>')), 1, 15))::BIGINT % 100 < 95 THEN 'val'
                ELSE 'test'
              END AS split
       FROM documents)
@@ -1960,8 +1960,8 @@ def sample_split_q(spark, sf):
                      CAST(floor(least(1.0, 0.5 * nn * wq / w / n) * 1000000) AS BIGINT) AS ppm
               FROM cw, tot),
     kept AS (
-      SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
-      WHERE ('0x' || substr(md5('tmix_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < ppm)
+      SELECT d.doc_id, d.source FROM documents d JOIN rates ON d.source IS NOT DISTINCT FROM rates.source
+      WHERE ('0x' || substr(md5('tmix_' || coalesce(CAST(doc_id AS VARCHAR), '<<null>>')), 1, 15))::BIGINT % 1000000 < ppm)
     SELECT source, count(*) AS n_kept FROM kept GROUP BY source
     """,
 )
@@ -2047,7 +2047,7 @@ def fuzzy_entity_match_q(spark, sf):
     """
     WITH scored AS (
       SELECT doc_id, text, lang, source, n_chars,
-             round(ln((('0x' || substr(md5('wsample_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             round(ln((('0x' || substr(md5('wsample_' || coalesce(CAST(doc_id AS VARCHAR), '<<null>>')), 1, 15))::BIGINT
                        + 1.0) / 1152921504606846976.0) / n_chars, 9) AS _ws
       FROM documents WHERE n_chars > 0)
     SELECT doc_id, text, lang, source, n_chars FROM scored
@@ -2073,7 +2073,7 @@ def weighted_sample_q(spark, sf):
                            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
                FROM documents),
     s AS (SELECT doc_id, n_tokens,
-                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+                 ('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<<null>>')), 1, 15))::BIGINT % 8 AS shard
           FROM d),
     c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM s)

@@ -117,7 +117,8 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             ["append", "delete_cow", "delete_mor", "eq_delete", "update",
              "upsert", "merge_nmbs", "rollback", "compact", "expire",
              "rename", "rename", "txn",
-             "spec_evolve", "wap", "add_files", "widen"])
+             "spec_evolve", "wap", "add_files", "widen",
+             "rewrite_manifests"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -204,6 +205,13 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         elif op == "compact":
             t.rewrite_data_files(min_input_files=2)
             record()  # metadata-only: model unchanged, new snapshot maybe
+        elif op == "rewrite_manifests":
+            # r7: member-clustering metadata-only rewrite — rows must be
+            # untouched while the manifest tree (and its list-level bounds)
+            # is rebuilt; composes with every later op via member reuse
+            t.rewrite_manifests(
+                target_entries_per_manifest=rng.choice([1, 2, 5, None]))
+            record()
         elif op == "txn":
             # one atomic snapshot: a staged delete applies to PRE-txn rows
             # only; staged appends land regardless of the delete filter

@@ -380,3 +380,81 @@ def test_dsir_importance_degenerates_and_plan(spark):
     for tgt in (F.lit(True), F.lit(False)):
         vals = dsir_importance(df, "doc_id", "text", tgt, buckets=64).collect()
         assert all(r.log_weight is not None for r in vals)
+
+
+def test_sampling_family_null_keys_never_silently_drop(spark):
+    """r7 degenerate sweep (the resample_locf silent-loss class): NULL ids
+    hash via a sentinel so they keep/drop together per rate instead of
+    vanishing from every sample; hash_split stays exhaustive (no NULL
+    split); temperature_mix's stratum join is null-safe so a NULL-source
+    stratum mixes at its computed rate."""
+    from go_iceberg_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (None, "b", 30), (None, None, 5), (5, None, 0)],
+        "id long, src string, w long")
+
+    assert SA.hash_sample(df, "id", 100).count() == 5
+    assert SA.hash_sample(df, "id", 0).count() == 0
+    sp = SA.hash_split(df, "id", {"train": 90, "val": 5, "test": 5})
+    assert all(r.split is not None for r in sp.collect())
+    st = SA.stratified_hash_sample(df, "id", "src", {"a": 100, "b": 100},
+                                   default_pct=100)
+    assert st.count() == 5
+    tm = SA.temperature_mix(df, "id", "src", temperature=2.0, target_fraction=1.0)
+    assert tm.count() == 5 and tm.columns == ["id", "src", "w"]
+    pk = SA.pack_by_token_budget(df, "id", "w", 25)
+    assert pk.count() == 5
+    # weighted sampling: non-positive and NULL weights are excluded
+    wdf = spark.createDataFrame([(1, -5), (2, 10), (3, None), (4, 0)],
+                                "id long, w long")
+    assert [r.id for r in SA.weighted_sample(wdf, "id", "w", 4).collect()] == [2]
+    empty = df.limit(0)
+    for got in (SA.hash_sample(empty, "id", 50), SA.weighted_sample(empty, "id", "w", 3),
+                SA.pack_by_token_budget(empty, "id", "w", 25),
+                SA.temperature_mix(empty, "id", "src")):
+        assert got.count() == 0
+
+
+def test_kmv_sketches_null_values_and_empty_sides(spark):
+    """r7 degenerate sweep: a NULL value is NOT a distinct value — it used
+    to inflate n_exact past the sketch size and crash ANSI element_at when
+    a group held exactly k distincts plus a NULL; empty audiences give
+    zero estimates and Jaccard 0.0 instead of DIVIDE_BY_ZERO."""
+    from go_iceberg_spark.operators.sketch import kmv_distinct, kmv_set_ops
+
+    df = spark.createDataFrame(
+        [("g1", str(i)) for i in range(3)] + [("g1", None), ("g2", "x")],
+        "g string, v string")
+    out = {r.g: (r.n_exact, r.n_estimate)
+           for r in kmv_distinct(df, ["g"], "v", k=4).collect()}
+    assert out == {"g1": (3, 3.0), "g2": (1, 1.0)}
+    assert kmv_distinct(df.limit(0), ["g"], "v", k=4).count() == 0
+
+    empty = df.limit(0)
+    one = kmv_set_ops(df.filter("g='g1'"), empty, "v", k=4).collect()[0]
+    assert (one.est_a, one.est_b, one.est_union, one.jaccard,
+            one.est_intersection) == (3.0, 0.0, 3.0, 0.0, 0.0)
+    both = kmv_set_ops(empty, empty, "v", k=4).collect()[0]
+    assert (both.est_union, both.jaccard, both.est_intersection) == (0.0, 0.0, 0.0)
+
+
+def test_funnel_cohort_empty_events_pass_as_designed(spark, tmp_path):
+    """r7 degenerate sweep, pinned pass-as-designed: the funnel on an empty
+    events table emits its three stage rows with 0 users (matching the
+    oracle's scalar subqueries); the cohort matrix is empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_iceberg_spark.workload import QUERIES
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "event_type": pa.array([], pa.string()),
+                             "props": pa.array([], pa.string())}),
+                   f"{sf}/events.parquet")
+    f = QUERIES["funnel_view_click_purchase"].fn(spark, sf)
+    assert [(r.stage, r.users) for r in f.orderBy("stage").collect()] == \
+        [(1, 0), (2, 0), (3, 0)]
+    assert QUERIES["cohort_weekly_retention"].fn(spark, sf).count() == 0

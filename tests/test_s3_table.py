@@ -157,6 +157,11 @@ def test_s3_spec_evolution_wap_and_eq_delete_compose(spark, s3cat, tmp_path):
         sorted(set(range(12)) - {3, 5}) + [100, 101, 102, 200, 201]
 
     t.create_tag("pre", s0)
+    # r7: member-clustering manifest rewrite commits every metadata byte
+    # (members, list, new version) through S3 conditional PUT
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    assert sorted(r.id for r in t.to_df().collect()) == \
+        sorted(set(range(12)) - {3, 5}) + [100, 101, 102, 200, 201]
     t.rewrite_data_files(min_input_files=1)
     t.expire_snapshots(older_than=int(_time.time() * 1000) + 10_000, retain_last=1)
     assert sorted(r.id for r in t.to_df().collect()) == \
