@@ -822,6 +822,13 @@ def test_every_mutation_retries_past_concurrent_append(spark, catalog):
     assert t.rewrite_data_files() is not None
     assert sorted(r.k for r in t.to_df().collect()) == list(range(10)) + [50, 100]
 
+    # manifest rewrite (r7): the REPLACE snapshot must rebuild from the
+    # RELOADED live set, or the racer's file silently drops from the table
+    t = make("race_rwm")
+    t = inject_conflict(t, [Row(k=100, v=100.0)])
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    assert sorted(r.k for r in t.to_df().collect()) == list(range(10)) + [100]
+
 
 def test_mutations_follow_concurrent_column_rename(spark, catalog):
     """r6 probe BUG FIX: user-supplied names bind to FIELD IDS at operation
