@@ -420,13 +420,20 @@ def manifests_df(table) -> DataFrame:
         T.StructField("length", T.LongType()),
         T.StructField("added_data_files_count", T.LongType()),
         T.StructField("added_delete_files_count", T.LongType()),
+        T.StructField("bounds", T.StringType()),  # r7 manifest-list bounds
     ])
     snap = table.current_snapshot()
     rows = []
     if snap is not None:
         from .metadata import MANIFEST_LIST_SUFFIX
 
+        bounds_by_rel = {}
         if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
+            from .metadata import read_manifest_list
+
+            members = read_manifest_list(
+                _os.path.join(table.location, snap.manifest_path), table._mio)
+            bounds_by_rel = {m["path"]: m.get("bounds") for m in members}
             groups = table._manifest_members(snap)
         else:
             groups = [(snap.manifest_path, table.manifest_entries(snap))]
@@ -435,7 +442,29 @@ def manifests_df(table) -> DataFrame:
             n_data = sum(1 for e in entries if e.content == 0)
             n_del = sum(1 for e in entries if e.content != 0)
             rows.append((rel, _os.path.getsize(full) if _os.path.exists(full) else 0,
-                         n_data, n_del))
+                         n_data, n_del, bounds_by_rel.get(rel)))
+    return table.spark.createDataFrame(rows, schema)
+
+
+def refs_df(table) -> DataFrame:
+    """Branch/tag refs of the table (Iceberg ``tbl.refs`` metadata table):
+    name, type, head snapshot, and the retention knobs expire_snapshots
+    honors. MAIN always appears (implicit branch at the current snapshot
+    when no explicit ref exists)."""
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("min_snapshots_to_keep", T.LongType()),
+        T.StructField("max_snapshot_age_ms", T.LongType()),
+    ])
+    md = table.metadata
+    rows = [(name, r.type, r.snapshot_id,
+             r.min_snapshots_to_keep, r.max_snapshot_age_ms)
+            for name, r in sorted(md.refs.items())]
+    if MAIN_BRANCH not in md.refs and md.current_snapshot() is not None:
+        rows.insert(0, (MAIN_BRANCH, "branch",
+                        md.current_snapshot().snapshot_id, None, None))
     return table.spark.createDataFrame(rows, schema)
 
 

@@ -964,6 +964,11 @@ class Table:
 
         return manifests_df(self)
 
+    def refs_df(self) -> DataFrame:
+        from .maintenance import refs_df
+
+        return refs_df(self)
+
     def incremental_scan(self, from_snapshot_id: int | None = None,
                          to_snapshot_id: int | None = None,
                          ignore_non_append: bool = False) -> DataFrame:

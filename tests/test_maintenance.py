@@ -91,6 +91,18 @@ def test_metadata_tables(spark, catalog):
     assert files.agg(F.sum("record_count")).collect()[0][0] == 150
     hist = MX.history_df(t)
     assert hist.filter("is_current").count() == 1
+    # refs table (r7): implicit main, then explicit branch/tag rows with
+    # retention knobs; manifests table exposes the r7 member bounds
+    refs = {r.name: r for r in MX.refs_df(t).collect()}
+    assert refs["main"].type == "branch"
+    assert refs["main"].snapshot_id == t.current_snapshot().snapshot_id
+    t.create_tag("v1", t.current_snapshot().snapshot_id)
+    t.create_branch("dev", min_snapshots_to_keep=2)
+    refs = {r.name: r for r in MX.refs_df(t).collect()}
+    assert refs["v1"].type == "tag" and refs["dev"].min_snapshots_to_keep == 2
+    assert set(refs) >= {"main", "v1", "dev"}
+    mans = MX.manifests_df(t).collect()
+    assert mans and all(m.bounds is not None for m in mans)
 
 
 def test_zorder_rewrite_improves_multidim_pruning(spark, catalog):
