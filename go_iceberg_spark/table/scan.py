@@ -333,6 +333,35 @@ class ScanBuilder:
                 for p in mpaths:
                     out.extend(prune_manifest_driver(p, enc, proj))
                 return out
+        elif (not cached and table._mio is not None
+              and snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX)):
+            # object-store tables (FileIO): the same member-level bounds
+            # skip, reading ONLY the matching members — on S3 each member
+            # read is a network round-trip, so this is where skipping
+            # members matters most. Members already cached are free either
+            # way; the full-set cache under the LIST path stays untouched
+            # (it belongs to manifest_entries' whole-snapshot reads).
+            from .metadata import read_manifest
+            from .planning import summary_might_match
+
+            members = read_manifest_list(path, table._mio)
+            keep = [
+                m for m in members
+                if m.get("nd", 1) or "bounds" not in m
+                or summary_might_match(m["bounds"], enc, proj)
+            ]
+            if len(keep) < len(members):
+                entries = []
+                for m in keep:
+                    mpath = os.path.join(table.location, m["path"])
+                    if mpath not in table._manifest_cache:
+                        table._manifest_cache[mpath] = read_manifest(mpath, table._mio)
+                    entries.extend(table._manifest_cache[mpath])
+                return [
+                    e for e in entries
+                    if e.content != CONTENT_DATA
+                    or might_match(enc, _stats_for_pruning(e, proj))
+                ]
         entries = table.manifest_entries(snap)
         return [
             e for e in entries

@@ -168,3 +168,41 @@ def test_s3_spec_evolution_wap_and_eq_delete_compose(spark, s3cat, tmp_path):
         sorted(set(range(12)) - {3, 5}) + [100, 101, 102, 200, 201]
     # tag-retained time travel across the expired gap
     assert sorted(r.id for r in t.scan().use_snapshot(s0).to_df().collect()) == list(range(12))
+
+
+def test_s3_member_bounds_skip_reads_only_matching_manifests(spark, s3cat):
+    """r7: on an object-store table the member-level bounds skip reads ONLY
+    the matching member manifests — each member is a network round-trip on
+    S3, so planning cost follows matching members, not commits. Observed
+    via the per-member cache: after a point scan only the covering data
+    member (and the always-read delete member) are fetched."""
+    import os as _os
+
+    from go_iceberg_spark.table.metadata import read_manifest_list
+
+    from go_iceberg_spark.table.metadata import read_manifest_list
+
+    cat, io = s3cat
+    df = _proto(spark, 12)
+    t = cat.create_table(("db",), "memskip", from_spark_schema(df.schema))
+    t.append(df)                           # ids 0..11
+    t.append(_proto(spark, 12, off=100))   # ids 100..111
+    t.append(_proto(spark, 12, off=200))   # ids 200..211
+    t.delete(gi.eq("id", 1), mode="merge-on-read")
+    t.rewrite_manifests(target_entries_per_manifest=1)
+
+    members = read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path), io)
+    del_members = {m["path"] for m in members if m["nd"] > 0}
+    assert len(members) == 4 and len(del_members) == 1
+
+    t._manifest_cache.clear()
+    got = sorted(r.id for r in t.scan().filter(gi.eq("id", 105)).to_df().collect())
+    assert got == [105]
+    fetched = {os.path.relpath(p, t.location) for p in t._manifest_cache}
+    data_fetched = fetched - del_members
+    assert len(data_fetched) == 1, fetched      # only the covering member
+    assert del_members <= fetched               # delete member always read
+
+    # full scan afterwards still sees everything (cache consistency)
+    assert t.to_df().count() == 35
