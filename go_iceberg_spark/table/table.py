@@ -390,9 +390,13 @@ class Table:
         return int(raw) if raw else DEFAULT_TARGET_FILE_SIZE
 
     def _distribution_mode(self) -> str:
-        """``write.distribution-mode`` property: none (default) | range
-        (range-shuffle on the sort key before the local sort, for disjoint
-        per-file bounds)."""
+        """``write.distribution-mode`` property: none (default) | range.
+        Range-shuffles on the sort key (unpartitioned) or on
+        (partition, sort key) (partitioned, r7) before the local sort, so
+        per-file bounds are disjoint and point scans prune to ~1 file.
+        Partitioned writes without range mode hash-cluster on the
+        partition columns (Iceberg's hash mode) — never the small-files
+        spray Iceberg calls none."""
         return self.metadata.properties.get("write.distribution-mode", "none")
 
     def _data_location(self) -> str | None:

@@ -609,9 +609,33 @@ def write_data_files(
                            transform_column(pf.transform, F.col(src.name), src.type, bucket_fn=bucket_fn))
         part_cols.append(PARTITION_COL_PREFIX + pf.name)
 
+    sort_exprs = []
+    if sort_order and sort_order.fields:
+        for sf in sort_order.fields:
+            f_ = schema.find_field_by_id(sf.source_id)
+            if f_ is None:
+                continue
+            c = transform_column(sf.transform, F.col(f_.name), f_.type)
+            c = c.desc() if sf.direction == "desc" else c.asc()
+            sort_exprs.append(c)
+
     if part_cols:
-        # co-locate rows of one partition into few tasks → few, large files
-        df = df.repartition(*[F.col(c) for c in part_cols])
+        if distribution_mode == "range" and sort_exprs:
+            # Iceberg write.distribution-mode=range on a PARTITIONED table:
+            # range-shuffle on (partition, sort key) so rows of one
+            # partition still co-locate AND each task owns a disjoint sort
+            # range within its partition — per-file bounds are disjoint
+            # inside every partition, so a partition-pruned point scan
+            # reads ~1 file instead of every file of the partition.
+            df = df.repartitionByRange(
+                df.rdd.getNumPartitions(),
+                *[F.col(c) for c in part_cols], *sort_exprs)
+        else:
+            # hash co-location: rows of one partition into few tasks →
+            # few, large files (Iceberg write.distribution-mode=hash; the
+            # default here because unclustered partitioned writes spray
+            # every partition across every task — small-files storm)
+            df = df.repartition(*[F.col(c) for c in part_cols])
     else:
         # honor the target file size for unpartitioned writes when Catalyst
         # can estimate the input (parquet-scan-rooted plans): without this,
@@ -628,24 +652,15 @@ def write_data_files(
                     df = df.coalesce(int(want))
         except Exception:
             pass  # estimation is best-effort; never fail a write over it
-    if sort_order and sort_order.fields:
-        sort_exprs = []
-        for sf in sort_order.fields:
-            f_ = schema.find_field_by_id(sf.source_id)
-            if f_ is None:
-                continue
-            c = transform_column(sf.transform, F.col(f_.name), f_.type)
-            c = c.desc() if sf.direction == "desc" else c.asc()
-            sort_exprs.append(c)
-        if sort_exprs:
-            if distribution_mode == "range" and not part_cols:
-                # Iceberg write.distribution-mode=range: range-shuffle on the
-                # sort key so each task owns a disjoint key range — per-file
-                # min/max become disjoint and point scans prune to ~1 file.
-                # Without it sortWithinPartitions only clusters locally and
-                # shuffled input still gives every file full-domain bounds.
-                df = df.repartitionByRange(df.rdd.getNumPartitions(), *sort_exprs)
-            df = df.sortWithinPartitions(*sort_exprs)
+    if sort_exprs:
+        if distribution_mode == "range" and not part_cols:
+            # Iceberg write.distribution-mode=range: range-shuffle on the
+            # sort key so each task owns a disjoint key range — per-file
+            # min/max become disjoint and point scans prune to ~1 file.
+            # Without it sortWithinPartitions only clusters locally and
+            # shuffled input still gives every file full-domain bounds.
+            df = df.repartitionByRange(df.rdd.getNumPartitions(), *sort_exprs)
+        df = df.sortWithinPartitions(*sort_exprs)
 
     writer = df.write.mode("append")
     if part_cols:

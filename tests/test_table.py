@@ -1765,3 +1765,57 @@ def test_fs_rename_rewrites_metadata_location(spark, catalog):
     assert t2.to_df().count() == 1
     t2.append(df)
     assert catalog.load_table("db", "fsmv2").to_df().count() == 2
+
+
+def test_range_distribution_on_partitioned_table_prunes_within_partition(spark, catalog):
+    """r7: write.distribution-mode=range on a PARTITIONED table range-
+    shuffles on (partition, sort key) — files within each partition carry
+    disjoint sort-key bounds, so a (partition, key-range) filter prunes to
+    a strict subset of the partition's files while partition co-location
+    (no cross-partition file mixing) is preserved."""
+    import random
+
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as E
+    from go_iceberg_spark.schema import from_spark_schema
+
+    rng = random.Random(11)
+    rows = [Row(id=i, tag="a" if i % 2 else "b", v=float(i)) for i in range(4000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows).repartition(8)
+    proto = spark.createDataFrame([rows[0]])
+
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    schema = from_spark_schema(proto.schema)
+    fid_tag = {f.name: f.field_id for f in schema.fields}["tag"]
+    spec = PartitionSpec(0, (PartitionField(fid_tag, 1000, "identity", "tag"),))
+    t = catalog.create_table(
+        "db", "part_range_w", schema, spec=spec,
+        properties={"write.target-file-size-bytes": "1024",
+                    "write.distribution-mode": "range"})
+    t.replace_sort_order("id")
+    t.append(df)
+
+    entries = [e for e in t.live_entries() if e.content == 0]
+    by_part = {}
+    for e in entries:
+        by_part.setdefault(e.partition["tag"], []).append(e)
+    assert set(by_part) == {"a", "b"}
+    # disjoint id bounds within each partition
+    fid = {f.name: f.field_id for f in t.metadata.current_schema.fields}["id"]
+    for part, es in by_part.items():
+        if len(es) < 2:
+            continue
+        spans = sorted((e.column_stats[fid]["min"], e.column_stats[fid]["max"])
+                       for e in es)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, (part, spans)
+    # a partition + key-range filter prunes within the partition
+    pred = E.and_(E.eq("tag", "a"), E.col("id").lt(200))
+    hit = len(t.scan().filter(pred).plan_files())
+    total_a = len(by_part["a"])
+    assert total_a >= 2 and hit < total_a, (hit, total_a)
+    assert sorted(r.id for r in t.scan().filter(pred).to_df().collect()) == \
+        [i for i in range(200) if i % 2]
