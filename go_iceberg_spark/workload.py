@@ -3598,6 +3598,55 @@ def _scratch_table_sorted(spark, name: str, df: DataFrame):
 
 
 @query(
+    "partitioned_range_write_pruned_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND o_orderpriority = '1-URGENT' AND o_orderkey < 600
+    """,
+)
+def partitioned_range_write_pruned_scan_q(spark, sf):
+    """r7: write.distribution-mode=range on a PARTITIONED table — rows
+    range-shuffle on (partition, sort key), so each partition's files carry
+    disjoint o_orderkey bounds. Asserted inline: a (partition, key-range)
+    filter reads a strict subset of the URGENT partition's files AND never
+    touches other partitions' files; the hash layout would put the whole
+    partition in range of every key filter."""
+    from .schema import from_spark_schema
+    from .table.metadata import PartitionField, PartitionSpec
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000) \
+        .select(*_CRUD_COLS).repartition(8)
+    schema = from_spark_schema(base.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(
+        fid["o_orderpriority"], 1000, "identity", "o_orderpriority"),))
+
+    from .catalog.catalog import FilesystemCatalog
+
+    wh = _scratch_dir("gis_prw_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    t = cat.create_table(
+        ("scratch",), "prw", schema, spec=spec,
+        properties={"write.target-file-size-bytes": "16384",
+                    "write.distribution-mode": "range"})
+    t.replace_sort_order("o_orderkey")
+    t.append(base)
+
+    pred = and_(C("o_orderpriority").eq("1-URGENT"), C("o_orderkey").lt(600))
+    tasks = t.scan().filter(pred).plan_files()
+    urgent = [e for e in t.live_entries() if e.content == 0
+              and e.partition.get("o_orderpriority") == "1-URGENT"]
+    if len(urgent) > 1 and not len(tasks) < len(urgent):
+        raise AssertionError(
+            f"partitioned range write did not prune: {len(tasks)}/{len(urgent)}")
+    if any(tk.file.partition.get("o_orderpriority") != "1-URGENT" for tk in tasks):
+        raise AssertionError("partition pruning leaked other partitions")
+    return t.scan().filter(and_(pred, C("o_orderkey").lt(3000))) \
+        .to_df().select(*_CRUD_COLS)
+
+
+@query(
     "bloom_point_lookup_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -5209,12 +5258,12 @@ _GRADED_FIRST = [
     #     crud_merge_scan — both green r5+r6, paths unchanged r7) ---
     "maintenance_rewrite_manifests_scan",
     "text_dsir_importance",
+    "partitioned_range_write_pruned_scan",
     # --- keep one more green round on recent fixes ---
     "float_nan_pruning_scan",
     "crud_merge_not_matched_by_source_scan",
     "crud_delete_eq_scan",
     "crud_delete_mor_scan",
-    "crud_delete_scan",
     "crud_update_scan",
     "crud_schema_evolution_scan",
     "crud_add_files_scan",
