@@ -1205,3 +1205,50 @@ def test_rewrite_manifests_blocks_stale_wap_fast_forward(spark, catalog):
     assert t.to_df().count() == 10
     with pytest.raises(gi.ValidationError):
         t.fast_forward("main", "audit")
+
+
+def test_add_files_bounds_ride_manifest_rewrite(spark, catalog, tmp_path):
+    """r7 probe sweep, pinned pass-as-designed: zero-copy imported files
+    carry footer-derived stats, so after a member-clustering rewrite their
+    manifest-list bounds are real (not conservative blanks) and a point
+    scan into the imported range opens only the imported member."""
+    import os
+
+    from go_iceberg_spark.table import planning as P
+    from go_iceberg_spark.table.metadata import read_manifest_list
+    from go_iceberg_spark.table.scan import ScanBuilder
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+    t = catalog.create_table("db", "af_bounds", from_spark_schema(df.schema))
+    t.append(df)
+    ext = str(tmp_path / "ext")
+    spark.createDataFrame([Row(id=500 + i, v=1.0) for i in range(10)]) \
+        .coalesce(1).write.mode("overwrite").parquet(ext)
+    t.add_files([os.path.join(ext, f) for f in os.listdir(ext)
+                 if f.endswith(".parquet")])
+    t.rewrite_manifests(target_entries_per_manifest=1)
+
+    ml = read_manifest_list(
+        os.path.join(t.location, t.current_snapshot().manifest_path))
+    assert len(ml) == 2 and all("bounds" in m for m in ml)
+    assert any('"min": 500' in m["bounds"] for m in ml)
+
+    ScanBuilder._CACHE_ENTRY_LIMIT = 0
+    try:
+        t._manifest_cache.clear()
+        opened = []
+        real = P.prune_manifest_driver
+
+        def spy(p, *a, **k):
+            opened.append(p)
+            return real(p, *a, **k)
+
+        P.prune_manifest_driver = spy
+        try:
+            got = sorted(r.id for r in
+                         t.scan().filter(gi.eq("id", 505)).to_df().collect())
+        finally:
+            P.prune_manifest_driver = real
+        assert got == [505] and len(opened) == 1, opened
+    finally:
+        ScanBuilder._CACHE_ENTRY_LIMIT = 10_000
