@@ -458,3 +458,23 @@ def test_funnel_cohort_empty_events_pass_as_designed(spark, tmp_path):
     assert [(r.stage, r.users) for r in f.orderBy("stage").collect()] == \
         [(1, 0), (2, 0), (3, 0)]
     assert QUERIES["cohort_weekly_retention"].fn(spark, sf).count() == 0
+
+
+def test_kmeans_degenerates_pass_as_designed(spark):
+    """r7 degenerate sweep, pinned pass-as-designed (both assignment
+    modes): k > n seeds with the n available rows; a single point forms
+    one cluster; identical points converge to one centroid without a
+    fixed-point division crash; empty input returns a typed empty frame."""
+    from go_iceberg_spark.operators.clustering import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(3)])
+    same = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[5.0, 5.0]) for i in range(10)])
+    one = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    for mode in ("literal", "gemm"):
+        assert kmeans_assign(emb, k=8, iters=2, assignment=mode).count() == 3
+        assert kmeans_assign(same, k=3, iters=2, assignment=mode).count() == 10
+        assert kmeans_assign(one, k=2, iters=1, assignment=mode).count() == 1
+    out = kmeans_assign(emb.limit(0), k=2, iters=1)
+    assert out.count() == 0 and out.columns == ["vec_id", "cluster"]
