@@ -498,14 +498,19 @@ def dsir_importance(
     before the weighted sum (the bigram-LM trick), so scores are
     bit-identical across engines regardless of float summation order.
 
-    Scale shape: one corpus shuffle keyed on (doc, bucket) — map-side
-    combine bounds it at docs x buckets rows, never the token stream; the
-    bucket distribution table is ONE groupBy bounded at ``buckets`` rows
-    after partial agg, and joins back as a broadcast. The "model" (the
-    two hashed LMs) is never collected to the driver as Python state —
-    it lives in a <=buckets-row DataFrame, so the same plan serves a
-    100 TB raw corpus: the only wide exchange carries per-doc bucket
-    counts. No reference equivalent (beyond-reference LLM-ops suite)."""
+    Scale shape: corpus shuffles keyed on (doc, tgt, bucket) — map-side
+    combine bounds them at docs x buckets rows, never the token stream;
+    the bucket distribution table derives FROM that per-doc table (one
+    groupBy bounded at ``buckets`` rows, totals via an all-rows window
+    over it rather than a third aggregate branch) and joins back as a
+    broadcast. The "model" (the two hashed LMs) is never collected to
+    the driver as Python state — it lives in a <=buckets-row DataFrame,
+    so the same plan serves a 100 TB raw corpus. Catalyst plans the
+    scoring and model branches as two passes over the token stream
+    (measured: no ReusedExchange across the fork); recomputing one
+    bounded explode beats persisting a half-corpus-sized (doc, bucket)
+    intermediate, so the two-pass shape is the intended trade. No
+    reference equivalent (beyond-reference LLM-ops suite)."""
     from .dedup import portable_hash60
 
     toks = df.select(
@@ -523,18 +528,30 @@ def dsir_importance(
         F.col(id_col), F.col("_tgt"),
         (portable_hash60(F.col("_f")) % buckets).alias("_b"),
     )
-    doc_b = ex.groupBy(F.col(id_col), "_b").agg(F.count(F.lit(1)).alias("_n"))
-    bc = ex.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_cr"),
-        F.count_if(F.col("_tgt")).alias("_ct"),
+    # the bucket distribution derives FROM the per-doc table (not from the
+    # raw exploded stream) so both aggregates sit on ONE identical exchange
+    # subtree — AQE's ReusedExchange runs the token explode once; a second
+    # groupBy over `ex` would re-scan and re-explode the whole corpus
+    doc_b = ex.groupBy(F.col(id_col), F.col("_tgt"), "_b").agg(
+        F.count(F.lit(1)).alias("_n"))
+    bc = doc_b.groupBy("_b").agg(
+        F.sum("_n").alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("_n")).otherwise(F.lit(0))).alias("_ct"),
     )
-    tot = bc.agg(F.sum("_cr").alias("_tcr"), F.sum("_ct").alias("_tct"))
+    # totals via an all-rows window over the <=buckets-row table instead of
+    # a separate agg branch: a distinct `tot` DataFrame would re-run the
+    # whole explode->doc_b->bc chain a third time (Catalyst plans each
+    # consumer's chain independently here), while the window is a single
+    # in-stage pass over <=buckets rows
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
     half_b = F.lit(0.5 * buckets)
-    ratio = bc.crossJoin(F.broadcast(tot)).select(
+    ratio = bc.select(
         "_b",
         F.floor(
-            (F.log((F.col("_ct") + 0.5) / (F.col("_tct") + half_b))
-             - F.log((F.col("_cr") + 0.5) / (F.col("_tcr") + half_b)))
+            (F.log((F.col("_ct") + 0.5) / (F.sum("_ct").over(wall) + half_b))
+             - F.log((F.col("_cr") + 0.5) / (F.sum("_cr").over(wall) + half_b)))
             * F.lit(1048576)
         ).cast("long").alias("_qlr"),
     )
