@@ -1252,3 +1252,32 @@ def test_add_files_bounds_ride_manifest_rewrite(spark, catalog, tmp_path):
         assert got == [505] and len(opened) == 1, opened
     finally:
         ScanBuilder._CACHE_ENTRY_LIMIT = 10_000
+
+
+def test_stream_markers_survive_manifest_rewrite(spark, catalog):
+    """r7 probe sweep, pinned pass-as-designed: exactly-once batch markers
+    ride table properties + snapshot summaries, so a metadata-only
+    rewrite_manifests (and a following expiry) between micro-batches
+    neither resurrects a replayed batch nor blocks new ones."""
+    import time
+
+    from go_iceberg_spark.streaming.stream import append_batch_exactly_once
+
+    df0 = spark.createDataFrame([Row(id=0, v=0.0)])
+    t = catalog.create_table("db", "st_rwm", from_spark_schema(df0.schema))
+    b0 = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)])
+    b1 = spark.createDataFrame([Row(id=10 + i, v=1.0) for i in range(5)])
+    assert append_batch_exactly_once(t, b0, "ck", 0)
+    assert append_batch_exactly_once(t, b1, "ck", 1)
+
+    t.rewrite_manifests(target_entries_per_manifest=1)
+    assert not append_batch_exactly_once(t, b0, "ck", 0)  # replay no-ops
+    assert not append_batch_exactly_once(t, b1, "ck", 1)
+    assert t.to_df().count() == 10
+    assert append_batch_exactly_once(
+        t, spark.createDataFrame([Row(id=99, v=9.0)]), "ck", 2)
+
+    t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000,
+                       retain_last=1)
+    assert not append_batch_exactly_once(t, b1, "ck", 1)
+    assert t.to_df().count() == 11
