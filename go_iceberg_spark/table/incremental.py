@@ -300,3 +300,42 @@ def changelog_scan(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def incremental_join_refresh(
+    prev_view: DataFrame,
+    table_a,
+    table_b,
+    keys: list[str],
+    *,
+    from_a: int,
+    from_b: int,
+    to_a: int | None = None,
+    to_b: int | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view M = A ⋈ B over two
+    append-only engine tables (delta-join IVM):
+
+        M1 = M0 ∪ (ΔA ⋈ B1) ∪ (A0 ⋈ ΔB)
+
+    where ΔA/ΔB are the tables' incremental append scans over
+    (from, to], A0 is A time-traveled to ``from_a``, and B1 is B at
+    ``to_b`` — the ΔA ⋈ ΔB cross term is counted exactly once because the
+    ΔA leg joins the POST-delta B while the ΔB leg joins the PRE-delta A.
+    Append-only contract: the underlying incremental scans raise on
+    overwrite/delete/replace snapshots in the range (a view over mutable
+    bases needs the row-level changelog and counting semantics instead).
+
+    Scale shape (the IVM promise): refresh cost rides the DELTAS — the
+    two join legs each pair one delta against one base side, so AQE
+    broadcasts the (small) delta and the base is scanned once without
+    ever recomputing M0's |A| x |B| join; M0 itself is unioned through
+    untouched."""
+    to_a = to_a if to_a is not None else table_a.current_snapshot().snapshot_id
+    to_b = to_b if to_b is not None else table_b.current_snapshot().snapshot_id
+    da = incremental_append_scan(table_a, from_a, to_a)
+    db = incremental_append_scan(table_b, from_b, to_b)
+    a0 = table_a.scan().use_snapshot(from_a).to_df()
+    b1 = table_b.scan().use_snapshot(to_b).to_df()
+    delta = da.join(b1, keys).unionByName(a0.join(db, keys))
+    return prev_view.unionByName(delta)

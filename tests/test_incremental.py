@@ -239,3 +239,38 @@ def test_degenerate_ranges_pinned(spark, catalog):
         incremental_append_scan(t, s4, s1)
     with pytest.raises(ValidationError, match="unknown"):
         changelog_scan(t, 999999, s4)
+
+
+def test_incremental_join_refresh_equals_full_recompute(spark, catalog):
+    """Delta-join IVM (r7): M1 = M0 ∪ (ΔA ⋈ B1) ∪ (A0 ⋈ ΔB) is
+    multiset-equal to the full recompute — duplicate join keys preserved,
+    the ΔA ⋈ ΔB cross term counted exactly once (ΔA joins post-delta B,
+    ΔB joins pre-delta A); a range holding a non-append snapshot refuses
+    (append-only contract)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.incremental import incremental_join_refresh
+
+    A = spark.createDataFrame([Row(k=i % 4, a=i) for i in range(20)])
+    B = spark.createDataFrame([Row(k=i, b=i * 10) for i in range(3)])
+    ta = catalog.create_table("db", "ivm_a", from_spark_schema(A.schema))
+    ta.append(A)
+    tb = catalog.create_table("db", "ivm_b", from_spark_schema(B.schema))
+    tb.append(B)
+    a0, b0 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m0 = ta.to_df().join(tb.to_df(), ["k"])
+
+    ta.append(spark.createDataFrame([Row(k=3, a=100), Row(k=0, a=101)]))
+    tb.append(spark.createDataFrame([Row(k=3, b=30), Row(k=0, b=999)]))
+    m1 = incremental_join_refresh(m0, ta, tb, ["k"], from_a=a0, from_b=b0)
+    full = ta.to_df().join(tb.to_df(), ["k"])
+    assert m1.exceptAll(full).count() == 0 and full.exceptAll(m1).count() == 0
+    assert m1.filter("k = 3 and a = 100 and b = 30").count() == 1
+
+    ta.delete(gi.eq("a", 101))
+    with _pytest.raises(ValidationError):
+        incremental_join_refresh(m1, ta, tb, ["k"], from_a=a0, from_b=b0)
