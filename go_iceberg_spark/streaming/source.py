@@ -36,6 +36,7 @@ from ..schema import Schema, to_spark_type
 from ..table.metadata import (
     CONTENT_DATA,
     OP_APPEND,
+    OP_REPLACE,
     DataFileEntry,
     Snapshot,
     TableMetadata,
@@ -170,6 +171,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         by_id = {s.snapshot_id: s for s in md.snapshots}
         parts: list[InputPartition] = []
         for snap in chain:
+            if (snap.operation == OP_REPLACE
+                    and snap.summary.get("rows-preserved") == "true"):
+                # compaction / manifest rewrite mid-stream: file-level
+                # reorganization, no new rows — skip instead of killing the
+                # stream (UPDATE's replace lacks the marker and still
+                # raises; see incremental.py for the full rationale)
+                continue
             if snap.operation != OP_APPEND:
                 if self.skip_non_append:
                     continue

@@ -38,6 +38,7 @@ from .metadata import (
     CONTENT_EQUALITY_DELETES,
     CONTENT_POSITION_DELETES,
     OP_APPEND,
+    OP_REPLACE,
     DataFileEntry,
     Snapshot,
 )
@@ -175,6 +176,16 @@ def incremental_append_scan(
     chain = snapshots_between(table, from_snapshot_id, to_snapshot_id)
     added_entries: list[DataFileEntry] = []
     for snap in chain:
+        if (snap.operation == OP_REPLACE
+                and snap.summary.get("rows-preserved") == "true"):
+            # file-level reorganizations (compaction, Z-order rewrite,
+            # rewrite_manifests) stamp rows-preserved: their added files
+            # hold no NEW rows, so the incremental read skips them —
+            # Iceberg's incremental scan treats compaction the same way.
+            # The marker matters: UPDATE also commits a replace but
+            # CHANGES row values, so skipping on the operation alone would
+            # silently drop updated rows from incremental consumers.
+            continue
         if snap.operation != OP_APPEND:
             if ignore_non_append:
                 continue

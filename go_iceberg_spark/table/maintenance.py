@@ -259,6 +259,11 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
             data_location=table._data_location(),
             bucket_fn=table._bucket_fn(),
         )
+        # rows-preserved: this replace reorganizes FILES, not rows — the
+        # incremental append scan may skip it (an UPDATE also commits a
+        # replace but changes row values, so the skip keys on this marker,
+        # never on the operation alone)
+        summary["rows-preserved"] = "true"
         return table._commit_snapshot(OP_REPLACE, new_entries, summary_extra=summary)
 
     return table._retrying(build_and_commit)

@@ -907,7 +907,8 @@ class Table:
             if target_entries_per_manifest is None:
                 return self._commit_snapshot(
                     OP_REPLACE, entries, compact_manifests=True,
-                    summary_extra={"rewritten-manifests": "1"})
+                    summary_extra={"rewritten-manifests": "1",
+                                   "rows-preserved": "true"})
             if target_entries_per_manifest < 1:
                 raise ValidationError(
                     "target_entries_per_manifest must be >= 1")
@@ -934,7 +935,8 @@ class Table:
                 groups.append(dels)
             return self._commit_snapshot(
                 OP_REPLACE, entries, manifest_groups=groups or [[]],
-                summary_extra={"rewritten-manifests": str(max(1, len(groups)))})
+                summary_extra={"rewritten-manifests": str(max(1, len(groups))),
+                               "rows-preserved": "true"})
 
         return self._retrying(build)
 

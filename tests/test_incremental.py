@@ -274,3 +274,37 @@ def test_incremental_join_refresh_equals_full_recompute(spark, catalog):
     ta.delete(gi.eq("a", 101))
     with _pytest.raises(ValidationError):
         incremental_join_refresh(m1, ta, tb, ["k"], from_a=a0, from_b=b0)
+
+
+def test_incremental_skips_rows_preserved_replaces_not_updates(spark, catalog):
+    """r7: compaction / Z-order / rewrite_manifests stamp rows-preserved on
+    their REPLACE snapshots, so an incremental range spanning them reads
+    only genuinely-new rows instead of raising — but UPDATE also commits a
+    replace (it CHANGES row values), carries no marker, and must still
+    raise: skipping on the operation alone would silently drop updated
+    rows from incremental consumers."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.incremental import incremental_append_scan
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+    t = catalog.create_table("db", "incr_rp", from_spark_schema(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]))
+    t.rewrite_data_files(min_input_files=2)           # rows-preserved
+    t.rewrite_manifests(target_entries_per_manifest=2)  # rows-preserved
+    t.append(spark.createDataFrame([Row(id=200, v=2.0)]))
+    got = sorted(r.id for r in incremental_append_scan(t, s1).collect())
+    assert got == [100, 200], got
+
+    t.update(gi.eq("id", 3), {"v": -1.0})             # replace, NOT preserved
+    with pytest.raises(ValidationError, match="not append"):
+        incremental_append_scan(t, s1)
+    # opting out still works and still excludes the update's rewrite
+    assert sorted(r.id for r in incremental_append_scan(
+        t, s1, ignore_non_append=True).collect()) == [100, 200]

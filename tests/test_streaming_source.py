@@ -150,3 +150,19 @@ def test_stream_resumes_across_expired_gap_and_errors_on_expired_offset(
     t.expire_snapshots(older_than=int(time.time() * 1000) + 10_000, retain_last=1)
     with pytest.raises(Exception, match="has been expired"):
         drain(spark, t, ckpt, sink)
+
+
+def test_compaction_mid_stream_does_not_kill_or_duplicate(spark, table, tmp_path):
+    """r7: rows-preserved REPLACE snapshots (compaction, manifest rewrite)
+    between micro-batches are skipped by the snapshot source — the stream
+    neither dies nor re-emits the compacted rows; later appends still
+    arrive exactly once."""
+    t = table
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    assert drain(spark, t, ckpt, sink) == list(range(4))
+
+    t.append(spark.createDataFrame([Row(id=4, v=4.0)]))
+    t.rewrite_data_files(min_input_files=2)
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    t.append(spark.createDataFrame([Row(id=5, v=5.0)]))
+    assert drain(spark, t, ckpt, sink) == list(range(6))
