@@ -327,3 +327,27 @@ def test_rename_races_two_clients(spark, rcat, service):
         h.append(proto_df(spark, 2, offset=50))  # stale handle: refused
     assert not rcat.table_exists(("db",), "race_h")  # old name not resurrected
     assert rcat.load_table(("db",), "race_h2").to_df().count() == 2
+
+
+def test_rows_preserved_marker_survives_rest_commits(spark, rcat):
+    """r7: the rows-preserved summary marker maintenance replaces stamp
+    must survive the REST commit protocol's snapshot serialization — a
+    fresh handle's incremental scan across a compaction + manifest
+    rewrite reads only the genuinely-new rows instead of raising."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.incremental import incremental_append_scan
+
+    t = rcat.create_table(("db",), "rp", from_spark_schema(
+        spark.createDataFrame([Row(id=0, v=0.0)]).schema))
+    t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)]))
+    s1 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]))
+    t.rewrite_data_files(min_input_files=2)
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    t.append(spark.createDataFrame([Row(id=200, v=2.0)]))
+
+    t2 = rcat.load_table(("db",), "rp")
+    got = sorted(r.id for r in incremental_append_scan(t2, s1).collect())
+    assert got == [100, 200], got
