@@ -308,3 +308,27 @@ def test_incremental_skips_rows_preserved_replaces_not_updates(spark, catalog):
     # opting out still works and still excludes the update's rewrite
     assert sorted(r.id for r in incremental_append_scan(
         t, s1, ignore_non_append=True).collect()) == [100, 200]
+
+
+def test_changelog_nets_manifest_rewrite_and_compaction(spark, catalog):
+    """r7 probe: row-level changelog across a manifest rewrite (paths
+    unchanged -> empty file diff) and a compaction (paths change -> the
+    carryover eliminator nets the rewrite) both reduce to exactly the
+    logical changes in the range."""
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.schema import from_spark_schema
+
+    t = catalog.create_table("db", "cl_rwm", from_spark_schema(
+        spark.createDataFrame([Row(id=0, v=0.0)]).schema))
+    t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)]))
+    s1 = t.current_snapshot().snapshot_id
+    t.delete(gi.eq("id", 2), mode="merge-on-read")
+    t.rewrite_manifests(target_entries_per_manifest=1)
+    t.append(spark.createDataFrame([Row(id=100, v=1.0)]))
+    assert sorted((r._change_type, r.id) for r in t.changes(s1).collect()) \
+        == [("delete", 2), ("insert", 100)]
+    t.rewrite_data_files(min_input_files=1)
+    assert sorted((r._change_type, r.id) for r in t.changes(s1).collect()) \
+        == [("delete", 2), ("insert", 100)]
