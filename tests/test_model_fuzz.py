@@ -24,6 +24,33 @@ produced the r6 bug harvest but were missing from the walk vocabulary:
 - ``widen``: add a nullable int column, then widen it to long — old files
   stay readable via field-id alignment + type promotion, and pre-add
   snapshots must time-travel WITHOUT the column.
+
+r8 (VERDICT r7 task #1) adds CONSUMER invariants: the walk previously checked
+only the table's own scan + time-travel, but r7's critical bug (maintenance
+REPLACE commits silently killing incremental scans and changelogs) lived in
+the read paths LAYERED ON the snapshot lineage, which no walk step exercised.
+After each step (probabilistically) and once at walk end, over a random
+retained ancestor pair (i, j]:
+
+- incremental_append_scan(i, j, ignore_non_append=True) must equal the
+  multiset union of the batches recorded for the range's OP_APPEND
+  snapshots — nothing from deletes/updates/upserts, nothing from
+  rows-preserved maintenance replaces (checked on ranges whose parent
+  pointers were not rewired by expiry, so attribution is exact);
+- strict incremental_append_scan(i, j) must RAISE iff the range contains a
+  snapshot that is neither an append nor a rows-preserved replace — a
+  compaction/rewrite_manifests inside the range must NOT raise (and must
+  contribute no rows), while an UPDATE's replace must;
+- changelog_scan(i, j) must NET to the model state diff:
+  state(i) + inserts − deletes == state(j) as multisets — valid across
+  expiry-rewired gaps because netting is end-state-based;
+- exactly-once stream sink: ``stream_commit`` applies a micro-batch via
+  append_batch_exactly_once (True), an immediate replay of the same
+  (ckpt, batch) dedupes (False); ``stream_replay`` re-delivers a random
+  APPLIED batch and must dedupe even after marker-snapshot expiry (the
+  high-water property); a rollback that UNDOES committed batches must let
+  them replay (True, ascending order — the restart-from-savepoint path),
+  unless the walk abandons them.
 """
 
 from __future__ import annotations
@@ -34,12 +61,16 @@ import math
 import os
 import random
 import tempfile
+from collections import Counter
 
 import pytest
 
 import go_iceberg_spark as gi
 from go_iceberg_spark.errors import ValidationError
 from go_iceberg_spark.schema import INT, LONG, from_spark_schema
+from go_iceberg_spark.streaming.stream import append_batch_exactly_once
+from go_iceberg_spark.table.incremental import CHANGE_TYPE_COL
+from go_iceberg_spark.table.metadata import OP_APPEND, OP_REPLACE
 from go_iceberg_spark.table.mutate import merge
 from go_iceberg_spark.table.transaction import delete_equality
 
@@ -97,20 +128,126 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
     t.append(df)
     parted = partitioned  # tracks the CURRENT default spec (spec_evolve moves it)
     next_k = 100
-    # snapshot-id -> (model state, column names, logical cols AT SNAPSHOT
-    # CREATION): a time-travel read pins the snapshot's schema, so later
-    # renames/widenings/adds must NOT retitle already-recorded snapshots
-    history = {t.current_snapshot().snapshot_id:
-               (copy.deepcopy(model), dict(names), list(cols))}
+    # exactly-once stream-sink state: applied = batch ids whose data is in
+    # the CURRENT table state (snapshotted per history entry so rollback
+    # restores it); batch_log = immutable batch payloads for replays
+    applied: set[int] = set()
+    batch_log: dict[int, list[dict]] = {}
+    next_bid = 0
+    # snapshot-id -> record of (model state, column names, logical cols AT
+    # SNAPSHOT CREATION, appended batch if the commit was an OP_APPEND,
+    # original parent pointer, applied stream batches): a time-travel read
+    # pins the snapshot's schema, so later renames/widenings/adds must NOT
+    # retitle already-recorded snapshots; "appended"/"parent" feed the
+    # incremental-scan consumer check; "applied" feeds the exactly-once one
+    history: dict[int, dict] = {}
 
-    def record():
+    def record(appended=None):
         # insert-once: a snapshot's state is immutable. A NO-OP commit (e.g.
         # compaction below min_input_files) leaves the current snapshot id
         # unchanged; re-recording it would retitle a pre-rename snapshot
         # with post-rename column names.
-        sid = t.current_snapshot().snapshot_id
-        if sid not in history:
-            history[sid] = (copy.deepcopy(model), dict(names), list(cols))
+        snap = t.current_snapshot()
+        if appended is not None:
+            assert snap.operation == OP_APPEND, (snap.operation, "append rows "
+                                                 "recorded for a non-append commit")
+        if snap.snapshot_id not in history:
+            history[snap.snapshot_id] = dict(
+                state=copy.deepcopy(model), names=dict(names), cols=list(cols),
+                appended=copy.deepcopy(appended),
+                parent=snap.parent_snapshot_id, applied=set(applied))
+
+    record(appended=model)
+
+    def _tuples(rows, tcols):
+        return sorted(tuple(_norm(r.get(c)) for c in tcols) for r in rows)
+
+    def _df_of(rows):
+        # rebuild a logged stream batch with the CURRENT physical column
+        # names (a real replayed micro-batch comes from the live stream, so
+        # it carries current names); a batch logged before the widen simply
+        # lacks "w" and the writer NULL-fills it
+        has_w = "w" in rows[0]
+        data = [tuple(r[c] for c in COLS) + ((r["w"],) if has_w else ())
+                for r in rows]
+        ddl = f"{names['k']} bigint, {names['v']} string, {names['x']} double"
+        if has_w:
+            ddl += f", {names['w']} {wtype}"
+        return spark.createDataFrame(data, ddl)
+
+    def consumer_checks(step, op):
+        """Incremental + changelog + strict-mode invariants over a random
+        retained ancestor range (i, j] — the read surfaces LAYERED on the
+        lineage that the r7 rows-preserved bug silently broke."""
+        by_id = {s.snapshot_id: s for s in t.snapshots()}
+        pool = [sid for sid in history if sid in by_id]
+        if not pool:
+            return
+        j = rng.choice(pool)
+        chain = []  # j's retained ancestry, newest first
+        cur = j
+        while cur is not None and cur in by_id:
+            chain.append(cur)
+            cur = by_id[cur].parent_snapshot_id
+        anc = chain[1:]
+        i = rng.choice(anc + [None]) if anc else None
+        if i is not None and i not in history:
+            return
+        rng_sids = []  # (i, j] oldest first
+        for sid in chain:
+            if sid == i:
+                break
+            rng_sids.append(sid)
+        rng_sids.reverse()
+        if not rng_sids:
+            return
+        cur_cols = list(cols)
+        phys = [names[c] for c in cur_cols]
+
+        # (b) changelog netting: state_i + inserts − deletes == state_j as
+        # multisets. End-state-based, so it holds even across expiry-rewired
+        # parent gaps (the r6 netting fix) and maintenance replaces (r7).
+        bal = Counter(_tuples(history[i]["state"], cur_cols)) if i else Counter()
+        for r in t.changes(i, j).collect():
+            tup = tuple(_norm(r[p]) for p in phys)
+            bal[tup] += 1 if r[CHANGE_TYPE_COL] == "insert" else -1
+        got = {k: v for k, v in bal.items() if v != 0}
+        want_c = Counter(_tuples(history[j]["state"], cur_cols))
+        want = {k: v for k, v in want_c.items() if v != 0}
+        assert got == want, (seed, step, op, "changelog netting", i, j)
+
+        # (a) incremental append scan: exact attribution needs an unrewired
+        # range (expiry re-parents across gaps, folding expired snapshots'
+        # file diffs into the first retained one above the gap)
+        if not all(sid in history
+                   and history[sid]["parent"] == by_id[sid].parent_snapshot_id
+                   for sid in rng_sids):
+            return
+        expected = []
+        for sid in rng_sids:
+            if history[sid]["appended"] is not None:
+                expected.extend(history[sid]["appended"])
+        inc = t.incremental_scan(i, j, ignore_non_append=True).collect()
+        got_inc = sorted(tuple(_norm(r[p]) for p in phys) for r in inc)
+        assert got_inc == _tuples(expected, cur_cols), \
+            (seed, step, op, "incremental appends", i, j)
+
+        # strict mode: raises iff the range holds a snapshot that is neither
+        # an append nor a rows-preserved maintenance replace — compaction /
+        # rewrite_manifests in-range must NOT raise (r7's critical bug class)
+        strict_bad = any(
+            by_id[sid].operation != OP_APPEND
+            and not (by_id[sid].operation == OP_REPLACE
+                     and by_id[sid].summary.get("rows-preserved") == "true")
+            for sid in rng_sids)
+        if strict_bad:
+            with pytest.raises(ValidationError):
+                t.incremental_scan(i, j)
+        else:
+            strict = t.incremental_scan(i, j).collect()
+            assert sorted(tuple(_norm(r[p]) for p in phys)
+                          for r in strict) == got_inc, \
+                (seed, step, op, "strict incremental", i, j)
 
     for step in range(steps):
         op = rng.choice(
@@ -118,7 +255,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
              "upsert", "merge_nmbs", "rollback", "compact", "expire",
              "rename", "rename", "txn",
              "spec_evolve", "wap", "add_files", "widen",
-             "rewrite_manifests"])
+             "rewrite_manifests", "stream_commit", "stream_replay"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -129,7 +266,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             df, rows = _batch(spark, rng, new_ks, names, cols, wtype)
             t.append(df)
             model.extend(rows)
-            record()
+            record(appended=rows)
         elif op in ("delete_cow", "delete_mor"):
             if ks and rng.random() < 0.5:
                 pivot = rng.choice(ks)
@@ -201,7 +338,26 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             # target snapshot keeps its creation-time schema in history.
             # Rows recorded before a widen lack "w": current reads surface it
             # as NULL, matched via r.get(c) in _model_rows.
-            model[:] = copy.deepcopy(history[target][0])
+            model[:] = copy.deepcopy(history[target]["state"])
+            applied.clear()
+            applied.update(history[target]["applied"])
+            # stream batches UNDONE by the rollback must be replayable (the
+            # r6 ADVICE data-loss class): half the time the "stream restarts
+            # from a savepoint" and re-delivers them ascending — each must
+            # APPLY (True); otherwise they are abandoned (dropped from the
+            # log so a later stream_replay doesn't expect a dedupe for them)
+            undone = sorted(b for b in batch_log if b not in applied)
+            if undone and rng.random() < 0.5:
+                for b in undone:
+                    ok = append_batch_exactly_once(t, _df_of(batch_log[b]), "fz", b)
+                    assert ok is True, (seed, step, "undone batch permanently "
+                                        "deduped after rollback", b)
+                    model.extend(copy.deepcopy(batch_log[b]))
+                    applied.add(b)
+                    record(appended=batch_log[b])
+            else:
+                for b in undone:
+                    del batch_log[b]
         elif op == "compact":
             t.rewrite_data_files(min_input_files=2)
             record()  # metadata-only: model unchanged, new snapshot maybe
@@ -267,7 +423,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             if rng.random() < 0.7:
                 t.fast_forward("main", bname)
                 model.extend(rows)
-                record()
+                record(appended=rows)
         elif op == "add_files":
             new_ks = [next_k + i for i in range(rng.randint(1, 3))]
             next_k += 10
@@ -283,7 +439,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             else:
                 t.add_files(paths)
                 model.extend(rows)
-                record()
+                record(appended=rows)
         elif op == "widen":
             if "w" not in cols:
                 t.update_schema().add_column("w", INT).commit()
@@ -299,6 +455,35 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             else:
                 continue  # already widened
             # schema-only: no snapshot, model values unchanged
+        elif op == "stream_commit":
+            # exactly-once micro-batch sink: first delivery applies, an
+            # immediate replay of the same (ckpt, batch) — the crash between
+            # table commit and checkpoint write — dedupes
+            bid, next_bid = next_bid, next_bid + 1
+            new_ks = [next_k + i for i in range(rng.randint(1, 3))]
+            next_k += 10
+            df, rows = _batch(spark, rng, new_ks, names, cols, wtype)
+            assert append_batch_exactly_once(t, df, "fz", bid) is True, \
+                (seed, step, "fresh stream batch did not apply", bid)
+            batch_log[bid] = copy.deepcopy(rows)
+            model.extend(rows)
+            applied.add(bid)
+            record(appended=rows)
+            if rng.random() < 0.4:
+                assert append_batch_exactly_once(
+                    t, _df_of(batch_log[bid]), "fz", bid) is False, \
+                    (seed, step, "replayed batch double-applied", bid)
+        elif op == "stream_replay":
+            # re-deliver a random APPLIED batch: must dedupe via the summary
+            # marker or — after the marker snapshot expired — the
+            # high-water property (the r6 expiry-resurrection class); the
+            # post-step scan equality below confirms no rows were re-added
+            done = sorted(b for b in batch_log if b in applied)
+            if not done:
+                continue
+            b = rng.choice(done)
+            assert append_batch_exactly_once(t, _df_of(batch_log[b]), "fz", b) is False, \
+                (seed, step, "applied batch replayed as new", b)
         elif op == "expire":
             t.expire_snapshots(retain_last=rng.randint(2, 4))
             retained = {s.snapshot_id for s in t.snapshots()}
@@ -314,10 +499,17 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         pool = [sid for sid in history if sid in retained]
         if pool:
             sid = rng.choice(pool)
-            st, snames, scols = history[sid]
+            rec = history[sid]
+            st, snames, scols = rec["state"], rec["names"], rec["cols"]
             tt = sorted(tuple(_norm(r[snames[c]]) for c in scols)
                         for r in t.scan().use_snapshot(sid).to_df().collect())
             assert tt == _model_rows(st, scols), (seed, step, op, "time-travel", sid)
+
+        # consumer invariants (incremental / changelog / strict mode) over a
+        # random retained range — probabilistic per step, guaranteed once at
+        # walk end
+        if rng.random() < 0.35 or step == steps - 1:
+            consumer_checks(step, op)
 
 
 @pytest.mark.parametrize("seed", [20260815, 977])
