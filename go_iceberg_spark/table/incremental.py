@@ -44,7 +44,6 @@ from .metadata import (
 )
 from .scan import (
     POS_DELETE_FILE_COL,
-    POS_DELETE_POS_COL,
     _align_to_schema,
     _rel_file_expr,
 )
@@ -236,55 +235,44 @@ def changelog_scan(
             del_parts.append(dels.select(*cols))
 
         # MoR: delete files added in this snapshot suppress rows of files
-        # that remain live — resolve them to concrete rows. Collected BEFORE
-        # the insert/delete netting below: when one diff window contains both
-        # a data file and a delete file over it (an expired-gap-compacted
-        # lineage — expire_snapshots rewires parent pointers across the gap),
-        # the inserted-then-deleted rows must net to ZERO, not surface as an
-        # insert+delete pair at the same ordinal (r6 probe find).
-        pos_files = [e for e in added if e.content == CONTENT_POSITION_DELETES]
-        eq_files = [e for e in added if e.content == CONTENT_EQUALITY_DELETES]
-        if pos_files or eq_files:
-            live_data = [e for e in table.manifest_entries(snap) if e.content == CONTENT_DATA]
-            if pos_files:
-                target = _read_entries(table, live_data, with_lineage=True)
-                if target is not None:
-                    pd_df = spark.read.parquet(
-                        *[os.path.join(table.location, e.file_path) for e in pos_files]
-                    ).select(F.col(POS_DELETE_FILE_COL).alias("_del_file"),
-                             F.col(POS_DELETE_POS_COL).alias("_del_pos"))
-                    hit = target.join(
-                        F.broadcast(pd_df),
-                        on=[F.col("_file") == F.col("_del_file"),
-                            F.col("_pos") == F.col("_del_pos")],
-                        how="inner").select(*cols)
-                    del_parts.append(hit)
-            for e in eq_files:
-                # key fields are FIELD IDS: the join-side names come from the
-                # current schema, but the delete parquet physically holds the
-                # names of ITS writer schema — resolve each side separately
-                # so a rename between the delete and this changes() call
-                # cannot desynchronize them (same rule as the scan path)
-                dsch = md.schema_by_id(e.schema_id) if any(
-                    s.schema_id == e.schema_id for s in md.schemas) else md.current_schema
-                key_cols, phys_cols = [], []
-                for fid in e.equality_ids:
-                    f = md.current_schema.find_field_by_id(fid)
-                    g = dsch.find_field_by_id(fid)
-                    if f is not None:
-                        key_cols.append(f.name)
-                        phys_cols.append(g.name if g is not None else f.name)
-                if not key_cols:
-                    continue
-                older = [d for d in live_data if d.sequence_number < e.sequence_number]
-                target = _read_entries(table, older)
-                if target is None:
-                    continue
-                keys = spark.read.parquet(
-                    os.path.join(table.location, e.file_path)).select(
-                    *[F.col(p).alias(k) for p, k in zip(phys_cols, key_cols)])
-                hit = target.join(F.broadcast(keys), on=key_cols, how="left_semi").select(*cols)
-                del_parts.append(hit)
+        # that remain live — resolve them to concrete rows as the DIFF of
+        # suppression states: rows visible under the PARENT's delete files
+        # but not under this snapshot's. A row counts as deleted exactly
+        # when it transitions live → dead, which makes the read robust to
+        # duplicate tombstones — the spec allows a position (or key) to be
+        # listed by multiple delete files, and overlapping MoR deletes
+        # re-tombstone already-dead rows (r8 fuzz consumer find: the old
+        # per-delete-file replay reported such rows deleted TWICE — scans
+        # never noticed because dead is dead, only changelog consumers
+        # did). Collected BEFORE the insert/delete netting below: when one
+        # diff window contains both a data file and a delete file over it
+        # (an expired-gap-compacted lineage), the inserted-then-deleted
+        # rows must net to ZERO, not surface as an insert+delete pair at
+        # the same ordinal (r6 probe find).
+        new_dels = [e for e in added if e.content != CONTENT_DATA]
+        if new_dels:
+            live_data = [e for e in table.manifest_entries(snap)
+                         if e.content == CONTENT_DATA]
+            if not any(e.content == CONTENT_EQUALITY_DELETES for e in new_dels):
+                # position deletes name their target files — prune the
+                # before/after read to just those (an equality delete can
+                # hit any older file, so it keeps the full live set)
+                hit_paths: set[str] = set()
+                for e in new_dels:
+                    pdf = spark.read.parquet(
+                        os.path.join(table.location, e.file_path))
+                    hit_paths.update(
+                        r[0] for r in
+                        pdf.select(POS_DELETE_FILE_COL).distinct().collect())
+                live_data = [e for e in live_data if e.file_path in hit_paths]
+            cur_deletes = [e for e in table.manifest_entries(snap)
+                           if e.content != CONTENT_DATA]
+            before = _read_entries(table, live_data, deletes=parent_deletes)
+            after = _read_entries(table, live_data, deletes=cur_deletes)
+            if before is not None:
+                b = before.select(*cols)
+                a = after.select(*cols) if after is not None else b.limit(0)
+                del_parts.append(b.exceptAll(a))
 
         del_all = del_parts[0] if del_parts else None
         for p in del_parts[1:]:
@@ -350,3 +338,66 @@ def incremental_join_refresh(
     b1 = table_b.scan().use_snapshot(to_b).to_df()
     delta = da.join(b1, keys).unionByName(a0.join(db, keys))
     return prev_view.unionByName(delta)
+
+
+def incremental_join_refresh_changelog(
+    prev_view: DataFrame,
+    table_a,
+    table_b,
+    keys: list[str],
+    *,
+    from_a: int,
+    from_b: int,
+    to_a: int | None = None,
+    to_b: int | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view M = A ⋈ B over MUTABLE bases
+    (counting-semantics delta-join IVM): the append-only form above raises
+    on deletes/updates/overwrites in the range; this one feeds the
+    CHANGELOG through the join instead, so any CRUD history maintains the
+    view exactly.
+
+    Derivation (signed multisets, insert = +1, delete = −1):
+
+        A1 = A0 + δA,  B1 = B0 + δB
+        M1 = A1 ⋈ B1 = M0 + (δA ⋈ B1) + (A0 ⋈ δB)
+
+    — the δA ⋈ δB cross term is counted exactly once because the δA leg
+    joins the POST-delta B while the δB leg joins the PRE-delta A; each
+    joined pair carries its delta row's sign. Updates are delete+insert
+    pairs in the changelog, maintenance replaces net to zero, so any mix
+    of CRUD and compaction in the range is handled.
+
+    The signed delta is then merged into M0 with counting semantics. To
+    keep the refresh delta-proportional, M0 is split on the delta's join
+    keys: rows whose key appears in neither δA nor δB pass through
+    UNTOUCHED (one broadcast anti-join, no aggregation), and only the
+    touched slice unions with the signed delta into a count-merge
+    (group → sum signs → drop non-positive → re-expand). At 100 TB the
+    join legs broadcast the deltas against one base scan each, and the
+    count-merge shuffles only rows sharing a key with a changed row —
+    never the whole view."""
+    SIGN, CNT = "_ivm_sign", "_ivm_cnt"
+    to_a = to_a if to_a is not None else table_a.current_snapshot().snapshot_id
+    to_b = to_b if to_b is not None else table_b.current_snapshot().snapshot_id
+    sign = (F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1))
+            .otherwise(F.lit(-1)).alias(SIGN))
+    da = changelog_scan(table_a, from_a, to_a).select("*", sign) \
+        .drop(CHANGE_TYPE_COL, CHANGE_ORDINAL_COL)
+    db = changelog_scan(table_b, from_b, to_b).select("*", sign) \
+        .drop(CHANGE_TYPE_COL, CHANGE_ORDINAL_COL)
+    a0 = table_a.scan().use_snapshot(from_a).to_df()
+    b1 = table_b.scan().use_snapshot(to_b).to_df()
+    out_cols = prev_view.columns
+    delta = (da.join(b1, keys).select(*out_cols, SIGN)
+             .unionByName(a0.join(db, keys).select(*out_cols, SIGN)))
+    delta_keys = da.select(*keys).unionByName(db.select(*keys)).distinct()
+    untouched = prev_view.join(F.broadcast(delta_keys), keys, "left_anti")
+    touched = prev_view.join(F.broadcast(delta_keys), keys, "left_semi")
+    merged = (touched.withColumn(SIGN, F.lit(1)).unionByName(delta)
+              .groupBy(*out_cols).agg(F.sum(SIGN).alias(CNT))
+              .filter(F.col(CNT) > 0)
+              .select(*out_cols,
+                      F.explode(F.sequence(F.lit(1), F.col(CNT))).alias("_i"))
+              .select(*out_cols))
+    return untouched.unionByName(merged)
