@@ -3829,6 +3829,70 @@ def incremental_join_view_refresh_q(spark, sf):
 
 
 @query(
+    "incremental_join_view_refresh_mutable",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN -1.0
+                ELSE o.o_totalprice END AS price,
+           c.acctbal
+    FROM orders o
+    JOIN (SELECT o_custkey, acctbal FROM (
+            SELECT c_custkey AS o_custkey,
+                   round(c_acctbal, 2)
+                   + CASE WHEN c_custkey % 3 = 0 THEN 100 ELSE 0 END AS acctbal
+            FROM customer
+            WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0) b
+          WHERE NOT (acctbal < 0)) c
+      ON o.o_custkey = c.o_custkey
+    WHERE o.o_orderkey < 3000 AND NOT (o.o_totalprice > 200000)
+    """,
+)
+def incremental_join_view_refresh_mutable_q(spark, sf):
+    """Incremental JOIN-view maintenance over MUTABLE bases (r8, VERDICT r7
+    task #2): the append-only delta-join above raises the moment either
+    base takes a delete/update/overwrite; here the CHANGELOG's signed row
+    multisets (insert = +1, delete = −1) ride through both join legs
+    instead — M1 = M0 + (δA ⋈ B1) + (A0 ⋈ δB) with counting-semantics
+    merge — so the full CRUD mix maintains the view exactly. The setup
+    drives every mutation class: A takes an append, a copy-on-write
+    DELETE, and an UPDATE (a row-changing REPLACE — the op r7's
+    rows-preserved marker must NOT let consumers skip); B takes an UPSERT
+    (overwrite) and a merge-on-read DELETE. Inline assert: the refreshed
+    view is multiset-equal to the full recompute. At 100 TB the join legs
+    broadcast the changelog deltas against one base scan each, and the
+    counting merge touches only view rows sharing a join key with a
+    changed row (broadcast semi/anti split) — never the whole view."""
+    from .table.incremental import incremental_join_refresh_changelog
+
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000) \
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    c = load(spark, sf, "customer") \
+        .select(F.col("c_custkey").alias("o_custkey"),
+                F.round("c_acctbal", 2).alias("acctbal"))
+
+    ta = _scratch_table(spark, "ijvm_a", o.filter(F.col("o_orderkey") < 1500))
+    tb = _scratch_table(spark, "ijvm_b", c.filter(F.col("o_custkey") % 2 == 0))
+    a0, b0 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m0 = ta.to_df().join(tb.to_df(), "o_custkey")
+
+    ta.append(o.filter(F.col("o_orderkey") >= 1500))
+    ta.delete(C("o_totalprice").gt(200000.0))
+    ta.update(C("o_orderpriority").eq("1-URGENT"),
+              {"o_totalprice": F.lit(-1.0)})
+    tb.upsert(c.filter(F.col("o_custkey") % 3 == 0)
+              .withColumn("acctbal", F.col("acctbal") + 100), ["o_custkey"])
+    tb.delete(C("acctbal").lt(0.0), mode="merge-on-read")
+
+    m1 = incremental_join_refresh_changelog(m0, ta, tb, ["o_custkey"],
+                                            from_a=a0, from_b=b0)
+    full = ta.to_df().join(tb.to_df(), "o_custkey")
+    if m1.exceptAll(full).count() or full.exceptAll(m1).count():
+        raise AssertionError("mutable join refresh != full recompute")
+    return m1.select("o_orderkey", "o_custkey",
+                     F.col("o_totalprice").alias("price"), "acctbal")
+
+
+@query(
     "changelog_cdc_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -5288,9 +5352,22 @@ _GRADED_FIRST = [
     "streaming_upsert_table_sink_scan",
     "streaming_interval_join",
     "streaming_session_window",
-    "time_travel_rollback_scan",
-    "crud_overwrite_scan",
-    "crud_upsert_scan",
+    # --- r8 NEW operator: counting-semantics delta-join IVM over mutable
+    #     bases (changelog through both join legs) ---
+    "incremental_join_view_refresh_mutable",
+    # --- r8 VERDICT task #3: r7-fixed-but-unwindowed rows — the sampling
+    #     NULL-sentinel fix, the KMV NULL/empty-degenerate fixes, the
+    #     inverted-interval range-join fix, and the token-packing family
+    #     (displaced: time_travel_rollback_scan, crud_overwrite_scan,
+    #     crud_upsert_scan, crud_delete_mor_scan, crud_schema_evolution_scan,
+    #     crud_add_files_scan, q1_pricing_summary — all green r6 AND r7,
+    #     paths unchanged r8) ---
+    "sample_stratified_mix",
+    "sample_split_train_eval",
+    "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "range_join_errors_followups",
+    "pack_token_budget_bins",
     # --- r6 VERDICT task #3: degenerate-input fixes never freshly graded ---
     "text_repetition_scores",
     "multimodal_extract_features",
@@ -5306,9 +5383,6 @@ _GRADED_FIRST = [
     "float_nan_pruning_scan",
     "crud_merge_not_matched_by_source_scan",
     "crud_delete_eq_scan",
-    "crud_delete_mor_scan",
-    "crud_schema_evolution_scan",
-    "crud_add_files_scan",
     "partition_evolution_scan",
     "wap_branch_publish_scan",
     "incremental_append_scan",
@@ -5328,7 +5402,6 @@ _GRADED_FIRST = [
     #     (displaced rows green in BOTH r5 and r6: time_travel_scan,
     #     metadata_count, bloom/bucket pruning scans, avro manifest,
     #     sorted-write, distributed-plan, eq-delete-rename, tt-schema) ---
-    "q1_pricing_summary",
     "q3_shipping_priority",
     "q8_market_share",
     "text_hashing_ann_topk",
