@@ -71,11 +71,15 @@ def main() -> None:
     # normalize for VM state — r6's +18.5% "regression" was mostly the VM
     # itself running slower than at r5 bench time (idle re-runs returned
     # individual queries to r5 levels). Not included in the headline total.
-    cal_times = []
-    for _ in range(max(runs, 3)):
-        t0 = time.perf_counter()
-        spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2 + 1)").collect()
-        cal_times.append(round(time.perf_counter() - t0, 3))
+    def _calibrate() -> list[float]:
+        out = []
+        for _ in range(max(runs, 3)):
+            t0 = time.perf_counter()
+            spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2 + 1)").collect()
+            out.append(round(time.perf_counter() - t0, 3))
+        return out
+
+    cal_times = _calibrate()
     calibration = min(cal_times)
 
     timings: dict[str, float] = {}
@@ -88,6 +92,14 @@ def main() -> None:
             times.append(round(time.perf_counter() - t0, 3))
         run_times[name] = times
         timings[name] = min(times)
+
+    # END-of-run calibration bracket (r7 VERDICT task #6): the r7 driver
+    # bench showed load can arrive AFTER a clean start-of-run probe (driver
+    # total 18.9 s vs 12.9 s idle at the SAME start calibration). A probe at
+    # each end lets a polluted bench self-identify: if min/max of the two
+    # calibrations diverge, the query timings in between are suspect.
+    cal_times_end = _calibrate()
+    calibration_end = min(cal_times_end)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -102,6 +114,13 @@ def main() -> None:
         # ratios of (query / calibration_sec) across rounds, not raw seconds
         "calibration_sec": calibration,
         "calibration_runs": cal_times,
+        # start/end bracket: divergence between these two flags mid-bench
+        # environment drift (compare each query to the WORSE of the two)
+        "calibration_end_sec": calibration_end,
+        "calibration_end_runs": cal_times_end,
+        "calibration_spread": round(
+            max(calibration, calibration_end)
+            / max(min(calibration, calibration_end), 1e-9), 3),
     }
     print(json.dumps(result))
 

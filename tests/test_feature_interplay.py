@@ -1281,3 +1281,110 @@ def test_stream_markers_survive_manifest_rewrite(spark, catalog):
                        retain_last=1)
     assert not append_batch_exactly_once(t, b1, "ck", 1)
     assert t.to_df().count() == 11
+
+
+def test_incremental_and_changelog_cross_wap_publish(spark, catalog):
+    """r8 probe pin: after fast_forward publishes an audit branch, an
+    incremental/changelog range opened from a pre-branch snapshot follows
+    main's NEW ancestry through the published branch commits — including a
+    mid-branch from-snapshot and a post-publish append across the seam."""
+    df0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double")
+    t = catalog.create_table("db", "ffinc", from_spark_schema(df0.schema))
+    t.append(df0)
+    s0 = t.current_snapshot().snapshot_id
+    t.create_branch("aud")
+    t.append_to_branch("aud", spark.createDataFrame([(10, 1.0)], "id bigint, v double"))
+    t.append_to_branch("aud", spark.createDataFrame([(11, 1.0)], "id bigint, v double"))
+    sb = t.metadata.refs["aud"].snapshot_id
+    t.fast_forward("main", "aud")
+    assert sorted(r.id for r in t.incremental_scan(s0).collect()) == [10, 11]
+    ch = sorted((r.id, r._change_type, r._change_ordinal) for r in t.changes(s0).collect())
+    assert ch == [(10, "insert", 0), (11, "insert", 1)]
+    mid = t.snapshot_by_id(sb).parent_snapshot_id
+    assert sorted(r.id for r in t.incremental_scan(mid).collect()) == [11]
+    t.append(spark.createDataFrame([(12, 1.0)], "id bigint, v double"))
+    assert sorted(r.id for r in t.incremental_scan(s0).collect()) == [10, 11, 12]
+    # rollback below the publish abandons the branch rows and the rewrite
+    t.rewrite_manifests(target_entries_per_manifest=1)
+    t.rollback_to(s0)
+    assert sorted(r.id for r in t.to_df().collect()) == [1, 2]
+
+
+def test_range_distribution_survives_rename_drop_and_spec_evolution(spark, catalog):
+    """r8 probe pin: write.distribution-mode=range resolves sort and
+    partition fields by FIELD ID — renaming either keeps writes range-
+    distributed and scans pruning; dropping the sort column degrades the
+    writer gracefully (unsorted, still partitioned); dropping the default
+    spec's source column refuses."""
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    proto = spark.createDataFrame([(1, 1.0, "a")], "k bigint, x double, tag string")
+    sch = from_spark_schema(proto.schema)
+    kid = next(f.field_id for f in sch.fields if f.name == "k")
+    t = catalog.create_table(
+        "db", "rdsr", sch,
+        spec=PartitionSpec(0, (PartitionField(kid, 1000, "identity", "k"),)),
+        properties={"write.distribution-mode": "range"})
+    t.replace_sort_order("x")
+    t.append(spark.createDataFrame(
+        [(i % 2, float(i), f"t{i}") for i in range(40)], "k bigint, x double, tag string"))
+    t.update_schema().rename_column("x", "x2").commit()
+    t.append(spark.createDataFrame(
+        [(i % 2, float(100 + i), f"u{i}") for i in range(40)],
+        "k bigint, x2 double, tag string"))
+    assert t.scan().filter(gi.gt("x2", 130.0)).to_df().count() == 9
+    t.update_schema().rename_column("k", "k2").commit()
+    t.append(spark.createDataFrame([(7, 999.0, "z")], "k2 bigint, x2 double, tag string"))
+    assert [r.tag for r in t.scan().filter(gi.eq("k2", 7)).to_df().collect()] == ["z"]
+    t.update_schema().drop_column("x2").commit()
+    t.append(spark.createDataFrame([(8, "w")], "k2 bigint, tag string"))
+    assert [r.tag for r in t.scan().filter(gi.eq("k2", 8)).to_df().collect()] == ["w"]
+    t.update_partition_spec(("tag", "truncate[1]"))
+    t.append(spark.createDataFrame([(9, "qq"), (9, "rr")], "k2 bigint, tag string"))
+    assert [r.tag for r in t.scan().filter(gi.starts_with("tag", "q")).to_df().collect()] == ["qq"]
+    with pytest.raises(ValidationError):
+        t.update_schema().drop_column("tag").commit()
+
+
+def test_exactly_once_upsert_markers_survive_interleaved_maintenance(spark, catalog):
+    """r8 probe pin: streaming upsert-sink (ckpt, batch) markers interleaved
+    with rewrite_manifests and compaction — replays dedupe across the
+    maintenance replaces, the changelog nets over the mixed history, and a
+    rollback below a batch lets exactly that batch replay."""
+    from go_iceberg_spark.streaming.stream import (
+        BATCH_MARKER_KEY, HIGH_WATER_PROP, HIGH_WATER_SEQ_PROP,
+        _batch_already_committed)
+    from go_iceberg_spark.table.table import COMMIT_SEQ_PLACEHOLDER
+
+    def upsert_once(tbl, df, ck, bid):
+        tbl.refresh()
+        if _batch_already_committed(tbl, ck, bid):
+            return False
+        tbl.upsert(df, ["id"],
+                   summary_extra={BATCH_MARKER_KEY: f"{ck}:{bid}"},
+                   properties_extra={HIGH_WATER_PROP + ck: str(bid),
+                                     HIGH_WATER_SEQ_PROP + ck: COMMIT_SEQ_PLACEHOLDER},
+                   pre_commit_check=lambda: not _batch_already_committed(tbl, ck, bid))
+        return True
+
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, v double")
+    t = catalog.create_table("db", "eomx", from_spark_schema(mk([(1, 1.0)]).schema))
+    t.append(mk([(i, 0.0) for i in range(6)]))
+    assert upsert_once(t, mk([(1, 1.0), (10, 1.0)]), "ck", 0)
+    after_b0 = t.current_snapshot().snapshot_id
+    t.rewrite_manifests(target_entries_per_manifest=2)
+    assert upsert_once(t, mk([(2, 2.0), (11, 2.0)]), "ck", 1)
+    t.rewrite_data_files(min_input_files=2)
+    assert not upsert_once(t, mk([(2, 9.9)]), "ck", 1)
+    assert not upsert_once(t, mk([(1, 9.9)]), "ck", 0)
+    want = sorted([(0, 0.0), (1, 1.0), (2, 2.0), (3, 0.0), (4, 0.0),
+                   (5, 0.0), (10, 1.0), (11, 2.0)])
+    assert sorted((r.id, r.v) for r in t.to_df().collect()) == want
+    ins = t.changes().filter("_change_type = 'insert'").count()
+    dels = t.changes().filter("_change_type = 'delete'").count()
+    assert ins - dels == len(want)
+    t.rollback_to(after_b0)
+    assert upsert_once(t, mk([(2, 2.0), (11, 2.0)]), "ck", 1)
+    assert not upsert_once(t, mk([(1, 9.9)]), "ck", 0)
+    assert sorted((r.id, r.v) for r in t.to_df().collect()) == want
