@@ -244,11 +244,33 @@ def _delete_merge_on_read(table, filter_: Expression):
         all_rows = all_rows.unionByName(p)
 
     # position-delete schema (file_path, pos) — reference: table/writer.go:290-293
-    deletes_df = (
-        all_rows.filter(to_column(filter_))
-        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
-        .orderBy("file_path", "pos")
-    )
+    deletes_df = all_rows.filter(to_column(filter_)).select(
+        F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    # don't re-tombstone rows an existing APPLICABLE position delete already
+    # suppressed (the raw candidate read sees dead rows too): overlapping
+    # MoR deletes would otherwise append a duplicate (file, pos) per delete
+    # — spec-legal, and the changelog reader dedups them (r8), but each
+    # duplicate inflates every later scan's anti-join build side for zero
+    # information. Applicability is per data file: tombstone seq >= file seq.
+    existing_pos = [d for d in table.live_entries()
+                    if d.content == CONTENT_POSITION_DELETES]
+    if existing_pos:
+        fseq = table.spark.createDataFrame(
+            [(e.file_path, e.sequence_number) for e in candidates],
+            "file_path string, _fseq long")
+        tomb_parts = [
+            table.spark.read.parquet(os.path.join(table.location, d.file_path))
+            .select("file_path", "pos").withColumn("_dseq", F.lit(d.sequence_number))
+            for d in existing_pos
+        ]
+        tomb = tomb_parts[0]
+        for p in tomb_parts[1:]:
+            tomb = tomb.unionByName(p)
+        dead = (tomb.join(F.broadcast(fseq), "file_path")
+                .filter(F.col("_dseq") >= F.col("_fseq"))
+                .select("file_path", "pos").distinct())
+        deletes_df = deletes_df.join(dead, ["file_path", "pos"], "left_anti")
+    deletes_df = deletes_df.orderBy("file_path", "pos")
     del_files = write_data_files(
         table.spark, deletes_df, table.location,
         _pos_delete_schema(), md.default_spec.__class__(md.default_spec.spec_id, ()),  # unpartitioned

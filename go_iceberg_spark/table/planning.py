@@ -41,9 +41,18 @@ from ..schema import Schema
 from .metadata import CONTENT_DATA, DataFileEntry, _entry_from_columns
 
 # Above this many entries the driver loop is replaced by a Spark job over the
-# manifest. Crossover measured on local[32]: the Spark job costs ~0.5 s of
-# fixed overhead, the driver loop ~5 µs/entry.
-DISTRIBUTED_THRESHOLD = 200_000
+# manifest. r8 scale soak (synthetic 10k-1M-entry manifests, local[32],
+# numbers in SOAK.md): the vectorized driver pruner runs ~2.6 µs/entry on a
+# point filter at ~223 MB arrow per 1M entries, and the Spark job NEVER wins
+# on wall time in this regime — survivors round-trip JVM→driver regardless,
+# and a single member parquet caps split parallelism — so the tier exists
+# for driver MEMORY and remote-storage I/O parallelism, not local compute.
+# 500k keeps the driver-side arrow load near 115 MB (trivial for any
+# realistic driver) while 10M-entry tables (extrapolated 2.2 GB + ~26 s
+# single-threaded) clearly belong to the job tier. Member-level bounds skip
+# (scan.py) is the first line of defense either way: a clustered
+# manifest-list prunes 99/100 members on a point scan before ANY tier runs.
+DISTRIBUTED_THRESHOLD = 500_000
 
 
 def _fid_map(schema: Schema, flt: Expression) -> dict[int, str]:

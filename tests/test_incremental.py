@@ -409,3 +409,30 @@ def test_changelog_overlapping_mor_deletes_count_once(spark, catalog):
     ch2 = [(r.id, r._change_type, r._change_ordinal) for r in t2.changes().collect()]
     dels2 = sorted((i, o) for i, c, o in ch2 if c == "delete")
     assert dels2 == [(1, 1), (2, 2)], dels2
+
+
+def test_mor_delete_writer_skips_already_dead_rows(spark, catalog):
+    """r8: the position planner reads candidate files raw, so an
+    overlapping second MoR delete used to re-tombstone rows the first one
+    already killed — duplicate (file, pos) pairs that inflate every later
+    scan's anti-join for zero information. The writer now anti-joins
+    existing applicable tombstones; the second delete file carries ONLY
+    newly-dead positions."""
+    import os as _os
+
+    from go_iceberg_spark.table.metadata import CONTENT_POSITION_DELETES
+
+    t = mk(spark, catalog, "mor_dedup", [Row(id=i, v=float(i)) for i in range(8)])
+    t.delete(gi.gt("id", 5), mode="merge-on-read")   # kills 6, 7
+    t.delete(gi.gt("id", 3), mode="merge-on-read")   # newly kills 4, 5 only
+    pos_files = sorted(
+        (e.sequence_number, e.file_path) for e in t.live_entries()
+        if e.content == CONTENT_POSITION_DELETES)
+    assert len(pos_files) == 2
+    n_first = spark.read.parquet(_os.path.join(t.location, pos_files[0][1])).count()
+    n_second = spark.read.parquet(_os.path.join(t.location, pos_files[1][1])).count()
+    assert (n_first, n_second) == (2, 2), (n_first, n_second)
+    assert sorted(r.id for r in t.to_df().collect()) == [0, 1, 2, 3]
+    dels = sorted((r.id, r._change_ordinal) for r in t.changes().collect()
+                  if r._change_type == "delete")
+    assert dels == [(4, 2), (5, 2), (6, 1), (7, 1)], dels

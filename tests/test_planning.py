@@ -292,3 +292,68 @@ def test_bucket_pred_disabled_when_name_reused_by_non_bucket_transform(spark):
         PartitionSpec(1, (PartitionField(1, 1001, "bucket[4]", "kb"),)),
     ]
     assert _bucket_partition_pred(eq("k", 42), redef_specs, schema) is None
+
+
+def test_member_bounds_skip_ratio_clustered_vs_path_ordered(spark, tmp_path):
+    """r8 scale-soak regression (SOAK.md r8): with members CLUSTERED by value
+    range (what rewrite_manifests(target_entries_per_manifest=...) produces)
+    a point filter keeps exactly the covering member — 1/N of the member
+    manifests are ever read — while path-ordered members have near-full-range
+    bounds and keep everything. At 100k entries the measured planning gap is
+    ~112x; this pins the ratio structurally at a test-sized tree."""
+    import random
+
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.schema import LONG, NestedField, Schema, StructType
+    from go_iceberg_spark.table.metadata import (
+        DataFileEntry,
+        write_manifest,
+        write_manifest_list,
+    )
+    from go_iceberg_spark.table.planning import (
+        prune_manifest_driver,
+        summary_bounds,
+        summary_might_match,
+    )
+    from go_iceberg_spark.table.scan import _encode_filter, simplify
+
+    schema = Schema(0, StructType((NestedField(1, "id", LONG),)))
+
+    def entry(i):
+        return DataFileEntry(
+            content=0, file_path=f"data/f{i}.parquet", file_format="parquet",
+            spec_id=0, schema_id=0, record_count=1000, file_size=1 << 20,
+            partition={}, sequence_number=1,
+            column_stats={1: {"min": i * 1000, "max": i * 1000 + 999,
+                              "null_count": 0, "value_count": 1000}})
+
+    def build(tag, clustered):
+        d = tmp_path / tag
+        d.mkdir()
+        idx = list(range(5000))
+        if not clustered:
+            random.Random(7).shuffle(idx)
+        members = []
+        for m in range(0, 5000, 500):
+            es = [entry(i) for i in idx[m:m + 500]]
+            rel = f"m{m // 500}.parquet"
+            write_manifest(str(d / rel), es)
+            members.append({"path": rel, "n": len(es), "nd": 0,
+                            "bounds": summary_bounds(es)})
+        write_manifest_list(str(d / "list.json"), members)
+        return d, members
+
+    flt = _encode_filter(simplify(gi.eq("id", 2_500_123)), schema)
+
+    def kept(members):
+        return [m for m in members if m["nd"]
+                or not summary_might_match(m["bounds"], flt, schema) is False]
+
+    d_c, mem_c = build("clu", True)
+    d_s, mem_s = build("sho", False)
+    kept_c, kept_s = kept(mem_c), kept(mem_s)
+    assert len(kept_c) == 1, [m["path"] for m in kept_c]   # 1/10 members
+    assert len(kept_s) == 10                               # bounds useless
+    # the surviving clustered member prunes to exactly the covering entry
+    ents = prune_manifest_driver(str(d_c / kept_c[0]["path"]), flt, schema)
+    assert len(ents) == 1 and ents[0].file_path == "data/f2500.parquet"
