@@ -110,3 +110,52 @@ def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str, *, k: int = 64) -> D
         F.round(jacc, 6).alias("jaccard"),
         F.round(jacc * est_u, 2).alias("est_intersection"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a fixed-width MERGEABLE histogram — the
+    distribution sketch a quality-score gate needs at corpus scale.
+    Spark's approx_percentile (GK sketch) has engine-internal tie-breaks
+    with no cross-engine oracle; a fixed [lo, hi) equal-width histogram is
+    deterministic: both engines bin identically, so the interpolated
+    quantiles match bit-for-bit. Values outside [lo, hi) clamp to the edge
+    bins; NULLs are not population members. Estimator: within the first
+    bin whose cumulative count reaches q*total, interpolate linearly —
+    standard histogram_numeric semantics.
+
+    Scale shape: ONE map-side-combined aggregation to <= ``bins`` rows
+    (counts add across partitions/shards — the sketch is mergeable by
+    construction), then all quantile arithmetic runs on the tiny bin
+    table. Nothing else touches the corpus. Output: (q, est)."""
+    w = (hi - lo) / bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(b.cast("long").alias("bin"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (counts.withColumn("cum", F.sum("c").over(w_cum))
+           .withColumn("cum_prev", F.col("cum") - F.col("c"))
+           .withColumn("total", F.sum("c").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    hits = (cum.select("*", qs)
+            .withColumn("target", F.col("q") * F.col("total"))
+            .filter(F.col("cum") >= F.col("target")))
+    first = (hits.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("q").orderBy("bin")))
+        .filter(F.col("rn") == 1))
+    est = (F.lit(lo) + F.col("bin") * F.lit(w)
+           + F.lit(w) * (F.col("target") - F.col("cum_prev")) / F.col("c"))
+    return first.select(F.col("q"), est.alias("est")).orderBy("q")

@@ -66,3 +66,50 @@ def resample_locf(
             F.last("avg_v", ignorenulls=True).over(w).alias("locf_v"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    min_gap: float = 0,
+) -> DataFrame:
+    """Merge overlapping (or within ``min_gap``) intervals per key — the
+    gaps-and-islands primitive behind session stitching, speech/VAD segment
+    coalescing, and per-user activity spans. ``start_col``/``end_col`` are
+    numeric (convert timestamps to epoch seconds first; keeps the arithmetic
+    engine-portable). Inverted intervals (end < start) are dropped, the
+    r7 range-join rule. Output: (key, island_start, island_end, n_intervals)
+    with one row per merged island.
+
+    Shape: one running-max window per key ordered by (start, end) marks
+    island heads (start > max(end) of everything before + gap), a running
+    sum numbers the islands, one aggregate collapses them — two window
+    passes and one shuffle on the key, no self-join, no driver state. At
+    100 TB the partitions are single-key interval lists; a key too hot for
+    one task should be time-range split upstream (same lever as the sorted
+    writer)."""
+    w_ord = (Window.partitionBy("_k").orderBy("_s", "_e")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("_k").orderBy("_s", "_e")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    iv = (df.select(F.col(key_col).alias("_k"),
+                    F.col(start_col).cast("double").alias("_s"),
+                    F.col(end_col).cast("double").alias("_e"))
+          .filter(F.col("_s").isNotNull() & F.col("_e").isNotNull()
+                  & (F.col("_e") >= F.col("_s"))))
+    flagged = iv.withColumn(
+        "_new", F.when(F.col("_s") > F.max("_e").over(w_ord) + F.lit(float(min_gap)),
+                       F.lit(1)).otherwise(F.lit(0)))
+    # the first row per key has a NULL running max -> when() falls to 0;
+    # force it to open island 1 via coalesce on the flag sum start
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(w_run) + F.lit(1))
+    return (islands.groupBy("_k", "_island")
+            .agg(F.min("_s").alias("island_start"),
+                 F.max("_e").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .select(F.col("_k").alias(key_col),
+                    "island_start", "island_end", "n_intervals"))

@@ -3120,6 +3120,89 @@ def sketch_kmv_set_ops_q(spark, sf):
 
 
 @query(
+    "sketch_histogram_quantiles",
+    """
+    WITH src AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+                 WHERE n_chars IS NOT NULL),
+    b AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 4.0) AS BIGINT), 0), 255) AS bin
+          FROM src),
+    c AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, c,
+                   sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS total
+            FROM c),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+    h AS (SELECT q, bin, c, cum - c AS cum_prev, q * total AS target
+          FROM cum CROSS JOIN qs WHERE cum >= q * total),
+    f AS (SELECT q, bin, c, cum_prev, target,
+                 row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+          FROM h)
+    SELECT q, 0.0 + bin * 4.0 + 4.0 * (target - cum_prev) / c AS est
+    FROM f WHERE rn = 1 ORDER BY q
+    """,
+)
+def sketch_histogram_quantiles_q(spark, sf):
+    """Quantiles from a fixed-width MERGEABLE histogram (r8): the
+    distribution sketch behind corpus-scale quality gates. Spark's
+    approx_percentile (GK) has engine-internal tie-breaks no oracle can
+    reproduce; the fixed [0, 1024)/256-bin histogram bins identically in
+    both engines so the interpolated p50/p90/p99 match bit-for-bit. One
+    map-side-combined aggregation reduces the corpus to <=256 bin rows;
+    counts ADD across shards, so sharded corpora merge sketches instead of
+    re-scanning — all quantile arithmetic then runs on the tiny bin
+    table."""
+    from .operators import sketch as K
+
+    d = load(spark, sf, "documents")
+    return K.histogram_quantiles(d, "n_chars", lo=0.0, hi=1024.0, bins=256,
+                                 quantiles=(0.5, 0.9, 0.99))
+
+
+@query(
+    "timeseries_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id AS k, epoch(ts) AS s, epoch(ts) + value * 10 AS e
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND epoch(ts) + value * 10 >= epoch(ts)
+    ),
+    m AS (SELECT k, s, e,
+                 max(e) OVER (PARTITION BY k ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv),
+    f AS (SELECT k, s, e,
+                 CASE WHEN pm IS NOT NULL AND s > pm + 300.0 THEN 1 ELSE 0 END AS nw
+          FROM m),
+    i AS (SELECT k, s, e,
+                 sum(nw) OVER (PARTITION BY k ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) + 1 AS island
+          FROM f)
+    SELECT k AS user_id, min(s) AS island_start, max(e) AS island_end,
+           count(*) AS n_intervals
+    FROM i GROUP BY k, island
+    """,
+)
+def timeseries_merge_intervals_q(spark, sf):
+    """Merge overlapping per-user activity intervals (r8) — the
+    gaps-and-islands primitive behind session stitching and speech-segment
+    coalescing. Each event opens [epoch(ts), epoch(ts) + 10*value] seconds;
+    intervals closer than 300 s merge into one island. Two window passes
+    and one aggregate per key — no self-join, no driver state; at 100 TB
+    the shuffle is keyed on user and partitions are single-user interval
+    lists."""
+    from .operators.timeseries import merge_intervals
+
+    ev = load(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so NTZ → TS → DOUBLE
+    # equals DuckDB's epoch(naive ts) including the fractional seconds
+    ep = F.col("ts").cast("timestamp").cast("double")
+    iv = ev.select("user_id", ep.alias("s"),
+                   (ep + F.col("value") * 10).alias("e"))
+    return merge_intervals(iv, "user_id", "s", "e", min_gap=300.0)
+
+
+@query(
     "join_salted_skew",
     """
     SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -5368,6 +5451,11 @@ _GRADED_FIRST = [
     "sketch_kmv_set_ops",
     "range_join_errors_followups",
     "pack_token_budget_bins",
+    # --- r8 NEW operators: mergeable-histogram quantiles + interval
+    #     merging (displaced: maintenance_zorder_scan,
+    #     cluster_kmeans_topics_gemm — green r6 AND r7, untouched r8) ---
+    "sketch_histogram_quantiles",
+    "timeseries_merge_intervals",
     # --- r6 VERDICT task #3: degenerate-input fixes never freshly graded ---
     "text_repetition_scores",
     "multimodal_extract_features",
@@ -5390,10 +5478,8 @@ _GRADED_FIRST = [
     "incremental_join_view_refresh",
     "changelog_cdc_scan",
     "maintenance_expire_scan",
-    "maintenance_zorder_scan",
     "join_hot_key_isolated",
     "cluster_kmeans_topics",
-    "cluster_kmeans_topics_gemm",
     "text_hashing_vectorize",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -478,3 +478,57 @@ def test_kmeans_degenerates_pass_as_designed(spark):
         assert kmeans_assign(one, k=2, iters=1, assignment=mode).count() == 1
     out = kmeans_assign(emb.limit(0), k=2, iters=1)
     assert out.count() == 0 and out.columns == ["vec_id", "cluster"]
+
+
+def test_merge_intervals_islands_and_degenerates(spark):
+    """r8: gaps-and-islands interval merging — overlap and within-gap
+    intervals coalesce, touching-at-gap-boundary does NOT start a new
+    island only when strictly beyond start > max_end + gap, inverted
+    intervals are dropped (r7 range-join rule), NULL endpoints are not
+    population members, duplicate intervals keep multiset counts."""
+    from go_iceberg_spark.operators.timeseries import merge_intervals
+
+    rows = [
+        ("a", 0.0, 10.0), ("a", 5.0, 12.0),      # overlap -> one island
+        ("a", 14.0, 15.0),                        # within gap=2 of 12 -> merges
+        ("a", 18.0, 20.0),                        # 18 > 15+2 -> new island
+        ("a", 30.0, 25.0),                        # inverted -> dropped
+        ("b", 1.0, 2.0), ("b", 1.0, 2.0),         # duplicates both counted
+        ("b", None, 9.0), ("b", 3.0, None),       # NULLs dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = sorted(tuple(r) for r in
+                 merge_intervals(df, "k", "s", "e", min_gap=2.0).collect())
+    assert got == [("a", 0.0, 15.0, 3), ("a", 18.0, 20.0, 1),
+                   ("b", 1.0, 2.0, 2)], got
+
+
+def test_histogram_quantiles_clamps_and_interpolates(spark):
+    """r8: fixed-width histogram quantiles — exact interpolation on a known
+    distribution, out-of-range values clamp to edge bins, NULLs excluded,
+    and the sketch MERGES: quantiles over (shard1 + shard2) equal quantiles
+    over the union because bin counts add."""
+    from go_iceberg_spark.operators.sketch import histogram_quantiles
+
+    # 100 values 0..99 with bins exactly 1-wide: p50 target=50 -> bin 50
+    df = spark.range(100).selectExpr("cast(id as double) as v")
+    got = {r.q: r.est for r in histogram_quantiles(
+        df, "v", lo=0.0, hi=100.0, bins=100, quantiles=(0.5, 0.99)).collect()}
+    assert got[0.5] == 50.0 and got[0.99] == 99.0, got
+
+    # clamping: far-out values land in the edge bins, never out of range
+    df2 = spark.createDataFrame([(-1e9,), (1e9,), (None,)], "v double")
+    got2 = {r.q: r.est for r in histogram_quantiles(
+        df2, "v", lo=0.0, hi=10.0, bins=10, quantiles=(0.5,)).collect()}
+    assert 0.0 <= got2[0.5] <= 10.0
+
+    # mergeability: two shards vs their union
+    a = spark.range(0, 60).selectExpr("cast(id as double) as v")
+    b = spark.range(60, 100).selectExpr("cast(id as double) as v")
+    u = {r.q: r.est for r in histogram_quantiles(
+        a.unionAll(b), "v", lo=0.0, hi=100.0, bins=50,
+        quantiles=(0.9,)).collect()}
+    w = {r.q: r.est for r in histogram_quantiles(
+        spark.range(100).selectExpr("cast(id as double) as v"),
+        "v", lo=0.0, hi=100.0, bins=50, quantiles=(0.9,)).collect()}
+    assert u == w
