@@ -134,7 +134,19 @@ def histogram_quantiles(
     Scale shape: ONE map-side-combined aggregation to <= ``bins`` rows
     (counts add across partitions/shards — the sketch is mergeable by
     construction), then all quantile arithmetic runs on the tiny bin
-    table. Nothing else touches the corpus. Output: (q, est)."""
+    table. Nothing else touches the corpus. Output: (q, est).
+
+    Degenerate guards (r8 sweep): hi <= lo silently produced negative-
+    width-bin garbage (hi == lo was an ANSI DIVIDE_BY_ZERO job kill),
+    bins < 1 a raw ZeroDivisionError — all rejected driver-side."""
+    from ..errors import ValidationError
+
+    if not hi > lo:
+        raise ValidationError(f"histogram range empty: lo={lo} hi={hi}")
+    if bins < 1:
+        raise ValidationError(f"bins must be >= 1, got {bins}")
+    if any(not 0.0 <= q <= 1.0 for q in quantiles):
+        raise ValidationError(f"quantiles must be in [0, 1]: {quantiles}")
     w = (hi - lo) / bins
     b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w))
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))

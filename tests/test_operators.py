@@ -532,3 +532,23 @@ def test_histogram_quantiles_clamps_and_interpolates(spark):
         spark.range(100).selectExpr("cast(id as double) as v"),
         "v", lo=0.0, hi=100.0, bins=50, quantiles=(0.9,)).collect()}
     assert u == w
+
+
+def test_histogram_quantiles_degenerate_guards(spark):
+    """r8 degenerate sweep: hi == lo was an ANSI DIVIDE_BY_ZERO job kill,
+    hi < lo silently produced negative-width-bin garbage, bins = 0 a raw
+    ZeroDivisionError — all rejected with ValidationError driver-side;
+    empty/all-NULL inputs return an empty quantile set."""
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.operators.sketch import histogram_quantiles
+
+    one = spark.createDataFrame([(5.0,)], "v double")
+    for kw in ({"lo": 5.0, "hi": 5.0}, {"lo": 9.0, "hi": 1.0},
+               {"lo": 0.0, "hi": 10.0, "bins": 0},
+               {"lo": 0.0, "hi": 10.0, "quantiles": (1.5,)}):
+        with _pytest.raises(ValidationError):
+            histogram_quantiles(one, "v", **kw)
+    empty = spark.createDataFrame([(None,)], "v double")
+    assert histogram_quantiles(empty, "v", lo=0.0, hi=1.0).collect() == []
