@@ -436,3 +436,58 @@ def test_mor_delete_writer_skips_already_dead_rows(spark, catalog):
     dels = sorted((r.id, r._change_ordinal) for r in t.changes().collect()
                   if r._change_type == "delete")
     assert dels == [(4, 2), (5, 2), (6, 1), (7, 1)], dels
+
+
+def test_mutable_ivm_across_wap_maintenance_and_expiry(spark, catalog):
+    """r8 probe pin: the changelog-driven join-view refresh stays exact
+    when the range contains a WAP fast_forward publish, rewrite_manifests,
+    and MoR deletes; chained refreshes compose; and a from-snapshot expired
+    out of retention raises ValidationError instead of silently returning
+    a wrong view."""
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.incremental import (
+        incremental_join_refresh_changelog,
+    )
+
+    mk = lambda rows, ddl: spark.createDataFrame(rows, ddl)
+    A = mk([(i % 4, i) for i in range(16)], "k bigint, a bigint")
+    B = mk([(i, i * 10) for i in range(4)], "k bigint, b bigint")
+    ta = catalog.create_table("db", "xivm_a", from_spark_schema(A.schema))
+    ta.append(A)
+    tb = catalog.create_table("db", "xivm_b", from_spark_schema(B.schema))
+    tb.append(B)
+    a0, b0 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m0 = ta.to_df().join(tb.to_df(), ["k"])
+
+    ta.delete(gi.eq("a", 5))
+    ta.append(mk([(0, 100)], "k bigint, a bigint"))
+    ta.rewrite_data_files(min_input_files=2)
+    ta.expire_snapshots(retain_last=2)
+    if a0 not in {s.snapshot_id for s in ta.snapshots()}:
+        with pytest.raises(ValidationError):
+            incremental_join_refresh_changelog(m0, ta, tb, ["k"],
+                                               from_a=a0, from_b=b0)
+
+    def eq_ms(x, y):
+        return x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+
+    a1, b1 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m1 = ta.to_df().join(tb.to_df(), ["k"]).localCheckpoint()
+    tb.create_branch("aud")
+    tb.append_to_branch("aud", mk([(9, 90)], "k bigint, b bigint"))
+    tb.fast_forward("main", "aud")
+    ta.append(mk([(9, 900), (1, 101)], "k bigint, a bigint"))
+    ta.rewrite_manifests(target_entries_per_manifest=2)
+    tb.upsert(mk([(0, 999)], "k bigint, b bigint"), ["k"])
+    m2 = incremental_join_refresh_changelog(m1, ta, tb, ["k"],
+                                            from_a=a1, from_b=b1)
+    assert eq_ms(m2, ta.to_df().join(tb.to_df(), ["k"]))
+    assert m2.filter("k = 9 and a = 900 and b = 90").count() == 1
+
+    a2, b2 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m2c = m2.localCheckpoint()
+    ta.delete(gi.eq("k", 9), mode="merge-on-read")
+    m3 = incremental_join_refresh_changelog(m2c, ta, tb, ["k"],
+                                            from_a=a2, from_b=b2)
+    assert eq_ms(m3, ta.to_df().join(tb.to_df(), ["k"]))
+    assert m3.filter("k = 9").count() == 0
