@@ -256,7 +256,7 @@ def changelog_scan(
             if not any(e.content == CONTENT_EQUALITY_DELETES for e in new_dels):
                 # position deletes name their target files — prune the
                 # before/after read to just those (an equality delete can
-                # hit any older file, so it keeps the full live set)
+                # hit any older file, so bounds do the pruning below)
                 hit_paths: set[str] = set()
                 for e in new_dels:
                     pdf = spark.read.parquet(
@@ -265,6 +265,54 @@ def changelog_scan(
                         r[0] for r in
                         pdf.select(POS_DELETE_FILE_COL).distinct().collect())
                 live_data = [e for e in live_data if e.file_path in hit_paths]
+            else:
+                # equality deletes can hit any applicable older file, but
+                # the delete FILE's own column stats bound its key values:
+                # a data file whose key range cannot overlap any new
+                # delete's key range contributes identical rows to the
+                # before and after reads, so it never transitions and can
+                # be skipped. Conservative on every doubt — missing
+                # bounds, type mismatches, and float bounds (NaN sorts
+                # above every double and hides from min/max, the r6 NaN
+                # row-loss class) all KEEP the file.
+                def _may_lose_rows(d: DataFileEntry) -> bool:
+                    for e in new_dels:
+                        if e.content == CONTENT_POSITION_DELETES:
+                            if e.sequence_number >= d.sequence_number:
+                                return True
+                            continue
+                        if e.sequence_number <= d.sequence_number:
+                            continue
+                        overlap = True
+                        for fid, ds in e.column_stats.items():
+                            s = d.column_stats.get(fid)
+                            if not s:
+                                continue
+                            # a NULL delete key matches NULL data keys
+                            # null-safely (the engine's eq-delete rule), so
+                            # this fid can only disprove a match when a
+                            # null-null pairing is provably impossible
+                            dn, sn = ds.get("null_count"), s.get("null_count")
+                            if (dn is None or dn > 0) and (sn is None or sn > 0):
+                                continue
+                            lo_d, hi_d = ds.get("min"), ds.get("max")
+                            lo_s, hi_s = s.get("min"), s.get("max")
+                            if None in (lo_d, hi_d, lo_s, hi_s):
+                                continue
+                            if any(isinstance(v, float)
+                                   for v in (lo_d, hi_d, lo_s, hi_s)):
+                                continue  # float keys: NaN-unsafe, keep
+                            try:
+                                if lo_s > hi_d or hi_s < lo_d:
+                                    overlap = False
+                                    break
+                            except TypeError:
+                                continue
+                        if overlap:
+                            return True
+                    return False
+
+                live_data = [d for d in live_data if _may_lose_rows(d)]
             cur_deletes = [e for e in table.manifest_entries(snap)
                            if e.content != CONTENT_DATA]
             before = _read_entries(table, live_data, deletes=parent_deletes)

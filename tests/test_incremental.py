@@ -491,3 +491,30 @@ def test_mutable_ivm_across_wap_maintenance_and_expiry(spark, catalog):
                                             from_a=a2, from_b=b2)
     assert eq_ms(m3, ta.to_df().join(tb.to_df(), ["k"]))
     assert m3.filter("k = 9").count() == 0
+
+
+def test_changelog_eq_delete_bounds_prune_keeps_null_and_overlap_semantics(spark, catalog):
+    """r8: the changelog's eq-delete before/after read prunes data files
+    whose key bounds cannot overlap the delete file's key bounds — but a
+    NULL delete key matches NULL data keys null-safely regardless of
+    scalar ranges, and a rename between write and read must not break the
+    field-id bound mapping. All deltas must still surface exactly once."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+
+    # two disjoint-range files + one NULL-keyed row in the high file
+    df1 = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)])
+    t = catalog.create_table("db", "eqprune", from_spark_schema(df1.schema))
+    t.append(df1)
+    t.append(spark.createDataFrame(
+        [Row(id=100 + i, v=1.0) for i in range(5)] + [Row(id=None, v=9.0)]))
+    t.update_schema().rename_column("id", "ident").commit()
+    # delete keys: 3 (low file only) and NULL (high file's NULL row)
+    delete_equality(t, spark.createDataFrame(
+        [(3,), (None,)], "ident bigint"), ["ident"])
+    dels = sorted(((r.ident, r.v) for r in t.changes().collect()
+                   if r._change_type == "delete"),
+                  key=lambda x: (x[0] is None, x))
+    assert dels == [(3, 3.0), (None, 9.0)], dels
+    assert t.to_df().count() == 9
