@@ -663,3 +663,46 @@ def quantize_int8(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embe
         .otherwise(F.lit(0)),
     )
     return df.select(F.col(id_col), q.alias("qvec"), F.round(nrm, 6).alias("norm"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    score_col: str,
+    *,
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    search combiner (BM25 list + embedding-ANN list -> one ranking).
+    Each input is an already-TRUNCATED top-N list carrying ``score_col``;
+    rank within each list is dense order by (score desc, id asc) so ties
+    are deterministic. Contributions 1/(k + rank) are quantized to
+    integer nano-units before summing, making the fused score exact and
+    independent of float summation order — the same bit-reproducibility
+    rule as the DSIR/bigram-LM scorers (cross-engine oracle-safe).
+
+    Scale shape: RRF fuses top-N LISTS, not corpora — each window ranks
+    one bounded list (single-partition by design; the retrievers already
+    did the corpus-scale work), and the fuse is one union + groupBy over
+    sum-of-list-lengths rows. Output: (id, rrf_nano, n_lists [, top_n
+    rows by fused rank])."""
+    parts = []
+    for df in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(df.select(F.col(id_col).alias("_id"),
+                               F.row_number().over(w).alias("_rank")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.round(F.lit(1e9) / (F.lit(k) + F.col("_rank"))).cast("long")
+    fused = (u.select("_id", contrib.alias("_c"))
+             .groupBy("_id")
+             .agg(F.sum("_c").alias("rrf_nano"),
+                  F.count(F.lit(1)).alias("n_lists"))
+             .select(F.col("_id").alias(id_col), "rrf_nano", "n_lists"))
+    if top_n is not None:
+        wf = Window.orderBy(F.col("rrf_nano").desc(), F.col(id_col).asc())
+        fused = (fused.withColumn("_rn", F.row_number().over(wf))
+                 .filter(F.col("_rn") <= top_n).drop("_rn"))
+    return fused

@@ -3159,6 +3159,61 @@ def sketch_histogram_quantiles_q(spark, sf):
 
 
 @query(
+    "similarity_hybrid_rrf",
+    """
+    WITH ev AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    by_val AS (SELECT user_id, sum(cents) AS s FROM ev GROUP BY user_id),
+    by_cnt AS (SELECT user_id, count(*) AS s FROM ev GROUP BY user_id),
+    r1 AS (SELECT user_id,
+                  row_number() OVER (ORDER BY s DESC, user_id ASC) AS rank
+           FROM by_val),
+    r2 AS (SELECT user_id,
+                  row_number() OVER (ORDER BY s DESC, user_id ASC) AS rank
+           FROM by_cnt),
+    u AS (SELECT user_id, rank FROM r1 WHERE rank <= 50
+          UNION ALL
+          SELECT user_id, rank FROM r2 WHERE rank <= 50),
+    f AS (SELECT user_id,
+                 CAST(sum(CAST(round(1e9 / (60 + rank)) AS BIGINT)) AS BIGINT)
+                   AS rrf_nano,
+                 count(*) AS n_lists
+          FROM u GROUP BY user_id),
+    t AS (SELECT user_id, rrf_nano, n_lists,
+                 row_number() OVER (ORDER BY rrf_nano DESC, user_id ASC) AS rn
+          FROM f)
+    SELECT user_id, rrf_nano, n_lists FROM t WHERE rn <= 20
+    """,
+)
+def similarity_hybrid_rrf_q(spark, sf):
+    """Reciprocal-rank fusion (r8) — the standard hybrid-search combiner:
+    two retriever rankings (users by exact spend-cents, users by event
+    count — integer metrics so cross-engine rank ties cannot flip) are
+    truncated to top-50 lists and fused with RRF k=60; contributions are
+    integer-nano-quantized so the fused score is exact regardless of
+    summation order. RRF operates on bounded LISTS — the corpus-scale work
+    happened in the retrievers — so the fuse is one union + groupBy over
+    at most sum-of-list-lengths rows."""
+    from .operators.similarity import rrf_fuse
+    from pyspark.sql import Window as W
+
+    ev = (load(spark, sf, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+          .select("user_id",
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    by_val = ev.groupBy("user_id").agg(F.sum("cents").alias("score"))
+    by_cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("score"))
+
+    def top50(df):
+        w = W.orderBy(F.col("score").desc(), F.col("user_id").asc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= 50).drop("_rn"))
+
+    return rrf_fuse([top50(by_val), top50(by_cnt)], "user_id", "score",
+                    k=60, top_n=20)
+
+
+@query(
     "timeseries_merge_intervals",
     """
     WITH iv AS (
@@ -5456,6 +5511,7 @@ _GRADED_FIRST = [
     #     cluster_kmeans_topics_gemm — green r6 AND r7, untouched r8) ---
     "sketch_histogram_quantiles",
     "timeseries_merge_intervals",
+    "similarity_hybrid_rrf",
     # --- r6 VERDICT task #3: degenerate-input fixes never freshly graded ---
     "text_repetition_scores",
     "multimodal_extract_features",
@@ -5483,7 +5539,6 @@ _GRADED_FIRST = [
     "text_hashing_vectorize",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "hopping_window_counts",
     # --- rotation: TPC-H + operator families cycling back for fresh grades
     #     (displaced rows green in BOTH r5 and r6: time_travel_scan,
     #     metadata_count, bloom/bucket pruning scans, avro manifest,

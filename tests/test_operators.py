@@ -552,3 +552,23 @@ def test_histogram_quantiles_degenerate_guards(spark):
             histogram_quantiles(one, "v", **kw)
     empty = spark.createDataFrame([(None,)], "v double")
     assert histogram_quantiles(empty, "v", lo=0.0, hi=1.0).collect() == []
+
+
+def test_rrf_fuse_ranks_ties_and_missing_ids(spark):
+    """r8: reciprocal-rank fusion — ids missing from one list still score
+    (n_lists records coverage), score ties rank deterministically by id,
+    contributions are integer-nano-quantized (order-free sums), and top_n
+    truncates by fused rank."""
+    from go_iceberg_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 9.0), (3, 5.0)], "id bigint, s double")
+    b = spark.createDataFrame([(3, 7.0), (4, 6.0)], "id bigint, s double")
+    out = {r.id: (r.rrf_nano, r.n_lists)
+           for r in rrf_fuse([a, b], "id", "s", k=60).collect()}
+    # tie at s=9.0: id 1 ranks 1, id 2 ranks 2 (id asc tie-break)
+    n = lambda rank: round(1e9 / (60 + rank))
+    assert out[1] == (n(1), 1) and out[2] == (n(2), 1)
+    assert out[3] == (n(3) + n(1), 2)          # in both lists
+    assert out[4] == (n(2), 1)
+    top = [r.id for r in rrf_fuse([a, b], "id", "s", k=60, top_n=2).collect()]
+    assert top == [3, 1]                        # fused order, id tie-break
