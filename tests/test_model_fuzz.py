@@ -214,7 +214,10 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         got = {k: v for k, v in bal.items() if v != 0}
         want_c = Counter(_tuples(history[j]["state"], cur_cols))
         want = {k: v for k, v in want_c.items() if v != 0}
-        assert got == want, (seed, step, op, "changelog netting", i, j)
+        diff = {k: (got.get(k, 0), want.get(k, 0))
+                for k in set(got) | set(want) if got.get(k, 0) != want.get(k, 0)}
+        assert got == want, (seed, step, op, "changelog netting", i, j,
+                             "got!=want (got_count, want_count):", diff)
 
         # (a) incremental append scan: exact attribution needs an unrewired
         # range (expiry re-parents across gaps, folding expired snapshots'
