@@ -686,7 +686,17 @@ def rrf_fuse(
     one bounded list (single-partition by design; the retrievers already
     did the corpus-scale work), and the fuse is one union + groupBy over
     sum-of-list-lengths rows. Output: (id, rrf_nano, n_lists [, top_n
-    rows by fused rank])."""
+    rows by fused rank]).
+
+    Degenerate guards (r8 sweep rule): an empty rankings list and k < 0
+    (k + rank could hit 0 — ANSI divide-by-zero job kill) raise
+    driver-side; empty INPUT lists are fine (they contribute nothing)."""
+    from ..errors import ValidationError
+
+    if not rankings:
+        raise ValidationError("rrf_fuse needs at least one ranking")
+    if k < 0:
+        raise ValidationError(f"rrf k must be >= 0, got {k}")
     parts = []
     for df in rankings:
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())

@@ -572,3 +572,21 @@ def test_rrf_fuse_ranks_ties_and_missing_ids(spark):
     assert out[4] == (n(2), 1)
     top = [r.id for r in rrf_fuse([a, b], "id", "s", k=60, top_n=2).collect()]
     assert top == [3, 1]                        # fused order, id tie-break
+
+
+def test_rrf_fuse_degenerate_guards(spark):
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1.0)], "id bigint, s double")
+    empty = spark.createDataFrame([], "id bigint, s double")
+    with _pytest.raises(ValidationError):
+        rrf_fuse([], "id", "s")
+    with _pytest.raises(ValidationError):
+        rrf_fuse([a], "id", "s", k=-1)
+    # an empty input list contributes nothing; single-list fuse degrades
+    # to the list's own ranking
+    out = rrf_fuse([a, empty], "id", "s", k=60).collect()
+    assert [(r.id, r.n_lists) for r in out] == [(1, 1)]
