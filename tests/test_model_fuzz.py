@@ -68,7 +68,13 @@ import pytest
 import go_iceberg_spark as gi
 from go_iceberg_spark.errors import ValidationError
 from go_iceberg_spark.schema import INT, LONG, from_spark_schema
-from go_iceberg_spark.streaming.stream import append_batch_exactly_once
+from go_iceberg_spark.streaming.stream import (
+    BATCH_MARKER_KEY,
+    HIGH_WATER_PROP,
+    HIGH_WATER_SEQ_PROP,
+    _batch_already_committed,
+    append_batch_exactly_once,
+)
 from go_iceberg_spark.table.incremental import CHANGE_TYPE_COL
 from go_iceberg_spark.table.metadata import OP_APPEND, OP_REPLACE
 from go_iceberg_spark.table.mutate import merge
@@ -130,10 +136,35 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
     next_k = 100
     # exactly-once stream-sink state: applied = batch ids whose data is in
     # the CURRENT table state (snapshotted per history entry so rollback
-    # restores it); batch_log = immutable batch payloads for replays
+    # restores it); batch_log = immutable (kind, rows) payloads for replays
+    # — kind is "append" (append_stream path) or "upsert" (CDC MERGE sink)
     applied: set[int] = set()
-    batch_log: dict[int, list[dict]] = {}
+    batch_log: dict[int, tuple[str, list[dict]]] = {}
     next_bid = 0
+
+    def _upsert_once(df, bid):
+        """The upsert_stream sink's per-batch commit path: marker + high
+        water + per-retry pre_commit_check, MERGE semantics on key k."""
+        from go_iceberg_spark.table.table import COMMIT_SEQ_PLACEHOLDER
+
+        t.refresh()
+        if _batch_already_committed(t, "fz", bid):
+            return False
+        t.upsert(df, [names["k"]],
+                 summary_extra={BATCH_MARKER_KEY: f"fz:{bid}"},
+                 properties_extra={HIGH_WATER_PROP + "fz": str(bid),
+                                   HIGH_WATER_SEQ_PROP + "fz": COMMIT_SEQ_PLACEHOLDER},
+                 pre_commit_check=lambda: not _batch_already_committed(t, "fz", bid))
+        return True
+
+    def _apply_upsert_to_model(rows):
+        by_k = {r["k"]: r for r in rows}
+        hit = set()
+        for r in model:
+            if r["k"] in by_k:
+                r.update(copy.deepcopy(by_k[r["k"]]))
+                hit.add(r["k"])
+        model.extend(copy.deepcopy(r) for kk, r in by_k.items() if kk not in hit)
     # snapshot-id -> record of (model state, column names, logical cols AT
     # SNAPSHOT CREATION, appended batch if the commit was an OP_APPEND,
     # original parent pointer, applied stream batches): a time-travel read
@@ -258,7 +289,8 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
              "upsert", "merge_nmbs", "rollback", "compact", "expire",
              "rename", "rename", "txn",
              "spec_evolve", "wap", "add_files", "widen",
-             "rewrite_manifests", "stream_commit", "stream_replay"])
+             "rewrite_manifests", "stream_commit", "stream_replay",
+             "stream_upsert"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -352,12 +384,21 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             undone = sorted(b for b in batch_log if b not in applied)
             if undone and rng.random() < 0.5:
                 for b in undone:
-                    ok = append_batch_exactly_once(t, _df_of(batch_log[b]), "fz", b)
+                    kind, rows = batch_log[b]
+                    if kind == "append":
+                        ok = append_batch_exactly_once(t, _df_of(rows), "fz", b)
+                    else:
+                        ok = _upsert_once(_df_of(rows), b)
                     assert ok is True, (seed, step, "undone batch permanently "
-                                        "deduped after rollback", b)
-                    model.extend(copy.deepcopy(batch_log[b]))
-                    applied.add(b)
-                    record(appended=batch_log[b])
+                                        "deduped after rollback", b, kind)
+                    if kind == "append":
+                        model.extend(copy.deepcopy(rows))
+                        applied.add(b)
+                        record(appended=rows)
+                    else:
+                        _apply_upsert_to_model(rows)
+                        applied.add(b)
+                        record()
             else:
                 for b in undone:
                     del batch_log[b]
@@ -468,14 +509,32 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             df, rows = _batch(spark, rng, new_ks, names, cols, wtype)
             assert append_batch_exactly_once(t, df, "fz", bid) is True, \
                 (seed, step, "fresh stream batch did not apply", bid)
-            batch_log[bid] = copy.deepcopy(rows)
+            batch_log[bid] = ("append", copy.deepcopy(rows))
             model.extend(rows)
             applied.add(bid)
             record(appended=rows)
             if rng.random() < 0.4:
                 assert append_batch_exactly_once(
-                    t, _df_of(batch_log[bid]), "fz", bid) is False, \
+                    t, _df_of(batch_log[bid][1]), "fz", bid) is False, \
                     (seed, step, "replayed batch double-applied", bid)
+        elif op == "stream_upsert":
+            # CDC MERGE sink batch (upsert_stream's commit path): keys mix
+            # existing rows (update ALL their duplicates) and fresh inserts;
+            # same (ckpt, batch) marker + high-water dedup as the append sink
+            bid, next_bid = next_bid, next_bid + 1
+            src_ks = list({rng.choice(ks) if ks and rng.random() < 0.6
+                           else next_k + i for i in range(rng.randint(1, 3))})
+            next_k += 10
+            df, rows = _batch(spark, rng, src_ks, names, cols, wtype)
+            assert _upsert_once(df, bid) is True, \
+                (seed, step, "fresh upsert batch did not apply", bid)
+            batch_log[bid] = ("upsert", copy.deepcopy(rows))
+            _apply_upsert_to_model(rows)
+            applied.add(bid)
+            record()
+            if rng.random() < 0.4:
+                assert _upsert_once(_df_of(batch_log[bid][1]), bid) is False, \
+                    (seed, step, "replayed upsert batch double-applied", bid)
         elif op == "stream_replay":
             # re-deliver a random APPLIED batch: must dedupe via the summary
             # marker or — after the marker snapshot expired — the
@@ -485,8 +544,11 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             if not done:
                 continue
             b = rng.choice(done)
-            assert append_batch_exactly_once(t, _df_of(batch_log[b]), "fz", b) is False, \
-                (seed, step, "applied batch replayed as new", b)
+            kind, rows = batch_log[b]
+            replayed = (append_batch_exactly_once(t, _df_of(rows), "fz", b)
+                        if kind == "append" else _upsert_once(_df_of(rows), b))
+            assert replayed is False, \
+                (seed, step, "applied batch replayed as new", b, kind)
         elif op == "expire":
             t.expire_snapshots(retain_last=rng.randint(2, 4))
             retained = {s.snapshot_id for s in t.snapshots()}
