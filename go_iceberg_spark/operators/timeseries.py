@@ -103,8 +103,8 @@ def merge_intervals(
     flagged = iv.withColumn(
         "_new", F.when(F.col("_s") > F.max("_e").over(w_ord) + F.lit(float(min_gap)),
                        F.lit(1)).otherwise(F.lit(0)))
-    # the first row per key has a NULL running max -> when() falls to 0;
-    # force it to open island 1 via coalesce on the flag sum start
+    # the first row per key has a NULL running max, so when() falls through
+    # to otherwise(0); the +1 offset below then opens island 1 for it
     islands = flagged.withColumn(
         "_island", F.sum("_new").over(w_run) + F.lit(1))
     return (islands.groupBy("_k", "_island")

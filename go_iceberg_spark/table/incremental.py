@@ -27,12 +27,13 @@ the CoW changelog path, each bounded by the size of one snapshot's rewrite.
 
 from __future__ import annotations
 
+import decimal
 import os
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..errors import ValidationError
-from ..schema import to_spark_type
+from ..schema import DecimalType, FixedType, PrimitiveType, to_spark_type
 from .metadata import (
     CONTENT_DATA,
     CONTENT_EQUALITY_DELETES,
@@ -275,6 +276,36 @@ def changelog_scan(
                 # bounds, type mismatches, and float bounds (NaN sorts
                 # above every double and hides from min/max, the r6 NaN
                 # row-loss class) all KEEP the file.
+                def _bound_key(fid: int, v):
+                    """Decode an ``encode_stat`` bound (write.py:362-392)
+                    into a value whose </> order matches the column's REAL
+                    order, or None to refuse (caller keeps the file).
+                    Ints/bools/dates/timestamps ride as ints; decimals as
+                    unscaled ints (r9 encoding — str(Decimal) sorted
+                    '200' < '99' lexicographically, the r8 ADVICE hazard;
+                    legacy str bounds decode back to Decimal, numerically
+                    comparable with the ints); genuine strings and
+                    hex-encoded binary/fixed are lexicographic by
+                    construction; floats are NaN-unsafe (NaN hides from
+                    min/max, the r6 row-loss class) and refuse."""
+                    f = md.current_schema.find_field_by_id(fid)
+                    if f is None:  # dropped/unknown field: can't reason
+                        return None
+                    if isinstance(f.type, DecimalType) and isinstance(v, str):
+                        try:  # pre-r9 manifest: str(Decimal) bound
+                            return decimal.Decimal(v).scaleb(
+                                f.type.scale, decimal.Context(prec=60))
+                        except decimal.InvalidOperation:
+                            return None
+                    if isinstance(v, bool) or isinstance(v, int):
+                        return v
+                    if isinstance(v, str) and (
+                            isinstance(f.type, FixedType)
+                            or (isinstance(f.type, PrimitiveType)
+                                and f.type.name in ("string", "binary"))):
+                        return v
+                    return None  # floats and anything unexpected: keep
+
                 def _may_lose_rows(d: DataFileEntry) -> bool:
                     for e in new_dels:
                         if e.content == CONTENT_POSITION_DELETES:
@@ -283,10 +314,18 @@ def changelog_scan(
                             continue
                         if e.sequence_number <= d.sequence_number:
                             continue
+                        if not e.equality_ids:
+                            return True  # malformed eq-delete: no disproof
                         overlap = True
-                        for fid, ds in e.column_stats.items():
+                        # restrict the disproof to the delete's KEY columns:
+                        # only equality_ids participate in the match, so a
+                        # disjoint non-key payload column must never prune
+                        # (r8 ADVICE — enforce the contract where consumed,
+                        # not implied by the writer)
+                        for fid in e.equality_ids:
+                            ds = e.column_stats.get(fid)
                             s = d.column_stats.get(fid)
-                            if not s:
+                            if not ds or not s:
                                 continue
                             # a NULL delete key matches NULL data keys
                             # null-safely (the engine's eq-delete rule), so
@@ -295,13 +334,10 @@ def changelog_scan(
                             dn, sn = ds.get("null_count"), s.get("null_count")
                             if (dn is None or dn > 0) and (sn is None or sn > 0):
                                 continue
-                            lo_d, hi_d = ds.get("min"), ds.get("max")
-                            lo_s, hi_s = s.get("min"), s.get("max")
+                            lo_d, hi_d = _bound_key(fid, ds.get("min")), _bound_key(fid, ds.get("max"))
+                            lo_s, hi_s = _bound_key(fid, s.get("min")), _bound_key(fid, s.get("max"))
                             if None in (lo_d, hi_d, lo_s, hi_s):
                                 continue
-                            if any(isinstance(v, float)
-                                   for v in (lo_d, hi_d, lo_s, hi_s)):
-                                continue  # float keys: NaN-unsafe, keep
                             try:
                                 if lo_s > hi_d or hi_s < lo_d:
                                     overlap = False
@@ -449,3 +485,93 @@ def incremental_join_refresh_changelog(
                       F.explode(F.sequence(F.lit(1), F.col(CNT))).alias("_i"))
               .select(*out_cols))
     return untouched.unionByName(merged)
+
+
+def incremental_agg_refresh_changelog(
+    prev_agg: DataFrame,
+    table,
+    group_keys: list[str],
+    *,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    sum_cols: dict[str, str] | None = None,
+    count_col: str | None = None,
+    agg_fn=None,
+) -> DataFrame:
+    """Incremental maintenance of a GROUP BY view over ONE mutable base
+    table — the most common materialized view in practice. The append-only
+    form (``incremental_agg_refresh`` in the workload) merges partial
+    aggregates of the incremental scan; this one feeds the row-level
+    CHANGELOG instead, so any CRUD history (update, delete, upsert, MoR,
+    compaction) in (from, to] maintains the view exactly.
+
+    Two maintenance strategies, both delta-proportional:
+
+    - **Algebraic** (``count_col`` + ``sum_cols``, for count/sum/avg-style
+      views): the signed changelog (+1 insert / −1 delete) aggregates to
+      per-group deltas — d_count = Σ sign, d_sum = Σ sign·x — which merge
+      into the old aggregate row by ADDITION; a group whose merged count
+      reaches zero died and is dropped, a delta group with no old row is
+      born. No base-table scan at all: refresh cost is one aggregate over
+      the changelog plus a broadcast-split of the view on touched keys.
+      ``count_col`` is REQUIRED here — count is what detects group death.
+
+    - **Generic** (``agg_fn``, for non-additive aggregates: min/max,
+      distinct counts, percentiles): touched groups are RE-AGGREGATED from
+      the base at ``to`` filtered to the touched keys (one broadcast
+      semi-join that scan pruning can push down), untouched view rows pass
+      through without aggregating.
+
+    Updates appear as delete+insert pairs in the changelog and
+    maintenance REPLACEs net to zero, so both strategies are exact over
+    any history. At 100 TB only rows sharing a group key with a changed
+    row ever shuffle; the view itself is never re-aggregated."""
+    SIGN, CNT = "_ivm_sign", "_ivm_cnt"
+    to_id = (to_snapshot_id if to_snapshot_id is not None
+             else table.current_snapshot().snapshot_id)
+    ch = changelog_scan(table, from_snapshot_id, to_id)
+    sign = (F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1))
+            .otherwise(F.lit(-1)))
+    delta_keys = ch.select(*group_keys).distinct()
+    untouched = prev_agg.join(F.broadcast(delta_keys), group_keys, "left_anti")
+    touched = prev_agg.join(F.broadcast(delta_keys), group_keys, "left_semi")
+
+    if agg_fn is not None:
+        base_touched = (table.scan().use_snapshot(to_id).to_df()
+                        .join(F.broadcast(delta_keys), group_keys, "left_semi"))
+        return untouched.unionByName(agg_fn(base_touched))
+
+    if not count_col:
+        raise ValidationError(
+            "algebraic aggregate IVM needs count_col (it detects group "
+            "death); pass agg_fn for non-additive aggregates")
+    sum_cols = sum_cols or {}
+    d_aggs = [F.sum(sign).alias(count_col),
+              *(F.sum(sign * F.col(src)).alias(out)
+                for out, src in sum_cols.items())]
+    d = ch.groupBy(*group_keys).agg(*d_aggs)
+    out_cols = prev_agg.columns
+    merged = (touched.join(d, group_keys, "full_outer")
+              .select(*group_keys,
+                      (F.coalesce(touched[count_col], F.lit(0))
+                       + F.coalesce(d[count_col], F.lit(0))).alias(CNT),
+                      *(F.coalesce(touched[c], F.lit(0) if c in sum_cols
+                                   else F.lit(None)).alias(f"_old_{c}")
+                        for c in out_cols if c not in group_keys
+                        and c != count_col),
+                      *(F.coalesce(d[c], F.lit(0)).alias(f"_d_{c}")
+                        for c in sum_cols))
+              .filter(F.col(CNT) > 0))
+    sel = []
+    for c in out_cols:
+        if c in group_keys:
+            sel.append(F.col(c))
+        elif c == count_col:
+            sel.append(F.col(CNT).cast("long").alias(c))
+        elif c in sum_cols:
+            sel.append((F.col(f"_old_{c}") + F.col(f"_d_{c}")).alias(c))
+        else:
+            raise ValidationError(
+                f"view column {c!r} is neither a group key, the count, nor "
+                "an additive sum; use agg_fn for non-additive aggregates")
+    return untouched.unionByName(merged.select(*sel))

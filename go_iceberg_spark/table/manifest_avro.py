@@ -116,8 +116,11 @@ def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
                 return None  # stat was a truncated/garbage string bound
         return None
     if isinstance(t, DecimalType):
-        unscaled = int(decimal.Decimal(str(enc_val))
-                       .scaleb(t.scale, decimal.Context(prec=60)).to_integral_value())
+        if isinstance(enc_val, int):  # engine stat space: unscaled int (r9)
+            unscaled = enc_val
+        else:  # legacy str(Decimal) bounds from pre-r9 manifests
+            unscaled = int(decimal.Decimal(str(enc_val))
+                           .scaleb(t.scale, decimal.Context(prec=60)).to_integral_value())
         length = max(1, (unscaled.bit_length() + 8) // 8)  # two's-complement minimal
         return unscaled.to_bytes(length, "big", signed=True)
     return None
@@ -148,8 +151,9 @@ def bound_from_bytes(t: IcebergType, raw: bytes | None) -> Any:
             return str(_uuid.UUID(bytes=raw))
         return None
     if isinstance(t, DecimalType):
-        unscaled = int.from_bytes(raw, "big", signed=True)
-        return _decimal_plain_str(unscaled, t.scale)
+        # engine stat space is the unscaled int itself (r9) — identical to
+        # the spec's two's-complement payload, just widened to a Python int
+        return int.from_bytes(raw, "big", signed=True)
     return None
 
 

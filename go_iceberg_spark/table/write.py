@@ -369,7 +369,17 @@ def encode_stat(v: Any) -> Any:
     if isinstance(v, dt.date):
         return (v - dt.date(1970, 1, 1)).days
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # UNSCALED int (Iceberg's own decimal representation): parquet fixes
+        # the scale per column, so the unscaled ints of one column order
+        # exactly like the decimals — unlike str(Decimal), which sorts
+        # '200.00' < '99.00' and would mis-prune every </> comparison and
+        # min/max merge downstream (r8 ADVICE). Literals enter this space
+        # via encode_literal, which scales by the column's declared scale.
+        try:
+            return int(v.scaleb(-v.as_tuple().exponent,
+                                decimal.Context(prec=60)))
+        except (TypeError, decimal.InvalidOperation):
+            return None  # NaN/Inf decimals: no usable bound
     if isinstance(v, (bytes, bytearray)):
         # hex is order-isomorphic to the underlying bytes (digit alphabet is
         # ascending and prefix rule matches), so binary columns prune too
@@ -381,6 +391,16 @@ def encode_stat(v: Any) -> Any:
 
 def encode_literal(v: Any, t: IcebergType | None = None) -> Any:
     """Encode a filter literal into the same space as ``encode_stat``."""
+    if isinstance(t, DecimalType):
+        # into the column's unscaled-int space EXACTLY: a literal finer than
+        # the column scale (x > 99.005 on decimal(_,2)) stays fractional
+        # (9900.5) and compares numerically against the int bounds — no
+        # rounding, so strictness is never flipped
+        try:
+            return decimal.Decimal(str(v)).scaleb(
+                t.scale, decimal.Context(prec=60))
+        except decimal.InvalidOperation:
+            return encode_stat(v)
     if isinstance(v, str) and isinstance(t, PrimitiveType) and t.name in ("timestamp", "timestamptz"):
         parsed = dt.datetime.fromisoformat(v)
         return encode_stat(parsed)
@@ -431,12 +451,21 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                     try:
                         mn, mx = encode_stat(s.min), encode_stat(s.max)
                     except Exception:
-                        # pyarrow cannot decode every footer stat encoding
-                        # (INT32-backed decimals Spark writes for precision
-                        # ≤ 9 raise ArrowNotImplementedError on .min) —
-                        # unknown bounds are conservative: the file is never
-                        # pruned on that column, never lost
-                        continue
+                        # pyarrow cannot decode footer stats for INT32/
+                        # INT64-backed decimals (what Spark writes for
+                        # precision ≤ 18): .min raises
+                        # ArrowNotImplementedError. The RAW physical values
+                        # are exposed though, and for int-backed decimals
+                        # they ARE the unscaled ints — exactly the engine's
+                        # encode_stat space. Anything else stays unknown:
+                        # conservative, the file is never pruned, never lost.
+                        fld = pf.schema_arrow.field(name) if name in pf.schema_arrow.names else None
+                        if (fld is not None and pa.types.is_decimal(fld.type)
+                                and isinstance(s.min_raw, int)
+                                and isinstance(s.max_raw, int)):
+                            mn, mx = s.min_raw, s.max_raw
+                        else:
+                            continue
                     if mn is not None and (entry["min"] is None or mn < entry["min"]):
                         entry["min"] = mn
                     if mx is not None and (entry["max"] is None or mx > entry["max"]):

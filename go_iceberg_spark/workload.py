@@ -4031,6 +4031,116 @@ def incremental_join_view_refresh_mutable_q(spark, sf):
 
 
 @query(
+    "incremental_agg_refresh_mutable",
+    """
+    WITH fin AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT o_custkey, count(*) AS n_orders, round(sum(p), 2) AS sum_price
+    FROM fin WHERE NOT (p > 150000)
+    GROUP BY o_custkey
+    """,
+)
+def incremental_agg_refresh_mutable_q(spark, sf):
+    """Incremental GROUP-BY-view maintenance over a MUTABLE base (r9,
+    VERDICT r8 task #3 — the most common materialized view in practice):
+    the append-only ``incremental_agg_refresh`` above merges partial
+    aggregates of the incremental scan and raises the moment the base
+    takes a delete or update; here the signed CHANGELOG (+1 insert / −1
+    delete) aggregates to per-group deltas — d_count = Σ sign,
+    d_sum = Σ sign·x — that merge into the old view by ADDITION, with
+    groups dying when their merged count reaches zero. The setup drives an
+    append, a row-changing UPDATE (a REPLACE the rows-preserved marker
+    must not skip), and a copy-on-write DELETE. Inline assert: the
+    refreshed view is multiset-equal to the full recompute. At 100 TB the
+    refresh never scans the base at all — one aggregate over the
+    changelog plus a broadcast semi/anti split of the view on touched
+    keys; only groups sharing a key with a changed row shuffle."""
+    from .table.incremental import incremental_agg_refresh_changelog
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    base = o.filter(F.col("o_orderkey") < 2000)
+    delta = o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000))
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"))
+
+    t = _scratch_table(spark, "iarm", base)
+    s0 = t.current_snapshot().snapshot_id
+    g0 = agg(t.to_df())
+    g0.collect()  # the view materialized BEFORE the base mutates
+
+    t.append(delta)
+    t.update(C("o_orderpriority").eq("1-URGENT"), {"o_totalprice": 0.0})
+    t.delete(C("o_totalprice").gt(150000.0))
+
+    g1 = incremental_agg_refresh_changelog(
+        g0, t, ["o_custkey"], from_snapshot_id=s0,
+        count_col="n_orders", sum_cols={"sum_price": "o_totalprice"})
+
+    def rounded(df):  # delta-addition vs one-pass double sums differ in the
+        return df.select("o_custkey", "n_orders",  # last ulp; round collapses
+                         F.round("sum_price", 2).alias("sum_price"))
+
+    g1r, fullr = rounded(g1), rounded(agg(t.to_df()))
+    if g1r.exceptAll(fullr).count() or fullr.exceptAll(g1r).count():
+        raise AssertionError("mutable aggregate refresh != full recompute")
+    return g1r
+
+
+@query(
+    "changelog_eq_delete_scan",
+    """
+    WITH lo AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                FROM orders WHERE o_orderkey < 1000),
+         hi AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+                UNION ALL
+                SELECT NULL, 0.0, 'NULL-KEY'),
+         k AS (SELECT min(o_orderkey) AS mk FROM orders WHERE o_orderkey >= 1000)
+    SELECT *, 'insert' AS _change_type, 0 AS _change_ordinal FROM lo
+    UNION ALL
+    SELECT *, 'insert' AS _change_type, 1 AS _change_ordinal FROM hi
+    UNION ALL
+    SELECT hi.*, 'delete' AS _change_type, 2 AS _change_ordinal
+    FROM hi, k WHERE hi.o_orderkey IS NULL OR hi.o_orderkey = k.mk
+    """,
+)
+def changelog_eq_delete_scan_q(spark, sf):
+    """Row-level CDC over an EQUALITY delete (r9, VERDICT r8 task #1 — the
+    r8 bounds-pruning path had tests but no graded query): two appends
+    land disjoint key-range files (plus one NULL-keyed row), then an
+    eq-delete keyed on {min key of the high range, NULL} commits. The
+    changelog must surface exactly the keyed row AND the NULL row as
+    ordinal-2 deletes — the NULL key matches null-safely regardless of
+    scalar bounds — while the pruner skips the provably-disjoint low file
+    from the before/after suppression diff (its key range cannot overlap
+    the delete file's bounds, and its zero null count disproves the
+    null-null pairing). Reference anchor: the eq-delete surface the
+    reference stubs at table/delete.go:494-501."""
+    from .table.transaction import delete_equality
+
+    o = load(spark, sf, "orders")
+    lo_df = o.filter(F.col("o_orderkey") < 1000).select(*_CRUD_COLS)
+    hi_df = (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+             .select(*_CRUD_COLS))
+    null_row = spark.createDataFrame(
+        [(None, 0.0, "NULL-KEY")], "o_orderkey bigint, o_totalprice double, o_orderpriority string")
+    t = _scratch_table(spark, "cdceq", lo_df)
+    t.append(hi_df.unionByName(null_row))
+    mk = hi_df.agg(F.min("o_orderkey")).collect()[0][0]  # 1-row scalar
+    delete_equality(t, spark.createDataFrame(
+        [(mk,), (None,)], "o_orderkey bigint"), ["o_orderkey"])
+    return t.changes().select(*_CRUD_COLS, "_change_type", "_change_ordinal")
+
+
+@query(
     "changelog_cdc_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -5476,6 +5586,17 @@ def bench_queries() -> dict[str, QuerySpec]:
 # more green round, then pass-prior rows cycling back so no query goes
 # many rounds ungraded. Displaced: rows driver-green in ≥2 recent rounds.
 _GRADED_FIRST = [
+    # --- r9 VERDICT r8 task #1: grade the changelog-over-eq-deletes path
+    #     (bounds pruning with NULL + non-NULL keys), rotate
+    #     crud_delete_mor_scan back in (its WRITE path changed in r8 —
+    #     writer-side tombstone dedup — the same round it left the window),
+    #     and grade the new aggregate-view IVM over mutable bases (r8
+    #     task #3). Displaced: q3_shipping_priority,
+    #     window_running_and_lag, sample_temperature_mix — all green in
+    #     r8 AND ≥2 earlier rounds, paths untouched r9. ---
+    "changelog_eq_delete_scan",
+    "crud_delete_mor_scan",
+    "incremental_agg_refresh_mutable",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5543,15 +5664,12 @@ _GRADED_FIRST = [
     #     (displaced rows green in BOTH r5 and r6: time_travel_scan,
     #     metadata_count, bloom/bucket pruning scans, avro manifest,
     #     sorted-write, distributed-plan, eq-delete-rename, tt-schema) ---
-    "q3_shipping_priority",
     "q8_market_share",
     "text_hashing_ann_topk",
     "dedup_keep_best_quality",
     "asof_join_purchase_to_view",
-    "window_running_and_lag",
     "funnel_view_click_purchase",
     "timeseries_resample_locf",
-    "sample_temperature_mix",
 ]
 
 

@@ -123,7 +123,9 @@ BOUND_CASES = [
     (DATE, 19723),  # days since epoch (engine stat encoding)
     (TIMESTAMP, 1700000000000000),  # µs
     (STRING, "héllo wörld"), (STRING, ""),
-    (DecimalType(18, 2), "12345.67"), (DecimalType(18, 2), "-0.01"),
+    # decimal engine stat space is the UNSCALED int (r9 — str(Decimal)
+    # sorted lexicographically and broke range pruning, r8 ADVICE)
+    (DecimalType(18, 2), 1234567), (DecimalType(18, 2), -1),
 ]
 
 
@@ -139,7 +141,10 @@ def test_bound_bytes_are_little_endian_spec_encoding():
     assert bound_to_bytes(LONG, 1) == b"\x01" + b"\x00" * 7
     assert bound_to_bytes(BOOLEAN, True) == b"\x01"
     assert bound_to_bytes(STRING, "ab") == b"ab"
-    # decimal: minimal two's-complement big-endian unscaled value
+    # decimal: minimal two's-complement big-endian unscaled value; legacy
+    # str(Decimal) bounds from pre-r9 manifests write the same bytes
+    assert bound_to_bytes(DecimalType(9, 2), 100) == b"\x64"
+    assert bound_to_bytes(DecimalType(9, 2), -100) == b"\x9c"
     assert bound_to_bytes(DecimalType(9, 2), "1.00") == b"\x64"
     assert bound_to_bytes(DecimalType(9, 2), "-1.00") == b"\x9c"
 

@@ -1819,3 +1819,51 @@ def test_range_distribution_on_partitioned_table_prunes_within_partition(spark, 
     assert total_a >= 2 and hit < total_a, (hit, total_a)
     assert sorted(r.id for r in t.scan().filter(pred).to_df().collect()) == \
         [i for i in range(200) if i % 2]
+
+
+def test_decimal_column_bounds_prune_numerically(spark, catalog):
+    """r9 (r8 ADVICE medium): decimal bounds are collected as UNSCALED ints
+    (pyarrow raises on .min for Spark's INT32/INT64-backed decimals, so the
+    raw physical values are used — they ARE the unscaled ints). The old
+    str(Decimal) encoding sorted '200.00' < '99.00' and would mis-prune
+    every range comparison; the int space must prune the disjoint file and
+    KEEP the file whose range lexicographic order would have dropped."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    catalog.create_namespace(("db",))
+    lo = spark.createDataFrame(
+        [(Decimal(f"{v}.00"),) for v in (1, 5, 50)], "price decimal(10,2)").coalesce(1)
+    hi = spark.createDataFrame(
+        [(Decimal(f"{v}.00"),) for v in (99, 120, 200)], "price decimal(10,2)").coalesce(1)
+    t = catalog.create_table(("db",), "deckeys", from_spark_schema(lo.schema))
+    t.append(lo)
+    t.append(hi)
+
+    fid = t.schema.find_field("price").field_id
+    ents = sorted(t.live_entries(), key=lambda e: e.column_stats[fid]["min"])
+    assert [e.column_stats[fid]["min"] for e in ents] == [100, 9900]
+    assert [e.column_stats[fid]["max"] for e in ents] == [5000, 20000]
+
+    # the lexicographic hazard shape: EQ 99.00 vs range [99.00, 200.00] —
+    # '200.00' < '99.00' would prune; numeric space keeps exactly one file
+    hit = t.scan().filter(E.eq("price", Decimal("99.00"))).plan_files()
+    assert len(hit) == 1
+    # provably-disjoint range really prunes
+    assert t.scan().filter(E.gt("price", Decimal("500"))).plan_files() == []
+    # fractional literal finer than the scale stays exact (no rounding flip)
+    assert len(t.scan().filter(E.gt("price", Decimal("199.995"))).plan_files()) == 1
+    got = t.scan().filter(E.gte("price", 99)).to_df().collect()
+    assert sorted(r.price for r in got) == [Decimal("99.00"), Decimal("120.00"), Decimal("200.00")]
+
+    # high-precision decimals (FLBA-backed, pyarrow decodes .min natively)
+    wide = spark.createDataFrame(
+        [(Decimal("12345678901234567890.12"),), (Decimal("9.99"),)],
+        "amount decimal(22,2)").coalesce(1)
+    t2 = catalog.create_table(("db",), "deckeys22", from_spark_schema(wide.schema))
+    t2.append(wide)
+    fid2 = t2.schema.find_field("amount").field_id
+    e2 = t2.live_entries()[0]
+    assert e2.column_stats[fid2]["min"] == 999
+    assert e2.column_stats[fid2]["max"] == 1234567890123456789012
