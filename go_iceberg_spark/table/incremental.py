@@ -200,6 +200,91 @@ def incremental_append_scan(
     return df
 
 
+def _bound_key(schema, fid: int, v):
+    """Decode an ``encode_stat`` bound (write.py:362-392) into a value whose
+    </> order matches the column's REAL order, or None to refuse (caller
+    keeps the file). Ints/bools/dates/timestamps ride as ints; decimals as
+    unscaled ints (r9 encoding — str(Decimal) sorted '200' < '99'
+    lexicographically, the r8 ADVICE hazard; legacy str bounds from pre-r9
+    manifests decode back to Decimal, numerically comparable with the
+    ints); genuine strings and hex-encoded binary/fixed are lexicographic
+    by construction; floats are NaN-unsafe (NaN hides from min/max, the r6
+    row-loss class) and refuse."""
+    f = schema.find_field_by_id(fid)
+    if f is None:  # dropped/unknown field: can't reason
+        return None
+    if isinstance(f.type, DecimalType) and isinstance(v, str):
+        try:  # pre-r9 manifest: str(Decimal) bound
+            return decimal.Decimal(v).scaleb(
+                f.type.scale, decimal.Context(prec=60))
+        except decimal.InvalidOperation:
+            return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, str) and (
+            isinstance(f.type, FixedType)
+            or (isinstance(f.type, PrimitiveType)
+                and f.type.name in ("string", "binary"))):
+        return v
+    return None  # floats and anything unexpected: keep
+
+
+def files_that_may_lose_rows(
+    schema, new_dels: list[DataFileEntry], live_data: list[DataFileEntry],
+) -> list[DataFileEntry]:
+    """The changelog's eq-delete file pruner: equality deletes can hit any
+    applicable older file, but the delete FILE's own column stats bound its
+    key values — a data file whose key range cannot overlap any new delete's
+    key range contributes identical rows to the before and after suppression
+    reads, so it never transitions live→dead and can be skipped. At 100 TB
+    this bounds a CDC read's I/O by the files OVERLAPPING the delete, never
+    the table size. Conservative on every doubt: missing bounds, type
+    mismatches, and float bounds (NaN sorts above every double and hides
+    from min/max, the r6 NaN row-loss class) all KEEP the file."""
+
+    def _may_lose_rows(d: DataFileEntry) -> bool:
+        for e in new_dels:
+            if e.content == CONTENT_POSITION_DELETES:
+                if e.sequence_number >= d.sequence_number:
+                    return True
+                continue
+            if e.sequence_number <= d.sequence_number:
+                continue
+            if not e.equality_ids:
+                return True  # malformed eq-delete: no disproof
+            overlap = True
+            # restrict the disproof to the delete's KEY columns: only
+            # equality_ids participate in the match, so a disjoint non-key
+            # payload column must never prune (r8 ADVICE — enforce the
+            # contract where consumed, not implied by the writer)
+            for fid in e.equality_ids:
+                ds = e.column_stats.get(fid)
+                s = d.column_stats.get(fid)
+                if not ds or not s:
+                    continue
+                # a NULL delete key matches NULL data keys null-safely (the
+                # engine's eq-delete rule), so this fid can only disprove a
+                # match when a null-null pairing is provably impossible
+                dn, sn = ds.get("null_count"), s.get("null_count")
+                if (dn is None or dn > 0) and (sn is None or sn > 0):
+                    continue
+                lo_d, hi_d = _bound_key(schema, fid, ds.get("min")), _bound_key(schema, fid, ds.get("max"))
+                lo_s, hi_s = _bound_key(schema, fid, s.get("min")), _bound_key(schema, fid, s.get("max"))
+                if None in (lo_d, hi_d, lo_s, hi_s):
+                    continue
+                try:
+                    if lo_s > hi_d or hi_s < lo_d:
+                        overlap = False
+                        break
+                except TypeError:
+                    continue
+            if overlap:
+                return True
+        return False
+
+    return [d for d in live_data if _may_lose_rows(d)]
+
+
 def changelog_scan(
     table,
     from_snapshot_id: int | None = None,
@@ -267,88 +352,8 @@ def changelog_scan(
                         pdf.select(POS_DELETE_FILE_COL).distinct().collect())
                 live_data = [e for e in live_data if e.file_path in hit_paths]
             else:
-                # equality deletes can hit any applicable older file, but
-                # the delete FILE's own column stats bound its key values:
-                # a data file whose key range cannot overlap any new
-                # delete's key range contributes identical rows to the
-                # before and after reads, so it never transitions and can
-                # be skipped. Conservative on every doubt — missing
-                # bounds, type mismatches, and float bounds (NaN sorts
-                # above every double and hides from min/max, the r6 NaN
-                # row-loss class) all KEEP the file.
-                def _bound_key(fid: int, v):
-                    """Decode an ``encode_stat`` bound (write.py:362-392)
-                    into a value whose </> order matches the column's REAL
-                    order, or None to refuse (caller keeps the file).
-                    Ints/bools/dates/timestamps ride as ints; decimals as
-                    unscaled ints (r9 encoding — str(Decimal) sorted
-                    '200' < '99' lexicographically, the r8 ADVICE hazard;
-                    legacy str bounds decode back to Decimal, numerically
-                    comparable with the ints); genuine strings and
-                    hex-encoded binary/fixed are lexicographic by
-                    construction; floats are NaN-unsafe (NaN hides from
-                    min/max, the r6 row-loss class) and refuse."""
-                    f = md.current_schema.find_field_by_id(fid)
-                    if f is None:  # dropped/unknown field: can't reason
-                        return None
-                    if isinstance(f.type, DecimalType) and isinstance(v, str):
-                        try:  # pre-r9 manifest: str(Decimal) bound
-                            return decimal.Decimal(v).scaleb(
-                                f.type.scale, decimal.Context(prec=60))
-                        except decimal.InvalidOperation:
-                            return None
-                    if isinstance(v, bool) or isinstance(v, int):
-                        return v
-                    if isinstance(v, str) and (
-                            isinstance(f.type, FixedType)
-                            or (isinstance(f.type, PrimitiveType)
-                                and f.type.name in ("string", "binary"))):
-                        return v
-                    return None  # floats and anything unexpected: keep
-
-                def _may_lose_rows(d: DataFileEntry) -> bool:
-                    for e in new_dels:
-                        if e.content == CONTENT_POSITION_DELETES:
-                            if e.sequence_number >= d.sequence_number:
-                                return True
-                            continue
-                        if e.sequence_number <= d.sequence_number:
-                            continue
-                        if not e.equality_ids:
-                            return True  # malformed eq-delete: no disproof
-                        overlap = True
-                        # restrict the disproof to the delete's KEY columns:
-                        # only equality_ids participate in the match, so a
-                        # disjoint non-key payload column must never prune
-                        # (r8 ADVICE — enforce the contract where consumed,
-                        # not implied by the writer)
-                        for fid in e.equality_ids:
-                            ds = e.column_stats.get(fid)
-                            s = d.column_stats.get(fid)
-                            if not ds or not s:
-                                continue
-                            # a NULL delete key matches NULL data keys
-                            # null-safely (the engine's eq-delete rule), so
-                            # this fid can only disprove a match when a
-                            # null-null pairing is provably impossible
-                            dn, sn = ds.get("null_count"), s.get("null_count")
-                            if (dn is None or dn > 0) and (sn is None or sn > 0):
-                                continue
-                            lo_d, hi_d = _bound_key(fid, ds.get("min")), _bound_key(fid, ds.get("max"))
-                            lo_s, hi_s = _bound_key(fid, s.get("min")), _bound_key(fid, s.get("max"))
-                            if None in (lo_d, hi_d, lo_s, hi_s):
-                                continue
-                            try:
-                                if lo_s > hi_d or hi_s < lo_d:
-                                    overlap = False
-                                    break
-                            except TypeError:
-                                continue
-                        if overlap:
-                            return True
-                    return False
-
-                live_data = [d for d in live_data if _may_lose_rows(d)]
+                live_data = files_that_may_lose_rows(
+                    md.current_schema, new_dels, live_data)
             cur_deletes = [e for e in table.manifest_entries(snap)
                            if e.content != CONTENT_DATA]
             before = _read_entries(table, live_data, deletes=parent_deletes)

@@ -1388,3 +1388,101 @@ def test_exactly_once_upsert_markers_survive_interleaved_maintenance(spark, cata
     assert upsert_once(t, mk([(2, 2.0), (11, 2.0)]), "ck", 1)
     assert not upsert_once(t, mk([(1, 9.9)]), "ck", 0)
     assert sorted((r.id, r.v) for r in t.to_df().collect()) == want
+
+
+def test_eq_delete_bounds_prune_across_rename_and_widen(spark, catalog):
+    """r9 probe (VERDICT r8 task #4a): eq-delete bounds pruning x schema
+    evolution — the key column is RENAMED and then WIDENED int->long
+    between the delete file's write and the changelog read. The pruner's
+    fid->stats match must survive both (field ids are the stable identity;
+    int bounds stay ints under widening), and the changelog must surface
+    exactly the deleted rows while the disjoint file is still skipped."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.schema import LONG
+    from go_iceberg_spark.table.incremental import files_that_may_lose_rows
+    from go_iceberg_spark.table.metadata import CONTENT_DATA
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    lo = spark.createDataFrame([(i, f"lo{i}") for i in range(5)],
+                               "kc int, tag string").coalesce(1)
+    hi = spark.createDataFrame([(100 + i, f"hi{i}") for i in range(5)],
+                               "kc int, tag string").coalesce(1)
+    t = catalog.create_table("db", "eqsev", from_spark_schema(lo.schema))
+    t.append(lo)
+    t.append(hi)
+    delete_equality(t, spark.createDataFrame([(102,)], "kc int"), ["kc"])
+    t.update_schema().rename_column("kc", "key_col").commit()
+    t.update_schema().update_column_type("key_col", LONG).commit()
+
+    dels = sorted((r.key_col, r.tag) for r in t.changes().collect()
+                  if r._change_type == "delete")
+    assert dels == [(102, "hi2")], dels
+    assert t.to_df().count() == 9
+
+    # the pruner really skipped the low file under the evolved schema
+    snap = t.current_snapshot()
+    live = [e for e in t.manifest_entries(snap) if e.content == CONTENT_DATA]
+    new_dels = [e for e in t.manifest_entries(snap) if e.content != CONTENT_DATA]
+    kept = files_that_may_lose_rows(t.metadata.current_schema, new_dels, live)
+    assert len(kept) == 1, [e.file_path for e in kept]
+
+    # scan-side filters on the evolved long column still prune + match
+    assert t.scan().filter(gi.gt("key_col", 1000)).plan_files() == []
+    assert {r.tag for r in t.scan().filter(gi.gte("key_col", 100)).to_df().collect()} \
+        == {"hi0", "hi1", "hi3", "hi4"}
+
+
+def test_mutable_ivm_across_maintenance_replace_and_eq_delete(spark, catalog):
+    """r9 probe (VERDICT r8 task #4b): mutable-base IVM where a maintenance
+    REPLACE (rewrite_data_files, rows-preserved) sits between from and to
+    while an eq-delete ALSO lands in the range — the compaction's
+    carryover must net to zero in the changelog (rows-preserved marker x
+    live->dead diff interplay) so both the join-view and the
+    aggregate-view refresh still equal the full recompute."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.table.incremental import (
+        incremental_agg_refresh_changelog,
+        incremental_join_refresh_changelog,
+    )
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    a_rows = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(24)], "id bigint, k bigint, v double")
+    b_rows = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(6)], "k bigint, label string")
+    ta = catalog.create_table("db", "ivma", from_spark_schema(a_rows.schema))
+    ta.append(a_rows)
+    tb = catalog.create_table("db", "ivmb", from_spark_schema(b_rows.schema))
+    tb.append(b_rows)
+    a0, b0 = ta.current_snapshot().snapshot_id, tb.current_snapshot().snapshot_id
+    m0 = ta.to_df().join(tb.to_df(), "k")
+    m0.collect()
+
+    def agg(df):
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("v").alias("sv"))
+
+    g0 = agg(ta.to_df())
+    g0.collect()
+
+    # the range: append + CoW update + maintenance REPLACE + eq-delete
+    ta.append(spark.createDataFrame([(100, 9, 100.0)], a_rows.schema))
+    ta.update(gi.eq("k", 1), {"v": -1.0})
+    assert ta.rewrite_data_files(min_input_files=2) is not None
+    delete_equality(ta, spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    tb.append(spark.createDataFrame([(9, "dim9")], b_rows.schema))
+
+    m1 = incremental_join_refresh_changelog(m0, ta, tb, ["k"],
+                                            from_a=a0, from_b=b0)
+    full = ta.to_df().join(tb.to_df(), "k")
+    assert not m1.exceptAll(full).count() and not full.exceptAll(m1).count()
+
+    g1 = incremental_agg_refresh_changelog(
+        g0, ta, ["k"], from_snapshot_id=a0,
+        count_col="n", sum_cols={"sv": "v"})
+    got = sorted((r.k, r.n, r.sv) for r in g1.collect())
+    want = sorted((r.k, r.n, r.sv) for r in agg(ta.to_df()).collect())
+    assert got == want, (got, want)
+    assert not any(k == 2 for k, _, _ in got)  # eq-deleted group died

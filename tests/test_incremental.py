@@ -607,3 +607,70 @@ def test_incremental_agg_refresh_changelog_mutable_base(spark, catalog):
     untouched = [r for r in g0.collect() if r.k not in touched_keys]
     for r in untouched:
         assert (r.k, r.n, r.sv) in got
+
+
+def test_eq_delete_changelog_prune_ratio_disjoint_files():
+    """r9 soak regression (SOAK.md r9): with N data files of DISJOINT key
+    ranges and one eq-delete file, the changelog's before/after suppression
+    read touches only the files whose range overlaps the delete's bounds —
+    I/O ∝ overlapping files, never table size (the claim the pruner's
+    docstring makes). NULL delete keys additionally keep every file that
+    holds NULL keys; float-keyed deletes refuse the disproof entirely."""
+    from go_iceberg_spark.schema import (
+        DOUBLE,
+        LONG,
+        NestedField,
+        Schema,
+        StructType,
+    )
+    from go_iceberg_spark.table.incremental import files_that_may_lose_rows
+    from go_iceberg_spark.table.metadata import (
+        CONTENT_EQUALITY_DELETES,
+        DataFileEntry,
+    )
+
+    schema = Schema(0, StructType((NestedField(1, "id", LONG),
+                                   NestedField(2, "x", DOUBLE))))
+
+    def data(i, nulls=0):
+        return DataFileEntry(
+            content=0, file_path=f"data/f{i}.parquet", file_format="parquet",
+            spec_id=0, schema_id=0, record_count=1000, file_size=1 << 20,
+            partition={}, sequence_number=1,
+            column_stats={1: {"min": i * 1000, "max": i * 1000 + 999,
+                              "null_count": nulls, "value_count": 1000}})
+
+    def eq_del(stats, ids=(1,)):
+        return DataFileEntry(
+            content=CONTENT_EQUALITY_DELETES, file_path="del/d.parquet",
+            file_format="parquet", spec_id=0, schema_id=0, record_count=1,
+            file_size=1 << 10, partition={}, sequence_number=2,
+            column_stats=stats, equality_ids=tuple(ids))
+
+    n = 5000
+    files = [data(i) for i in range(n)]
+    # point delete inside file 2500's range: exactly one survivor
+    d = eq_del({1: {"min": 2_500_123, "max": 2_500_123, "null_count": 0,
+                    "value_count": 1}})
+    kept = files_that_may_lose_rows(schema, [d], files)
+    assert [e.file_path for e in kept] == ["data/f2500.parquet"]
+
+    # NULL delete key: files holding NULLs survive too, scalar-disjoint or not
+    files_n = [data(i, nulls=(5 if i == 7 else 0)) for i in range(n)]
+    dn = eq_del({1: {"min": 2_500_123, "max": 2_500_123, "null_count": 1,
+                     "value_count": 2}})
+    kept = files_that_may_lose_rows(schema, [dn], files_n)
+    assert sorted(e.file_path for e in kept) == ["data/f2500.parquet",
+                                                 "data/f7.parquet"]
+
+    # float-keyed delete: NaN-unsafe bounds refuse the disproof — keep all
+    df = eq_del({2: {"min": 1.5, "max": 2.5, "null_count": 0,
+                     "value_count": 1}}, ids=(2,))
+    files_f = [DataFileEntry(**{**data(i).__dict__, "column_stats": {
+        2: {"min": float(i), "max": float(i) + 0.5,
+            "null_count": 0, "value_count": 1000}}}) for i in range(50)]
+    assert len(files_that_may_lose_rows(schema, [df], files_f)) == 50
+
+    # delete at same-or-lower sequence number applies to NO older file
+    d_old = DataFileEntry(**{**d.__dict__, "sequence_number": 1})
+    assert files_that_may_lose_rows(schema, [d_old], files) == []

@@ -84,8 +84,10 @@ COLS = ("k", "v", "x")  # base columns; the widen op appends "w"
 
 
 def _norm(x):
-    if x is None or (isinstance(x, float) and math.isnan(x)):
+    if x is None:
         return None
+    if isinstance(x, float) and math.isnan(x):
+        return "NaN"  # distinct from None: a NaN<->NULL confusion must fail
     if isinstance(x, float):
         return round(x, 9)
     return x
@@ -104,8 +106,9 @@ def _batch(spark, rng, ks, names=None, cols=COLS, wtype="int"):
     with_w = "w" in cols
     rows = []
     for k in ks:
-        r = (k, f"v{rng.randint(0, 99)}",
-             float("nan") if rng.random() < 0.1 else round(rng.uniform(-50, 50), 2))
+        u = rng.random()  # x mixes NaN AND NULL (r9: eq-delete edge keys)
+        x = float("nan") if u < 0.1 else None if u < 0.18 else round(rng.uniform(-50, 50), 2)
+        r = (k, f"v{rng.randint(0, 99)}", x)
         rows.append(r + (rng.randint(0, 9),) if with_w else r)
     ddl = f"{names['k']} bigint, {names['v']} string, {names['x']} double"
     if with_w:
@@ -313,12 +316,53 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             model[:] = [r for r in model if not pred(r)]
             record()
         elif op == "eq_delete":
+            # r9 (VERDICT r8 task #2): the changelog's eq-delete bounds
+            # pruning has three conservatism branches — NULL keys, float
+            # keys (NaN hides from min/max), missing stats — that int-only
+            # keys never exercised; an over-eager skip there is exactly the
+            # silent-consumer class the changelog netting invariant catches.
+            # The walk now deletes by bigint keys (± a NULL), by DOUBLE
+            # keys (existing x values, so sometimes NaN or NULL), and by
+            # composite (k, x) tuples; matching is null-safe AND
+            # NaN-safe (Spark joins normalize NaN = NaN) on both sides.
             if not ks:
                 continue
-            dks = list({rng.choice(ks) for _ in range(rng.randint(1, 3))})
-            delete_equality(t, spark.createDataFrame(
-                [(k,) for k in dks], f"{names['k']} bigint"), [names["k"]])
-            model[:] = [r for r in model if r["k"] not in dks]
+
+            def _nsafe(a, b):
+                if a is None or b is None:
+                    return a is None and b is None
+                if (isinstance(a, float) and isinstance(b, float)
+                        and math.isnan(a) and math.isnan(b)):
+                    return True
+                return a == b
+
+            kind = rng.choice(["k", "k", "x", "kx"])
+            if kind == "k":
+                dks = list({rng.choice(ks) for _ in range(rng.randint(1, 3))})
+                if rng.random() < 0.3:
+                    dks.append(None)  # no NULL k rows exist: pure pruner probe
+                delete_equality(t, spark.createDataFrame(
+                    [(k,) for k in dks], f"{names['k']} bigint"), [names["k"]])
+                model[:] = [r for r in model
+                            if not any(_nsafe(r["k"], k) for k in dks)]
+            elif kind == "x":
+                xs = [r["x"] for r in model]
+                dxs = [rng.choice(xs) for _ in range(rng.randint(1, 2))]
+                if rng.random() < 0.3:
+                    dxs.append(None)
+                delete_equality(t, spark.createDataFrame(
+                    [(x,) for x in dxs], f"{names['x']} double"), [names["x"]])
+                model[:] = [r for r in model
+                            if not any(_nsafe(r["x"], x) for x in dxs)]
+            else:  # composite (k, x): both fids participate in the disproof
+                row = rng.choice(model)
+                delete_equality(t, spark.createDataFrame(
+                    [(row["k"], row["x"])],
+                    f"{names['k']} bigint, {names['x']} double"),
+                    [names["k"], names["x"]])
+                model[:] = [r for r in model
+                            if not (_nsafe(r["k"], row["k"])
+                                    and _nsafe(r["x"], row["x"]))]
             record()
         elif op == "update":
             if not ks:
