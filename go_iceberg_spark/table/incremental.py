@@ -529,8 +529,13 @@ def incremental_agg_refresh_changelog(
 
     Updates appear as delete+insert pairs in the changelog and
     maintenance REPLACEs net to zero, so both strategies are exact over
-    any history. At 100 TB only rows sharing a group key with a changed
-    row ever shuffle; the view itself is never re-aggregated."""
+    any history. NULL group keys are maintained as the real group they
+    are (all key matching is null-safe). One algebraic-path nuance: sums
+    merge with a 0 identity, so a group whose every remaining input is
+    NULL reports sum 0 where SQL's one-shot SUM reports NULL — use
+    ``agg_fn`` when that distinction matters. At 100 TB only rows sharing
+    a group key with a changed row ever shuffle; the view itself is never
+    re-aggregated."""
     SIGN, CNT = "_ivm_sign", "_ivm_cnt"
     to_id = (to_snapshot_id if to_snapshot_id is not None
              else table.current_snapshot().snapshot_id)
@@ -538,12 +543,28 @@ def incremental_agg_refresh_changelog(
     sign = (F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1))
             .otherwise(F.lit(-1)))
     delta_keys = ch.select(*group_keys).distinct()
-    untouched = prev_agg.join(F.broadcast(delta_keys), group_keys, "left_anti")
-    touched = prev_agg.join(F.broadcast(delta_keys), group_keys, "left_semi")
+
+    # NULL is a REAL group under groupBy, so every key match here must be
+    # null-safe: a plain name-list equi-join would route a NULL-keyed view
+    # row to `untouched` (stale) AND re-emit the NULL group from the delta
+    # side — one group, two rows. Frames are alias-qualified because the
+    # view, the delta keys, and the delta aggregate can share plan lineage
+    # (all derive from the same table's files — self-join ambiguity).
+    L, R = "_ivm_l", "_ivm_r"
+
+    def _nsafe_cond():
+        cond = F.col(f"{L}.{group_keys[0]}").eqNullSafe(F.col(f"{R}.{group_keys[0]}"))
+        for k in group_keys[1:]:
+            cond = cond & F.col(f"{L}.{k}").eqNullSafe(F.col(f"{R}.{k}"))
+        return cond
+
+    bkeys = F.broadcast(delta_keys.alias(R))
+    untouched = prev_agg.alias(L).join(bkeys, _nsafe_cond(), "left_anti")
+    touched = prev_agg.alias(L).join(bkeys, _nsafe_cond(), "left_semi")
 
     if agg_fn is not None:
-        base_touched = (table.scan().use_snapshot(to_id).to_df()
-                        .join(F.broadcast(delta_keys), group_keys, "left_semi"))
+        base = table.scan().use_snapshot(to_id).to_df()
+        base_touched = base.alias(L).join(bkeys, _nsafe_cond(), "left_semi")
         return untouched.unionByName(agg_fn(base_touched))
 
     if not count_col:
@@ -556,15 +577,23 @@ def incremental_agg_refresh_changelog(
                 for out, src in sum_cols.items())]
     d = ch.groupBy(*group_keys).agg(*d_aggs)
     out_cols = prev_agg.columns
-    merged = (touched.join(d, group_keys, "full_outer")
-              .select(*group_keys,
-                      (F.coalesce(touched[count_col], F.lit(0))
-                       + F.coalesce(d[count_col], F.lit(0))).alias(CNT),
-                      *(F.coalesce(touched[c], F.lit(0) if c in sum_cols
+
+    def _l(c):
+        return F.col(f"{L}.{c}")
+
+    def _r(c):
+        return F.col(f"{R}.{c}")
+
+    merged = (touched.alias(L).join(d.alias(R), _nsafe_cond(), "full_outer")
+              .select(*(F.coalesce(_l(k), _r(k)).alias(k)
+                        for k in group_keys),
+                      (F.coalesce(_l(count_col), F.lit(0))
+                       + F.coalesce(_r(count_col), F.lit(0))).alias(CNT),
+                      *(F.coalesce(_l(c), F.lit(0) if c in sum_cols
                                    else F.lit(None)).alias(f"_old_{c}")
                         for c in out_cols if c not in group_keys
                         and c != count_col),
-                      *(F.coalesce(d[c], F.lit(0)).alias(f"_d_{c}")
+                      *(F.coalesce(_r(c), F.lit(0)).alias(f"_d_{c}")
                         for c in sum_cols))
               .filter(F.col(CNT) > 0))
     sel = []

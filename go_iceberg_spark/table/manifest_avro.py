@@ -86,8 +86,8 @@ from .metadata import (
 
 def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
     """Engine stat encoding (write.py encode_stat: dates→days, ts→µs,
-    decimal→str) → Iceberg binary single-value bytes. None when the value
-    does not convert (e.g. a parquet-truncated uuid string bound)."""
+    decimal→unscaled int) → Iceberg binary single-value bytes. None when the
+    value does not convert (e.g. a parquet-truncated uuid string bound)."""
     if enc_val is None:
         return None
     if isinstance(t, PrimitiveType):

@@ -674,3 +674,45 @@ def test_eq_delete_changelog_prune_ratio_disjoint_files():
     # delete at same-or-lower sequence number applies to NO older file
     d_old = DataFileEntry(**{**d.__dict__, "sequence_number": 1})
     assert files_that_may_lose_rows(schema, [d_old], files) == []
+
+
+def test_aggregate_ivm_null_group_key(spark, catalog):
+    """r9 self-review: NULL is a REAL group under groupBy, but a plain
+    name-list equi-join never matches NULL keys — the split would route the
+    NULL-keyed view row to `untouched` (stale) AND re-emit the NULL group
+    from the delta merge: one group, two rows. The null-safe key matching
+    must maintain the NULL group exactly, in both strategies."""
+    from go_iceberg_spark.table.incremental import (
+        incremental_agg_refresh_changelog,
+    )
+
+    rows = [Row(k=None, v=1.0), Row(k=None, v=2.0), Row(k=1, v=3.0),
+            Row(k=2, v=4.0)]
+    t = mk(spark, catalog, "aggnull", rows)
+    s0 = t.current_snapshot().snapshot_id
+
+    def agg(df):
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("v").alias("sv"))
+
+    g0 = agg(t.to_df())
+    g0.collect()
+    # mutate the NULL group AND an int group; group 2 untouched
+    t.append(spark.createDataFrame([Row(k=None, v=10.0), Row(k=1, v=30.0)]))
+    from go_iceberg_spark.expr import col as C
+    t.delete(C("v").eq(1.0))  # kills one NULL-group row
+
+    want = sorted(((r.k, r.n, r.sv) for r in agg(t.to_df()).collect()),
+                  key=lambda x: (x[0] is None, x))
+    g1 = incremental_agg_refresh_changelog(
+        g0, t, ["k"], from_snapshot_id=s0, count_col="n", sum_cols={"sv": "v"})
+    got = sorted(((r.k, r.n, r.sv) for r in g1.collect()),
+                 key=lambda x: (x[0] is None, x))
+    assert got == want, (got, want)
+    assert sum(1 for k, _, _ in got if k is None) == 1  # exactly ONE null row
+
+    g1g = incremental_agg_refresh_changelog(
+        g0, t, ["k"], from_snapshot_id=s0, agg_fn=agg)
+    gotg = sorted(((r.k, r.n, r.sv) for r in g1g.collect()),
+                  key=lambda x: (x[0] is None, x))
+    assert gotg == want, (gotg, want)
