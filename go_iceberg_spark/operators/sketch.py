@@ -171,3 +171,72 @@ def histogram_quantiles(
     est = (F.lit(lo) + F.col("bin") * F.lit(w)
            + F.lit(w) * (F.col("target") - F.col("cum_prev")) / F.col("c"))
     return first.select(F.col("q"), est.alias("est")).orderBy("q")
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str, *,
+                 p: int = 9) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (Flajolet et al. 2007, see
+    PAPERS.md) with the engine's portable md5 hash — unlike Spark's
+    approx_count_distinct (an HLL++ whose estimate depends on internal
+    hashing), every register and the final estimate reproduce bit-for-bit
+    in DuckDB, so the sketch is oracle-checkable AND mergeable across
+    engines. Completes the sketch family: KMV (distinct + set algebra),
+    mergeable histograms (quantiles), HLL (fixed 2^p-register memory).
+
+    Determinism engineering: the register sum Σ 2^−M_j is computed in
+    EXACT integer arithmetic — each register contributes the bigint
+    2^(52−M_j) (zero registers contribute 2^52), so the per-group total
+    (≤ 2^61) is order-independent; the estimate is ONE double division by
+    that integer. Parallel double summation would be order-dependent and
+    break the cross-engine hash-match.
+
+    Scale shape: one shuffle to (group, bucket) register maxima (map-side
+    combined, ≤ 2^p rows per group), one map-side-combined reduce to a
+    single row per group. Registers merge by elementwise MAX, so shard
+    sketches combine without re-reading data — the 100 TB property."""
+    m = 1 << p
+    w_bits = 60 - p  # hash is 60-bit; low p bits pick the bucket
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # alpha * m^2 * 2^52, one Python-computed double literal: E = A / total
+    A = alpha * m * m * float(1 << 52)
+    h = portable_hash60(F.col(value_col).cast("string"))
+    g = (df.filter(F.col(value_col).isNotNull())
+         .select(*group_cols, h.alias("_h")))
+    w = F.expr(f"_h div {m}")
+    rho = (F.when(w == 0, F.lit(w_bits + 1))
+           .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))).cast("int")
+    regs = (g.select(*group_cols, F.pmod("_h", F.lit(m)).alias("_b"),
+                     rho.alias("_r"))
+            .groupBy(*group_cols, "_b").agg(F.max("_r").alias("_m")))
+    per_group = (regs.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(1L, 52 - _m)")).alias("_sum_present"),
+        F.count(F.lit(1)).alias("_present")))
+    zeros = F.lit(m) - F.col("_present")
+    total = F.col("_sum_present") + zeros * F.lit(1 << 52)
+    e_raw = F.lit(A) / total.cast("double")
+    # small-range (linear counting) correction when E <= 2.5m and empty
+    # registers remain; the 60-bit space never needs the large-range one
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+                 ).otherwise(e_raw)
+    return per_group.select(*group_cols, F.round(est, 2).alias("n_estimate"))
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str, *,
+                  p: int = 9) -> DataFrame:
+    """The raw (group, bucket, register) rows behind ``hll_distinct`` —
+    shard sketches merge by ``groupBy(group, bucket).max(register)``,
+    which is how a 100 TB corpus combines per-partition sketches without
+    a second data pass."""
+    m = 1 << p
+    w_bits = 60 - p
+    h = portable_hash60(F.col(value_col).cast("string"))
+    g = (df.filter(F.col(value_col).isNotNull())
+         .select(*group_cols, h.alias("_h")))
+    w = F.expr(f"_h div {m}")
+    rho = (F.when(w == 0, F.lit(w_bits + 1))
+           .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))).cast("int")
+    return (g.select(*group_cols, F.pmod("_h", F.lit(m)).alias("bucket"),
+                     rho.alias("register"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("register").alias("register")))

@@ -832,6 +832,49 @@ class Table:
         self.version = self._commit_fn(new_md, self.version)
         self.metadata = new_md
 
+    def cherrypick(self, snapshot_id: int) -> Snapshot:
+        """Apply ONE snapshot's changes onto the current head as a NEW
+        commit (Iceberg's ``cherrypick_snapshot`` procedure; r9) — the WAP
+        flavor ``fast_forward`` cannot express: publish a single audited
+        commit from a branch whose other commits stay unpublished.
+        Append-only, matching Iceberg's own restriction: a delete/
+        overwrite/replace changes rows relative to ITS parent, and
+        replaying it on a diverged head would silently affect different
+        rows. The picked snapshot's ADDED files are re-registered under
+        the new commit's sequence number (metadata-only — no data is
+        rewritten or copied); the pick fails if any of them are already
+        live on this branch (double-pick), and conflict retries re-check
+        against the reloaded live set."""
+        from dataclasses import replace as _rpl
+
+        snap = self.snapshot_by_id(snapshot_id)
+        if snap.operation != OP_APPEND:
+            raise ValidationError(
+                f"cherrypick supports append snapshots only; "
+                f"{snapshot_id} is {snap.operation!r}")
+        cur = {e.file_path: e for e in self.manifest_entries(snap)}
+        prev: set[str] = set()
+        if snap.parent_snapshot_id is not None:
+            parent = self.snapshot_by_id(snap.parent_snapshot_id)
+            prev = {e.file_path for e in self.manifest_entries(parent)}
+        added = [e for p, e in cur.items() if p not in prev]
+
+        def commit():
+            seq = self._next_sequence()
+            live = self.live_entries()
+            live_paths = {e.file_path for e in live}
+            dup = [e.file_path for e in added if e.file_path in live_paths]
+            if dup:
+                raise ValidationError(
+                    f"cherrypick: {len(dup)} picked file(s) already live on "
+                    f"this branch, e.g. {dup[0]!r} (double-pick)")
+            files = [_rpl(e, sequence_number=seq) for e in added]
+            return self._commit_snapshot(
+                OP_APPEND, live + files,
+                summary_extra={"cherry-picked-from": str(snapshot_id)})
+
+        return self._retrying(commit)
+
     def create_tag(self, name: str, snapshot_id: int) -> None:
         from dataclasses import replace
 

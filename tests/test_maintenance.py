@@ -388,3 +388,47 @@ def test_member_level_skip_reads_only_matching_manifests(spark, catalog, monkeyp
     read_paths.clear()
     assert sorted(r.id for r in t.scan().filter(gi.lt("id", 10)).to_df().collect()) \
         == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_cherrypick_single_audit_commit(spark, catalog):
+    """r9: cherrypick_snapshot parity — publish ONE audited commit from a
+    branch whose other commits stay unpublished (fast_forward can only
+    take the whole branch). Metadata-only; non-append picks and
+    double-picks are rejected."""
+    import pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(5)])
+    t = catalog.create_table("db", "cherry", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("audit")
+    b1 = t.append_to_branch("audit", spark.createDataFrame([Row(id=100, v=1.0)]))
+    b2 = t.append_to_branch("audit", spark.createDataFrame([Row(id=200, v=2.0)]))
+
+    # main unchanged by branch work; pick ONLY the first audit commit
+    assert t.to_df().count() == 5
+    picked = t.cherrypick(b1.snapshot_id)
+    assert picked.summary["cherry-picked-from"] == str(b1.snapshot_id)
+    ids = {r.id for r in t.to_df().collect()}
+    assert 100 in ids and 200 not in ids and len(ids) == 6
+
+    # double-pick rejected; the OTHER commit still picks fine
+    with pytest.raises(ValidationError, match="double-pick"):
+        t.cherrypick(b1.snapshot_id)
+    t.cherrypick(b2.snapshot_id)
+    assert {r.id for r in t.to_df().collect()} >= {100, 200}
+
+    # non-append snapshots are rejected (Iceberg's own restriction)
+    t.delete(gi.eq("id", 0))
+    del_snap = t.current_snapshot()
+    t.rollback_to(picked.snapshot_id)
+    with pytest.raises(ValidationError, match="append snapshots only"):
+        t.cherrypick(del_snap.snapshot_id)
+
+    # consumers see a plain append: incremental scan attributes the rows
+    inc = t.incremental_scan(from_snapshot_id=picked.parent_snapshot_id,
+                             to_snapshot_id=picked.snapshot_id)
+    assert {r.id for r in inc.collect()} == {100}

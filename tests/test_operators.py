@@ -590,3 +590,39 @@ def test_rrf_fuse_degenerate_guards(spark):
     # to the list's own ranking
     out = rrf_fuse([a, empty], "id", "s", k=60).collect()
     assert [(r.id, r.n_lists) for r in out] == [(1, 1)]
+
+
+def test_hll_distinct_accuracy_and_mergeability(spark):
+    """r9: portable HLL — estimate within the sketch's expected error band
+    (1.04/sqrt(512) ~ 4.6%; allow 3 sigma), linear-counting branch
+    near-exact at small cardinality, and registers merge by max so shard
+    sketches equal the one-pass sketch (the 100 TB combine property)."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.sketch import hll_distinct, hll_registers
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 13).alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 9973).cast("string")).alias("v"))
+    est = {r.g: r.n_estimate for r in hll_distinct(df, ["g"], "v").collect()}
+    exact = {r.g: r.n for r in df.groupBy("g")
+             .agg(F.countDistinct("v").alias("n")).collect()}
+    # n/m ~ 6 sits just above the linear-counting crossover, the classic
+    # estimator's known bias region (what HLL++'s empirical tables
+    # correct); groups also share one value universe so their errors
+    # correlate — band per group 20%, mean must stay inside ~2 sigma
+    errs = [abs(e - exact[g]) / exact[g] for g, e in est.items()]
+    assert max(errs) < 0.20, sorted(zip(errs, est))[-1]
+    assert sum(errs) / len(errs) < 0.10, errs
+
+    small = spark.range(0, 5000).select(
+        F.lit(1).alias("g"), (F.col("id") % 50).cast("string").alias("v"))
+    (e,) = [r.n_estimate for r in hll_distinct(small, ["g"], "v").collect()]
+    assert abs(e - 50) / 50 < 0.05, e  # linear counting: near-exact
+
+    lo = hll_registers(df.filter(F.col("id") < 20000), ["g"], "v")
+    hi = hll_registers(df.filter(F.col("id") >= 20000), ["g"], "v")
+    merged = (lo.unionByName(hi).groupBy("g", "bucket")
+              .agg(F.max("register").alias("register")))
+    one = hll_registers(df, ["g"], "v")
+    assert not merged.exceptAll(one).count() and not one.exceptAll(merged).count()
