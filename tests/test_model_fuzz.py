@@ -498,18 +498,24 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             # metadata-only: no snapshot, model unchanged
         elif op == "wap":
             # write-audit-publish: staged rows must be invisible on main
-            # until fast_forward; ~30% of audits are abandoned and their
-            # branch must never leak rows or break later expiry/rollback
+            # until publish; ~30% of audits are abandoned and their
+            # branch must never leak rows or break later expiry/rollback.
+            # Publish is fast_forward OR cherry-pick (r9) — the pick lands
+            # the staged commit as a NEW append on main, composing with
+            # every later op exactly like a plain append
             bname = f"aud{step}"
             t.create_branch(bname)
             new_ks = [next_k + i for i in range(rng.randint(1, 3))]
             next_k += 10
             df, rows = _batch(spark, rng, new_ks, names, cols, wtype)
-            t.append_to_branch(bname, df)
+            staged = t.append_to_branch(bname, df)
             assert _engine_rows(t, names, cols) == _model_rows(model, cols), \
                 (seed, step, "main advanced before WAP publish")
             if rng.random() < 0.7:
-                t.fast_forward("main", bname)
+                if rng.random() < 0.4:
+                    t.cherrypick(staged.snapshot_id)
+                else:
+                    t.fast_forward("main", bname)
                 model.extend(rows)
                 record(appended=rows)
         elif op == "add_files":
