@@ -499,7 +499,7 @@ def incremental_agg_refresh_changelog(
     *,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
-    sum_cols: dict[str, str] | None = None,
+    sum_cols: dict[str, "str | F.Column"] | None = None,
     count_col: str | None = None,
     agg_fn=None,
 ) -> DataFrame:
@@ -530,12 +530,16 @@ def incremental_agg_refresh_changelog(
     Updates appear as delete+insert pairs in the changelog and
     maintenance REPLACEs net to zero, so both strategies are exact over
     any history. NULL group keys are maintained as the real group they
-    are (all key matching is null-safe). One algebraic-path nuance: sums
-    merge with a 0 identity, so a group whose every remaining input is
-    NULL reports sum 0 where SQL's one-shot SUM reports NULL — use
-    ``agg_fn`` when that distinction matters. At 100 TB only rows sharing
-    a group key with a changed row ever shuffle; the view itself is never
-    re-aggregated."""
+    are (all key matching is null-safe). Two algebraic-path nuances:
+    (1) sums merge with a 0 identity, so a group whose every remaining
+    input is NULL reports sum 0 where SQL's one-shot SUM reports NULL;
+    (2) NaN/Inf are ABSORBING under addition — once one reaches a group's
+    running sum, subtracting it back on delete never restores the finite
+    value. ``sum_cols`` values may be Column expressions, so guard
+    non-finite sources (``F.when(F.isnan(c), 0).otherwise(c)``) or use
+    ``agg_fn``, which re-aggregates and has neither nuance. At 100 TB
+    only rows sharing a group key with a changed row ever shuffle; the
+    view itself is never re-aggregated."""
     SIGN, CNT = "_ivm_sign", "_ivm_cnt"
     to_id = (to_snapshot_id if to_snapshot_id is not None
              else table.current_snapshot().snapshot_id)
@@ -571,9 +575,10 @@ def incremental_agg_refresh_changelog(
         raise ValidationError(
             "algebraic aggregate IVM needs count_col (it detects group "
             "death); pass agg_fn for non-additive aggregates")
-    sum_cols = sum_cols or {}
+    sum_cols = {out: (F.col(src) if isinstance(src, str) else src)
+                for out, src in (sum_cols or {}).items()}
     d_aggs = [F.sum(sign).alias(count_col),
-              *(F.sum(sign * F.col(src)).alias(out)
+              *(F.sum(sign * src).alias(out)
                 for out, src in sum_cols.items())]
     d = ch.groupBy(*group_keys).agg(*d_aggs)
     out_cols = prev_agg.columns

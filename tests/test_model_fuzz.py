@@ -253,6 +253,45 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         assert got == want, (seed, step, op, "changelog netting", i, j,
                              "got!=want (got_count, want_count):", diff)
 
+        # (c) aggregate-view IVM consumer (r9): a count/guarded-sum view
+        # built at snapshot i and refreshed through the range's changelog
+        # must equal the full recompute at j — over whatever CRUD mix,
+        # WAP publish, maintenance, or eq-delete the range holds. The sum
+        # source is NaN/NULL-guarded because algebraic sum maintenance is
+        # documented as NaN-absorbing (incremental.py); counts are exact.
+        if i is not None and rng.random() < 0.5:
+            from pyspark.sql import functions as F
+
+            from go_iceberg_spark.table.incremental import (
+                incremental_agg_refresh_changelog,
+            )
+            kc, xc = names["k"], names["x"]
+
+            def agg_at(sid):
+                # time-travel reads PIN the snapshot's schema, so the view
+                # aggregates under that snapshot's column names and renames
+                # the key to the CURRENT name (the changelog's schema)
+                nm = history[sid]["names"]
+                xs = F.col(nm["x"])
+                g = (F.when(xs.isNull() | F.isnan(xs), 0.0).otherwise(xs))
+                return (t.scan().use_snapshot(sid).to_df()
+                        .groupBy(nm["k"])
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.sum(g).alias("sx"))
+                        .withColumnRenamed(nm["k"], kc))
+
+            guarded = (F.when(F.col(xc).isNull() | F.isnan(F.col(xc)), 0.0)
+                       .otherwise(F.col(xc)))
+            g1 = incremental_agg_refresh_changelog(
+                agg_at(i), t, [kc], from_snapshot_id=i, to_snapshot_id=j,
+                count_col="n", sum_cols={"sx": guarded})
+            r6 = lambda v: None if v is None else round(v, 6)  # noqa: E731
+            got_g = sorted((r[kc], r["n"], r6(r["sx"])) for r in g1.collect())
+            want_g = sorted((r[kc], r["n"], r6(r["sx"]))
+                            for r in agg_at(j).collect())
+            assert got_g == want_g, (seed, step, op, "aggregate IVM", i, j,
+                                     got_g[:4], want_g[:4])
+
         # (a) incremental append scan: exact attribution needs an unrewired
         # range (expiry re-parents across gaps, folding expired snapshots'
         # file diffs into the first retained one above the gap)
