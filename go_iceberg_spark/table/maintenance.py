@@ -220,29 +220,69 @@ def _is_relative(p: str) -> bool:
 
 
 def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024,
-                       min_input_files: int = 2, zorder_by: list[str] | None = None):
-    """Compaction (Iceberg ``rewrite_data_files``): read all live data files,
+                       min_input_files: int = 2, zorder_by: list[str] | None = None,
+                       where=None, binpack: bool = False):
+    """Compaction (Iceberg ``rewrite_data_files``): read live data files,
     rewrite them as right-sized files, commit ONE replace snapshot. No-op if
-    fewer than ``min_input_files`` data files exist. MoR delete files are
-    applied during the read, so compaction also collapses them.
+    fewer than ``min_input_files`` candidate files exist. MoR delete files
+    are applied during the read, so compaction also collapses them.
+
+    By default every live data file is rewritten (full compaction). At
+    100 TB that is not an operation you can run — Iceberg's procedure is
+    SELECTIVE, and so is this one (r9):
+
+    - ``where`` (an expression-DSL filter): only files whose stats might
+      match are rewritten — compact one partition's worth of small files
+      while the rest of the table is untouched metadata;
+    - ``binpack=True``: only files outside Iceberg's binpack band
+      (< 75% or > 180% of the target size) are rewritten — the steady-state
+      "collapse the small files each micro-batch left behind" maintenance
+      loop, O(new small files) per run, never O(table).
+
+    Untouched data files carry into the new snapshot verbatim (same paths,
+    same sequence numbers — zero data movement). Delete files are kept
+    ONLY while something still needs them: a position-delete file whose
+    referenced paths were all rewritten away, or an equality-delete file
+    that can no longer overlap any untouched file (same bounds test as the
+    changelog pruner), is dropped in the same commit — rewritten files get
+    a NEW sequence number, so kept eq-deletes never re-suppress their rows.
 
     ``zorder_by`` clusters the rewrite on a Z-order curve over the given
     (numeric/temporal) columns — Iceberg's zorder rewrite strategy: each
     output file then covers a narrow range in EVERY listed dimension, so
     multi-column filters prune files that a single-column sort cannot."""
-    from .metadata import CONTENT_DATA, OP_REPLACE
+    from ..expr import might_match, simplify
+    from .incremental import _read_entries, files_that_may_lose_rows
+    from .metadata import CONTENT_DATA, CONTENT_POSITION_DELETES, OP_REPLACE
+    from .scan import POS_DELETE_FILE_COL, _encode_filter, _stats_for_pruning
 
     def build_and_commit():
         # rebuilt per retry (r6): a compaction racing a writer must re-read
         # the RELOADED live set, or the concurrent commit's files would be
         # silently dropped from the replacement snapshot
         live = table.live_entries()
-        data_files = [e for e in live if e.content == CONTENT_DATA]
-        if len(data_files) < min_input_files:
-            return None
-        df = table.to_df()  # scan applies MoR deletes -> compaction materializes them
         md = table.metadata
-        summary = {"compacted-input-files": str(len(live))}
+        data_files = [e for e in live if e.content == CONTENT_DATA]
+        delete_files = [e for e in live if e.content != CONTENT_DATA]
+        candidates = data_files
+        if where is not None:
+            enc = _encode_filter(simplify(where), md.current_schema)
+            candidates = [e for e in candidates
+                          if might_match(enc, _stats_for_pruning(e, md.current_schema))]
+        if binpack:
+            lo, hi = 0.75 * target_file_size_bytes, 1.8 * target_file_size_bytes
+            candidates = [e for e in candidates
+                          if e.file_size < lo or e.file_size > hi]
+        if len(candidates) < min_input_files:
+            return None
+        selective = len(candidates) < len(data_files)
+        if selective:
+            # candidate rows with their applicable MoR deletes applied —
+            # the rewrite materializes those tombstones
+            df = _read_entries(table, candidates, deletes=delete_files)
+        else:
+            df = table.to_df()  # scan applies MoR deletes
+        summary = {"compacted-input-files": str(len(candidates))}
         if zorder_by:
             dfz = _zorder_cluster(df, zorder_by)
             summary["zorder-by"] = ",".join(zorder_by)
@@ -259,6 +299,23 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
             data_location=table._data_location(),
             bucket_fn=table._bucket_fn(),
         )
+        if selective:
+            cand_paths = {e.file_path for e in candidates}
+            untouched = [e for e in data_files if e.file_path not in cand_paths]
+            kept_deletes = []
+            for e in delete_files:
+                if e.content == CONTENT_POSITION_DELETES:
+                    # keep iff it still names a surviving file
+                    pdf = table.spark.read.parquet(
+                        os.path.join(table.location, e.file_path))
+                    refs = {r[0] for r in
+                            pdf.select(POS_DELETE_FILE_COL).distinct().collect()}
+                    live_paths = {u.file_path for u in untouched}
+                    if refs & live_paths:
+                        kept_deletes.append(e)
+                elif files_that_may_lose_rows(md.current_schema, [e], untouched):
+                    kept_deletes.append(e)
+            new_entries = untouched + kept_deletes + new_entries
         # rows-preserved: this replace reorganizes FILES, not rows — the
         # incremental append scan may skip it (an UPDATE also commits a
         # replace but changes row values, so the skip keys on this marker,

@@ -5410,6 +5410,47 @@ def maintenance_compaction_scan_q(spark, sf):
 
 
 @query(
+    "maintenance_selective_compaction_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def maintenance_selective_compaction_scan_q(spark, sf):
+    """SELECTIVE compaction (r9 — the 100 TB form of rewrite_data_files;
+    full-table rewrites are not an operation you can run at scale): one
+    big file plus many tiny appends and a MoR delete spanning both; binpack
+    rewrites ONLY the files outside the 75-180% size band — the big file
+    must carry into the new snapshot VERBATIM (same path, zero data
+    movement, asserted) while its delete file survives because it still
+    suppresses rows there; a second, `where`-scoped rewrite then compacts
+    just that slice, materializing the tombstones and dropping the
+    now-dangling delete file in the same commit (asserted). The scan must
+    match the oracle through both reorganizations."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "selcomp", base.filter(F.col("o_orderkey") < 2000))
+    big = next(e.file_path for e in t.live_entries())
+    big_size = next(e.file_size for e in t.live_entries())
+    for lo, hi in ((2000, 2300), (2300, 2600), (2600, 3000)):
+        t.append(base.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)))
+    t.delete(C("o_totalprice").gt(200000.0), mode="merge-on-read")
+
+    t.rewrite_data_files(binpack=True, target_file_size_bytes=int(big_size / 1.2))
+    data = [e for e in t.live_entries() if e.content == 0]
+    if big not in {e.file_path for e in data}:
+        raise AssertionError("binpack rewrote the in-band big file")
+    if len(data) >= 4:
+        raise AssertionError("binpack did not merge the small files")
+    if not any(e.content != 0 for e in t.live_entries()):
+        raise AssertionError("still-needed delete file was dropped")
+
+    t.rewrite_data_files(where=C("o_orderkey").lt(2000), min_input_files=1)
+    if any(e.content != 0 for e in t.live_entries()):
+        raise AssertionError("dangling delete file survived the scoped rewrite")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "maintenance_expire_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -5707,6 +5748,12 @@ _GRADED_FIRST = [
     #     untouched r9) ---
     "sketch_hll_distinct",
     "wap_cherrypick_scan",
+    # --- r9: selective (binpack/where) compaction is NEW and the full
+    #     compaction path flows through the same rewritten function —
+    #     grade both (displaced: asof_join_purchase_to_view and
+    #     dedup_keep_best_quality, green r8 + earlier, untouched r9) ---
+    "maintenance_selective_compaction_scan",
+    "maintenance_compaction_scan",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5776,8 +5823,6 @@ _GRADED_FIRST = [
     #     sorted-write, distributed-plan, eq-delete-rename, tt-schema) ---
     "q8_market_share",
     "text_hashing_ann_topk",
-    "dedup_keep_best_quality",
-    "asof_join_purchase_to_view",
 ]
 
 

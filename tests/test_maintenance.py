@@ -432,3 +432,50 @@ def test_cherrypick_single_audit_commit(spark, catalog):
     inc = t.incremental_scan(from_snapshot_id=picked.parent_snapshot_id,
                              to_snapshot_id=picked.snapshot_id)
     assert {r.id for r in inc.collect()} == {100}
+
+
+def test_selective_compaction_binpack_and_filter(spark, catalog):
+    """r9: selective rewrite_data_files — the 100 TB form. binpack rewrites
+    only files outside the 75%-180% band (untouched files carry verbatim,
+    same path + sequence); `where` compacts just the matching slice; MoR
+    deletes on candidates are materialized, deletes still needed by
+    untouched files survive, dangling ones are dropped in the same commit."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.metadata import CONTENT_DATA
+    from go_iceberg_spark.table.transaction import delete_equality
+
+    df0 = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(2000)]).coalesce(1)
+    t = catalog.create_table("db", "selcomp", from_spark_schema(df0.schema))
+    t.append(df0)  # one BIG file
+    big = [e.file_path for e in t.live_entries()][0]
+    for k in range(3):  # three tiny files
+        t.append(spark.createDataFrame([Row(id=10000 + k, v=1.0)]).coalesce(1))
+    # a MoR position delete hitting a tiny file AND the big file
+    t.delete(gi.isin("id", 10000, 5), mode="merge-on-read")
+    n_before = t.scan().count()
+
+    # binpack with a target that brackets the big file into the band
+    big_size = next(e.file_size for e in t.live_entries() if e.file_path == big)
+    t.rewrite_data_files(binpack=True, target_file_size_bytes=int(big_size / 1.2))
+    ents = t.live_entries()
+    data = [e for e in ents if e.content == CONTENT_DATA]
+    # the big file survived VERBATIM; the three tiny files merged
+    assert big in {e.file_path for e in data}
+    assert len(data) == 2, [e.file_path for e in data]
+    # the delete file survived (the big file still needs id=5 suppressed)
+    assert any(e.content != CONTENT_DATA for e in ents)
+    assert t.scan().count() == n_before
+    assert t.scan().filter(gi.eq("id", 5)).count() == 0
+    assert t.scan().filter(gi.eq("id", 10000)).count() == 0
+
+    # now compact the slice holding the big file: its tombstones
+    # materialize and the delete file (nothing left to suppress) is dropped
+    t.rewrite_data_files(where=gi.lt("id", 9000), min_input_files=1)
+    ents = t.live_entries()
+    assert not [e for e in ents if e.content != CONTENT_DATA], "dangling delete kept"
+    assert t.scan().count() == n_before
+    # incremental consumers skip both reorganizations (rows-preserved):
+    # exactly the 2000 + 3x1 appended rows, nothing from the rewrites
+    assert t.incremental_scan(ignore_non_append=True).count() == 2003

@@ -486,7 +486,15 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
                 for b in undone:
                     del batch_log[b]
         elif op == "compact":
-            t.rewrite_data_files(min_input_files=2)
+            # half the time SELECTIVE (r9): a key-scoped rewrite compacts
+            # only the files whose stats match, leaves the rest verbatim,
+            # and keeps only still-needed delete files — later ops and
+            # consumers then run over mixed rewritten/untouched sets
+            if ks and rng.random() < 0.5:
+                t.rewrite_data_files(min_input_files=2,
+                                     where=gi.lte(names["k"], rng.choice(ks)))
+            else:
+                t.rewrite_data_files(min_input_files=2)
             record()  # metadata-only: model unchanged, new snapshot maybe
         elif op == "rewrite_manifests":
             # r7: member-clustering metadata-only rewrite — rows must be
