@@ -716,3 +716,36 @@ def rrf_fuse(
         fused = (fused.withColumn("_rn", F.row_number().over(wf))
                  .filter(F.col("_rn") <= top_n).drop("_rn"))
     return fused
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """kNN classification over an embedding corpus: each query's predicted
+    label is the MAJORITY label among its exact cosine top-k neighbors —
+    the standard embedding-quality / label-propagation eval for a curated
+    training corpus. Deterministic end-to-end: neighbors tie-break by id
+    (cosine_topk), the vote ties break toward the smaller label. Returns
+    (query_id, predicted_label, votes).
+
+    Scale shape: cosine_topk broadcasts the query side and scans the
+    corpus once; the label join broadcasts the (queries x k)-row neighbor
+    list back against the corpus — so the corpus is scanned twice and
+    never shuffled; the vote itself aggregates k rows per query."""
+    nn = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("_lbl"))
+    votes = (labels.join(F.broadcast(nn), "neighbor_id")
+             .groupBy("query_id", "_lbl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("_lbl").asc())
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("query_id", F.col("_lbl").alias("predicted_label"),
+                    "votes"))

@@ -1749,6 +1749,38 @@ def cosine_topk_q(spark, sf):
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5)
 
 
+@query(
+    "similarity_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 17 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS lbl,
+             {_cosine_sql('q.qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, lbl, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored),
+    votes AS (SELECT query_id, lbl, count(*) AS votes FROM ranked WHERE rnk <= 5 GROUP BY query_id, lbl)
+    SELECT query_id, lbl AS predicted_label, votes FROM (
+      SELECT query_id, lbl, votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS vr
+      FROM votes) WHERE vr = 1
+    """,
+)
+def knn_classify_q(spark, sf):
+    """kNN classification over the embedding corpus (r9): each held-out
+    query's label is the majority label of its exact cosine top-5 — the
+    standard embedding-quality / label-propagation eval for a curated
+    corpus. Deterministic vote (neighbor ties by id, label ties toward the
+    smaller label) so the oracle reproduces bit-for-bit. Corpus scanned
+    twice (top-k + label join against the broadcast neighbor list), never
+    shuffled."""
+    emb = load(spark, sf, "embeddings")
+    return S.knn_classify(emb, emb.filter(F.col("vec_id") % 17 == 0),
+                          id_col="vec_id", vec_col="embedding",
+                          label_col="label", k=5)
+
+
 def _lsh_topk_oracle_sql(qmax: int = 10) -> str:
     planes = D.__dict__  # noqa: F841 - constants below come from similarity
     n_planes = S.LSH_PLANES
@@ -5754,6 +5786,9 @@ _GRADED_FIRST = [
     #     dedup_keep_best_quality, green r8 + earlier, untouched r9) ---
     "maintenance_selective_compaction_scan",
     "maintenance_compaction_scan",
+    # --- r9 NEW operator: kNN classification over embeddings (displaced:
+    #     text_hashing_ann_topk — green r7 sweep AND r8, untouched r9) ---
+    "similarity_knn_classify",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5822,7 +5857,6 @@ _GRADED_FIRST = [
     #     metadata_count, bloom/bucket pruning scans, avro manifest,
     #     sorted-write, distributed-plan, eq-delete-rename, tt-schema) ---
     "q8_market_share",
-    "text_hashing_ann_topk",
 ]
 
 
