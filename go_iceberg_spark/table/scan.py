@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..errors import NoSuchSnapshotError, ValidationError
 from ..expr import ALWAYS_TRUE, ColumnStats, Expression, might_match, simplify, to_column
-from ..schema import Schema, to_spark_type
+from ..schema import PrimitiveType, Schema, to_spark_type
 from .metadata import (
     CONTENT_DATA,
     CONTENT_EQUALITY_DELETES,
@@ -597,6 +597,62 @@ class ScanBuilder:
         if self._limit is not None and total > self._limit:
             return self._limit
         return total
+
+    def metadata_min_max(self, column: str):
+        """Exact (min, max) of a column answered from manifest STATS alone
+        — zero data read, O(live files) driver metadata (r9; the natural
+        extension of the reference's metadata-only count,
+        table/scan.go:234-250) — or None when metadata cannot PROVE
+        exactness, in which case the caller falls back to the scan.
+        The proof requires: no filter and no limit set on this builder;
+        no live DELETE files (a suppressed row could be the extremum);
+        every non-all-NULL data file carrying both bounds for the column;
+        and for float/double columns a PROVEN-ZERO NaN count per file
+        (parquet bounds exclude NaN, which Spark orders ABOVE every
+        double — an unproven max would silently be wrong, the r6 NaN
+        class). All-NULL files contribute no values; a table whose every
+        row is NULL returns (None, None), matching SQL MIN/MAX. Bounds
+        decode from the stat space back to the column's type
+        (dates/timestamps/decimals/binary)."""
+        from ..expr import Op
+        from .write import decode_stat
+
+        if self._filter is not None and self._filter.op is not Op.ALWAYS_TRUE:
+            return None
+        if self._limit is not None:
+            return None
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return (None, None)
+        md = self._table.metadata
+        f = md.current_schema.find_field(column)
+        if f is None:
+            return None
+        is_float = isinstance(f.type, PrimitiveType) and f.type.name in ("float", "double")
+        entries = self._table.manifest_entries(snap)
+        if any(e.content != CONTENT_DATA for e in entries):
+            return None
+        lo = hi = None
+        for e in entries:
+            if e.record_count == 0:
+                continue
+            s = e.column_stats.get(f.field_id)
+            if not s:
+                return None
+            nulls, vals = s.get("null_count"), s.get("value_count")
+            if nulls is not None and vals is not None and nulls >= vals:
+                continue  # all-NULL file: contributes no values
+            mn, mx = s.get("min"), s.get("max")
+            if mn is None or mx is None:
+                return None
+            if is_float and s.get("nan_count") != 0:
+                return None  # unproven NaN count: bounds may exclude the max
+            try:
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            except TypeError:
+                return None  # mixed encodings across schema generations
+        return (decode_stat(lo, f.type), decode_stat(hi, f.type))
 
 
 def _has_schema(md: TableMetadata, sid: int) -> bool:

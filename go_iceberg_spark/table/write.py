@@ -389,6 +389,30 @@ def encode_stat(v: Any) -> Any:
     return None
 
 
+def decode_stat(v: Any, t: IcebergType | None = None) -> Any:
+    """Inverse of ``encode_stat`` back into USER space for a known column
+    type (dates→date, timestamps→datetime, decimal unscaled ints→Decimal,
+    binary hex→bytes); everything else passes through."""
+    if v is None:
+        return None
+    if isinstance(t, DecimalType):
+        if isinstance(v, int):
+            return decimal.Decimal(v).scaleb(-t.scale, decimal.Context(prec=60))
+        return decimal.Decimal(str(v))  # legacy str(Decimal) bound
+    if isinstance(t, PrimitiveType):
+        n = t.name
+        if n == "date":
+            return dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
+        if n == "timestamp":
+            return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(v))
+        if n == "timestamptz":
+            return (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                    + dt.timedelta(microseconds=int(v)))
+        if n == "binary" and isinstance(v, str):
+            return bytes.fromhex(v)
+    return v
+
+
 def encode_literal(v: Any, t: IcebergType | None = None) -> Any:
     """Encode a filter literal into the same space as ``encode_stat``."""
     if isinstance(t, DecimalType):

@@ -4302,6 +4302,47 @@ def changelog_cdc_scan_q(spark, sf):
 
 
 @query(
+    "metadata_min_max_scan",
+    """
+    SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def metadata_min_max_scan_q(spark, sf):
+    """Metadata-only MIN/MAX (r9 — the natural extension of the
+    reference's metadata-only count, table/scan.go:234-250): answered
+    from manifest bounds with ZERO data read, but only when metadata can
+    PROVE exactness — the float column requires proven-zero NaN counts
+    (write.nan-count-columns), and a live MoR delete file must flip the
+    answer to "fall back to the scan" (asserted: a suppressed row could
+    be the extremum). Compaction materializes the deletes and the
+    metadata path lights up again, now reflecting them."""
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "mdmm", base,
+                       properties={"write.nan-count-columns": "o_totalprice"})
+    if t.scan().metadata_min_max("o_totalprice") is None:
+        raise AssertionError("nan-proven float bounds did not prove exactness")
+    t.delete(C("o_totalprice").gt(200000.0), mode="merge-on-read")
+    if t.scan().metadata_min_max("o_totalprice") is not None:
+        raise AssertionError("live MoR delete must break the metadata proof")
+    t.rewrite_data_files(min_input_files=1)
+    mk_ = t.scan().metadata_min_max("o_orderkey")
+    mp = t.scan().metadata_min_max("o_totalprice")
+    if mk_ is None or mp is None:
+        raise AssertionError("metadata min/max unavailable after compaction")
+    # cross-check against the engine scan before returning
+    row = t.to_df().agg(F.min("o_orderkey"), F.max("o_orderkey"),
+                        F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    if (row[0], row[1]) != mk_ or (row[2], row[3]) != mp:
+        raise AssertionError(f"metadata bounds {mk_}/{mp} != scan {tuple(row)}")
+    return spark.createDataFrame(
+        [(mk_[0], mk_[1], round(mp[0], 2), round(mp[1], 2))],
+        "min_key bigint, max_key bigint, min_price double, max_price double")
+
+
+@query(
     "crud_delete_mor_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -5786,9 +5827,12 @@ _GRADED_FIRST = [
     #     dedup_keep_best_quality, green r8 + earlier, untouched r9) ---
     "maintenance_selective_compaction_scan",
     "maintenance_compaction_scan",
-    # --- r9 NEW operator: kNN classification over embeddings (displaced:
-    #     text_hashing_ann_topk — green r7 sweep AND r8, untouched r9) ---
+    # --- r9 NEW operators: kNN classification over embeddings +
+    #     metadata-only MIN/MAX with its exactness proof (displaced:
+    #     text_hashing_ann_topk and q8_market_share — green r7 sweep/r6
+    #     AND r8, untouched r9) ---
     "similarity_knn_classify",
+    "metadata_min_max_scan",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5852,11 +5896,6 @@ _GRADED_FIRST = [
     "text_hashing_vectorize",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # --- rotation: TPC-H + operator families cycling back for fresh grades
-    #     (displaced rows green in BOTH r5 and r6: time_travel_scan,
-    #     metadata_count, bloom/bucket pruning scans, avro manifest,
-    #     sorted-write, distributed-plan, eq-delete-rename, tt-schema) ---
-    "q8_market_share",
 ]
 
 

@@ -1867,3 +1867,54 @@ def test_decimal_column_bounds_prune_numerically(spark, catalog):
     e2 = t2.live_entries()[0]
     assert e2.column_stats[fid2]["min"] == 999
     assert e2.column_stats[fid2]["max"] == 1234567890123456789012
+
+
+def test_metadata_min_max_proof_gates(spark, catalog):
+    """r9: metadata-only MIN/MAX answers from manifest bounds ONLY when
+    exactness is provable — filters/limits, live delete files, unproven
+    float NaN counts, and missing bounds all refuse (None); all-NULL files
+    contribute nothing; dates and decimals decode back to user space."""
+    import datetime as dtm
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, 2.5, dtm.date(2024, 1, 2), Decimal("99.50"), "a"),
+         (2, -1.0, dtm.date(2024, 3, 4), Decimal("200.00"), None),
+         (3, 7.25, dtm.date(2023, 12, 31), Decimal("5.00"), None)],
+        "id bigint, x double, d date, price decimal(10,2), s string")
+    t = catalog.create_table(("db",), "mmx", from_spark_schema(df.schema),
+                             properties={"write.nan-count-columns": "x"})
+    t.append(df)
+    assert t.scan().metadata_min_max("id") == (1, 3)
+    assert t.scan().metadata_min_max("x") == (-1.0, 7.25)
+    assert t.scan().metadata_min_max("d") == (dtm.date(2023, 12, 31), dtm.date(2024, 3, 4))
+    assert t.scan().metadata_min_max("price") == (Decimal("5.00"), Decimal("200.00"))
+    assert t.scan().metadata_min_max("s") == ("a", "a")  # NULLs ignored
+
+    # proof gates
+    assert t.scan().filter(E.gt("id", 1)).metadata_min_max("id") is None
+    assert t.scan().limit(2).metadata_min_max("id") is None
+    assert t.scan().metadata_min_max("nope") is None
+
+    # a NaN lands in x: per-file nan_count != 0 must refuse (parquet bounds
+    # exclude NaN but Spark's MAX is NaN)
+    t.append(spark.createDataFrame(
+        [(4, float("nan"), dtm.date(2024, 1, 1), Decimal("1.00"), "z")], df.schema))
+    assert t.scan().metadata_min_max("x") is None
+    assert t.scan().metadata_min_max("id") == (1, 4)  # ints unaffected
+
+    # all-NULL file contributes no values; live MoR delete breaks the proof
+    t2 = catalog.create_table(("db",), "mmx2", from_spark_schema(df.schema))
+    t2.append(spark.createDataFrame([(10, None, None, None, None)], df.schema))
+    assert t2.scan().metadata_min_max("x") == (None, None)
+    t2.append(df)
+    t2.delete(E.eq("id", 2), mode="merge-on-read")
+    assert t2.scan().metadata_min_max("id") is None
+
+    # float WITHOUT nan-count tracking: never provable
+    t3 = catalog.create_table(("db",), "mmx3", from_spark_schema(df.schema))
+    t3.append(df)
+    assert t3.scan().metadata_min_max("x") is None
+    assert t3.scan().metadata_min_max("id") == (1, 3)
