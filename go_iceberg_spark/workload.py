@@ -1766,6 +1766,7 @@ def cosine_topk_q(spark, sf):
              row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS vr
       FROM votes) WHERE vr = 1
     """,
+    bench=True,
 )
 def knn_classify_q(spark, sf):
     """kNN classification over the embedding corpus (r9): each held-out
@@ -3138,6 +3139,7 @@ def _hll_oracle_part(grp_expr: str, value_col: str, where: str = "") -> str:
     + _hll_oracle_part("'ALL-ORDERS'", "o_orderkey")
     + "\n    UNION ALL\n"
     + _hll_oracle_part("'MOD97'", "(o_custkey % 97)"),
+    bench=True,
 )
 def sketch_hll_q(spark, sf):
     """HyperLogLog distinct estimates with the PORTABLE md5 hash (r9 —
