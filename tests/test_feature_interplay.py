@@ -1486,3 +1486,45 @@ def test_mutable_ivm_across_maintenance_replace_and_eq_delete(spark, catalog):
     want = sorted((r.k, r.n, r.sv) for r in agg(ta.to_df()).collect())
     assert got == want, (got, want)
     assert not any(k == 2 for k, _, _ in got)  # eq-deleted group died
+
+
+def test_cherrypick_across_schema_evolution(spark, catalog):
+    """r9 probe: a commit staged on an audit branch BEFORE a rename+widen
+    on main must still cherry-pick cleanly — the picked files carry their
+    write-time schema id, and the scan aligns them to the evolved schema
+    by field id (old int values widen, the renamed column resolves)."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import LONG
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(5)], "id int, val int")
+    t = catalog.create_table("db", "cpse", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("audit")
+    staged = t.append_to_branch(
+        "audit", spark.createDataFrame([(100, 1000)], "id int, val int"))
+    t.update_schema().rename_column("val", "value").commit()
+    t.update_schema().update_column_type("value", LONG).commit()
+    t.cherrypick(staged.snapshot_id)
+    rows = {(r.id, r.value) for r in t.to_df().collect()}
+    assert (100, 1000) in rows and len(rows) == 6
+    # and the changelog attributes the picked rows under the evolved names
+    ins = [r for r in t.changes().collect()
+           if r._change_type == "insert" and r.id == 100]
+    assert len(ins) == 1 and ins[0].value == 1000
+
+
+def test_metadata_min_max_across_rename_and_widen(spark, catalog):
+    """r9 probe: metadata MIN/MAX resolves the column by CURRENT name but
+    matches stats by field id — bounds written before a rename and an
+    int->long widen must still aggregate with bounds written after."""
+    from go_iceberg_spark.schema import LONG
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    t = catalog.create_table("db", "mmse", from_spark_schema(df.schema))
+    t.append(df)
+    t.update_schema().rename_column("k", "key").commit()
+    t.update_schema().update_column_type("key", LONG).commit()
+    t.append(spark.createDataFrame([(10**12,), (-5,)], "key bigint"))
+    assert t.scan().metadata_min_max("key") == (-5, 10**12)
+    assert t.scan().metadata_min_max("k") is None  # old name gone
