@@ -772,6 +772,24 @@ class Table:
         self.version = self._commit_fn(md, self.version)
         self.metadata = md
 
+    def remove_ref(self, name: str) -> None:
+        """Drop a branch or tag ref (Iceberg DROP BRANCH / DROP TAG; r9).
+        ``main`` is protected. The ref's exclusive snapshots survive until
+        the next ``expire_snapshots`` — removing an abandoned audit branch
+        is what LETS expiry reclaim its staged files (refs retain their
+        heads, so a forgotten branch otherwise pins data forever)."""
+        from dataclasses import replace
+
+        if name == MAIN_BRANCH:
+            raise ValidationError("cannot remove the main branch")
+        if name not in self.metadata.refs:
+            raise ValidationError(f"ref {name!r} does not exist")
+        refs = dict(self.metadata.refs)
+        del refs[name]
+        md = replace(self.metadata, refs=refs, last_updated_ms=now_ms())
+        self.version = self._commit_fn(md, self.version)
+        self.metadata = md
+
     def append_to_branch(self, name: str, df: DataFrame) -> Snapshot:
         """Append onto a branch: the write stacks on the BRANCH head and only
         the branch ref moves — main readers never see it until

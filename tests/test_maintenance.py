@@ -479,3 +479,42 @@ def test_selective_compaction_binpack_and_filter(spark, catalog):
     # incremental consumers skip both reorganizations (rows-preserved):
     # exactly the 2000 + 3x1 appended rows, nothing from the rewrites
     assert t.incremental_scan(ignore_non_append=True).count() == 2003
+
+
+def test_remove_ref_unpins_abandoned_branch_for_expiry(spark, catalog):
+    """r9: DROP BRANCH/TAG parity — refs RETAIN their heads through expiry,
+    so an abandoned audit branch pins its staged snapshot and files
+    forever; remove_ref is what lets the next expire_snapshots reclaim
+    them. main is protected; unknown refs are rejected."""
+    import pytest
+    from pyspark.sql import Row
+
+    import go_iceberg_spark as gim
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.maintenance import expire_snapshots
+
+    df = spark.createDataFrame([Row(id=i) for i in range(5)])
+    t = catalog.create_table("db", "dropref", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("aud")
+    staged = t.append_to_branch("aud", spark.createDataFrame([Row(id=99)]))
+    staged_files = [e.file_path for e in t.manifest_entries(staged)
+                    if e.file_path not in {x.file_path for x in t.live_entries()}]
+    assert staged_files
+    t.append(spark.createDataFrame([Row(id=1000)]))
+
+    # while the ref exists, expiry retains the staged snapshot + files
+    expire_snapshots(t, retain_last=1)
+    assert staged.snapshot_id in {s.snapshot_id for s in t.snapshots()}
+    assert all(os.path.exists(os.path.join(t.location, p)) for p in staged_files)
+
+    with pytest.raises(gim.ValidationError, match="main"):
+        t.remove_ref("main")
+    with pytest.raises(gim.ValidationError, match="does not exist"):
+        t.remove_ref("nope")
+    t.remove_ref("aud")
+    assert "aud" not in t.metadata.refs
+    expire_snapshots(t, retain_last=1)
+    assert staged.snapshot_id not in {s.snapshot_id for s in t.snapshots()}
+    assert all(not os.path.exists(os.path.join(t.location, p)) for p in staged_files)
+    assert t.to_df().count() == 6  # main untouched throughout

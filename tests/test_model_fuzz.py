@@ -565,6 +565,11 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
                     t.fast_forward("main", bname)
                 model.extend(rows)
                 record(appended=rows)
+            elif rng.random() < 0.5:
+                # fully abandoned audit: DROP the branch (r9 remove_ref) so
+                # a later expire can reclaim the staged snapshot + files —
+                # main and every consumer must stay oblivious
+                t.remove_ref(bname)
         elif op == "add_files":
             new_ks = [next_k + i for i in range(rng.randint(1, 3))]
             next_k += 10
