@@ -343,3 +343,61 @@ def running_max_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def agg_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
+                    group_keys: list[str], *,
+                    count_col: str, sum_cols: dict[str, str] | None = None,
+                    trigger_once: bool = False,
+                    processing_time: str | None = None):
+    """Streaming AGGREGATE-VIEW maintenance sink (r9): each micro-batch
+    reduces to per-group partials (count + sums) that MERGE into the view
+    table ADDITIVELY — matched groups add the partials, new groups insert —
+    one snapshot per batch. The streaming complement of
+    ``incremental_agg_refresh_changelog``: the view stays a queryable,
+    time-travelable engine table maintained at O(batch) cost, with Spark's
+    own streaming aggregation state never involved (no state store to size,
+    restore, or expire — the TABLE is the state).
+
+    Exactly-once is LOAD-BEARING here, unlike the upsert sink: a replayed
+    additive merge double-counts, so the (checkpoint, batch) summary
+    marker, the expiry-proof high-water property, and the per-retry
+    pre-commit recheck are what make replays safe — same scheme as
+    ``append_stream``."""
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F
+
+    ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    sums = sum_cols or {}
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..table.table import COMMIT_SEQ_PLACEHOLDER
+
+        if batch_df.isEmpty():
+            return
+        table.refresh()
+        if _batch_already_committed(table, ckpt_id, batch_id):
+            return
+        partial = batch_df.groupBy(*group_keys).agg(
+            F.count(F.lit(1)).alias(count_col),
+            *(F.sum(src).alias(out) for out, src in sums.items()))
+        table.merge(
+            partial, group_keys,
+            when_matched_update={
+                count_col: F.col(f"t.{count_col}") + F.col(f"s.{count_col}"),
+                **{out: F.col(f"t.{out}") + F.col(f"s.{out}") for out in sums},
+            },
+            when_not_matched_insert=True,
+            summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+            properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
+                              HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
+            pre_commit_check=lambda: not _batch_already_committed(
+                table, ckpt_id, batch_id))
+
+    w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

@@ -648,14 +648,20 @@ class Table:
               when_not_matched_insert: bool = True,
               when_matched_delete: "bool | Column" = False,
               when_not_matched_by_source_delete: "bool | Column" = False,
-              when_not_matched_by_source_update: dict[str, Any] | None = None) -> Snapshot:
+              when_not_matched_by_source_update: dict[str, Any] | None = None,
+              summary_extra: dict[str, str] | None = None,
+              properties_extra: dict[str, str] | None = None,
+              pre_commit_check=None) -> Snapshot:
         from .mutate import merge as _merge
 
         return _merge(self, source, on, when_matched_update=when_matched_update,
                       when_not_matched_insert=when_not_matched_insert,
                       when_matched_delete=when_matched_delete,
                       when_not_matched_by_source_delete=when_not_matched_by_source_delete,
-                      when_not_matched_by_source_update=when_not_matched_by_source_update)
+                      when_not_matched_by_source_update=when_not_matched_by_source_update,
+                      summary_extra=summary_extra,
+                      properties_extra=properties_extra,
+                      pre_commit_check=pre_commit_check)
 
     # -- properties & schema evolution ------------------------------------
     def set_properties(self, props: dict[str, str]) -> None:

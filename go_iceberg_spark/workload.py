@@ -1007,6 +1007,59 @@ def streaming_upsert_sink_q(spark, sf):
 
 
 @query(
+    "streaming_agg_view_sink_scan",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_agg_view_sink_q(spark, sf):
+    """Streaming AGGREGATE-VIEW maintenance sink (r9): micro-batches reduce
+    to per-group partials that MERGE into an engine table ADDITIVELY —
+    the streaming complement of the changelog-based aggregate IVM, with
+    the TABLE as the only state (no Spark state store). Exactly-once is
+    load-bearing: a replayed additive merge would double-count, so the
+    batch marker + high-water + per-retry recheck carry correctness —
+    asserted by re-running the drained stream on the SAME checkpoint and
+    requiring zero new snapshots. Final view == one-shot aggregate."""
+    from .streaming.stream import agg_view_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf)
+           .select("event_type", "value"))
+
+    seed = (load(spark, sf, "events").groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value")).limit(0))
+    t = _scratch_table(spark, "aggsink", seed)
+    wh = _scratch_dir("gis_aggsink_ckpt_")
+    q = agg_view_stream(src, t, wh + "/ckpt", ["event_type"],
+                        count_col="n_events", sum_cols={"sum_value": "value"},
+                        trigger_once=True)
+    _await_drained(q)
+    t.refresh()
+    n_snaps = len(t.snapshots())
+    # replay the WHOLE stream on the same checkpoint: exactly-once means
+    # zero additional snapshots (a double-count would poison every sum)
+    src2 = (spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet").parquet(sf)
+            .select("event_type", "value"))
+    q2 = agg_view_stream(src2, t, wh + "/ckpt", ["event_type"],
+                         count_col="n_events", sum_cols={"sum_value": "value"},
+                         trigger_once=True)
+    _await_drained(q2)
+    t.refresh()
+    if len(t.snapshots()) != n_snaps:
+        raise AssertionError("replayed stream re-applied batches")
+    return t.to_df().select("event_type", "n_events",
+                            F.round("sum_value", 2).alias("sum_value"))
+
+
+@query(
     "streaming_stateful_running_max",
     """
     SELECT user_id, max(value) AS max_value, count(*) AS n
@@ -5835,6 +5888,10 @@ _GRADED_FIRST = [
     #     AND r8, untouched r9) ---
     "similarity_knn_classify",
     "metadata_min_max_scan",
+    # --- r9 NEW operator: streaming aggregate-view maintenance sink
+    #     (additive exactly-once MERGE; displaced: dedup_simhash — green
+    #     every round since r4 and still benched per-round) ---
+    "streaming_agg_view_sink_scan",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5897,7 +5954,6 @@ _GRADED_FIRST = [
     "cluster_kmeans_topics",
     "text_hashing_vectorize",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 
