@@ -749,3 +749,81 @@ def knn_classify(
             .filter(F.col("_rn") == 1)
             .select("query_id", F.col("_lbl").alias("predicted_label"),
                     "votes"))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    see PAPERS.md) — the diversity-aware top-k behind RAG context
+    selection and dedup-at-retrieval: greedily pick the candidate
+    maximizing ``lam * rel(d) − (1 − lam) * max_{s∈S} sim(d, s)`` so the
+    result covers the query from DIFFERENT angles instead of k near-copies.
+
+    Deterministic end-to-end, so the DuckDB oracle replays it
+    bit-for-bit: relevance and pairwise similarities use the engine's
+    sequential-fold cosine (the same doubles DuckDB's list_sum produces),
+    the greedy is UNROLLED as k identical argmax rounds (ties by
+    candidate id), and both engines multiply by the exact same
+    ``lam`` / ``1 − lam`` double constants.
+
+    Scale shape: one corpus scan builds the top-``n_candidates`` pool per
+    query (broadcast query side, window top-k); everything after operates
+    on pools of ≤ n_candidates rows per query — the pairwise-sim table is
+    ≤ n²/query and each greedy round is a window over it. Returns
+    (query_id, cand_id, mmr_rank)."""
+    q = _broadcast_if_small(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"),
+                       norm_expr(F.col(vec_col)).alias("_qn"))
+        .filter(F.col("_qn") > 0))
+    c = (corpus.select(F.col(id_col).alias("cand_id"),
+                       F.col(vec_col).alias("_cv"),
+                       norm_expr(F.col(vec_col)).alias("_cn"))
+         .filter(F.col("_cn") > 0))
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("cand_id").asc())
+    cands = (c.crossJoin(q)
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .withColumn("_rel", cosine_from_norms(
+                 F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")))
+             .withColumn("_rn", F.row_number().over(w_rel))
+             .filter(F.col("_rn") <= n_candidates)
+             .select("query_id", "cand_id", "_rel", "_cv", "_cn"))
+    a, b = cands.alias("_mmr_a"), cands.alias("_mmr_b")
+    pairs = (a.join(b, (F.col("_mmr_a.query_id") == F.col("_mmr_b.query_id"))
+                    & (F.col("_mmr_a.cand_id") != F.col("_mmr_b.cand_id")))
+             .select(F.col("_mmr_a.query_id").alias("query_id"),
+                     F.col("_mmr_a.cand_id").alias("cand_id"),
+                     F.col("_mmr_b.cand_id").alias("other_id"),
+                     cosine_from_norms(
+                         F.col("_mmr_a._cv"), F.col("_mmr_b._cv"),
+                         F.col("_mmr_a._cn"), F.col("_mmr_b._cn")).alias("_sim")))
+    base = cands.select("query_id", "cand_id", "_rel")
+    selected = (base.withColumn("_r", F.row_number().over(w_rel))
+                .filter(F.col("_r") == 1)
+                .select("query_id", "cand_id", F.lit(1).alias("mmr_rank")))
+    for i in range(2, k + 1):
+        sel_keys = selected.select("query_id", "cand_id")
+        rest = base.join(sel_keys, ["query_id", "cand_id"], "left_anti")
+        msim = (pairs.join(sel_keys.withColumnRenamed("cand_id", "other_id"),
+                           ["query_id", "other_id"])
+                .groupBy("query_id", "cand_id").agg(F.max("_sim").alias("_msim")))
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.col("_score").desc(), F.col("cand_id").asc())
+        pick = (rest.join(msim, ["query_id", "cand_id"])
+                .withColumn("_score", F.lit(lam) * F.col("_rel")
+                            - F.lit(1.0 - lam) * F.col("_msim"))
+                .withColumn("_r", F.row_number().over(w_sc))
+                .filter(F.col("_r") == 1)
+                .select("query_id", "cand_id", F.lit(i).alias("mmr_rank")))
+        selected = selected.unionByName(pick)
+    return selected.select("query_id", "cand_id",
+                           F.col("mmr_rank").cast("int").alias("mmr_rank"))

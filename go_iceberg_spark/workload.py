@@ -1835,6 +1835,61 @@ def knn_classify_q(spark, sf):
                           label_col="label", k=5)
 
 
+def _mmr_oracle_sql(qmax: int = 8, n_cand: int = 10, k: int = 5, lam: float = 0.7) -> str:
+    """MMR greedy unrolled as k argmax rounds — the same rounds, cosine
+    primitive, tie-breaks, and exact double constants as
+    similarity.mmr_rerank, so DuckDB replays the selection bit-for-bit."""
+    cos_qc = _cosine_sql("q.qv", "e.embedding")
+    cos_ab = _cosine_sql("a.cv", "b.cv")
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f"""
+    s{i} AS (SELECT query_id, cand_id, {i} AS mmr_rank FROM (
+        SELECT c.query_id, c.cand_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY ({lam!r} * c.rel - {(1.0 - lam)!r} * m.msim) DESC, c.cand_id) AS rn
+        FROM c JOIN (SELECT p.query_id, p.cand_id, max(p.sim) AS msim
+                     FROM p JOIN {prev} s ON p.query_id = s.query_id AND p.other_id = s.cand_id
+                     GROUP BY p.query_id, p.cand_id) m
+          ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)
+      ) WHERE rn = 1),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT query_id, cand_id, mmr_rank FROM s{i})""")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {qmax}),
+    c0 AS (SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS cv, {cos_qc} AS rel
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    c AS (SELECT query_id, cand_id, cv, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM c0) WHERE rn <= {n_cand}),
+    p AS (SELECT a.query_id, a.cand_id, b.cand_id AS other_id, {cos_ab} AS sim
+          FROM c a JOIN c b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+    sel1 AS (SELECT query_id, cand_id, 1 AS mmr_rank FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        FROM c) WHERE rn = 1),{",".join(steps)}
+    SELECT query_id, cand_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel{k}
+    """
+
+
+@query("similarity_mmr_rerank", _mmr_oracle_sql())
+def mmr_rerank_q(spark, sf):
+    """Maximal Marginal Relevance re-ranking (r9): diversity-aware top-5
+    from a cosine top-10 candidate pool per query — the RAG context
+    selection / dedup-at-retrieval combiner. The greedy is unrolled as
+    five identical argmax rounds in BOTH engines with the same
+    sequential-fold cosine and the same double constants, so the oracle
+    replays the selection exactly. All post-candidate work operates on
+    <=10-row per-query pools (pairwise table <=90 rows/query) — the
+    corpus is scanned once."""
+    emb = load(spark, sf, "embeddings")
+    return S.mmr_rerank(emb, emb.filter(F.col("vec_id") < 8),
+                        id_col="vec_id", vec_col="embedding",
+                        n_candidates=10, k=5, lam=0.7)
+
+
 def _lsh_topk_oracle_sql(qmax: int = 10) -> str:
     planes = D.__dict__  # noqa: F841 - constants below come from similarity
     n_planes = S.LSH_PLANES
@@ -5892,6 +5947,10 @@ _GRADED_FIRST = [
     #     (additive exactly-once MERGE; displaced: dedup_simhash — green
     #     every round since r4 and still benched per-round) ---
     "streaming_agg_view_sink_scan",
+    # --- r9 NEW operator: MMR diversity re-ranking (displaced:
+    #     dedup_minhash_lsh — green every round since r3 AND still
+    #     benched per-round) ---
+    "similarity_mmr_rerank",
     # --- r7 task #1: the cosine single-evaluation rewrite (all six
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
@@ -5953,7 +6012,6 @@ _GRADED_FIRST = [
     "join_hot_key_isolated",
     "cluster_kmeans_topics",
     "text_hashing_vectorize",
-    "dedup_minhash_lsh",
 ]
 
 
