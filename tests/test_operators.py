@@ -626,3 +626,28 @@ def test_hll_distinct_accuracy_and_mergeability(spark):
               .agg(F.max("register").alias("register")))
     one = hll_registers(df, ["g"], "v")
     assert not merged.exceptAll(one).count() and not one.exceptAll(merged).count()
+
+
+def test_mmr_rerank_trades_relevance_for_diversity(spark):
+    """r9: MMR must (a) keep the most-relevant candidate at rank 1, (b)
+    swap at least one near-clone for a diverse direction that plain top-k
+    ignores, and (c) never repeat a candidate."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.0])]
+    for i in range(1, 7):  # near-clones of the query direction
+        rows.append(Row(vec_id=i, embedding=[1.0, 0.001 * i, 0.0]))
+    rows.append(Row(vec_id=10, embedding=[0.8, 0.6, 0.0]))
+    rows.append(Row(vec_id=11, embedding=[0.8, 0.0, 0.6]))
+    rows.append(Row(vec_id=12, embedding=[0.7, -0.7, 0.1]))
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") == 0)
+    topk = [r.neighbor_id for r in cosine_topk(df, q, k=4).orderBy("rank").collect()]
+    assert all(i <= 6 for i in topk)  # plain top-k: all clones
+    mmr = [r.cand_id for r in mmr_rerank(df, q, n_candidates=8, k=4, lam=0.5)
+           .orderBy("mmr_rank").collect()]
+    assert mmr[0] == topk[0]
+    assert any(i >= 10 for i in mmr), mmr
+    assert len(set(mmr)) == 4
