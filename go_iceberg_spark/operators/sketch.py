@@ -194,20 +194,13 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str, *,
     combined, ≤ 2^p rows per group), one map-side-combined reduce to a
     single row per group. Registers merge by elementwise MAX, so shard
     sketches combine without re-reading data — the 100 TB property."""
+    _check_hll_p(p)
     m = 1 << p
-    w_bits = 60 - p  # hash is 60-bit; low p bits pick the bucket
     alpha = 0.7213 / (1 + 1.079 / m)
     # alpha * m^2 * 2^52, one Python-computed double literal: E = A / total
     A = alpha * m * m * float(1 << 52)
-    h = portable_hash60(F.col(value_col).cast("string"))
-    g = (df.filter(F.col(value_col).isNotNull())
-         .select(*group_cols, h.alias("_h")))
-    w = F.expr(f"_h div {m}")
-    rho = (F.when(w == 0, F.lit(w_bits + 1))
-           .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))).cast("int")
-    regs = (g.select(*group_cols, F.pmod("_h", F.lit(m)).alias("_b"),
-                     rho.alias("_r"))
-            .groupBy(*group_cols, "_b").agg(F.max("_r").alias("_m")))
+    regs = (hll_registers(df, group_cols, value_col, p=p)
+            .withColumnRenamed("register", "_m"))
     per_group = (regs.groupBy(*group_cols).agg(
         F.sum(F.expr("shiftleft(1L, 52 - _m)")).alias("_sum_present"),
         F.count(F.lit(1)).alias("_present")))
@@ -228,8 +221,9 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str, *,
     shard sketches merge by ``groupBy(group, bucket).max(register)``,
     which is how a 100 TB corpus combines per-partition sketches without
     a second data pass."""
+    _check_hll_p(p)
     m = 1 << p
-    w_bits = 60 - p
+    w_bits = 60 - p  # hash is 60-bit; low p bits pick the bucket
     h = portable_hash60(F.col(value_col).cast("string"))
     g = (df.filter(F.col(value_col).isNotNull())
          .select(*group_cols, h.alias("_h")))
@@ -240,3 +234,13 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str, *,
                      rho.alias("register"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("register").alias("register")))
+
+
+def _check_hll_p(p: int) -> None:
+    """The exact-integer register encoding is only valid for p in [9, 11]:
+    below 9 the max rho (61 - p) exceeds 52 and ``shiftleft(1L, 52 - M)``
+    gets a NEGATIVE shift (Java masks it to 6 bits — a garbage register
+    sum the first time a hash with 52+ leading zeros lands); above 11 the
+    per-group total approaches 2^63 and the signed-long sum can wrap."""
+    if not 9 <= p <= 11:
+        raise ValueError(f"hll precision p must be in [9, 11], got {p}")

@@ -379,9 +379,14 @@ def agg_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
         table.refresh()
         if _batch_already_committed(table, ckpt_id, batch_id):
             return
+        # partial sums coalesce to 0: an all-NULL batch for a group would
+        # otherwise insert sum=NULL and NULL-poison every later addition
+        # (same 0-identity rule as incremental_agg_refresh_changelog —
+        # documented there: a group whose every input is NULL reports 0)
         partial = batch_df.groupBy(*group_keys).agg(
             F.count(F.lit(1)).alias(count_col),
-            *(F.sum(src).alias(out) for out, src in sums.items()))
+            *(F.coalesce(F.sum(src), F.lit(0)).alias(out)
+              for out, src in sums.items()))
         table.merge(
             partial, group_keys,
             when_matched_update={

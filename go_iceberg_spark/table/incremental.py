@@ -568,6 +568,21 @@ def incremental_agg_refresh_changelog(
 
     if agg_fn is not None:
         base = table.scan().use_snapshot(to_id).to_df()
+        # a time-travel read pins the SNAPSHOT's schema, but group_keys and
+        # the delta keys carry CURRENT names (the changelog's schema) — a
+        # rename landing after ``to`` would otherwise fail the key match;
+        # align by field id, the stable identity
+        snap = table.snapshot_by_id(to_id)
+        md = table.metadata
+        try:
+            schema_at = md.schema_by_id(snap.schema_id)
+        except Exception:
+            schema_at = md.current_schema
+        for f_cur in md.current_schema.fields:
+            old = schema_at.find_field_by_id(f_cur.field_id)
+            if (old is not None and old.name != f_cur.name
+                    and old.name in base.columns):
+                base = base.withColumnRenamed(old.name, f_cur.name)
         base_touched = base.alias(L).join(bkeys, _nsafe_cond(), "left_semi")
         return untouched.unionByName(agg_fn(base_touched))
 

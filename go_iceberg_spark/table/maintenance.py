@@ -302,19 +302,38 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
         if selective:
             cand_paths = {e.file_path for e in candidates}
             untouched = [e for e in data_files if e.file_path not in cand_paths]
-            kept_deletes = []
-            for e in delete_files:
-                if e.content == CONTENT_POSITION_DELETES:
-                    # keep iff it still names a surviving file
-                    pdf = table.spark.read.parquet(
-                        os.path.join(table.location, e.file_path))
-                    refs = {r[0] for r in
-                            pdf.select(POS_DELETE_FILE_COL).distinct().collect()}
-                    live_paths = {u.file_path for u in untouched}
-                    if refs & live_paths:
-                        kept_deletes.append(e)
-                elif files_that_may_lose_rows(md.current_schema, [e], untouched):
-                    kept_deletes.append(e)
+            live_paths = {u.file_path for u in untouched}
+            pos_dels = [e for e in delete_files
+                        if e.content == CONTENT_POSITION_DELETES]
+            # ONE job over all position-delete files: which delete files
+            # still name a surviving data file (keep) vs only rewritten
+            # ones (drop) — per-file serial collects added O(deletes)
+            # round trips to every compaction attempt
+            keep_pos: set[str] = set()
+            if pos_dels:
+                pdf = table.spark.read.parquet(
+                    *[os.path.join(table.location, e.file_path)
+                      for e in pos_dels])
+                refs = (pdf.select(F.input_file_name().alias("_src"),
+                                   F.col(POS_DELETE_FILE_COL))
+                        .filter(F.col(POS_DELETE_FILE_COL).isin(list(live_paths))
+                                if live_paths else F.lit(False))
+                        .select("_src").distinct().collect())
+                norm = {os.path.join(table.location, e.file_path): e.file_path
+                        for e in pos_dels}
+                for r in refs:
+                    src = r[0].replace("file://", "")
+                    for full, rel in norm.items():
+                        if src.endswith(rel):
+                            keep_pos.add(rel)
+                            break
+            kept_deletes = [
+                e for e in delete_files
+                if (e.file_path in keep_pos
+                    if e.content == CONTENT_POSITION_DELETES
+                    else bool(files_that_may_lose_rows(
+                        md.current_schema, [e], untouched)))
+            ]
             new_entries = untouched + kept_deletes + new_entries
         # rows-preserved: this replace reorganizes FILES, not rows — the
         # incremental append scan may skip it (an UPDATE also commits a

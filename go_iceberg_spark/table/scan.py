@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..errors import NoSuchSnapshotError, ValidationError
 from ..expr import ALWAYS_TRUE, ColumnStats, Expression, might_match, simplify, to_column
-from ..schema import PrimitiveType, Schema, to_spark_type
+from ..schema import DecimalType, FixedType, PrimitiveType, Schema, to_spark_type
 from .metadata import (
     CONTENT_DATA,
     CONTENT_EQUALITY_DELETES,
@@ -628,7 +628,30 @@ class ScanBuilder:
         f = md.current_schema.find_field(column)
         if f is None:
             return None
+        if isinstance(f.type, FixedType) or (
+                isinstance(f.type, PrimitiveType)
+                and f.type.name in ("string", "binary", "uuid")):
+            # parquet writers may TRUNCATE long string/binary bounds
+            # (incrementing the truncated max so it stays a VALID bound —
+            # fine for pruning, but it can be a value present in no row,
+            # so an EXACTNESS claim would silently lie); refuse the class
+            return None
         is_float = isinstance(f.type, PrimitiveType) and f.type.name in ("float", "double")
+
+        def _nb(v):
+            # normalize a bound into the current int encode space: legacy
+            # pre-r9 manifests stored decimals as str(Decimal), which
+            # compares LEXICOGRAPHICALLY — decode to the unscaled int
+            if isinstance(f.type, DecimalType) and isinstance(v, str):
+                import decimal as _dec
+
+                try:
+                    return int(_dec.Decimal(v).scaleb(
+                        f.type.scale, _dec.Context(prec=60)))
+                except _dec.InvalidOperation:
+                    return None
+            return v
+
         entries = self._table.manifest_entries(snap)
         if any(e.content != CONTENT_DATA for e in entries):
             return None
@@ -642,7 +665,7 @@ class ScanBuilder:
             nulls, vals = s.get("null_count"), s.get("value_count")
             if nulls is not None and vals is not None and nulls >= vals:
                 continue  # all-NULL file: contributes no values
-            mn, mx = s.get("min"), s.get("max")
+            mn, mx = _nb(s.get("min")), _nb(s.get("max"))
             if mn is None or mx is None:
                 return None
             if is_float and s.get("nan_count") != 0:

@@ -892,6 +892,20 @@ class Table:
                 raise ValidationError(
                     f"cherrypick: {len(dup)} picked file(s) already live on "
                     f"this branch, e.g. {dup[0]!r} (double-pick)")
+            # the path check goes blind once a compaction/delete REWRITES
+            # the picked files, so also scan the retained main ancestry's
+            # summaries for a prior pick of this snapshot (re-picking then
+            # would silently duplicate rows). Retention-bounded like
+            # Iceberg's wap.id dedup: an expired marker can't be checked.
+            by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
+            cur = self.metadata.current_snapshot()
+            while cur is not None:
+                if cur.summary.get("cherry-picked-from") == str(snapshot_id):
+                    raise ValidationError(
+                        f"cherrypick: snapshot {snapshot_id} was already "
+                        f"picked onto this branch (commit {cur.snapshot_id}) "
+                        "(double-pick)")
+                cur = by_id.get(cur.parent_snapshot_id)
             files = [_rpl(e, sequence_number=seq) for e in added]
             return self._commit_snapshot(
                 OP_APPEND, live + files,

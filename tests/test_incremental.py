@@ -716,3 +716,34 @@ def test_aggregate_ivm_null_group_key(spark, catalog):
     gotg = sorted(((r.k, r.n, r.sv) for r in g1g.collect()),
                   key=lambda x: (x[0] is None, x))
     assert gotg == want, (gotg, want)
+
+
+def test_aggregate_ivm_generic_path_survives_rename_after_to(spark, catalog):
+    """r9 review find: the generic (agg_fn) strategy re-aggregates the base
+    at ``to``, whose time-travel read pins the SNAPSHOT's column names —
+    group keys carry CURRENT names, so a rename landing after ``to`` must
+    be bridged by field id, not crash the key match."""
+    from pyspark.sql import functions as SF
+
+    from go_iceberg_spark.table.incremental import (
+        incremental_agg_refresh_changelog,
+    )
+
+    t = mk(spark, catalog, "ivmrn", [Row(k=i % 3, v=float(i)) for i in range(9)])
+    s0 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([Row(k=5, v=50.0)]))
+    to_id = t.current_snapshot().snapshot_id
+    t.update_schema().rename_column("k", "kk").commit()  # AFTER to
+
+    def agg(df):
+        return df.groupBy("kk").agg(SF.count(SF.lit(1)).alias("n"),
+                                    SF.sum("v").alias("sv"))
+
+    g0 = (t.scan().use_snapshot(s0).to_df().groupBy("k")
+          .agg(SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("sv"))
+          .withColumnRenamed("k", "kk"))
+    g1 = incremental_agg_refresh_changelog(
+        g0, t, ["kk"], from_snapshot_id=s0, to_snapshot_id=to_id, agg_fn=agg)
+    got = sorted((r.kk, r.n, r.sv) for r in g1.collect())
+    want = sorted((r.kk, r.n, r.sv) for r in agg(t.to_df()).collect())
+    assert got == want, (got, want)

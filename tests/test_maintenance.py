@@ -518,3 +518,25 @@ def test_remove_ref_unpins_abandoned_branch_for_expiry(spark, catalog):
     assert staged.snapshot_id not in {s.snapshot_id for s in t.snapshots()}
     assert all(not os.path.exists(os.path.join(t.location, p)) for p in staged_files)
     assert t.to_df().count() == 6  # main untouched throughout
+
+
+def test_cherrypick_double_pick_rejected_after_rewrite(spark, catalog):
+    """r9 review find: the path-based double-pick guard goes blind once a
+    compaction rewrites the picked files — re-picking would silently
+    duplicate rows. The summary-ancestry guard must still reject."""
+    import pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.schema import from_spark_schema
+
+    df = spark.createDataFrame([Row(id=i) for i in range(5)])
+    t = catalog.create_table("db", "cherryrw", from_spark_schema(df.schema))
+    t.append(df)
+    t.create_branch("aud")
+    b1 = t.append_to_branch("aud", spark.createDataFrame([Row(id=100)]))
+    t.cherrypick(b1.snapshot_id)
+    t.rewrite_data_files(min_input_files=1)  # picked file paths replaced
+    with pytest.raises(ValidationError, match="double-pick"):
+        t.cherrypick(b1.snapshot_id)
+    assert sorted(r.id for r in t.to_df().collect()).count(100) == 1

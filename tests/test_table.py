@@ -1891,7 +1891,9 @@ def test_metadata_min_max_proof_gates(spark, catalog):
     assert t.scan().metadata_min_max("x") == (-1.0, 7.25)
     assert t.scan().metadata_min_max("d") == (dtm.date(2023, 12, 31), dtm.date(2024, 3, 4))
     assert t.scan().metadata_min_max("price") == (Decimal("5.00"), Decimal("200.00"))
-    assert t.scan().metadata_min_max("s") == ("a", "a")  # NULLs ignored
+    # string/binary bounds can be writer-TRUNCATED (a valid bound that is a
+    # value present in no row) — the exactness proof refuses the class
+    assert t.scan().metadata_min_max("s") is None
 
     # proof gates
     assert t.scan().filter(E.gt("id", 1)).metadata_min_max("id") is None
