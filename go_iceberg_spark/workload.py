@@ -1805,7 +1805,7 @@ def cosine_topk_q(spark, sf):
 @query(
     "similarity_knn_classify",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 17 = 0),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 3400),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS lbl,
              {_cosine_sql('q.qv', 'e.embedding')} AS c
@@ -1828,9 +1828,13 @@ def knn_classify_q(spark, sf):
     corpus. Deterministic vote (neighbor ties by id, label ties toward the
     smaller label) so the oracle reproduces bit-for-bit. Corpus scanned
     twice (top-k + label join against the broadcast neighbor list), never
-    shuffled."""
+    shuffled. The query set is CAPPED (<=200 ids) so the fixture scales
+    linearly in the corpus — an uncapped modulo predicate grew queries
+    WITH the corpus and turned the brute-force eval quadratic (measured
+    188 s at sf1); real evals hold the query set fixed."""
     emb = load(spark, sf, "embeddings")
-    return S.knn_classify(emb, emb.filter(F.col("vec_id") % 17 == 0),
+    return S.knn_classify(emb, emb.filter((F.col("vec_id") % 17 == 0)
+                                          & (F.col("vec_id") < 3400)),
                           id_col="vec_id", vec_col="embedding",
                           label_col="label", k=5)
 
