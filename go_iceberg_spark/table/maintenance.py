@@ -59,7 +59,17 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
         older_than = int(older_than.timestamp() * 1000)
     cutoff = older_than if older_than is not None else now_ms() + 1
     current_id = md.current_snapshot_id
-    keep = {s.snapshot_id for s in snaps[-retain_last:]}
+    by_id = {s.snapshot_id: s for s in snaps}
+    # retain_last counts ANCESTORS of the current snapshot (Iceberg
+    # expire_snapshots retainLast semantics), not newest-N by timestamp:
+    # an abandoned branch head that happens to be the newest snapshot must
+    # not dodge expiry once its ref is dropped (r10 — the r9 remove_ref
+    # motivation: a forgotten audit branch pins staged files forever).
+    keep: set[int] = set()
+    cur = by_id.get(current_id) if current_id is not None else None
+    while cur is not None and len(keep) < retain_last:
+        keep.add(cur.snapshot_id)
+        cur = by_id.get(cur.parent_snapshot_id) if cur.parent_snapshot_id else None
     if current_id is not None:
         keep.add(current_id)
     # every branch/tag head stays live (Iceberg ref retention): expiring a
@@ -69,7 +79,6 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
     # reference: spec/snapshot.go:64-70): a ref's min-snapshots-to-keep
     # protects that many of the branch's latest ANCESTORS; its
     # max-snapshot-age-ms protects ancestors younger than the age window
-    by_id = {s.snapshot_id: s for s in snaps}
     now = now_ms()
     for r in md.refs.values():
         if r.min_snapshots_to_keep is None and r.max_snapshot_age_ms is None:
