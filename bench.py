@@ -17,6 +17,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from go_iceberg_spark.session import get_spark
 from go_iceberg_spark.workload import bench_queries, load
 
+# The frozen r2-r8 comparable subset (21 queries): the headline set grows as
+# operators land (HLL + kNN in r9, MMR in r10), so cross-round deltas compare
+# THIS subtotal (emitted as value_common21) — the full total covers new scope.
+COMMON_21 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q8_market_share", "q14_promo_revenue",
+    "q18_large_volume_customers", "window_top3_orders_per_customer",
+    "window_running_and_lag", "sort_topk_lineitems", "rollup_time_bucket",
+    "tumbling_window_hourly", "asof_join_purchase_to_view", "join_salted_skew",
+    "join_hot_key_isolated", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "similarity_cosine_topk", "similarity_ivf_topk",
+    "text_tfidf_top_terms",
+]
+
 
 def _assert_no_fixture_setup_in_timed_region() -> None:
     """The timed region must measure OPERATORS, not fixture construction:
@@ -102,9 +116,15 @@ def main() -> None:
     calibration_end = min(cal_times_end)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    missing_common = [n for n in COMMON_21 if n not in timings]
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
+        # round-over-round comparable subtotal: the frozen 21-query subset
+        # every round since r2 has run (the full value covers new scope)
+        "value_common21": round(
+            sum(t for n, t in timings.items() if n in COMMON_21), 3),
+        "common21_missing": missing_common,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

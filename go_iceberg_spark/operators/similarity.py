@@ -744,7 +744,11 @@ def knn_classify(
     votes = (labels.join(F.broadcast(nn), "neighbor_id")
              .groupBy("query_id", "_lbl")
              .agg(F.count(F.lit(1)).alias("votes")))
-    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("_lbl").asc())
+    # asc_nulls_last matches the DuckDB oracle's ORDER BY lbl ASC (NULLs
+    # last); Spark's plain asc sorts NULLs FIRST, so a NULL label tied with
+    # a real one would win here but lose there (r9 ADVICE — latent)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc_nulls_last())
     return (votes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("query_id", F.col("_lbl").alias("predicted_label"),

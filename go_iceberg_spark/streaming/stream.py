@@ -366,39 +366,11 @@ def agg_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
     ``append_stream``."""
     import hashlib as _hl
 
-    from pyspark.sql import functions as F
-
     ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
-    sums = sum_cols or {}
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..table.table import COMMIT_SEQ_PLACEHOLDER
-
-        if batch_df.isEmpty():
-            return
-        table.refresh()
-        if _batch_already_committed(table, ckpt_id, batch_id):
-            return
-        # partial sums coalesce to 0: an all-NULL batch for a group would
-        # otherwise insert sum=NULL and NULL-poison every later addition
-        # (same 0-identity rule as incremental_agg_refresh_changelog —
-        # documented there: a group whose every input is NULL reports 0)
-        partial = batch_df.groupBy(*group_keys).agg(
-            F.count(F.lit(1)).alias(count_col),
-            *(F.coalesce(F.sum(src), F.lit(0)).alias(out)
-              for out, src in sums.items()))
-        table.merge(
-            partial, group_keys,
-            when_matched_update={
-                count_col: F.col(f"t.{count_col}") + F.col(f"s.{count_col}"),
-                **{out: F.col(f"t.{out}") + F.col(f"s.{out}") for out in sums},
-            },
-            when_not_matched_insert=True,
-            summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
-            properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
-                              HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
-            pre_commit_check=lambda: not _batch_already_committed(
-                table, ckpt_id, batch_id))
+        agg_view_commit_batch(table, ckpt_id, batch_df, batch_id, group_keys,
+                              count_col=count_col, sum_cols=sum_cols)
 
     w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
@@ -406,3 +378,45 @@ def agg_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
     elif processing_time:
         w = w.trigger(processingTime=processing_time)
     return w.start()
+
+
+def agg_view_commit_batch(table: Table, ckpt_id: str, batch_df: DataFrame,
+                          batch_id: int, group_keys: list[str], *,
+                          count_col: str,
+                          sum_cols: dict[str, str] | None = None) -> bool:
+    """The agg-view sink's per-batch commit path (module-level so the model
+    fuzz walk can drive the REAL code with crash-replays — r10, VERDICT r9
+    task #5). Returns True when the batch applied, False when the
+    exactly-once check deduplicated it (marker snapshot, or — after that
+    snapshot expired — the high-water property)."""
+    from pyspark.sql import functions as F
+
+    from ..table.table import COMMIT_SEQ_PLACEHOLDER
+
+    sums = sum_cols or {}
+    if batch_df.isEmpty():
+        return False
+    table.refresh()
+    if _batch_already_committed(table, ckpt_id, batch_id):
+        return False
+    # partial sums coalesce to 0: an all-NULL batch for a group would
+    # otherwise insert sum=NULL and NULL-poison every later addition
+    # (same 0-identity rule as incremental_agg_refresh_changelog —
+    # documented there: a group whose every input is NULL reports 0)
+    partial = batch_df.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *(F.coalesce(F.sum(src), F.lit(0)).alias(out)
+          for out, src in sums.items()))
+    table.merge(
+        partial, group_keys,
+        when_matched_update={
+            count_col: F.col(f"t.{count_col}") + F.col(f"s.{count_col}"),
+            **{out: F.col(f"t.{out}") + F.col(f"s.{out}") for out in sums},
+        },
+        when_not_matched_insert=True,
+        summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+        properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
+                          HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
+        pre_commit_check=lambda: not _batch_already_committed(
+            table, ckpt_id, batch_id))
+    return True

@@ -186,9 +186,17 @@ def expire_snapshots(table, *, older_than: dt.datetime | int | None = None,
                 cur = parent.parent_snapshot_id if parent is not None else None
             return cur
 
-        fixed = [replace(s, parent_snapshot_id=nearest_retained_ancestor(s))
-                 if s.parent_snapshot_id not in retained_ids else s
-                 for s in retained]
+        def _fix(s):
+            if s.parent_snapshot_id is None or s.parent_snapshot_id in retained_ids:
+                return s
+            # stamp the rewiring (r10): a rewired snapshot's entries-minus-
+            # parent-entries diff no longer equals "what this commit added"
+            # — cherrypick refuses stamped snapshots instead of silently
+            # re-registering files the gap's commits added (row duplication)
+            return replace(s, parent_snapshot_id=nearest_retained_ancestor(s),
+                           summary={**s.summary, "parent-rewired": "true"})
+
+        fixed = [_fix(s) for s in retained]
         refs = {name: r for name, r in md.refs.items()
                 if r.snapshot_id in retained_ids or name == MAIN_BRANCH}
         new_md = replace(
@@ -305,6 +313,7 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
             distribution_mode=table._distribution_mode() if not zorder_by else "none",
             bloom_columns=table._bloom_columns(),
             nan_count_columns=table._nan_count_columns(),
+            exact_bounds_columns=table._exact_bounds_columns(),
             data_location=table._data_location(),
             bucket_fn=table._bucket_fn(),
         )
@@ -328,14 +337,25 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
                         .filter(F.col(POS_DELETE_FILE_COL).isin(list(live_paths))
                                 if live_paths else F.lit(False))
                         .select("_src").distinct().collect())
-                norm = {os.path.join(table.location, e.file_path): e.file_path
+                # exact lookup on the normalized path (r9 ADVICE: an
+                # endswith scan could match the wrong file when one rel
+                # path is a suffix of another's absolute path); a source
+                # path with no exact mapping keeps ALL position-delete
+                # files conservatively — never silently drop one
+                norm = {os.path.normpath(os.path.join(table.location, e.file_path)): e.file_path
                         for e in pos_dels}
+                from urllib.parse import unquote as _unquote
+
+                unmatched = False
                 for r in refs:
-                    src = r[0].replace("file://", "")
-                    for full, rel in norm.items():
-                        if src.endswith(rel):
-                            keep_pos.add(rel)
-                            break
+                    src = os.path.normpath(_unquote(r[0]).replace("file://", ""))
+                    rel = norm.get(src)
+                    if rel is not None:
+                        keep_pos.add(rel)
+                    else:
+                        unmatched = True
+                if unmatched:
+                    keep_pos = {e.file_path for e in pos_dels}
             kept_deletes = [
                 e for e in delete_files
                 if (e.file_path in keep_pos

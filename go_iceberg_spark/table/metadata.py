@@ -276,6 +276,11 @@ _MANIFEST_ARROW_SCHEMA = pa.schema(
         # unknown; a PROVEN 0 re-enables metadata-only deletes on float
         # columns (must_match, expr.py)
         ("stats_nan_counts", pa.list_(pa.int64())),
+        # r10: per-column bounds-exactness marker — True only when the
+        # engine's writer computed the bound from the VALUES (string/binary
+        # footer bounds may be writer-truncated); metadata_min_max serves
+        # string/binary columns only under this marker
+        ("stats_bounds_exact", pa.list_(pa.bool_())),
     ]
 )
 
@@ -317,6 +322,8 @@ def write_manifest(path: str, entries: list[DataFileEntry], io=None) -> None:
         cols["stats_nan_counts"].append(
             [e.column_stats[f].get("nan_count", -1) if e.column_stats[f].get("nan_count") is not None else -1
              for f in fids])
+        cols["stats_bounds_exact"].append(
+            [bool(e.column_stats[f].get("bounds_exact")) for f in fids])
     table = pa.table(cols, schema=_MANIFEST_ARROW_SCHEMA)
     if io is not None:
         buf = pa.BufferOutputStream()
@@ -347,6 +354,10 @@ def _entry_from_columns(d: dict, i: int) -> DataFileEntry:
                 **({"nan_count": nans[i][j]}
                    if (nans := d.get("stats_nan_counts")) is not None
                    and nans[i] is not None and nans[i][j] is not None and nans[i][j] >= 0
+                   else {}),
+                **({"bounds_exact": True}
+                   if (bex := d.get("stats_bounds_exact")) is not None
+                   and bex[i] is not None and bex[i][j]
                    else {}),
             }
             for j, fid in enumerate(d["stats_fids"][i])

@@ -134,6 +134,7 @@ def rewrite_for_delete(table, filter_: Expression) -> list[DataFileEntry]:
         distribution_mode=table._distribution_mode(),
         bloom_columns=table._bloom_columns(),
         nan_count_columns=table._nan_count_columns(),
+        exact_bounds_columns=table._exact_bounds_columns(),
         data_location=table._data_location(),
         bucket_fn=table._bucket_fn(),
     )
@@ -358,6 +359,7 @@ def update(table, filter_: Expression, assignments: dict[str, Any]):
             distribution_mode=table._distribution_mode(),
             bloom_columns=table._bloom_columns(),
             nan_count_columns=table._nan_count_columns(),
+        exact_bounds_columns=table._exact_bounds_columns(),
             data_location=table._data_location(),
             bucket_fn=table._bucket_fn(),
         )
@@ -625,6 +627,7 @@ def merge(table, source: DataFrame, on: list[str], *,
             distribution_mode=table._distribution_mode(),
             bloom_columns=table._bloom_columns(),
             nan_count_columns=table._nan_count_columns(),
+        exact_bounds_columns=table._exact_bounds_columns(),
             data_location=table._data_location(),
             bucket_fn=table._bucket_fn(),
         )

@@ -624,18 +624,23 @@ class ScanBuilder:
         snap = self._resolve_snapshot()
         if snap is None:
             return (None, None)
-        md = self._table.metadata
-        f = md.current_schema.find_field(column)
+        # resolve the name against the SAME schema to_df() would read with
+        # (time-travel/tag reads pin the snapshot's schema) — the stats key
+        # is the field id, so only the name lookup switches (r9 ADVICE)
+        f = self._projection_schema(snap).find_field(column)
         if f is None:
             return None
-        if isinstance(f.type, FixedType) or (
-                isinstance(f.type, PrimitiveType)
-                and f.type.name in ("string", "binary", "uuid")):
-            # parquet writers may TRUNCATE long string/binary bounds
-            # (incrementing the truncated max so it stays a VALID bound —
-            # fine for pruning, but it can be a value present in no row,
-            # so an EXACTNESS claim would silently lie); refuse the class
-            return None
+        needs_exact_marker = isinstance(f.type, FixedType) or (
+            isinstance(f.type, PrimitiveType)
+            and f.type.name in ("string", "binary", "uuid"))
+        # parquet writers may TRUNCATE long string/binary footer bounds
+        # (incrementing the truncated max so it stays a VALID bound — fine
+        # for pruning, but it can be a value present in no row, so an
+        # EXACTNESS claim would silently lie). THIS engine's writer computes
+        # value-derived bounds for columns listed in
+        # write.exact-bounds-columns and stamps them ``bounds_exact`` —
+        # only stats carrying that marker may serve the class; unmarked
+        # stats (add_files imports, pre-r10 manifests) stay refused.
         is_float = isinstance(f.type, PrimitiveType) and f.type.name in ("float", "double")
 
         def _nb(v):
@@ -668,6 +673,8 @@ class ScanBuilder:
             mn, mx = _nb(s.get("min")), _nb(s.get("max"))
             if mn is None or mx is None:
                 return None
+            if needs_exact_marker and not s.get("bounds_exact"):
+                return None  # possibly-truncated string/binary bounds
             if is_float and s.get("nan_count") != 0:
                 return None  # unproven NaN count: bounds may exclude the max
             try:

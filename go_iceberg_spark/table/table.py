@@ -459,6 +459,17 @@ class Table:
         raw = self.metadata.properties.get("write.bloom-columns", "")
         return tuple(c.strip() for c in raw.split(",") if c.strip())
 
+    def _exact_bounds_columns(self) -> tuple[str, ...]:
+        """``write.exact-bounds-columns`` property (r10): comma-separated
+        string/binary columns whose manifest bounds this engine computes
+        from the VALUES at write time (parquet writers may truncate string
+        footer bounds — incrementing the max so it stays valid for pruning
+        but may be a value present in no row). The stats carry a
+        ``bounds_exact`` marker that lets ``metadata_min_max`` serve the
+        column; unmarked stats (e.g. ``add_files`` imports) stay refused."""
+        raw = self.metadata.properties.get("write.exact-bounds-columns", "")
+        return tuple(c.strip() for c in raw.split(",") if c.strip())
+
     def append(self, df: DataFrame, summary_extra: dict[str, str] | None = None,
                properties_extra: dict[str, str] | None = None,
                pre_commit_check=None) -> Snapshot | None:
@@ -482,6 +493,7 @@ class Table:
             distribution_mode=self._distribution_mode(),
             bloom_columns=self._bloom_columns(),
             nan_count_columns=self._nan_count_columns(),
+                exact_bounds_columns=self._exact_bounds_columns(),
             data_location=self._data_location(),
             bucket_fn=self._bucket_fn(),
         )
@@ -556,6 +568,7 @@ class Table:
                 distribution_mode=self._distribution_mode(),
                 bloom_columns=self._bloom_columns(),
                 nan_count_columns=self._nan_count_columns(),
+                exact_bounds_columns=self._exact_bounds_columns(),
                 data_location=self._data_location(),
                 bucket_fn=self._bucket_fn(),
             )
@@ -603,6 +616,7 @@ class Table:
                 distribution_mode=self._distribution_mode(),
                 bloom_columns=self._bloom_columns(),
                 nan_count_columns=self._nan_count_columns(),
+                exact_bounds_columns=self._exact_bounds_columns(),
                 data_location=self._data_location(),
                 bucket_fn=self._bucket_fn(),
             )
@@ -876,6 +890,15 @@ class Table:
             raise ValidationError(
                 f"cherrypick supports append snapshots only; "
                 f"{snapshot_id} is {snap.operation!r}")
+        if snap.summary.get("parent-rewired"):
+            # expiry re-parented this snapshot across a removal gap (r10):
+            # its entries-minus-parent diff now includes everything the
+            # expired gap added, so "what this commit added" is lost —
+            # picking would silently re-register gap files (row duplication)
+            raise ValidationError(
+                f"cherrypick: snapshot {snapshot_id}'s original parent was "
+                "expired and its lineage rewired; the snapshot's own added "
+                "files can no longer be determined — re-stage the change")
         cur = {e.file_path: e for e in self.manifest_entries(snap)}
         prev: set[str] = set()
         if snap.parent_snapshot_id is not None:

@@ -359,8 +359,18 @@ def transform_column(transform: str, source: Column, source_type: IcebergType,
     raise ValidationError(f"unknown transform {transform!r}")
 
 
-def encode_stat(v: Any) -> Any:
-    """Order-preserving JSON-able encoding of a stats bound value."""
+def encode_stat(v: Any, decimal_scale: int | None = None) -> Any:
+    """Order-preserving JSON-able encoding of a stats bound value.
+
+    ``decimal_scale``: the COLUMN's declared scale — a Decimal encodes into
+    that unscaled-int space (r9 ADVICE: deriving the exponent from the
+    value itself puts ``Decimal('1E+2')`` and ``Decimal('100.00')`` into
+    different spaces, breaking min/max ordering across bounds). A value not
+    exactly representable at the column scale yields None (no usable
+    bound — quantizing could move a min up or a max down, flipping
+    pruning strictness). Without the scale the value's own exponent is
+    used — correct only when every bound of the column carries the same
+    exponent, which footer stats of a fixed-scale parquet column do."""
     if v is None:
         return None
     if isinstance(v, dt.datetime):
@@ -376,9 +386,13 @@ def encode_stat(v: Any) -> Any:
         # min/max merge downstream (r8 ADVICE). Literals enter this space
         # via encode_literal, which scales by the column's declared scale.
         try:
+            if decimal_scale is not None:
+                u = v.scaleb(decimal_scale, decimal.Context(prec=60))
+                iu = int(u)
+                return iu if u == iu else None
             return int(v.scaleb(-v.as_tuple().exponent,
                                 decimal.Context(prec=60)))
-        except (TypeError, decimal.InvalidOperation):
+        except (TypeError, ValueError, decimal.InvalidOperation, OverflowError):
             return None  # NaN/Inf decimals: no usable bound
     if isinstance(v, (bytes, bytearray)):
         # hex is order-isomorphic to the underlying bytes (digit alphabet is
@@ -435,12 +449,18 @@ def encode_literal(v: Any, t: IcebergType | None = None) -> Any:
 
 def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                         bloom_names: tuple[str, ...] = (),
-                        nan_names: tuple[str, ...] = ()) -> list[dict]:
+                        nan_names: tuple[str, ...] = (),
+                        exact_bound_names: tuple[str, ...] = ()) -> list[dict]:
     """Executor-side: read parquet FOOTERS and aggregate row-group stats to
     file level. Runs inside mapPartitions — pyarrow only, no Spark.
     ``bloom_names`` columns additionally get a per-file bloom filter, which
     requires reading those columns' VALUES (opt-in via the
-    write.bloom-columns table property; integer/string columns only)."""
+    write.bloom-columns table property; integer/string columns only).
+    ``exact_bound_names`` string/binary columns get their min/max computed
+    from the VALUES (never the footer, whose string bounds a parquet writer
+    may truncate) and carry a ``bounds_exact`` marker that lets
+    ``metadata_min_max`` serve the column (opt-in via the
+    write.exact-bounds-columns table property; r10)."""
     import pyarrow as pa  # noqa: F401 - executor-side
     import pyarrow.parquet as pq  # re-import on executor
 
@@ -472,8 +492,14 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                 if s.null_count is not None:
                     entry["null_count"] += s.null_count
                 if s.has_min_max:
+                    # decimal bounds encode in the COLUMN's declared-scale
+                    # unscaled-int space (not the value's own exponent —
+                    # r9 ADVICE)
+                    _fld = pf.schema_arrow.field(name) if name in pf.schema_arrow.names else None
+                    _dscale = (_fld.type.scale if _fld is not None
+                               and pa.types.is_decimal(_fld.type) else None)
                     try:
-                        mn, mx = encode_stat(s.min), encode_stat(s.max)
+                        mn, mx = encode_stat(s.min, _dscale), encode_stat(s.max, _dscale)
                     except Exception:
                         # pyarrow cannot decode footer stats for INT32/
                         # INT64-backed decimals (what Spark writes for
@@ -494,6 +520,29 @@ def _collect_file_stats(paths: list[str], name_to_fid: dict[str, int],
                         entry["min"] = mn
                     if mx is not None and (entry["max"] is None or mx > entry["max"]):
                         entry["max"] = mx
+        for name in exact_bound_names:
+            fid = name_to_fid.get(name)
+            if fid is None or fid not in stats or name not in pf.schema_arrow.names:
+                continue
+            try:
+                col = pf.read(columns=[name]).column(0).combine_chunks()
+            except Exception:
+                continue
+            t_ = col.type
+            if not (pa.types.is_string(t_) or pa.types.is_large_string(t_)
+                    or pa.types.is_binary(t_) or pa.types.is_large_binary(t_)
+                    or pa.types.is_fixed_size_binary(t_)):
+                continue  # numeric footer stats are already exact
+            import pyarrow.compute as pc
+
+            vals = pc.drop_null(col)
+            if len(vals) > 0:
+                # Spark orders strings by UTF-8 bytes == code-point order,
+                # which is exactly Python/Arrow string ordering
+                mm = pc.min_max(vals)
+                stats[fid]["min"] = encode_stat(mm["min"].as_py())
+                stats[fid]["max"] = encode_stat(mm["max"].as_py())
+            stats[fid]["bounds_exact"] = True
         for name in nan_names:
             fid = name_to_fid.get(name)
             if fid is None or fid not in stats:
@@ -630,6 +679,7 @@ def write_data_files(
     distribution_mode: str = "none",
     bloom_columns: tuple[str, ...] = (),
     nan_count_columns: tuple[str, ...] = (),
+    exact_bounds_columns: tuple[str, ...] = (),
     data_location: str | None = None,
     bucket_fn: str = "spark",
 ) -> list[DataFileEntry]:
@@ -751,7 +801,7 @@ def write_data_files(
     raw = (
         sc.parallelize(paths, n_slices)
         .mapPartitions(lambda it: _collect_file_stats(list(it), fid_by_name, bloom_columns,
-                                                      nan_count_columns))
+                                                      nan_count_columns, exact_bounds_columns))
         .collect()
     )
 

@@ -1878,7 +1878,7 @@ def _mmr_oracle_sql(qmax: int = 8, n_cand: int = 10, k: int = 5, lam: float = 0.
     """
 
 
-@query("similarity_mmr_rerank", _mmr_oracle_sql())
+@query("similarity_mmr_rerank", _mmr_oracle_sql(), bench=True)
 def mmr_rerank_q(spark, sf):
     """Maximal Marginal Relevance re-ranking (r9): diversity-aware top-5
     from a cosine top-10 candidate pool per query — the RAG context
@@ -4491,7 +4491,8 @@ def changelog_cdc_scan_q(spark, sf):
     """
     SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
            round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price
+           round(max(o_totalprice), 2) AS max_price,
+           min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
     FROM orders WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
     """,
 )
@@ -4503,28 +4504,43 @@ def metadata_min_max_scan_q(spark, sf):
     (write.nan-count-columns), and a live MoR delete file must flip the
     answer to "fall back to the scan" (asserted: a suppressed row could
     be the extremum). Compaction materializes the deletes and the
-    metadata path lights up again, now reflecting them."""
+    metadata path lights up again, now reflecting them. r10 (VERDICT r9
+    task #4) extends the proof to a STRING column: parquet writers may
+    truncate string footer bounds, so the engine serves them only when
+    write.exact-bounds-columns made the writer compute the bound from the
+    VALUES and stamp ``bounds_exact`` — asserted both ways (unmarked
+    stats refused, marked stats served and scan-identical)."""
     base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
     t = _scratch_table(spark, "mdmm", base,
                        properties={"write.nan-count-columns": "o_totalprice"})
     if t.scan().metadata_min_max("o_totalprice") is None:
         raise AssertionError("nan-proven float bounds did not prove exactness")
+    # truncation honesty: UNMARKED string stats must be refused even though
+    # the footer carries bounds (a writer may have truncated them)
+    if t.scan().metadata_min_max("o_orderpriority") is not None:
+        raise AssertionError("unmarked string bounds served — exactness lie")
     t.delete(C("o_totalprice").gt(200000.0), mode="merge-on-read")
     if t.scan().metadata_min_max("o_totalprice") is not None:
         raise AssertionError("live MoR delete must break the metadata proof")
+    t.set_properties({"write.exact-bounds-columns": "o_orderpriority"})
     t.rewrite_data_files(min_input_files=1)
     mk_ = t.scan().metadata_min_max("o_orderkey")
     mp = t.scan().metadata_min_max("o_totalprice")
+    ms = t.scan().metadata_min_max("o_orderpriority")
     if mk_ is None or mp is None:
         raise AssertionError("metadata min/max unavailable after compaction")
+    if ms is None:
+        raise AssertionError("marked string bounds not served after rewrite")
     # cross-check against the engine scan before returning
     row = t.to_df().agg(F.min("o_orderkey"), F.max("o_orderkey"),
-                        F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
-    if (row[0], row[1]) != mk_ or (row[2], row[3]) != mp:
-        raise AssertionError(f"metadata bounds {mk_}/{mp} != scan {tuple(row)}")
+                        F.min("o_totalprice"), F.max("o_totalprice"),
+                        F.min("o_orderpriority"), F.max("o_orderpriority")).collect()[0]
+    if (row[0], row[1]) != mk_ or (row[2], row[3]) != mp or (row[4], row[5]) != ms:
+        raise AssertionError(f"metadata bounds {mk_}/{mp}/{ms} != scan {tuple(row)}")
     return spark.createDataFrame(
-        [(mk_[0], mk_[1], round(mp[0], 2), round(mp[1], 2))],
-        "min_key bigint, max_key bigint, min_price double, max_price double")
+        [(mk_[0], mk_[1], round(mp[0], 2), round(mp[1], 2), ms[0], ms[1])],
+        "min_key bigint, max_key bigint, min_price double, max_price double, "
+        "min_prio string, max_prio string")
 
 
 @query(
@@ -6056,6 +6072,14 @@ def bench_queries() -> dict[str, QuerySpec]:
 # more green round, then pass-prior rows cycling back so no query goes
 # many rounds ungraded. Displaced: rows driver-green in ≥2 recent rounds.
 _GRADED_FIRST = [
+    # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
+    #     strategy (MIN/MAX view whose standing max a delete KILLS) and
+    #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
+    #     Displaced: similarity_lsh_topk and dedup_embedding_ivf_gemm —
+    #     both green r7 sweep + r9 driver, cosine plan family untouched
+    #     r10. ---
+    "incremental_agg_refresh_minmax",
+    "maintenance_branch_expire_scan",
     # --- r9 VERDICT r8 task #1: grade the changelog-over-eq-deletes path
     #     (bounds pruning with NULL + non-NULL keys), rotate
     #     crud_delete_mor_scan back in (its WRITE path changed in r8 —
@@ -6098,10 +6122,8 @@ _GRADED_FIRST = [
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
-    "similarity_lsh_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_ivf",
-    "dedup_embedding_ivf_gemm",
     # --- r7 ADVICE fixes: streaming exactly-once (high-water seq, racing
     #     replay recheck) + rollback rebase + overwrite retry restamp ---
     "streaming_table_sink_scan",

@@ -1528,3 +1528,154 @@ def test_metadata_min_max_across_rename_and_widen(spark, catalog):
     t.append(spark.createDataFrame([(10**12,), (-5,)], "key bigint"))
     assert t.scan().metadata_min_max("key") == (-5, 10**12)
     assert t.scan().metadata_min_max("k") is None  # old name gone
+
+
+def test_cherrypick_double_pick_rejected_after_selective_compaction(spark, catalog):
+    """r10 probe (VERDICT r9 task #6a): the cherrypick double-pick guard's
+    file-path check goes BLIND once a compaction rewrites the picked files —
+    a selective (filter-scoped) compaction between pick and re-pick attempt
+    rewrites exactly those files, so only the retained-ancestry summary scan
+    stands between a re-pick and silent row duplication. Pin that it still
+    rejects, and that the rejection leaves data untouched."""
+    import go_iceberg_spark as gi
+    from go_iceberg_spark.errors import ValidationError
+
+    base = spark.createDataFrame([(i, f"b{i}") for i in range(5)],
+                                 "k bigint, tag string")
+    t = catalog.create_table("db", "cpsc", from_spark_schema(base.schema))
+    t.append(base)
+    t.create_branch("audit")
+    staged = t.append_to_branch(
+        "audit", spark.createDataFrame([(100 + i, f"g{i}") for i in range(3)],
+                                       "k bigint, tag string"))
+    t.cherrypick(staged.snapshot_id)
+    picked_paths = {e.file_path for e in t.manifest_entries(staged)} \
+        - {e.file_path for e in t.manifest_entries(t.snapshot_by_id(staged.parent_snapshot_id))}
+
+    # selective compaction scoped to the PICKED key range rewrites exactly
+    # the picked files (asserted) — the path-identity check is now blind
+    t.rewrite_data_files(min_input_files=1, where=gi.gte("k", 100))
+    live_paths = {e.file_path for e in t.live_entries()}
+    assert not (picked_paths & live_paths), "compaction did not rewrite the picked files"
+
+    with pytest.raises(ValidationError, match="double-pick"):
+        t.cherrypick(staged.snapshot_id)
+    rows = sorted((r.k, r.tag) for r in t.to_df().collect())
+    assert rows == sorted([(i, f"b{i}") for i in range(5)]
+                          + [(100 + i, f"g{i}") for i in range(3)])
+
+    # expiry drops BOTH the pick-marker commit and the staged snapshot's
+    # parent (rewiring its lineage) — the probe's find: a rewired snapshot's
+    # entries-minus-parent diff no longer equals its added files, so a
+    # re-pick would re-register base files the gap added. The r10 fix stamps
+    # the rewiring and cherrypick refuses loudly instead of guessing.
+    t.expire_snapshots(retain_last=1, sweep_grace_ms=0)
+    assert t.snapshot_by_id(staged.snapshot_id).summary.get("parent-rewired") == "true"
+    with pytest.raises(ValidationError, match="rewired"):
+        t.cherrypick(staged.snapshot_id)
+    assert sorted((r.k, r.tag) for r in t.to_df().collect()) == rows
+
+
+def test_streaming_agg_view_sink_survives_interleaved_maintenance(spark, catalog, tmp_path):
+    """r10 probe (VERDICT r9 task #6b): compaction AND expiry landing on the
+    agg-view table BETWEEN micro-batches must disturb neither the additive
+    merge nor the exactly-once guard — expiry drops the batch-marker
+    snapshots, so replay dedup must ride the high-water property. Drives the
+    REAL agg_view_stream (file source, availableNow) across two source
+    growth steps with maintenance interleaved, then a full same-checkpoint
+    replay that must add zero snapshots."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.streaming.stream import agg_view_stream
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    p1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, v double")
+    p1.coalesce(1).write.parquet(src_dir + "/p1")
+    for f in os.listdir(src_dir + "/p1"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src_dir}/p1/{f}", f"{src_dir}/b1.parquet")
+    shutil.rmtree(src_dir + "/p1")
+
+    seed = spark.createDataFrame([], "g string, n bigint, sv double")
+    t = catalog.create_table("db", "aggmx", from_spark_schema(seed.schema))
+
+    def run_stream():
+        src = (spark.readStream.schema("g string, v double")
+               .option("pathGlobFilter", "*.parquet").parquet(src_dir))
+        q = agg_view_stream(src, t, ckpt, ["g"], count_col="n",
+                            sum_cols={"sv": "v"}, trigger_once=True)
+        q.awaitTermination(120)
+        t.refresh()
+
+    run_stream()
+    assert sorted((r.g, r.n, r.sv) for r in t.to_df().collect()) == \
+        [("a", 2, 3.0), ("b", 1, 3.0)]
+
+    # maintenance between micro-batches: compaction + expiry (drops the
+    # batch-marker snapshot — dedup must fall back to the high-water prop)
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(retain_last=1, sweep_grace_ms=0)
+
+    p2 = spark.createDataFrame([("b", 4.0), ("c", 5.0)], "g string, v double")
+    p2.coalesce(1).write.parquet(src_dir + "/p2")
+    for f in os.listdir(src_dir + "/p2"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src_dir}/p2/{f}", f"{src_dir}/b2.parquet")
+    shutil.rmtree(src_dir + "/p2")
+    run_stream()
+    want = [("a", 2, 3.0), ("b", 2, 7.0), ("c", 1, 5.0)]
+    assert sorted((r.g, r.n, r.sv) for r in t.to_df().collect()) == want
+
+    # full same-checkpoint replay after one more maintenance round: zero
+    # new snapshots (a double-applied additive batch would poison the sums)
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(retain_last=1, sweep_grace_ms=0)
+    n_snaps = len(t.snapshots())
+    run_stream()
+    assert len(t.snapshots()) == n_snaps
+    assert sorted((r.g, r.n, r.sv) for r in t.to_df().collect()) == want
+
+
+def test_metadata_min_max_across_partition_evolution(spark, catalog):
+    """r10 probe (VERDICT r9 task #6c): metadata MIN/MAX over bounds written
+    under TWO partition specs — files landed unpartitioned (spec 0), then
+    identity-partitioned (spec 1), then bucket-partitioned (spec 2) must all
+    contribute; the float column's NaN proof and the string column's
+    bounds_exact marker must both hold across the spec generations."""
+    from pyspark.sql import functions as F
+
+    df1 = spark.createDataFrame(
+        [(1, "us", 2.5, "mango"), (2, "eu", -1.0, "apple")],
+        "k bigint, p string, x double, s string")
+    t = catalog.create_table(
+        "db", "mmpe", from_spark_schema(df1.schema),
+        properties={"write.nan-count-columns": "x",
+                    "write.exact-bounds-columns": "s"})
+    t.append(df1)  # spec 0: unpartitioned
+    t.update_partition_spec("p")
+    t.append(spark.createDataFrame(
+        [(7, "us", 9.75, "zebra"), (0, "ap", 0.5, "kiwi")], df1.schema))  # spec 1
+    t.update_partition_spec(("k", "bucket[4]"))
+    t.append(spark.createDataFrame(
+        [(-3, "eu", 4.0, "banana")], df1.schema))  # spec 2
+
+    assert {e.spec_id for e in t.live_entries()} == {0, 1, 2}
+    assert t.scan().metadata_min_max("k") == (-3, 7)
+    assert t.scan().metadata_min_max("x") == (-1.0, 9.75)
+    assert t.scan().metadata_min_max("s") == ("apple", "zebra")
+    # cross-check against the scan
+    row = t.to_df().agg(F.min("k"), F.max("k"), F.min("x"), F.max("x"),
+                        F.min("s"), F.max("s")).collect()[0]
+    assert (row[0], row[1]) == (-3, 7) and (row[2], row[3]) == (-1.0, 9.75)
+    assert (row[4], row[5]) == ("apple", "zebra")
+
+    # a NaN landing under the NEWEST spec breaks the float proof globally
+    t.append(spark.createDataFrame(
+        [(50, "us", float("nan"), "mid")], df1.schema))
+    assert t.scan().metadata_min_max("x") is None
+    assert t.scan().metadata_min_max("k") == (-3, 50)

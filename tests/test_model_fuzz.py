@@ -73,6 +73,7 @@ from go_iceberg_spark.streaming.stream import (
     HIGH_WATER_PROP,
     HIGH_WATER_SEQ_PROP,
     _batch_already_committed,
+    agg_view_commit_batch,
     append_batch_exactly_once,
 )
 from go_iceberg_spark.table.incremental import CHANGE_TYPE_COL
@@ -168,6 +169,49 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
                 r.update(copy.deepcopy(by_k[r["k"]]))
                 hit.add(r["k"])
         model.extend(copy.deepcopy(r) for kk, r in by_k.items() if kk not in hit)
+
+    # streaming AGG-VIEW sink state (r10, VERDICT r9 task #5): the view is a
+    # SEPARATE engine table (created lazily) maintained by the sink's real
+    # per-batch additive-MERGE path; exactly-once is LOAD-BEARING — one
+    # silently double-applied replay double-counts the view. The model is a
+    # dict k -> [n, sx] mirroring Spark semantics (sum skips NULL, NaN
+    # absorbs, all-NULL partial coalesces to 0).
+    agg_view = {"t": None, "model": {}, "log": {}, "next_bid": 0}
+
+    def _agg_once(df, bid) -> bool:
+        if agg_view["t"] is None:
+            proto = spark.createDataFrame([], "k bigint, n bigint, sx double")
+            agg_view["t"] = catalog.create_table(
+                "db", f"fuzzv{seed}{'p' if partitioned else ''}",
+                from_spark_schema(proto.schema))
+        return agg_view_commit_batch(
+            agg_view["t"], "fzagg", df, bid, ["k"],
+            count_col="n", sum_cols={"sx": "x"})
+
+    def _agg_df_of(rows):
+        return spark.createDataFrame([(r["k"], r["x"]) for r in rows],
+                                     "k bigint, x double")
+
+    def _apply_agg_to_model(rows):
+        by_k: dict = {}
+        for r in rows:
+            by_k.setdefault(r["k"], []).append(r["x"])
+        for kk, xs in by_k.items():
+            vals = [x for x in xs if x is not None]
+            partial = sum(vals) if vals else 0.0  # coalesce-to-0 identity
+            n, sx = agg_view["model"].get(kk, (0, 0.0))
+            agg_view["model"][kk] = (n + len(xs), sx + partial)
+
+    def _check_agg_view(step, op):
+        if agg_view["t"] is None:
+            return
+        r6 = lambda v: "NaN" if isinstance(v, float) and math.isnan(v) \
+            else round(v, 6)  # noqa: E731
+        got = sorted((r["k"], r["n"], r6(r["sx"]))
+                     for r in agg_view["t"].to_df().collect())
+        want = sorted((kk, n, r6(sx))
+                      for kk, (n, sx) in agg_view["model"].items())
+        assert got == want, (seed, step, op, "agg view state", got[:5], want[:5])
     # snapshot-id -> record of (model state, column names, logical cols AT
     # SNAPSHOT CREATION, appended batch if the commit was an OP_APPEND,
     # original parent pointer, applied stream batches): a time-travel read
@@ -332,7 +376,7 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
              "rename", "rename", "txn",
              "spec_evolve", "wap", "add_files", "widen",
              "rewrite_manifests", "stream_commit", "stream_replay",
-             "stream_upsert"])
+             "stream_upsert", "stream_agg"])
         ks = [r["k"] for r in model]
         if op == "append":
             new_ks = [next_k + i for i in range(rng.randint(1, 4))]
@@ -637,6 +681,45 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             if rng.random() < 0.4:
                 assert _upsert_once(_df_of(batch_log[bid][1]), bid) is False, \
                     (seed, step, "replayed upsert batch double-applied", bid)
+        elif op == "stream_agg":
+            # streaming aggregate-view sink batch (agg_view_stream's REAL
+            # commit path): per-group partials MERGE additively into the
+            # view table. Exactly-once is LOAD-BEARING — a double-applied
+            # replay double-counts silently, so replays (immediate, random
+            # old, and post-maintenance) must all dedupe; the view state is
+            # compared against the model's full recompute after every op.
+            bid = agg_view["next_bid"]
+            agg_view["next_bid"] += 1
+            src_ks = [next_k + i for i in range(rng.randint(1, 3))]
+            if agg_view["model"] and rng.random() < 0.6:
+                src_ks[0] = rng.choice(list(agg_view["model"]))
+            src_ks = sorted(set(src_ks))
+            next_k += 10
+            _, rows = _batch(spark, rng, src_ks, names, cols, wtype)
+            assert _agg_once(_agg_df_of(rows), bid) is True, \
+                (seed, step, "fresh agg batch did not apply", bid)
+            agg_view["log"][bid] = copy.deepcopy(rows)
+            _apply_agg_to_model(rows)
+            if rng.random() < 0.4:  # crash between commit and checkpoint
+                assert _agg_once(_agg_df_of(agg_view["log"][bid]), bid) is False, \
+                    (seed, step, "replayed agg batch double-applied", bid)
+            if len(agg_view["log"]) > 1 and rng.random() < 0.5:
+                ob = rng.choice(sorted(agg_view["log"])[:-1])
+                assert _agg_once(_agg_df_of(agg_view["log"][ob]), ob) is False, \
+                    (seed, step, "old agg batch replayed as new", ob)
+            if rng.random() < 0.35:
+                # maintenance landing between micro-batches must disturb
+                # neither the additive state nor the replay guard — expiry
+                # drops the marker snapshots, so dedup then rides the
+                # high-water property (the r6 expiry-resurrection class)
+                if rng.random() < 0.5:
+                    agg_view["t"].rewrite_data_files(min_input_files=1)
+                else:
+                    agg_view["t"].expire_snapshots(retain_last=1)
+                rb = rng.choice(sorted(agg_view["log"]))
+                assert _agg_once(_agg_df_of(agg_view["log"][rb]), rb) is False, \
+                    (seed, step, "agg replay applied after maintenance", rb)
+            _check_agg_view(step, op)
         elif op == "stream_replay":
             # re-deliver a random APPLIED batch: must dedupe via the summary
             # marker or — after the marker snapshot expired — the
@@ -677,6 +760,8 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
         # walk end
         if rng.random() < 0.35 or step == steps - 1:
             consumer_checks(step, op)
+
+    _check_agg_view(steps - 1, "walk-end")
 
 
 @pytest.mark.parametrize("seed", [20260815, 977])

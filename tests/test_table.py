@@ -2006,6 +2006,25 @@ def test_decimal_column_bounds_prune_numerically(spark, catalog):
     assert e2.column_stats[fid2]["max"] == 1234567890123456789012
 
 
+def test_encode_stat_decimal_uses_column_scale():
+    """r9 ADVICE: with the column scale threaded in, Decimals whose own
+    exponents differ encode into ONE unscaled-int space; values not exactly
+    representable at the column scale refuse (quantizing could flip a bound's
+    strictness)."""
+    from decimal import Decimal
+
+    from go_iceberg_spark.table.write import encode_stat
+
+    assert encode_stat(Decimal("1E+2"), 2) == 10000
+    assert encode_stat(Decimal("100.00"), 2) == 10000
+    assert encode_stat(Decimal("100"), 2) == 10000
+    # same two values WITHOUT the scale land in different spaces — the bug
+    assert encode_stat(Decimal("1E+2")) != encode_stat(Decimal("100.00"))
+    # finer-than-scale value: no usable bound (conservative refusal)
+    assert encode_stat(Decimal("1.005"), 2) is None
+    assert encode_stat(Decimal("NaN"), 2) is None
+
+
 def test_metadata_min_max_proof_gates(spark, catalog):
     """r9: metadata-only MIN/MAX answers from manifest bounds ONLY when
     exactness is provable — filters/limits, live delete files, unproven
@@ -2057,3 +2076,52 @@ def test_metadata_min_max_proof_gates(spark, catalog):
     t3.append(df)
     assert t3.scan().metadata_min_max("x") is None
     assert t3.scan().metadata_min_max("id") == (1, 3)
+
+
+def test_metadata_min_max_string_exact_bounds_marker(spark, catalog):
+    """r10 (VERDICT r9 task #4): string columns serve metadata-only MIN/MAX
+    ONLY under the writer-side ``bounds_exact`` marker — the engine computes
+    marked columns' bounds from the VALUES (write.exact-bounds-columns), so
+    writer truncation can never make the claim lie. Unmarked stats
+    (plain writes, add_files imports) stay refused."""
+    import os
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [(1, "banana" * 30), (2, "apple"), (3, None), (4, "zucchini" * 40)],
+        "id bigint, s string")
+    t = catalog.create_table(("db",), "xbm", from_spark_schema(df.schema),
+                             properties={"write.exact-bounds-columns": "s"})
+    t.append(df)
+    lo, hi = t.scan().metadata_min_max("s")
+    assert lo == "apple" and hi == "zucchini" * 40
+    row = t.to_df().agg({"s": "min"}).collect()[0]
+    assert lo == row[0]
+
+    # the marker survives the manifest round-trip per file: check stats
+    fid = t.schema.find_field("s").field_id
+    for e in t.live_entries():
+        assert e.column_stats[fid].get("bounds_exact") is True
+
+    # unmarked table: refused even though footer bounds exist
+    t2 = catalog.create_table(("db",), "xbm2", from_spark_schema(df.schema))
+    t2.append(df)
+    assert t2.scan().metadata_min_max("s") is None
+
+    # add_files import: parquet written externally carries NO marker —
+    # refused even when the table property is set (imported stats cannot
+    # prove the writer didn't truncate)
+    ext_dir = os.path.join(os.path.dirname(t.location), "_xbm_ext")
+    df.write.mode("overwrite").parquet(ext_dir)
+    t3 = catalog.create_table(("db",), "xbm3", from_spark_schema(df.schema),
+                              properties={"write.exact-bounds-columns": "s"})
+    t3.add_files([os.path.join(ext_dir, f) for f in os.listdir(ext_dir)
+                  if f.endswith(".parquet")])
+    assert t3.scan().metadata_min_max("s") is None
+    assert t3.to_df().count() == 4
+
+    # a mixed table (one marked file + one import) must refuse too
+    t.add_files([os.path.join(ext_dir, f) for f in os.listdir(ext_dir)
+                 if f.endswith(".parquet")])
+    assert t.scan().metadata_min_max("s") is None
