@@ -236,6 +236,66 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str, *,
             .agg(F.max("register").alias("register")))
 
 
+def cms_sketch(df: DataFrame, value_col: str, *, d: int = 4, w: int = 256,
+               count_col: str | None = None) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005): d
+    hash rows x w buckets of integer counts, as (row, bucket, cnt) rows —
+    at most d*w of them, whatever the input size. Uses the engine's
+    portable md5 hash (row-salted), so DuckDB reproduces every counter
+    bit-for-bit; counts are exact integer sums, so the sketch is
+    order-independent and MERGEABLE: shard sketches combine by
+    ``groupBy(row, bucket).sum(cnt)`` without re-reading data.
+
+    Scale shape: the d-way explode happens BEFORE the aggregate, but the
+    (row, bucket) groupBy map-side combines each partition down to <= d*w
+    cells — shuffle volume is partitions x d x w counter rows, never the
+    data. No per-value state anywhere (the CMS point: frequency estimates
+    over an unbounded key domain in O(d*w) memory)."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("_v"),
+        (F.col(count_col) if count_col else F.lit(1)).cast("long").alias("_c"))
+    rows = base.select(
+        "_v", "_c", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"))
+    h = portable_hash60(F.concat(F.lit("cms"), F.col("row").cast("string"),
+                                 F.lit(":"), F.col("_v")))
+    return (rows.select("row", F.pmod(h, F.lit(w)).alias("bucket"), "_c")
+            .groupBy("row", "bucket").agg(F.sum("_c").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, value_col: str, *,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """Point-frequency estimates for candidate values against a CMS counter
+    table: est(v) = min over the d rows of the counter v hashes into —
+    always >= the true count (the one-sided CMS guarantee). The sketch is
+    <= d*w rows, so the lookup join BROADCASTS it: per-candidate cost is d
+    hash evaluations and a map-side join — no shuffle of the candidates."""
+    cand = candidates.select(F.col(value_col)).distinct().select(
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"))
+    h = portable_hash60(F.concat(F.lit("cms"), F.col("row").cast("string"),
+                                 F.lit(":"), F.col("_v")))
+    looked = (cand.withColumn("bucket", F.pmod(h, F.lit(w)))
+              .join(F.broadcast(sketch), ["row", "bucket"], "left")
+              .select(value_col, F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    return looked.groupBy(value_col).agg(F.min("cnt").alias("est_n"))
+
+
+def cms_heavy_hitters(df: DataFrame, value_col: str, *, d: int = 4,
+                      w: int = 256, threshold: int = 1,
+                      count_col: str | None = None) -> DataFrame:
+    """Heavy hitters via Count-Min: build the sketch, estimate every
+    distinct value, keep est >= threshold. The one-sided error means NO
+    true heavy hitter is ever missed (false positives possible, bounded by
+    e*N/w). The candidate pass is one distinct shuffle; at 100 TB feed a
+    sampled/pre-filtered candidate frame to ``cms_estimate`` instead —
+    the sketch itself never depends on the candidate count."""
+    sk = cms_sketch(df, value_col, d=d, w=w, count_col=count_col)
+    est = cms_estimate(sk, df.filter(F.col(value_col).isNotNull()),
+                       value_col, d=d, w=w)
+    return est.filter(F.col("est_n") >= threshold)
+
+
 def _check_hll_p(p: int) -> None:
     """The exact-integer register encoding is only valid for p in [9, 11]:
     below 9 the max rho (61 - p) exceeds 52 and ``shiftleft(1L, 52 - M)``

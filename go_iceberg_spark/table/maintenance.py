@@ -374,6 +374,73 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
     return table._retrying(build_and_commit)
 
 
+def rewrite_position_deletes(table):
+    """Compact position-DELETE files (Iceberg ``rewrite_position_delete_
+    files`` procedure; r10): every micro-batch MoR delete leaves its own
+    small tombstone file, and each one is a separate parquet read + anti-
+    join build side on EVERY scan — this rewrites them into few right-sized
+    files while touching ZERO data files. In the same pass it drops
+    tombstones that no longer do anything: rows referencing data files no
+    longer live, rows whose tombstone never applied (delete sequence below
+    the data file's), and duplicate (file, pos) pairs from overlapping
+    deletes. The rewritten tombstones commit at a NEW sequence number,
+    which keeps them applicable to every referenced file (tombstone seq >=
+    file seq) and cannot capture later files — file paths are unique, so a
+    row of a future data file can never collide with a kept (path, pos).
+
+    Scale shape: cost is O(live tombstone rows) — one union read, one
+    broadcast join against the (data file -> seq) map, one distinct, one
+    write. The table's data is never read."""
+    from pyspark.sql import functions as F
+
+    from .metadata import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+        OP_REPLACE,
+    )
+    from .mutate import _pos_delete_schema
+    from .write import write_data_files
+
+    def build_and_commit():
+        live = table.live_entries()
+        md = table.metadata
+        data = [e for e in live if e.content == CONTENT_DATA]
+        pos = [e for e in live if e.content == CONTENT_POSITION_DELETES]
+        other = [e for e in live
+                 if e.content not in (CONTENT_DATA, CONTENT_POSITION_DELETES)]
+        if not pos:
+            return None
+        parts = [
+            table.spark.read.parquet(os.path.join(table.location, d.file_path))
+            .select("file_path", "pos")
+            .withColumn("_dseq", F.lit(d.sequence_number))
+            for d in pos
+        ]
+        tomb = parts[0]
+        for p in parts[1:]:
+            tomb = tomb.unionByName(p)
+        fseq = table.spark.createDataFrame(
+            [(e.file_path, e.sequence_number) for e in data],
+            "file_path string, _fseq long")
+        kept = (tomb.join(F.broadcast(fseq), "file_path")  # drops dangling refs
+                .filter(F.col("_dseq") >= F.col("_fseq"))  # drops never-applicable
+                .select("file_path", "pos").distinct()     # drops duplicates
+                .orderBy("file_path", "pos"))
+        new_files = write_data_files(
+            table.spark, kept, table.location, _pos_delete_schema(),
+            md.default_spec.__class__(md.default_spec.spec_id, ()), None,
+            md.current_schema_id, table._next_sequence(),
+            content=CONTENT_POSITION_DELETES, subdir="deletes",
+            data_location=table._data_location(), bucket_fn=table._bucket_fn())
+        return table._commit_snapshot(
+            OP_REPLACE, data + other + new_files,
+            summary_extra={"rows-preserved": "true",
+                           "rewritten-delete-files": str(len(pos)),
+                           "added-delete-files": str(len(new_files))})
+
+    return table._retrying(build_and_commit)
+
+
 _ZORDER_BITS = 8  # 256 bins per dimension
 
 

@@ -976,6 +976,11 @@ class Table:
 
         return rewrite_data_files(self, **kwargs)
 
+    def rewrite_position_deletes(self):
+        from .maintenance import rewrite_position_deletes
+
+        return rewrite_position_deletes(self)
+
     def rewrite_manifests(self, target_entries_per_manifest: int | None = None
                           ) -> Snapshot:
         """Iceberg rewrite_manifests procedure: reorganize the current

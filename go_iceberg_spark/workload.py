@@ -3290,6 +3290,70 @@ def sketch_hll_q(spark, sf):
     return per_prio.unionByName(g_est).unionByName(m_est)
 
 
+def _cms_oracle(d: int = 4, w: int = 256, threshold: int = 20) -> str:
+    """Count-Min heavy hitters in DuckDB SQL — same row-salted md5 buckets,
+    same integer counters, same min-over-rows estimate as
+    operators.sketch.cms_sketch/cms_estimate."""
+    return f"""
+    WITH src AS (SELECT (o_custkey % 97) AS v FROM orders WHERE o_custkey IS NOT NULL),
+    rows AS (SELECT j FROM generate_series(0, {d - 1}) t(j)),
+    cells AS (
+      SELECT j, ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))::BIGINT % {w} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src CROSS JOIN rows GROUP BY j, bucket),
+    cand AS (SELECT DISTINCT v FROM src),
+    looked AS (
+      SELECT cand.v,
+             ('0x' || substr(md5('cms' || CAST(rows.j AS VARCHAR) || ':' || CAST(cand.v AS VARCHAR)), 1, 15))::BIGINT % {w} AS bucket,
+             rows.j
+      FROM cand CROSS JOIN rows),
+    est AS (
+      SELECT looked.v, min(coalesce(cells.cnt, 0)) AS est_n
+      FROM looked LEFT JOIN cells ON cells.j = looked.j AND cells.bucket = looked.bucket
+      GROUP BY looked.v)
+    SELECT v AS ck_mod, est_n FROM est WHERE est_n >= {threshold}
+    """
+
+
+@query("sketch_cms_heavy_hitters", _cms_oracle(), bench=True)
+def sketch_cms_heavy_hitters_q(spark, sf):
+    """Count-Min heavy hitters with the PORTABLE md5 hash (r10 — extends
+    the sketch family: KMV set algebra, mergeable histograms, HLL
+    registers, CMS frequencies): d x w integer counters reproduce
+    bit-for-bit in DuckDB; est(v) = min over rows is ALWAYS >= the true
+    count (inline-asserted for every candidate — the one-sided guarantee
+    that no true heavy hitter is missed). Mergeability inline-asserted
+    too: sketches built on two disjoint halves and summed elementwise
+    equal the one-pass sketch — how shard sketches combine at 100 TB.
+    Scale shape: map-side combine bounds the shuffle at partitions x d*w
+    counter cells; estimates broadcast the <= d*w-row sketch."""
+    from .operators import sketch as K
+
+    d, w, threshold = 4, 256, 20
+    o = load(spark, sf, "orders")
+    src = o.select((F.col("o_custkey") % 97).alias("ck_mod"))
+    hh = K.cms_heavy_hitters(src, "ck_mod", d=d, w=w, threshold=threshold)
+
+    # one-sided guarantee: est >= exact for EVERY candidate value
+    sk = K.cms_sketch(src, "ck_mod", d=d, w=w)
+    est = K.cms_estimate(sk, src, "ck_mod", d=d, w=w)
+    exact = src.groupBy("ck_mod").agg(F.count(F.lit(1)).alias("n"))
+    viol = est.join(exact, "ck_mod").filter(F.col("est_n") < F.col("n")).count()
+    if viol:
+        raise AssertionError(f"CMS underestimated {viol} values (one-sided guarantee broken)")
+
+    # mergeability: half-sketches summed elementwise == one-pass sketch
+    lo = K.cms_sketch(o.filter(F.col("o_orderkey") < 1500)
+                      .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
+    hi = K.cms_sketch(o.filter(F.col("o_orderkey") >= 1500)
+                      .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
+    merged = (lo.unionByName(hi).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    if merged.exceptAll(sk).count() or sk.exceptAll(merged).count():
+        raise AssertionError("summed shard sketches != one-pass sketch")
+    return hh
+
+
 @query(
     "sketch_kmv_set_ops",
     """
@@ -5830,6 +5894,76 @@ def maintenance_branch_expire_scan_q(spark, sf):
 
 
 @query(
+    "maintenance_rewrite_pos_deletes_scan",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey < 3000 AND NOT (o_totalprice > 200000)
+      AND o_orderpriority <> '1-URGENT' AND o_orderkey >= 50
+    """,
+)
+def maintenance_rewrite_pos_deletes_scan_q(spark, sf):
+    """rewrite_position_deletes under the graded gate (Iceberg
+    rewrite_position_delete_files procedure; r10): three MoR deletes leave
+    three small tombstone files — each a separate parquet read + anti-join
+    build side on EVERY scan — then a selective compaction rewrites one
+    data file, stranding that file's tombstone rows as dangling. The
+    rewrite must: touch ZERO data files (asserted byte-identical), merge
+    the tombstones into ONE file (asserted), drop the dangling rows
+    (asserted strictly fewer tombstone rows), and leave the visible scan
+    identical. Time travel to the pre-rewrite snapshot still applies the
+    OLD tombstone files (asserted count)."""
+    from .table.metadata import CONTENT_DATA, CONTENT_POSITION_DELETES
+
+    o = load(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") < 3000).select(*_CRUD_COLS)
+    t = _scratch_table(spark, "rwpd", base.filter(F.col("o_orderkey") < 1000))
+    t.append(base.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.append(base.filter(F.col("o_orderkey") >= 2000))
+    t.delete(C("o_totalprice").gt(200000.0), mode="merge-on-read")
+    t.delete(C("o_orderpriority").eq("1-URGENT"), mode="merge-on-read")
+    t.delete(C("o_orderkey").lt(50), mode="merge-on-read")
+
+    def pos_files():
+        return [e for e in t.live_entries()
+                if e.content == CONTENT_POSITION_DELETES]
+
+    def pos_rows(entries):
+        import os as _os
+        return (t.spark.read.parquet(
+            *[_os.path.join(t.location, e.file_path) for e in entries])
+            .count()) if entries else 0
+
+    if len(pos_files()) < 3:
+        raise AssertionError("fixture lost its teeth: expected >=3 tombstone files")
+    # strand the third file's tombstones: a selective compaction rewrites
+    # only the high range (its tombstones materialize into the new file)
+    t.rewrite_data_files(min_input_files=1, where=C("o_orderkey").gte(2000))
+    before_files = pos_files()
+    before_rows = pos_rows(before_files)
+    data_before = sorted(e.file_path for e in t.live_entries()
+                         if e.content == CONTENT_DATA)
+    pre_rewrite_snap = t.current_snapshot().snapshot_id
+
+    t.rewrite_position_deletes()
+
+    after_files = pos_files()
+    if sorted(e.file_path for e in t.live_entries()
+              if e.content == CONTENT_DATA) != data_before:
+        raise AssertionError("rewrite_position_deletes touched data files")
+    if len(after_files) != 1:
+        raise AssertionError(f"expected 1 merged tombstone file, got {len(after_files)}")
+    after_rows = pos_rows(after_files)
+    if not after_rows < before_rows:
+        raise AssertionError(
+            f"dangling tombstone rows not dropped: {after_rows} vs {before_rows}")
+    # the pre-rewrite snapshot still reads through its OWN tombstone files
+    if (t.scan().use_snapshot(pre_rewrite_snap).to_df().count()
+            != t.to_df().count()):
+        raise AssertionError("time-travel across the tombstone rewrite diverged")
+    return t.to_df().select(*_CRUD_COLS)
+
+
+@query(
     "maintenance_zorder_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -6080,6 +6214,14 @@ _GRADED_FIRST = [
     #     r10. ---
     "incremental_agg_refresh_minmax",
     "maintenance_branch_expire_scan",
+    # --- r10 NEW operators: Count-Min heavy hitters (portable md5
+    #     counters, one-sided guarantee + mergeability inline-asserted)
+    #     and rewrite_position_deletes (tombstone compaction + dangling-row
+    #     drop, zero data movement). Displaced: dedup_embedding_cosine and
+    #     dedup_embedding_ivf — both green r7 sweep + r9 driver, cosine
+    #     plan family untouched r10. ---
+    "sketch_cms_heavy_hitters",
+    "maintenance_rewrite_pos_deletes_scan",
     # --- r9 VERDICT r8 task #1: grade the changelog-over-eq-deletes path
     #     (bounds pruning with NULL + non-NULL keys), rotate
     #     crud_delete_mor_scan back in (its WRITE path changed in r8 —
@@ -6122,8 +6264,6 @@ _GRADED_FIRST = [
     #     pair-cosine plans re-shaped this round) ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ivf",
     # --- r7 ADVICE fixes: streaming exactly-once (high-water seq, racing
     #     replay recheck) + rollback rebase + overwrite retry restamp ---
     "streaming_table_sink_scan",

@@ -481,6 +481,72 @@ def test_selective_compaction_binpack_and_filter(spark, catalog):
     assert t.incremental_scan(ignore_non_append=True).count() == 2003
 
 
+def test_rewrite_position_deletes_merges_and_drops_dangling(spark, catalog):
+    """r10: rewrite_position_deletes (Iceberg rewrite_position_delete_files
+    parity) — merges N tombstone files into one, drops rows referencing
+    rewritten-away data files and rows whose delete sequence never applied,
+    dedups overlapping (file, pos) pairs, and touches ZERO data files.
+    Time travel before the rewrite still reads the old tombstone layout."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.metadata import (
+        CONTENT_DATA,
+        CONTENT_POSITION_DELETES,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(lo, hi)]).coalesce(1)
+    t = catalog.create_table("db", "rwpd", from_spark_schema(mk(0, 1).schema))
+    t.append(mk(0, 100))
+    t.append(mk(100, 200))
+    t.append(mk(200, 300))
+    t.delete(gi.isin("id", 5, 105, 205), mode="merge-on-read")
+    t.delete(gi.isin("id", 6, 106, 206), mode="merge-on-read")
+    t.delete(gi.lt("id", 3), mode="merge-on-read")
+
+    def posf():
+        return [e for e in t.live_entries()
+                if e.content == CONTENT_POSITION_DELETES]
+
+    assert len(posf()) == 3
+    n_visible = t.scan().count()
+    # strand the high file's tombstones
+    t.rewrite_data_files(min_input_files=1, where=gi.gte("id", 200))
+    data_before = sorted(e.file_path for e in t.live_entries()
+                         if e.content == CONTENT_DATA)
+    rows_before = sum(
+        spark.read.parquet(f"{t.location}/{e.file_path}").count()
+        for e in posf())
+    pre = t.current_snapshot().snapshot_id
+    pre_posf = len(posf())
+
+    snap = t.rewrite_position_deletes()
+    assert snap is not None and snap.summary["rows-preserved"] == "true"
+    assert sorted(e.file_path for e in t.live_entries()
+                  if e.content == CONTENT_DATA) == data_before
+    after = posf()
+    assert len(after) == 1
+    rows_after = spark.read.parquet(f"{t.location}/{after[0].file_path}").count()
+    assert rows_after < rows_before  # dangling rows dropped
+    # surviving tombstones: ids 5,105 (d1) + 6,106 (d2) + 0,1,2 (d3) — the
+    # rows for the rewritten high file (205, 206) are gone
+    assert rows_after == 7, rows_after
+    assert t.scan().count() == n_visible
+    assert t.scan().filter(gi.eq("id", 5)).count() == 0
+    assert t.scan().filter(gi.eq("id", 205)).count() == 0
+    # time travel to the pre-rewrite snapshot: old tombstone files apply
+    assert t.scan().use_snapshot(pre).to_df().count() == n_visible
+    assert pre_posf == 3  # all three pos files still referenced a survivor
+    # incremental consumers skip the tombstone rewrite (rows-preserved)
+    t.incremental_scan(pre, t.current_snapshot().snapshot_id)
+
+    # idempotent: a second rewrite keeps one file and the same rows
+    t.rewrite_position_deletes()
+    assert len(posf()) == 1
+    assert t.scan().count() == n_visible
+
+
 def test_remove_ref_unpins_abandoned_branch_for_expiry(spark, catalog):
     """r9: DROP BRANCH/TAG parity — refs RETAIN their heads through expiry,
     so an abandoned audit branch pins its staged snapshot and files

@@ -628,6 +628,62 @@ def test_hll_distinct_accuracy_and_mergeability(spark):
     assert not merged.exceptAll(one).count() and not one.exceptAll(merged).count()
 
 
+def test_cms_heavy_hitters_guarantee_and_mergeability(spark):
+    """r10: Count-Min sketch — (a) est >= exact for EVERY value (one-sided
+    guarantee: no true heavy hitter is missed), (b) estimates are tight for
+    heavy values when w comfortably exceeds the distinct count, (c) shard
+    sketches summed elementwise equal the one-pass sketch, (d) weighted
+    counts (count_col) ride through, (e) NULL values are not counted."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.sketch import (
+        cms_estimate,
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    # skewed frequencies: value v appears (v+1)^2 times, v in 0..29
+    df = spark.range(0, 30).select(F.col("id").alias("v")).withColumn(
+        "n", ((F.col("v") + 1) ** 2).cast("int"))
+    src = df.select(F.explode(F.expr("array_repeat(v, n)")).alias("v"))
+    exact = {r.v: r.n for r in df.collect()}
+
+    sk = cms_sketch(src, "v", d=4, w=256)
+    assert sk.count() <= 4 * 256
+    est = {r.v: r.est_n for r in cms_estimate(sk, src, "v", d=4, w=256).collect()}
+    assert set(est) == set(exact)
+    for v, e in est.items():
+        assert e >= exact[v], (v, e, exact[v])  # one-sided
+    # 30 distincts into 256 buckets x 4 rows: collisions are rare — most
+    # estimates exact, all within a small additive error
+    assert sum(1 for v in exact if est[v] == exact[v]) >= 25
+    assert all(est[v] - exact[v] <= sum(exact.values()) * 0.05 for v in exact)
+
+    hh = {r.v for r in cms_heavy_hitters(src, "v", d=4, w=256,
+                                         threshold=400).collect()}
+    assert {v for v, n in exact.items() if n >= 400} <= hh  # no misses
+
+    # mergeability: elementwise-summed half sketches == one-pass
+    lo = cms_sketch(src.filter(F.col("v") < 15), "v", d=4, w=256)
+    hi = cms_sketch(src.filter(F.col("v") >= 15), "v", d=4, w=256)
+    merged = (lo.unionByName(hi).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    one = cms_sketch(src, "v", d=4, w=256)
+    assert not merged.exceptAll(one).count() and not one.exceptAll(merged).count()
+
+    # weighted path: pre-aggregated (value, weight) rows give the same
+    # sketch as the exploded stream
+    wsk = cms_sketch(df.withColumn("v", F.col("v")), "v", d=4, w=256,
+                     count_col="n")
+    assert not wsk.exceptAll(one).count() and not one.exceptAll(wsk).count()
+
+    # NULLs don't count
+    withnull = src.unionByName(
+        spark.createDataFrame([(None,)], "v bigint"))
+    nsk = cms_sketch(withnull, "v", d=4, w=256)
+    assert not nsk.exceptAll(one).count() and not one.exceptAll(nsk).count()
+
+
 def test_mmr_rerank_trades_relevance_for_diversity(spark):
     """r9: MMR must (a) keep the most-relevant candidate at rank 1, (b)
     swap at least one near-clone for a diverse direction that plain top-k
