@@ -296,3 +296,68 @@ def fuzzy_match_join(
                     F.levenshtein(F.col(left_col), F.col("_match")).cast("int"))).alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_bits: int = 1 << 17,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with a BLOOM PREFILTER on the probe side (r10): the small
+    side's join keys aggregate into one n_bits bitmap (4 md5-derived
+    probes per key — the same portable-hash family as the per-file blooms
+    in bloom.py); the big side then tests membership with pure codegen'd
+    expressions and drops provably-unmatched rows BEFORE the join
+    shuffle. Blooms have no false negatives, so the result is EXACTLY the
+    plain join — what changes is that at 100 TB the shuffle carries only
+    rows that can match (the hand-rolled form of Spark's runtime bloom
+    filter injection, here available to any join shape and any build
+    side, not just selective-filter shuffle joins).
+
+    Mechanics: the build side explodes each key into 4 bit positions
+    (one md5, four 8-hex-digit windows), bit_or-aggregates them into
+    <= n_bits/64 words, and the word array rides into the probe side as
+    ONE literal array column — a driver collect bounded by n_bits/64
+    longs (2048 at the default, ~16 KB), never by data. The probe test
+    is 1 md5 + 4 element_at/shift ops per row, all inside whole-stage
+    codegen. ``how`` supports inner/left_semi (shapes where a dropped
+    probe row provably cannot appear in the output)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom prefilter is valid for inner/left_semi joins, got {how!r}")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+
+    def positions(k):
+        h = F.md5(k)
+        return [F.pmod(F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+                       F.lit(n_bits)) for i in range(4)]
+
+    n_words = n_bits // 64
+    pos = small.na.drop(subset=on).select(
+        F.explode(F.array(*positions(key))).alias("_p"))
+    words = (pos.select((F.col("_p") / 64).cast("long").alias("_w"),
+                        F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_b"))
+             .groupBy("_w").agg(F.expr("bit_or(_b)").alias("_bits"))
+             .collect())  # bounded: <= n_bits/64 rows, independent of data
+    arr = [0] * n_words
+    for r in words:
+        arr[int(r["_w"])] = r["_bits"]
+    bitmap = F.lit(arr)
+
+    probe = big.withColumn("_bf_h", F.md5(key))
+    tmp = ["_bf_h"]
+    keep = None
+    for i in range(4):
+        p, w = f"_bf_p{i}", f"_bf_w{i}"
+        probe = probe.withColumn(
+            p, F.pmod(F.conv(F.substring("_bf_h", 1 + 8 * i, 8), 16, 10).cast("long"),
+                      F.lit(n_bits)))
+        probe = probe.withColumn(
+            w, F.element_at(bitmap, (F.col(p) / 64).cast("int") + 1))
+        t_ = F.expr(f"(shiftright({w}, CAST({p} % 64 AS INT)) & 1) = 1")
+        keep = t_ if keep is None else keep & t_
+        tmp += [p, w]
+    filtered = probe.filter(keep).drop(*tmp)
+    return filtered.join(small, on, how)

@@ -3595,6 +3595,39 @@ def join_hot_key_isolated_q(spark, sf):
 
 
 @query(
+    "join_bloom_prefiltered",
+    """
+    SELECT l.l_orderkey, l.l_partkey, round(l.l_extendedprice, 2) AS price,
+           p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 50
+    """,
+    bench=True,
+)
+def join_bloom_prefiltered_q(spark, sf):
+    """Bloom-prefiltered join (r10): the small side's keys aggregate into
+    one bitmap (1 md5, 4 probe windows per key) and the BIG side drops
+    provably-unmatched rows with codegen'd expressions BEFORE the join
+    shuffle — the hand-rolled form of Spark's runtime bloom filter
+    injection, available to any join shape. Blooms have no false
+    negatives, so the result is EXACTLY the plain join (the oracle) —
+    inline-asserted: the optimized plan carries the bit-test filter on
+    the probe side, so the shuffle sees only can-match rows. At 100 TB
+    the driver cost is one <= n_bits/64-word collect (~16 KB), never
+    data-sized."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    pt = (load(spark, sf, "part").filter(F.col("p_size") == 50)
+          .select(F.col("p_partkey").alias("l_partkey"), "p_name"))
+    j = J.bloom_prefilter_join(li, pt, ["l_partkey"])
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    if "shiftright" not in plan:
+        raise AssertionError("bloom bit-test filter missing from the plan")
+    return j.select("l_orderkey", "l_partkey",
+                    F.round("l_extendedprice", 2).alias("price"), "p_name")
+
+
+@query(
     "rollup_time_bucket",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -6222,6 +6255,10 @@ _GRADED_FIRST = [
     #     plan family untouched r10. ---
     "sketch_cms_heavy_hitters",
     "maintenance_rewrite_pos_deletes_scan",
+    # --- r10 NEW operator: bloom-prefiltered join (probe-side bit-test
+    #     before the shuffle; displaced: streaming_table_sink_scan —
+    #     green r7/r8/r9, append-sink path untouched r10) ---
+    "join_bloom_prefiltered",
     # --- r9 VERDICT r8 task #1: grade the changelog-over-eq-deletes path
     #     (bounds pruning with NULL + non-NULL keys), rotate
     #     crud_delete_mor_scan back in (its WRITE path changed in r8 —
@@ -6266,7 +6303,6 @@ _GRADED_FIRST = [
     "similarity_ivf_topk",
     # --- r7 ADVICE fixes: streaming exactly-once (high-water seq, racing
     #     replay recheck) + rollback rebase + overwrite retry restamp ---
-    "streaming_table_sink_scan",
     "streaming_upsert_table_sink_scan",
     "streaming_interval_join",
     "streaming_session_window",

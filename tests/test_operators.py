@@ -628,6 +628,41 @@ def test_hll_distinct_accuracy_and_mergeability(spark):
     assert not merged.exceptAll(one).count() and not one.exceptAll(merged).count()
 
 
+def test_bloom_prefilter_join_exact_and_effective(spark):
+    """r10: bloom_prefilter_join must equal the plain join exactly (no
+    false negatives), across multi-column keys, NULL keys, and left_semi;
+    an empty build side drops every probe row; invalid join shapes (where
+    a dropped probe row could still appear in output) are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.joins import bloom_prefilter_join
+
+    big = spark.range(0, 20000).select(
+        (F.col("id") % 500).alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(0, 500, 25)], "k bigint, g string")
+
+    for how in ("inner", "left_semi"):
+        got = bloom_prefilter_join(big, small, ["k", "g"], how=how)
+        want = big.join(small, ["k", "g"], how)
+        assert not got.exceptAll(want).count() and not want.exceptAll(got).count(), how
+
+    # NULL probe keys never match an inner join; NULL build keys are ignored
+    bign = big.unionByName(spark.createDataFrame([(None, None, -1)], big.schema))
+    smalln = small.unionByName(spark.createDataFrame([(None, None)], small.schema))
+    got = bloom_prefilter_join(bign, smalln, ["k", "g"])
+    want = bign.join(smalln, ["k", "g"])
+    assert not got.exceptAll(want).count() and not want.exceptAll(got).count()
+
+    assert bloom_prefilter_join(big, small.limit(0), ["k", "g"]).count() == 0
+
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(big, small, ["k"], how="left")
+
+
 def test_cms_heavy_hitters_guarantee_and_mergeability(spark):
     """r10: Count-Min sketch — (a) est >= exact for EVERY value (one-sided
     guarantee: no true heavy hitter is missed), (b) estimates are tight for
