@@ -380,6 +380,81 @@ def agg_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
     return w.start()
 
 
+def hll_view_stream(df: DataFrame, table: Table, checkpoint_dir: str,
+                    group_keys: list[str], value_col: str, *, p: int = 9,
+                    trigger_once: bool = False,
+                    processing_time: str | None = None):
+    """Streaming DISTINCT-COUNT view via HyperLogLog registers (r10): each
+    micro-batch's (group, bucket, register) rows MERGE into the view table
+    by GREATEST — the table holds the live registers, and
+    ``hll_view_estimate`` turns them into per-group distinct estimates at
+    read time.
+
+    The contrast with ``agg_view_stream`` is the exactly-once story:
+    register max-merge is IDEMPOTENT by algebra (max(a, a) = a), so a
+    replayed batch cannot corrupt the view — the batch marker here only
+    saves wasted commits, it is not load-bearing. That algebraic
+    replay-safety is why sketch-shaped state is the preferred form for
+    at-least-once pipelines at 100 TB: correctness does not hinge on the
+    dedup machinery. State is <= groups x 2^p rows whatever the stream
+    volume; per-batch cost is one map-side-combined register build plus a
+    touched-register MERGE."""
+    import hashlib as _hl
+
+    from ..operators.sketch import hll_registers
+
+    ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..table.table import COMMIT_SEQ_PLACEHOLDER
+
+        if batch_df.isEmpty():
+            return
+        table.refresh()
+        if _batch_already_committed(table, ckpt_id, batch_id):
+            return  # cost-saving only: a re-merge would be harmless
+        regs = hll_registers(batch_df, group_keys, value_col, p=p)
+        table.merge(
+            regs, [*group_keys, "bucket"],
+            when_matched_update={
+                "register": F.greatest(F.col("t.register"), F.col("s.register")),
+            },
+            when_not_matched_insert=True,
+            summary_extra={BATCH_MARKER_KEY: f"{ckpt_id}:{batch_id}"},
+            properties_extra={HIGH_WATER_PROP + ckpt_id: str(batch_id),
+                              HIGH_WATER_SEQ_PROP + ckpt_id: COMMIT_SEQ_PLACEHOLDER},
+            pre_commit_check=lambda: not _batch_already_committed(
+                table, ckpt_id, batch_id))
+
+    w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def hll_view_estimate(view_df: DataFrame, group_keys: list[str], *,
+                      p: int = 9) -> DataFrame:
+    """Per-group distinct estimates from an HLL register view table
+    (the read side of ``hll_view_stream``) — same exact-integer estimator
+    as ``operators.sketch.hll_distinct``."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    A = alpha * m * m * float(1 << 52)
+    per_group = (view_df.withColumnRenamed("register", "_m")
+                 .groupBy(*group_keys).agg(
+                     F.sum(F.expr("shiftleft(1L, 52 - _m)")).alias("_sum_present"),
+                     F.count(F.lit(1)).alias("_present")))
+    zeros = F.lit(m) - F.col("_present")
+    total = F.col("_sum_present") + zeros * F.lit(1 << 52)
+    e_raw = F.lit(A) / total.cast("double")
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+                 ).otherwise(e_raw)
+    return per_group.select(*group_keys, F.round(est, 2).alias("n_estimate"))
+
+
 def agg_view_commit_batch(table: Table, ckpt_id: str, batch_df: DataFrame,
                           batch_id: int, group_keys: list[str], *,
                           count_col: str,

@@ -1059,6 +1059,97 @@ def streaming_agg_view_sink_q(spark, sf):
                             F.round("sum_value", 2).alias("sum_value"))
 
 
+def _hll_oracle_part(grp_expr: str, value_col: str, where: str = "",
+                     table: str = "orders") -> str:
+    """One grouping's HLL estimate in DuckDB SQL, same register/estimator
+    construction as operators.sketch.hll_distinct (p=9, m=512)."""
+    m, a = 512, 0.7213 / (1 + 1.079 / 512) * 512 * 512 * float(1 << 52)
+    return f"""
+    SELECT grp, round(CASE WHEN {a!r} / CAST(sum_present + (512 - present) * 4503599627370496 AS DOUBLE) <= 1280.0
+                            AND (512 - present) > 0
+                      THEN 512.0 * ln(512.0 / (512 - present))
+                      ELSE {a!r} / CAST(sum_present + (512 - present) * 4503599627370496 AS DOUBLE) END, 2) AS n_estimate
+    FROM (
+      SELECT grp, sum(1::BIGINT << (52 - m)) AS sum_present, count(*) AS present
+      FROM (
+        SELECT grp, hv % 512 AS bucket,
+               max(CASE WHEN hv // 512 = 0 THEN 52
+                        ELSE 52 - length(bin(hv // 512)) END) AS m
+        FROM (SELECT {grp_expr} AS grp,
+                     ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+              FROM {table} WHERE {value_col} IS NOT NULL {where})
+        GROUP BY grp, bucket
+      ) GROUP BY grp
+    )"""
+
+
+
+@query(
+    "streaming_hll_view_sink_scan",
+    _hll_oracle_part("event_type", "user_id", table="events")
+    + "\n    ORDER BY grp",
+)
+def streaming_hll_view_sink_q(spark, sf):
+    """Streaming DISTINCT-COUNT view via HLL registers (r10): micro-batch
+    registers MERGE into an engine table by GREATEST, and the view's
+    estimate equals the batch HLL over the drained stream. The point vs
+    the additive agg sink: register max-merge is IDEMPOTENT by algebra,
+    so replay safety does NOT hinge on the exactly-once machinery —
+    inline-asserted by FORCIBLY re-merging the whole stream's registers
+    (bypassing the batch markers) and requiring the view rows unchanged.
+    The same-checkpoint replay is also asserted to add zero snapshots
+    (the marker still saves wasted commits). State is <= groups x 512
+    register rows whatever the stream volume."""
+    from .operators.sketch import hll_registers
+    from .streaming.stream import hll_view_estimate, hll_view_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+    src = (spark.readStream.schema(sch)
+           .option("pathGlobFilter", "events.parquet").parquet(sf)
+           .select("event_type", "user_id"))
+
+    seed = spark.createDataFrame([], "event_type string, bucket bigint, register int")
+    t = _scratch_table(spark, "hllsink", seed)
+    wh = _scratch_dir("gis_hllsink_ckpt_")
+    q = hll_view_stream(src, t, wh + "/ckpt", ["event_type"], "user_id",
+                        trigger_once=True)
+    _await_drained(q)
+    t.refresh()
+    n_snaps = len(t.snapshots())
+
+    # algebraic replay-safety: re-merge the FULL stream's registers without
+    # any marker protection — the view must be bit-identical
+    before = t.to_df()
+    before.cache(); before.count()
+    full_regs = hll_registers(
+        load(spark, sf, "events").select("event_type", "user_id"),
+        ["event_type"], "user_id")
+    t.merge(full_regs, ["event_type", "bucket"],
+            when_matched_update={"register": F.greatest(F.col("t.register"),
+                                                        F.col("s.register"))},
+            when_not_matched_insert=True)
+    after = t.to_df()
+    if after.exceptAll(before).count() or before.exceptAll(after).count():
+        raise AssertionError("register max-merge replay changed the view")
+    before.unpersist()
+
+    # same-checkpoint replay: zero new snapshots (marker saves the commit)
+    src2 = (spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet").parquet(sf)
+            .select("event_type", "user_id"))
+    q2 = hll_view_stream(src2, t, wh + "/ckpt", ["event_type"], "user_id",
+                         trigger_once=True)
+    _await_drained(q2)
+    t.refresh()
+    if len(t.snapshots()) != n_snaps + 1:  # +1 = the forced re-merge above
+        raise AssertionError("replayed stream re-applied batches")
+    return (hll_view_estimate(t.to_df(), ["event_type"])
+            .select(F.col("event_type").alias("grp"), "n_estimate")
+            .orderBy("grp"))
+
+
 @query(
     "streaming_stateful_running_max",
     """
@@ -3219,29 +3310,6 @@ def sketch_kmv_q(spark, sf):
     o = load(spark, sf, "orders")
     return K.kmv_distinct(o, ["o_orderpriority"], "o_custkey", k=64).select(
         "o_orderpriority", "n_exact", "n_estimate")
-
-
-def _hll_oracle_part(grp_expr: str, value_col: str, where: str = "") -> str:
-    """One grouping's HLL estimate in DuckDB SQL, same register/estimator
-    construction as operators.sketch.hll_distinct (p=9, m=512)."""
-    m, a = 512, 0.7213 / (1 + 1.079 / 512) * 512 * 512 * float(1 << 52)
-    return f"""
-    SELECT grp, round(CASE WHEN {a!r} / CAST(sum_present + (512 - present) * 4503599627370496 AS DOUBLE) <= 1280.0
-                            AND (512 - present) > 0
-                      THEN 512.0 * ln(512.0 / (512 - present))
-                      ELSE {a!r} / CAST(sum_present + (512 - present) * 4503599627370496 AS DOUBLE) END, 2) AS n_estimate
-    FROM (
-      SELECT grp, sum(1::BIGINT << (52 - m)) AS sum_present, count(*) AS present
-      FROM (
-        SELECT grp, hv % 512 AS bucket,
-               max(CASE WHEN hv // 512 = 0 THEN 52
-                        ELSE 52 - length(bin(hv // 512)) END) AS m
-        FROM (SELECT {grp_expr} AS grp,
-                     ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
-              FROM orders WHERE {value_col} IS NOT NULL {where})
-        GROUP BY grp, bucket
-      ) GROUP BY grp
-    )"""
 
 
 @query(
@@ -6259,6 +6327,12 @@ _GRADED_FIRST = [
     #     before the shuffle; displaced: streaming_table_sink_scan —
     #     green r7/r8/r9, append-sink path untouched r10) ---
     "join_bloom_prefiltered",
+    # --- r10 NEW operator: streaming HLL distinct-count view (idempotent
+    #     max-merge registers — replay safety by ALGEBRA, inline-asserted
+    #     by a forced marker-bypassing re-merge; displaced:
+    #     streaming_upsert_table_sink_scan — green r7/r8/r9, upsert-sink
+    #     path untouched r10 and still fuzz-covered every walk) ---
+    "streaming_hll_view_sink_scan",
     # --- r9 VERDICT r8 task #1: grade the changelog-over-eq-deletes path
     #     (bounds pruning with NULL + non-NULL keys), rotate
     #     crud_delete_mor_scan back in (its WRITE path changed in r8 —
@@ -6303,7 +6377,6 @@ _GRADED_FIRST = [
     "similarity_ivf_topk",
     # --- r7 ADVICE fixes: streaming exactly-once (high-water seq, racing
     #     replay recheck) + rollback rebase + overwrite retry restamp ---
-    "streaming_upsert_table_sink_scan",
     "streaming_interval_join",
     "streaming_session_window",
     # --- r8 NEW operator: counting-semantics delta-join IVM over mutable
