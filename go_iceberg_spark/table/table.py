@@ -1204,7 +1204,8 @@ class SchemaUpdate:
         properties = t.metadata.properties
         if renames or dropped:
             properties = dict(properties)
-            for prop in ("write.bloom-columns", "write.nan-count-columns"):
+            for prop in ("write.bloom-columns", "write.nan-count-columns",
+                         "write.exact-bounds-columns"):
                 raw = properties.get(prop)
                 if not raw:
                     continue

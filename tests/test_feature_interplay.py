@@ -721,6 +721,28 @@ def test_bloom_and_nan_properties_follow_rename_and_drop(spark, catalog):
     assert "write.nan-count-columns" not in t.metadata.properties
 
 
+def test_exact_bounds_property_follows_rename_and_drop(spark, catalog):
+    """r10: write.exact-bounds-columns is NAME-keyed like the bloom/nan
+    properties — a rename must carry it (or string metadata MIN/MAX would
+    silently stop being served for new files), and a drop must remove it."""
+    df = spark.createDataFrame([Row(k=i, tag=f"t{i:03d}") for i in range(20)])
+    t = catalog.create_table(
+        "db", "xb_rename", from_spark_schema(df.schema),
+        properties={"write.exact-bounds-columns": "tag"})
+    t.append(df)
+    assert t.scan().metadata_min_max("tag") == ("t000", "t019")
+
+    t.update_schema().rename_column("tag", "label").commit()
+    assert t.metadata.properties["write.exact-bounds-columns"] == "label"
+    t.append(spark.createDataFrame([Row(k=100, label="zz")],
+                                   "k bigint, label string"))
+    # bounds from pre- and post-rename files both serve under the new name
+    assert t.scan().metadata_min_max("label") == ("t000", "zz")
+
+    t.update_schema().drop_column("label").commit()
+    assert "write.exact-bounds-columns" not in t.metadata.properties
+
+
 def test_partition_pruning_survives_source_column_rename(spark, catalog):
     """r6 probe (passed as designed, pinned): renaming an identity
     partition's SOURCE column keeps everything working — pruning by the
