@@ -533,8 +533,14 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             # half the time SELECTIVE (r9): a key-scoped rewrite compacts
             # only the files whose stats match, leaves the rest verbatim,
             # and keeps only still-needed delete files — later ops and
-            # consumers then run over mixed rewritten/untouched sets
-            if ks and rng.random() < 0.5:
+            # consumers then run over mixed rewritten/untouched sets.
+            # r10 adds the tombstone-only rewrite (rewrite_position_deletes)
+            # to the vocabulary: data files untouched, position-delete
+            # files merged/dedup'd/dangling-dropped in one REPLACE.
+            u = rng.random()
+            if u < 0.25:
+                t.rewrite_position_deletes()
+            elif ks and u < 0.6:
                 t.rewrite_data_files(min_input_files=2,
                                      where=gi.lte(names["k"], rng.choice(ks)))
             else:
