@@ -298,41 +298,39 @@ def fuzzy_match_join(
     )
 
 
-def bloom_prefilter_join(
+_BLOOM_SHIFTS = (0, 16, 32, 47)
+
+
+def bloom_prefilter(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
     *,
     n_bits: int = 1 << 17,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join with a BLOOM PREFILTER on the probe side (r10): the small
-    side's join keys aggregate into one n_bits bitmap (4 md5-derived
-    probes per key — the same portable-hash family as the per-file blooms
-    in bloom.py); the big side then tests membership with pure codegen'd
-    expressions and drops provably-unmatched rows BEFORE the join
-    shuffle. Blooms have no false negatives, so the result is EXACTLY the
-    plain join — what changes is that at 100 TB the shuffle carries only
-    rows that can match (the hand-rolled form of Spark's runtime bloom
-    filter injection, here available to any join shape and any build
-    side, not just selective-filter shuffle joins).
+    """The filter stage of ``bloom_prefilter_join``: returns ``big`` with
+    rows that provably match no ``small`` key REMOVED (no false negatives
+    — every surviving row may match; ~(1-e^(-4k/n_bits))^4 false-positive
+    survivors). Exposed separately so pipelines can prefilter once and
+    reuse, and so the shuffle-reduction is directly measurable.
 
-    Mechanics: the build side explodes each key into 4 bit positions
-    (one md5, four 8-hex-digit windows), bit_or-aggregates them into
-    <= n_bits/64 words, and the word array rides into the probe side as
-    ONE literal array column — a driver collect bounded by n_bits/64
-    longs (2048 at the default, ~16 KB), never by data. The probe test
-    is 1 md5 + 4 element_at/shift ops per row, all inside whole-stage
-    codegen. ``how`` supports inner/left_semi (shapes where a dropped
-    probe row provably cannot appear in the output)."""
-    if how not in ("inner", "left_semi"):
-        raise ValueError(f"bloom prefilter is valid for inner/left_semi joins, got {how!r}")
+    Mechanics: the build side explodes each key into 4 bit positions (ONE
+    codegen'd xxhash64 per key — the bitmap is engine-internal and never
+    needs cross-engine reproducibility, so the cheap hash wins over the
+    portable md5 — with four shifted 17-bit windows), bit_or-aggregates
+    them into <= n_bits/64 words, and the word array rides into the probe
+    side as ONE literal array column — a driver collect bounded by
+    n_bits/64 longs (2048 at the default, ~16 KB), never by data. The
+    probe test is 1 xxhash64 + 4 element_at/shift ops per row, all inside
+    whole-stage codegen."""
+    # one canonical string key: build and probe sides must hash IDENTICAL
+    # bytes even when column types differ across frames (int vs bigint)
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
 
     def positions(k):
-        h = F.md5(k)
-        return [F.pmod(F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
-                       F.lit(n_bits)) for i in range(4)]
+        h = F.xxhash64(k)
+        return [F.pmod(F.shiftrightunsigned(h, s), F.lit(n_bits))
+                for s in _BLOOM_SHIFTS]
 
     n_words = n_bits // 64
     pos = small.na.drop(subset=on).select(
@@ -346,18 +344,44 @@ def bloom_prefilter_join(
         arr[int(r["_w"])] = r["_bits"]
     bitmap = F.lit(arr)
 
-    probe = big.withColumn("_bf_h", F.md5(key))
+    probe = big.withColumn("_bf_h", F.xxhash64(key))
     tmp = ["_bf_h"]
     keep = None
-    for i in range(4):
+    for i, s in enumerate(_BLOOM_SHIFTS):
         p, w = f"_bf_p{i}", f"_bf_w{i}"
         probe = probe.withColumn(
-            p, F.pmod(F.conv(F.substring("_bf_h", 1 + 8 * i, 8), 16, 10).cast("long"),
-                      F.lit(n_bits)))
+            p, F.pmod(F.shiftrightunsigned("_bf_h", s), F.lit(n_bits)))
         probe = probe.withColumn(
             w, F.element_at(bitmap, (F.col(p) / 64).cast("int") + 1))
         t_ = F.expr(f"(shiftright({w}, CAST({p} % 64 AS INT)) & 1) = 1")
         keep = t_ if keep is None else keep & t_
         tmp += [p, w]
-    filtered = probe.filter(keep).drop(*tmp)
-    return filtered.join(small, on, how)
+    return probe.filter(keep).drop(*tmp)
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_bits: int = 1 << 17,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with a BLOOM PREFILTER on the probe side (r10): the small
+    side's join keys aggregate into one n_bits bitmap and the big side
+    tests membership with pure codegen'd expressions, dropping
+    provably-unmatched rows BEFORE the join shuffle (see
+    ``bloom_prefilter``). Blooms have no false negatives, so the result
+    is EXACTLY the plain join — what changes is that at 100 TB the
+    shuffle carries only rows that can match (the hand-rolled form of
+    Spark's runtime bloom filter injection, here available to any join
+    shape and any build side, not just selective-filter shuffle joins).
+    The win is SHUFFLE BYTES, not local CPU: on local[N] with in-memory
+    shuffles the extra hash pass can cost more wall time than it saves —
+    `scripts/bloom_join_ab.py` reports both the wall times and the
+    rows-entering-the-shuffle reduction, which is what survives the
+    100x scale-up. ``how`` supports inner/left_semi (shapes where a
+    dropped probe row provably cannot appear in the output)."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom prefilter is valid for inner/left_semi joins, got {how!r}")
+    return bloom_prefilter(big, small, on, n_bits=n_bits).join(small, on, how)
