@@ -764,6 +764,7 @@ def mmr_rerank(
     n_candidates: int = 10,
     k: int = 5,
     lam: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
     see PAPERS.md) — the diversity-aware top-k behind RAG context
@@ -782,7 +783,16 @@ def mmr_rerank(
     query (broadcast query side, window top-k); everything after operates
     on pools of ≤ n_candidates rows per query — the pairwise-sim table is
     ≤ n²/query and each greedy round is a window over it. Returns
-    (query_id, cand_id, mmr_rank)."""
+    (query_id, cand_id, mmr_rank).
+
+    ``materialize`` (default True): each round references the previous
+    selection TWICE (anti-join + max-sim join), so the lazy plan tree
+    doubles per round — ~1300 exchanges at k=5, and the scheduler cost of
+    that tree (~10 s) dwarfs the actual work on the tiny pools. The
+    default caches the candidate pool and localCheckpoints each round's
+    selection (a ≤ queries x k row frame), keeping the plan LINEAR in k.
+    Pass False for the lazy twin plan audits introspect (r10 — measured
+    13.2 s -> 1.9 s at sf0.1, values bit-identical)."""
     q = _broadcast_if_small(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
@@ -801,6 +811,8 @@ def mmr_rerank(
              .withColumn("_rn", F.row_number().over(w_rel))
              .filter(F.col("_rn") <= n_candidates)
              .select("query_id", "cand_id", "_rel", "_cv", "_cn"))
+    if materialize:
+        cands = cands.persist()
     a, b = cands.alias("_mmr_a"), cands.alias("_mmr_b")
     pairs = (a.join(b, (F.col("_mmr_a.query_id") == F.col("_mmr_b.query_id"))
                     & (F.col("_mmr_a.cand_id") != F.col("_mmr_b.cand_id")))
@@ -829,5 +841,13 @@ def mmr_rerank(
                 .filter(F.col("_r") == 1)
                 .select("query_id", "cand_id", F.lit(i).alias("mmr_rank")))
         selected = selected.unionByName(pick)
-    return selected.select("query_id", "cand_id",
-                           F.col("mmr_rank").cast("int").alias("mmr_rank"))
+        if materialize:
+            # truncate the doubling lineage: the frame is <= queries x i
+            # rows, so the per-round job is trivially small
+            selected = selected.localCheckpoint(eager=True)
+    out = selected.select("query_id", "cand_id",
+                          F.col("mmr_rank").cast("int").alias("mmr_rank"))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        cands.unpersist()
+    return out

@@ -1396,6 +1396,14 @@ PLAN_VARIANTS = {
     "dedup_simhash": lambda spark, sf: D.simhash_pairs(
         _corpus(spark, sf), "doc_id", "text", max_hamming=3, materialize=False
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")),
+    # r10: the default MMR path localCheckpoints each greedy round (the
+    # lazy tree doubles per round — ~1300 exchanges); audits see the lazy
+    # unrolled plan
+    "similarity_mmr_rerank": lambda spark, sf: S.mmr_rerank(
+        load(spark, sf, "embeddings"),
+        load(spark, sf, "embeddings").filter(F.col("vec_id") < 8),
+        id_col="vec_id", vec_col="embedding",
+        n_candidates=10, k=5, lam=0.7, materialize=False),
 }
 
 
