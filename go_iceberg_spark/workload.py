@@ -3408,11 +3408,13 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     d, w, threshold = 4, 256, 20
     o = load(spark, sf, "orders")
     src = o.select((F.col("o_custkey") % 97).alias("ck_mod"))
-    hh = K.cms_heavy_hitters(src, "ck_mod", d=d, w=w, threshold=threshold)
+    # ONE sketch build serves the heavy-hitter answer, the guarantee
+    # check, and the mergeability comparison (cached: <= d*w rows)
+    sk = K.cms_sketch(src, "ck_mod", d=d, w=w).persist()
+    est = K.cms_estimate(sk, src, "ck_mod", d=d, w=w)
+    hh = est.filter(F.col("est_n") >= threshold)
 
     # one-sided guarantee: est >= exact for EVERY candidate value
-    sk = K.cms_sketch(src, "ck_mod", d=d, w=w)
-    est = K.cms_estimate(sk, src, "ck_mod", d=d, w=w)
     exact = src.groupBy("ck_mod").agg(F.count(F.lit(1)).alias("n"))
     viol = est.join(exact, "ck_mod").filter(F.col("est_n") < F.col("n")).count()
     if viol:
