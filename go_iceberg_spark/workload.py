@@ -4590,6 +4590,73 @@ def incremental_agg_refresh_minmax_q(spark, sf):
 
 
 @query(
+    "incremental_topk_refresh_mutable",
+    """
+    WITH fin AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < 3000 AND NOT (o_totalprice > 150000)
+    ),
+    r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM fin)
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def incremental_topk_refresh_mutable_q(spark, sf):
+    """Incremental TOP-K-view maintenance over a MUTABLE base (r10) — the
+    leaderboard materialized view: top-3 orders per customer by price.
+    Top-k is neither additive nor a single-row-per-group aggregate, but
+    the generic IVM strategy covers it because ``untouched``/``touched``
+    split on GROUP KEYS: untouched customers' view rows (all k of them)
+    pass through untouched, and ``agg_fn`` re-ranks only the touched
+    customers from the base — when a delete removes a group's rank-1 row,
+    the runner-up is re-ranked in (inline-asserted: at least one former
+    rank-1 row left the view). Inline multiset-equality vs the full
+    recompute. At 100 TB the re-rank scan is pruned to files containing
+    touched keys; untouched view rows never re-aggregate."""
+    from .table.incremental import incremental_agg_refresh_changelog
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") < 2000)
+    delta = o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000))
+
+    def topk(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (df.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 3)
+                .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+
+    t = _scratch_table(spark, "itkm", base)
+    s0 = t.current_snapshot().snapshot_id
+    g0 = topk(t.to_df())
+    g0.collect()  # the view materialized BEFORE the base mutates
+
+    t.append(delta)
+    t.delete(C("o_totalprice").gt(150000.0))
+
+    g1 = incremental_agg_refresh_changelog(
+        g0, t, ["o_custkey"], from_snapshot_id=s0, agg_fn=topk)
+
+    full = topk(t.to_df())
+    if g1.exceptAll(full).count() or full.exceptAll(g1).count():
+        raise AssertionError("top-k view refresh != full recompute")
+    # teeth: the delete must have dethroned at least one rank-1 row
+    old_tops = g0.filter(F.col("rnk") == 1).select("o_custkey", "o_orderkey")
+    dethroned = old_tops.join(full, ["o_custkey", "o_orderkey"], "left_anti").count()
+    if dethroned == 0:
+        raise AssertionError("fixture lost its teeth: no rank-1 row was dethroned")
+    return g1.select("o_custkey", "o_orderkey",
+                     F.round("o_totalprice", 2).alias("price"),
+                     F.col("rnk").cast("int").alias("rnk"))
+
+
+@query(
     "changelog_eq_delete_scan",
     """
     WITH lo AS (SELECT o_orderkey, o_totalprice, o_orderpriority
@@ -6325,6 +6392,10 @@ _GRADED_FIRST = [
     #     r10. ---
     "incremental_agg_refresh_minmax",
     "maintenance_branch_expire_scan",
+    # --- r10 NEW: top-k (leaderboard) view IVM via the generic strategy
+    #     (displaced: pack_token_budget_bins — green r8 AND r9, sampling
+    #     path untouched r10) ---
+    "incremental_topk_refresh_mutable",
     # --- r10 NEW operators: Count-Min heavy hitters (portable md5
     #     counters, one-sided guarantee + mergeability inline-asserted)
     #     and rewrite_position_deletes (tombstone compaction + dangling-row
@@ -6404,7 +6475,6 @@ _GRADED_FIRST = [
     "sketch_kmv_distinct",
     "sketch_kmv_set_ops",
     "range_join_errors_followups",
-    "pack_token_budget_bins",
     # --- r8 NEW operators: mergeable-histogram quantiles + interval
     #     merging (displaced: maintenance_zorder_scan,
     #     cluster_kmeans_topics_gemm — green r6 AND r7, untouched r8) ---
