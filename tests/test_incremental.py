@@ -609,6 +609,57 @@ def test_incremental_agg_refresh_changelog_mutable_base(spark, catalog):
         assert (r.k, r.n, r.sv) in got
 
 
+def test_topk_view_ivm_multi_row_groups_death_and_null_key(spark, catalog):
+    """r10: the generic IVM strategy over a MULTI-ROW-per-group view
+    (top-2 per key) — the untouched/touched split keys on the GROUP, so
+    (a) a dethroned rank-1 row's runner-up re-ranks in, (b) a group whose
+    every row is deleted disappears entirely (agg_fn emits nothing for
+    it), (c) a NULL group key maintains as the real group it is, and
+    (d) untouched groups' rows pass through verbatim."""
+    from pyspark.sql import Window
+
+    from go_iceberg_spark.expr import col as C
+    from go_iceberg_spark.table.incremental import (
+        incremental_agg_refresh_changelog,
+    )
+
+    rows = ([Row(k=k, o=10 * k + j, v=float(100 - j)) for k in range(3)
+             for j in range(4)]
+            + [Row(k=None, o=900 + j, v=float(50 + j)) for j in range(3)])
+    t = mk(spark, catalog, "topkivm", rows)
+    s0 = t.current_snapshot().snapshot_id
+
+    def topk(df):
+        w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("o").asc())
+        return (df.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 2).select("k", "o", "v", "rnk"))
+
+    g0 = topk(t.to_df())
+    g0.collect()
+
+    t.delete(C("o").eq(10))       # dethrones k=1's rank-1 (o=10, v=100)
+    t.delete(C("k").eq(2))        # group 2 dies entirely
+    t.append(spark.createDataFrame([(None, 999, 500.0)],
+                                   "k bigint, o bigint, v double"))  # new NULL-group top
+
+    g1 = incremental_agg_refresh_changelog(
+        g0, t, ["k"], from_snapshot_id=s0, agg_fn=topk)
+    got = sorted(((r.k if r.k is not None else -1), r.o, r.v, r.rnk)
+                 for r in g1.collect())
+    want = sorted(((r.k if r.k is not None else -1), r.o, r.v, r.rnk)
+                  for r in topk(t.to_df()).collect())
+    assert got == want, (got, want)
+    # group 2 died
+    assert not [x for x in got if x[0] == 2]
+    # k=1's runner-up (o=11, v=99) is the new rank-1
+    assert (1, 11, 99.0, 1) in got
+    # the NULL group re-ranked around the new top
+    assert (-1, 999, 500.0, 1) in got
+    # untouched group 0 passed through verbatim
+    assert [x for x in got if x[0] == 0] == \
+        sorted((0, r.o, r.v, r.rnk) for r in g0.collect() if r.k == 0)
+
+
 def test_eq_delete_changelog_prune_ratio_disjoint_files():
     """r9 soak regression (SOAK.md r9): with N data files of DISJOINT key
     ranges and one eq-delete file, the changelog's before/after suppression
