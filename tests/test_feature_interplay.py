@@ -1551,6 +1551,14 @@ def test_metadata_min_max_across_rename_and_widen(spark, catalog):
     assert t.scan().metadata_min_max("key") == (-5, 10**12)
     assert t.scan().metadata_min_max("k") is None  # old name gone
 
+    # r10 (r9 ADVICE): a time-travel read pins the SNAPSHOT's schema, so
+    # metadata_min_max resolves the SAME names to_df() exposes there —
+    # the pre-rename snapshot answers under the OLD name and refuses the
+    # current one (field id stays the stats key either way)
+    pre_rename = sorted(t.snapshots(), key=lambda s: s.timestamp_ms)[0].snapshot_id
+    assert t.scan().use_snapshot(pre_rename).metadata_min_max("k") == (0, 9)
+    assert t.scan().use_snapshot(pre_rename).metadata_min_max("key") is None
+
 
 def test_cherrypick_double_pick_rejected_after_selective_compaction(spark, catalog):
     """r10 probe (VERDICT r9 task #6a): the cherrypick double-pick guard's
