@@ -301,7 +301,13 @@ def rewrite_data_files(table, *, target_file_size_bytes: int = 128 * 1024 * 1024
             df = table.to_df()  # scan applies MoR deletes
         summary = {"compacted-input-files": str(len(candidates))}
         if zorder_by:
-            dfz = _zorder_cluster(df, zorder_by)
+            # size the z-range partitions from the KNOWN input bytes so the
+            # rewrite honors the file-size target (r10: it used to inherit
+            # the input partition count — two big input files meant two
+            # output files no matter the target)
+            want = max(2, int(sum(e.file_size for e in candidates)
+                              // target_file_size_bytes) + 1)
+            dfz = _zorder_cluster(df, zorder_by, n_parts=want)
             summary["zorder-by"] = ",".join(zorder_by)
         else:
             dfz = df
@@ -444,23 +450,41 @@ def rewrite_position_deletes(table):
 _ZORDER_BITS = 8  # 256 bins per dimension
 
 
-def _zorder_cluster(df, cols: list[str]):
+def _zorder_cluster(df, cols: list[str], n_parts: int | None = None):
     """Range-partition + sort ``df`` by an interleaved-bit Z-value over
     ``cols``. Bins come from one global min/max agg (a single cheap job) +
     ``width_bucket``; bit interleaving is a constant-folded expression, so
-    the whole thing is two shuffles (agg + range partition) at any scale."""
+    the whole thing is two shuffles (agg + range partition) at any scale.
+    ``n_parts`` sets the output range-partition count (callers size it
+    from the input bytes / file-size target); default keeps the input's."""
     from pyspark.sql import functions as F
 
     from ..errors import ValidationError
 
     nbins = 1 << _ZORDER_BITS
+
+    def _orderable(c):
+        """An order-preserving DOUBLE view of the column: numerics and
+        temporals cast directly; STRINGS map via their first 6 bytes as a
+        big-endian integer (UTF-8 byte order == string order, and 48 bits
+        fit a double exactly) — r10: string columns used to cast to NULL
+        and silently not cluster at all (a no-op z-order with no error)."""
+        from pyspark.sql import types as _T
+
+        if isinstance(df.schema[c].dataType, _T.StringType):
+            padded = F.rpad(F.substring(F.col(c), 1, 6), 6, "\x00")
+            return F.coalesce(
+                F.conv(F.hex(F.encode(padded, "UTF-8")), 16, 10).cast("double"),
+                F.lit(None).cast("double"))
+        return F.col(c).cast("double")
+
     for c in cols:
         if c not in df.columns:
             raise ValidationError(f"zorder_by column {c!r} not in table")
     aggs = []
     for c in cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        aggs += [F.min(_orderable(c)).alias(f"_mn_{c}"),
+                 F.max(_orderable(c)).alias(f"_mx_{c}")]
     row = df.agg(*aggs).collect()[0]
 
     binned = []
@@ -469,7 +493,7 @@ def _zorder_cluster(df, cols: list[str]):
         if mn is None or mx is None or mx == mn:
             binned.append(F.lit(0).cast("long"))
             continue
-        b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(nbins)) - 1
+        b = F.width_bucket(_orderable(c), F.lit(mn), F.lit(mx), F.lit(nbins)) - 1
         binned.append(F.least(F.greatest(F.coalesce(b, F.lit(0)), F.lit(0)),
                               F.lit(nbins - 1)).cast("long"))
     z = F.lit(0).cast("long")
@@ -477,7 +501,7 @@ def _zorder_cluster(df, cols: list[str]):
         for j, b in enumerate(binned):
             z = z + F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)),
                                 bit * len(binned) + j)
-    n_parts = max(2, df.rdd.getNumPartitions())
+    n_parts = n_parts or max(2, df.rdd.getNumPartitions())
     return (
         df.withColumn("_z", z)
         .repartitionByRange(n_parts, "_z")

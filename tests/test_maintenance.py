@@ -481,6 +481,44 @@ def test_selective_compaction_binpack_and_filter(spark, catalog):
     assert t.incremental_scan(ignore_non_append=True).count() == 2003
 
 
+def test_zorder_clusters_string_columns(spark, catalog):
+    """r10: z-order over a STRING dimension — strings used to cast-to-double
+    as NULL and silently not cluster (a no-op with no error). The
+    first-6-bytes big-endian mapping is order-preserving (UTF-8 byte order
+    == string order), so a 2-D (string, numeric) rewrite must let a string
+    prefix filter prune files it could not before."""
+    import random as _r
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+
+    rng = _r.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rows = [Row(tag="".join(rng.choice(letters) for _ in range(8)),
+                v=float(rng.randint(0, 10_000)),
+                pad="".join(rng.choice(letters) for _ in range(80)))
+            for _ in range(6000)]
+    df = spark.createDataFrame(rows)
+    t = catalog.create_table("db", "zostr", from_spark_schema(df.schema))
+    t.append(df.coalesce(1))
+    t.append(df.coalesce(1))  # interleaved layout: full-range bounds per file
+
+    pred = gi.and_(gi.lt("tag", "c"), gi.lt("v", 2000.0))
+    n_total = len(t.scan().plan_files())
+    t.rewrite_data_files(target_file_size_bytes=48 * 1024,
+                         zorder_by=["tag", "v"], min_input_files=1)
+    total_after = len(t.scan().plan_files())
+    kept = len(t.scan().filter(pred).plan_files())
+    assert total_after > 2, "rewrite produced too few files to test pruning"
+    assert kept < total_after, (kept, total_after)
+    # rows identical through the rewrite
+    assert t.scan().count() == 12000
+    assert t.scan().filter(pred).count() == \
+        df.filter((df.tag < "c") & (df.v < 2000.0)).count() * 2
+    del n_total
+
+
 def test_rewrite_position_deletes_merges_and_drops_dangling(spark, catalog):
     """r10: rewrite_position_deletes (Iceberg rewrite_position_delete_files
     parity) — merges N tombstone files into one, drops rows referencing
