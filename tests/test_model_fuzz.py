@@ -253,10 +253,28 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
             ddl += f", {names['w']} {wtype}"
         return spark.createDataFrame(data, ddl)
 
+    def _mm_check(step, op):
+        """r10: whenever metadata-only MIN/MAX claims exactness it must
+        equal the model — across whatever CRUD/maintenance/evolution state
+        the walk is in. None (refusal) is always legal; a non-None answer
+        that disagrees with the model is a correctness bug. Exercises the
+        int path in every walk and the string bounds_exact / float
+        NaN-proof paths in the properties variant."""
+        for c in cols:
+            mm = t.scan().metadata_min_max(names[c])
+            if mm is None:
+                continue
+            vals = [r.get(c) for r in model]
+            vals = [v for v in vals
+                    if v is not None and not (isinstance(v, float) and math.isnan(v))]
+            want = (min(vals), max(vals)) if vals else (None, None)
+            assert mm == want, (seed, step, op, "metadata min/max", c, mm, want)
+
     def consumer_checks(step, op):
         """Incremental + changelog + strict-mode invariants over a random
         retained ancestor range (i, j] — the read surfaces LAYERED on the
         lineage that the r7 rows-preserved bug silently broke."""
+        _mm_check(step, op)
         by_id = {s.snapshot_id: s for s in t.snapshots()}
         pool = [sid for sid in history if sid in by_id]
         if not pool:
@@ -787,6 +805,18 @@ def test_mutation_walk_matches_model_avro_manifests(spark, catalog):
     round-trip) through mutations, renames, rollbacks, and expiry."""
     _walk(spark, catalog, 31337, steps=14,
           properties={"manifest-format": "avro"})
+
+
+def test_mutation_walk_matches_model_stat_properties(spark, catalog):
+    """r10: the walk with write.exact-bounds-columns (string v) and
+    write.nan-count-columns (double x) ON — the metadata MIN/MAX consumer
+    check then exercises the bounds_exact marker and the NaN proof across
+    the full CRUD/maintenance/evolution vocabulary, including renames
+    (the name-keyed properties must follow) and add_files imports (whose
+    unmarked stats must flip string answers back to refusal)."""
+    _walk(spark, catalog, 55101, steps=16,
+          properties={"write.exact-bounds-columns": "v",
+                      "write.nan-count-columns": "x"})
 
 
 @pytest.mark.parametrize("seed", [7001, 7002])
