@@ -6113,9 +6113,10 @@ def maintenance_rewrite_pos_deletes_scan_q(spark, sf):
 
     if len(pos_files()) < 3:
         raise AssertionError("fixture lost its teeth: expected >=3 tombstone files")
-    # strand the third file's tombstones: a selective compaction rewrites
-    # only the high range (its tombstones materialize into the new file)
-    t.rewrite_data_files(min_input_files=1, where=C("o_orderkey").gte(2000))
+    # strand tombstone rows: a selective compaction rewrites only the LOW
+    # range (populated at every sf — the o_orderkey<50 delete's rows all
+    # reference it), so rows pointing at the rewritten file go dangling
+    t.rewrite_data_files(min_input_files=1, where=C("o_orderkey").lt(1000))
     before_files = pos_files()
     before_rows = pos_rows(before_files)
     data_before = sorted(e.file_path for e in t.live_entries()
