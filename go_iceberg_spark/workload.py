@@ -3420,14 +3420,21 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     if viol:
         raise AssertionError(f"CMS underestimated {viol} values (one-sided guarantee broken)")
 
-    # mergeability: half-sketches summed elementwise == one-pass sketch
-    lo = K.cms_sketch(o.filter(F.col("o_orderkey") < 1500)
+    # mergeability: half-sketches summed elementwise == one-pass sketch.
+    # Checked on a BOUNDED key slice — the algebraic property is
+    # data-independent, and re-hashing the full corpus twice just to
+    # re-prove it would dominate the query at scale (r10: the full-corpus
+    # form was 2x the md5 work for zero extra information)
+    slice_ = o.filter(F.col("o_orderkey") < 3000)
+    lo = K.cms_sketch(slice_.filter(F.col("o_orderkey") < 1500)
                       .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
-    hi = K.cms_sketch(o.filter(F.col("o_orderkey") >= 1500)
+    hi = K.cms_sketch(slice_.filter(F.col("o_orderkey") >= 1500)
                       .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
     merged = (lo.unionByName(hi).groupBy("row", "bucket")
               .agg(F.sum("cnt").alias("cnt")))
-    if merged.exceptAll(sk).count() or sk.exceptAll(merged).count():
+    one_pass = K.cms_sketch(slice_.select((F.col("o_custkey") % 97).alias("ck_mod")),
+                            "ck_mod", d=d, w=w)
+    if merged.exceptAll(one_pass).count() or one_pass.exceptAll(merged).count():
         raise AssertionError("summed shard sketches != one-pass sketch")
     return hh
 

@@ -431,3 +431,44 @@ def test_levenshtein_never_in_join_condition_and_evaluated_once(spark):
     offenders = [l for l in plan.splitlines() if "Join" in l and "levenshtein" in l]
     assert not offenders, "\n".join(offenders)
     assert plan.count("levenshtein") == 1, plan
+
+
+def test_bloom_prefilter_filters_probe_before_join(spark):
+    """r10 contract: the bloom bit-test must sit on the PROBE side below
+    the join (rows drop before any exchange), use the codegen'd xxhash64
+    (never the md5 portable hash — the bitmap is engine-internal), and
+    introduce no extra shuffle beyond the join's own."""
+    from go_iceberg_spark.operators.joins import bloom_prefilter_join
+
+    big = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    small = (spark.read.parquet(f"{SF}/part.parquet")
+             .filter(F.col("p_size") == 50)
+             .select(F.col("p_partkey").alias("l_partkey"), "p_name"))
+    j = bloom_prefilter_join(big, small, ["l_partkey"])
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan and "shiftright" in plan
+    assert "md5" not in plan
+    # the Filter must be BELOW the Join node in the optimized tree: the
+    # join line appears before the bit-test filter line top-down
+    join_at = min(i for i, ln in enumerate(plan.splitlines()) if "Join" in ln)
+    filt_at = min(i for i, ln in enumerate(plan.splitlines())
+                  if "shiftright" in ln and "Filter" in ln)
+    assert filt_at > join_at, "bloom bit-test not below the join"
+
+
+def test_cms_sketch_map_side_combines(spark):
+    """r10 contract: the CMS counter build must partial-aggregate BEFORE
+    its exchange (shuffle volume = partitions x d*w cells, never rows) and
+    keep the row-salted md5 inside codegen (no Python UDF)."""
+    from go_iceberg_spark.operators.sketch import cms_sketch
+
+    src = spark.read.parquet(f"{SF}/orders.parquet").select(
+        (F.col("o_custkey") % 97).alias("v"))
+    sk = cms_sketch(src, "v", d=4, w=256)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    partials = len(_re.findall(r"partial_sum", plan))
+    assert partials >= 1, "no map-side combine before the counter exchange"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, "CMS build should shuffle exactly once"
