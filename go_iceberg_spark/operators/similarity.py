@@ -813,6 +813,24 @@ def mmr_rerank(
              .select("query_id", "cand_id", "_rel", "_cv", "_cn"))
     if materialize:
         cands = cands.persist()
+    try:
+        return _mmr_greedy(cands, k=k, lam=lam, materialize=materialize)
+    finally:
+        # unpersist unconditionally (r10 ADVICE: an exception mid-greedy —
+        # or during a localCheckpoint — leaked the cached pool for the
+        # session's lifetime); the success path has already checkpointed
+        # the result, so the cache is safe to drop either way
+        if materialize:
+            cands.unpersist()
+
+
+def _mmr_greedy(cands: DataFrame, *, k: int, lam: float,
+                materialize: bool) -> DataFrame:
+    """The k greedy argmax rounds of mmr_rerank over a prepared candidate
+    pool (query_id, cand_id, _rel, _cv, _cn) — split out so the caller can
+    own the pool's persist/unpersist lifecycle."""
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("cand_id").asc())
     a, b = cands.alias("_mmr_a"), cands.alias("_mmr_b")
     pairs = (a.join(b, (F.col("_mmr_a.query_id") == F.col("_mmr_b.query_id"))
                     & (F.col("_mmr_a.cand_id") != F.col("_mmr_b.cand_id")))
@@ -848,6 +866,6 @@ def mmr_rerank(
     out = selected.select("query_id", "cand_id",
                           F.col("mmr_rank").cast("int").alias("mmr_rank"))
     if materialize:
+        # eager: materialize BEFORE the caller drops the pool cache
         out = out.localCheckpoint(eager=True)
-        cands.unpersist()
     return out

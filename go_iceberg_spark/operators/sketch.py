@@ -268,16 +268,37 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, value_col: str, *,
     table: est(v) = min over the d rows of the counter v hashes into —
     always >= the true count (the one-sided CMS guarantee). The sketch is
     <= d*w rows, so the lookup join BROADCASTS it: per-candidate cost is d
-    hash evaluations and a map-side join — no shuffle of the candidates."""
+    hash evaluations and a map-side join — no shuffle of the candidates.
+
+    Probing with d/w different from the build's silently turns misses into
+    est=0 and drops true heavy hitters (r10 ADVICE), so the plan carries a
+    consistency guard: the sketch's observed max row must be exactly d-1
+    (every row index is populated by any non-trivial input) and its max
+    bucket must be < w — violated, the query RAISES instead of returning
+    zeros. Probing a narrow sketch with a LARGER w is the one direction
+    contents alone cannot witness; the d check still catches the common
+    paired mismatch. The guard folds into the same broadcast plan — no
+    extra job, no schema change to the mergeable (row, bucket, cnt) form."""
     cand = candidates.select(F.col(value_col)).distinct().select(
         F.col(value_col),
         F.col(value_col).cast("string").alias("_v"),
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"))
     h = portable_hash60(F.concat(F.lit("cms"), F.col("row").cast("string"),
                                  F.lit(":"), F.col("_v")))
+    chk = sketch.agg(F.max("row").alias("_sk_mxr"),
+                     F.max("bucket").alias("_sk_mxb"))
+    ok = F.coalesce((F.col("_sk_mxr") == F.lit(d - 1))
+                    & (F.col("_sk_mxb") < F.lit(w)),
+                    F.lit(True))  # empty sketch: every estimate is 0, fine
+    guard = F.assert_true(ok, F.lit(
+        f"cms_estimate(d={d}, w={w}) inconsistent with the sketch's "
+        f"contents — was the sketch built with different d/w?"))
     looked = (cand.withColumn("bucket", F.pmod(h, F.lit(w)))
               .join(F.broadcast(sketch), ["row", "bucket"], "left")
-              .select(value_col, F.coalesce("cnt", F.lit(0)).alias("cnt")))
+              .crossJoin(F.broadcast(chk))
+              .select(value_col,
+                      F.when(guard.isNull(),
+                             F.coalesce("cnt", F.lit(0))).alias("cnt")))
     return looked.groupBy(value_col).agg(F.min("cnt").alias("est_n"))
 
 

@@ -472,10 +472,14 @@ def _zorder_cluster(df, cols: list[str], n_parts: int | None = None):
         from pyspark.sql import types as _T
 
         if isinstance(df.schema[c].dataType, _T.StringType):
-            padded = F.rpad(F.substring(F.col(c), 1, 6), 6, "\x00")
-            return F.coalesce(
-                F.conv(F.hex(F.encode(padded, "UTF-8")), 16, 10).cast("double"),
-                F.lit(None).cast("double"))
+            # slice BYTES after encoding (r10 ADVICE: slicing 6 CHARACTERS
+            # first let non-ASCII prefixes reach 24 bytes, whose
+            # conv(hex, 16, 10) overflows 64 bits and collapses distinct
+            # strings into one bin) — 12 hex digits == 6 bytes <= 48 bits,
+            # always exact in a double; '0'-rpad == trailing \x00 bytes
+            hx = F.rpad(F.substring(F.hex(F.encode(F.col(c), "UTF-8")),
+                                    1, 12), 12, "0")
+            return F.conv(hx, 16, 10).cast("double")
         return F.col(c).cast("double")
 
     for c in cols:

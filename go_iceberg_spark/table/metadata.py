@@ -749,19 +749,35 @@ def load_metadata(location: str, io=None) -> tuple[TableMetadata, int]:
     # is defense in depth (e.g. a file written by an older engine build that
     # streamed into the final name): a half-readable NEWEST version provably
     # means a commit is in flight, so wait briefly, then serialize this read
-    # before that commit by stepping back one version.
+    # before that commit by stepping back one version. Only DECODE failures
+    # take this path — a transient resource error (EMFILE, EACCES) or a
+    # vanished file is a real error the caller must see, not a silent
+    # step-back to stale metadata (r10 ADVICE); and when we DO step back, say
+    # so: a permanently corrupt newest version would otherwise hide forever.
+    last_err: Exception | None = None
     for attempt in range(5):
         try:
             with open(path) as f:
                 return TableMetadata.from_json(json.load(f)), v
-        except (json.JSONDecodeError, OSError):
+        except json.JSONDecodeError as e:
+            last_err = e
             time.sleep(0.01 * (attempt + 1))
     if v > 1:
+        import warnings
+
+        warnings.warn(
+            f"metadata v{v} at {location!r} undecodable after retries "
+            f"({last_err}); serving v{v - 1} — if this repeats, v{v} is "
+            f"corrupt, not a commit in flight",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         prev = os.path.join(metadata_dir(location), f"v{v - 1}.metadata.json")
         with open(prev) as f:
             return TableMetadata.from_json(json.load(f)), v - 1
-    with open(path) as f:
-        return TableMetadata.from_json(json.load(f)), v
+    raise ValidationError(
+        f"metadata v{v} at {location!r} undecodable after retries: {last_err}"
+    ) from last_err
 
 
 def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=None) -> int:
