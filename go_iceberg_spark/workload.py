@@ -3691,7 +3691,8 @@ def join_hot_key_isolated_q(spark, sf):
 )
 def join_bloom_prefiltered_q(spark, sf):
     """Bloom-prefiltered join (r10): the small side's keys aggregate into
-    one bitmap (1 md5, 4 probe windows per key) and the BIG side drops
+    one bitmap (1 codegen'd xxhash64, 4 probe windows per key — the
+    bitmap is engine-internal, so no portable hash) and the BIG side drops
     provably-unmatched rows with codegen'd expressions BEFORE the join
     shuffle — the hand-rolled form of Spark's runtime bloom filter
     injection, available to any join shape. Blooms have no false
