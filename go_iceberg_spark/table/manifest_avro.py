@@ -23,36 +23,36 @@ Mapping to the engine's model:
   each field's Avro type is the transform RESULT type (bucket→int,
   year/month/hour→int ordinals since 1970, day→date, identity→source type,
   timestamp→timestamp-micros, time→time-micros, decimal→fixed decimal
-  logical type, truncate[decimal]→decimal), converted from the engine's
-  path-derived string encoding on write and back on read — the read side
-  reproduces the exact Hive strings Spark's ``partitionBy`` wrote
-  (trailing-zero-trimmed timestamp fractions, full-scale decimal
-  rendering) so both dialects stay bit-identical. Two fallback families
-  keep [null, string] (``_typed_partition_type`` returns None):
-  binary/fixed, because Spark cannot ``partitionBy`` a binary column so
-  no engine path encoding exists; and float/double, because Java 17's
-  legacy ``Float/Double.toString`` (what Spark renders dir names with)
-  emits non-minimal digit strings — e.g. ``1.23456792E8`` where shortest
-  is ``123456790.0`` — that cannot be regenerated from the typed value
-  without reimplementing ``FloatingDecimal``, and a near-miss would
-  silently desynchronize the two dialects' partition dicts.
+  logical type, truncate[decimal]→decimal, float→float, double→double,
+  binary→bytes, fixed→fixed), converted from the engine's string
+  encoding on write and back on read — the read side reproduces the
+  exact engine strings (trailing-zero-trimmed timestamp fractions,
+  full-scale decimal rendering, canonical shortest-repr floats, hex
+  binary) so both dialects stay bit-identical. The only remaining
+  [null, string] fallback is a partition field whose SOURCE is unknown
+  to the schema (``_typed_partition_type`` returns None) — there the
+  engine string passes through untouched.
   Manifests written BEFORE a type gained its typed form declare
   [null, string] in their OCF writer schema; the reader keys off that
   schema and passes those legacy string values through unconverted.
 
-ADR (r6, closes the float/double typed-tuple question): the two
-[null, string] fallbacks above are PERMANENT until a real third-party
-Iceberg reader is available in the environment to adjudicate
-(pip/pyiceberg remains unreachable — no network; retried every round).
-Rationale: (a) the only consumers that exist today — this engine's two
-dialects — are bit-identical under the string form and round-trip-tested;
-(b) shipping a hand-rolled FloatingDecimal to synthesize Java's legacy
-float rendering risks a silent near-miss that desynchronizes partition
-dicts, strictly worse than an honest string; (c) the affected shapes are
-rare in practice (timestamps partition via typed y/m/d/h transforms, and
-float/double identity partitioning is an anti-pattern the reference also
-never exercises). Revisit iff an external reader can be installed; the
-conformance gap is documented in README's limitations.
+r11 (retires the r6 ADR that kept float/double and binary/fixed as
+[null, string]): the float/double blocker was Java 17's legacy
+``Float/Double.toString`` dir-name rendering (e.g. ``1.23456792E8``),
+which Python cannot regenerate from the typed value. Rather than
+reimplement ``FloatingDecimal`` (a silent near-miss would desynchronize
+the dialects), the ENGINE's partition-string space is now canonical:
+``write.canonicalize_partition_values`` parses the Java text once at
+path-derivation time and re-renders it as shortest-repr (float32 values
+narrow-then-widen first), so string↔typed is an exact inverse by
+construction — the dir name on disk keeps Java's spelling, the metadata
+never depends on it. binary/fixed reuse the engine's hex stat-space
+convention (Spark cannot ``partitionBy`` binary, so these arise only via
+constructed specs/manifests — the wire form is spec-typed either way).
+Tables written before r11 with float/double partitions hold legacy Java
+strings in their NATIVE metadata; their Avro manifests (written then)
+declared string and still read through unconverted, while REWRITING such
+manifests normalizes the dict to the canonical rendering (same value).
 """
 
 from __future__ import annotations
@@ -115,6 +115,10 @@ def bound_to_bytes(t: IcebergType, enc_val: Any) -> bytes | None:
             except ValueError:
                 return None  # stat was a truncated/garbage string bound
         return None
+    from ..schema import FixedType
+
+    if isinstance(t, FixedType):
+        return bytes.fromhex(enc_val)  # engine stat space stores hex
     if isinstance(t, DecimalType):
         if isinstance(enc_val, int):  # engine stat space: unscaled int (r9)
             unscaled = enc_val
@@ -154,6 +158,10 @@ def bound_from_bytes(t: IcebergType, raw: bytes | None) -> Any:
         # engine stat space is the unscaled int itself (r9) — identical to
         # the spec's two's-complement payload, just widened to a Python int
         return int.from_bytes(raw, "big", signed=True)
+    from ..schema import FixedType
+
+    if isinstance(t, FixedType):
+        return raw.hex()
     return None
 
 
@@ -244,10 +252,15 @@ def _decimal_fixed_size(precision: int) -> int:
 
 
 def _typed_partition_type(pf, schema: Schema):
-    """(result_type, avro_type) for a partition field when the engine's
-    path-derived string encoding converts to the spec's typed value
-    unambiguously; None → keep the [null, string] fallback (module
-    docstring: binary/fixed only — Spark cannot partitionBy those)."""
+    """(result_type, avro_type) for a partition field; None only when the
+    source field is unknown to the given schema (→ the [null, string]
+    fallback carries whatever string the engine holds). r11: every spec
+    type now has a typed wire form — float/double became exact once the
+    engine canonicalized their partition strings to a Python-derivable
+    rendering (write.canonicalize_partition_values), and binary/fixed use
+    the engine's hex string convention (same space as column stats)."""
+    from ..schema import FixedType
+
     t = _transform_result_type(pf, schema)
     if t is None:
         return None
@@ -257,13 +270,19 @@ def _typed_partition_type(pf, schema: Schema):
             "size": _decimal_fixed_size(t.precision),
             "logicalType": "decimal", "precision": t.precision, "scale": t.scale,
         }
+    if isinstance(t, FixedType):
+        return t, {"type": "fixed", "name": f"fix_{pf.field_id}",
+                   "size": t.length}
     if not isinstance(t, PrimitiveType):
         return None
     avro = {
         "boolean": "boolean",
         "int": "int",
         "long": "long",
+        "float": "float",
+        "double": "double",
         "string": "string",
+        "binary": "bytes",
         "date": {"type": "int", "logicalType": "date"},
         "time": {"type": "long", "logicalType": "time-micros"},
         "timestamp": {"type": "long", "logicalType": "timestamp-micros",
@@ -274,7 +293,7 @@ def _typed_partition_type(pf, schema: Schema):
                  "logicalType": "uuid"},
     }.get(t.name)
     if avro is None:
-        return None  # binary/fixed, float/double: string fallback (module docstring)
+        return None  # unknown primitive: string fallback
     return t, avro
 
 
@@ -345,15 +364,32 @@ def _partition_value_to_typed(pf, t, v):
             decimal.Decimal(s).scaleb(t.scale, decimal.Context(prec=60)).to_integral_value()
         )
         return unscaled.to_bytes(_decimal_fixed_size(t.precision), "big", signed=True)
+    from ..schema import FixedType
+
+    if isinstance(t, FixedType):
+        b = bytes.fromhex(s)  # engine convention: hex (stat space)
+        if len(b) != t.length:
+            raise ValidationError(
+                f"fixed[{t.length}] partition value for {pf.name} has "
+                f"{len(b)} bytes: {s!r}")
+        return b
     n = t.name
     if n == "boolean":
         return s.lower() == "true"
     if n in ("int", "long", "time"):
         return int(s)
+    if n == "float":
+        # canonical strings are float32-exact (canonicalize_partition_values
+        # narrows through float32), so the Avro 4-byte value loses nothing
+        return struct.unpack("<f", struct.pack("<f", float(s)))[0]
+    if n == "double":
+        return float(s)
     if n in ("timestamp", "timestamptz"):
         return _ts_string_to_micros(s)
     if n == "string":
         return s
+    if n == "binary":
+        return bytes.fromhex(s)  # engine convention: hex (stat space)
     if n == "date":
         return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
     if n == "uuid":
@@ -380,15 +416,27 @@ def _typed_to_partition_value(pf, t, v):
         return ts.strftime("%Y-%m-%d-%H")
     if isinstance(t, DecimalType):
         return _decimal_plain_str(int.from_bytes(bytes(v), "big", signed=True), t.scale)
+    from ..schema import FixedType
+
+    if isinstance(t, FixedType):
+        return bytes(v).hex()
     n = t.name
     if n == "boolean":
         return "true" if v else "false"
     if n in ("int", "long", "time"):
         return str(int(v))
+    if n in ("float", "double"):
+        # exact inverse: engine float/double strings are canonical
+        # (write.canonical_float_str of the widened wire value)
+        from .write import canonical_float_str
+
+        return canonical_float_str(float(v))
     if n in ("timestamp", "timestamptz"):
         return _micros_to_ts_str(int(v))
     if n == "string":
         return str(v)
+    if n == "binary":
+        return bytes(v).hex()
     if n == "date":
         return (dt.date(1970, 1, 1) + dt.timedelta(days=int(v))).isoformat()
     if n == "uuid":
@@ -796,9 +844,19 @@ def _partition_summaries(
     for pf in spec.fields:
         vals = [e.partition.get(pf.name) for e in group]
         typed = _typed_partition_type(pf, schema) if schema is not None else None
+        contains_nan = None
         if typed is not None:
+            sv = [_partition_stat_value(pf, typed[0], v)
+                  for v in vals if v is not None]
+            is_float = (isinstance(typed[0], PrimitiveType)
+                        and typed[0].name in ("float", "double"))
+            if is_float:
+                # NaN is unordered — it must never become a bound (the spec
+                # delegates NaN presence to contains_nan)
+                contains_nan = any(x != x for x in sv)
+                sv = [x for x in sv if x == x]
             sv = sorted(
-                (_partition_stat_value(pf, typed[0], v) for v in vals if v is not None),
+                sv,
                 key=lambda x: decimal.Decimal(x) if isinstance(typed[0], DecimalType) else x,
             )
             lo = bound_to_bytes(typed[0], sv[0]) if sv else None
@@ -810,7 +868,7 @@ def _partition_summaries(
         out.append(
             {
                 "contains_null": any(v is None for v in vals),
-                "contains_nan": None,
+                "contains_nan": contains_nan,
                 "lower_bound": lo,
                 "upper_bound": hi,
             }
@@ -831,16 +889,22 @@ def _partition_stat_value(pf, t, v):
         return _partition_value_to_typed(pf, t, s)  # int / day ordinals
     if isinstance(t, DecimalType):
         return s
+    from ..schema import FixedType
+
+    if isinstance(t, FixedType):
+        return s  # hex: byte-order-preserving, bound_to_bytes decodes it
     n = t.name
     if n == "boolean":
         return s.lower() == "true"
     if n in ("int", "long", "time"):
         return int(s)
+    if n in ("float", "double"):
+        return float(s)
     if n in ("timestamp", "timestamptz"):
         return _ts_string_to_micros(s)
     if n == "date":
         return (dt.date.fromisoformat(s) - dt.date(1970, 1, 1)).days
-    return s  # string, uuid (canonical form)
+    return s  # string, uuid, binary-hex (canonical forms)
 
 
 # ---------------------------------------------------------------------------

@@ -595,6 +595,51 @@ def _partition_values_from_path(path: str, part_names: list[str]) -> dict[str, A
     return vals
 
 
+def canonical_float_str(x: float) -> str:
+    """Deterministic engine rendering of a float/double partition value:
+    shortest round-trip ``repr`` for finite values (a pure function of the
+    typed value, regenerable from the Avro wire), Java/Spark-compatible
+    NaN/Infinity spellings (Spark's string→float cast accepts all three)."""
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
+    return repr(x)
+
+
+def canonicalize_partition_values(spec: PartitionSpec, schema: Schema,
+                                  vals: dict[str, Any]) -> dict[str, Any]:
+    """Re-render float/double partition strings deterministically (r11,
+    retires the r6 ADR that kept float/double partitions [null, string] on
+    the Avro wire): the raw dir-name text is Java's legacy
+    ``Float/Double.toString`` — a rendering Python cannot regenerate from
+    the typed value (e.g. ``1.23456792E8`` where repr says
+    ``123456792.0``), which blocked an exact string↔typed round-trip.
+    Parsing the Java text and re-rendering via ``canonical_float_str``
+    keeps the VALUE identical (both strings parse to the same float) while
+    making the engine string a pure function of the typed value. FLOAT
+    (32-bit) columns canonicalize through a float32 narrow-then-widen so
+    the string matches what an Avro ``float`` wire value widens back to."""
+    from .manifest_avro import _transform_result_type
+
+    out = dict(vals)
+    for pf in spec.fields:
+        v = out.get(pf.name)
+        if v is None:
+            continue
+        t = _transform_result_type(pf, schema)
+        if isinstance(t, PrimitiveType) and t.name in ("float", "double"):
+            x = float(v)
+            if t.name == "float":
+                import struct as _struct
+
+                x = _struct.unpack("<f", _struct.pack("<f", x))[0]
+            out[pf.name] = canonical_float_str(x)
+    return out
+
+
 def _unescape_hive(v: str) -> str:
     return re.sub(r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v)
 
@@ -809,6 +854,8 @@ def write_data_files(
     entries: list[DataFileEntry] = []
     for r in raw:
         partition = _partition_values_from_path(r["file_path"], part_names) if part_names else {}
+        if partition:
+            partition = canonicalize_partition_values(spec, schema, partition)
         entries.append(
             DataFileEntry(
                 content=content,
@@ -999,7 +1046,8 @@ def register_data_files(
         raise
     out = []
     for r in raw:
-        vals = _import_partition_values(r["file_path"], spec)
+        vals = canonicalize_partition_values(
+            spec, schema, _import_partition_values(r["file_path"], spec))
         stats = {int(k): v for k, v in r["stats"].items()}
         # identity partitions give EXACT stats for columns the file lacks
         # (every row shares the partition value) — imported files then prune

@@ -730,3 +730,135 @@ def test_sequence_number_inheritance_from_manifest_list(spark, catalog):
     _, _, _, ext = external_table_state(spark, t.location)
     ext_pairs = {(e["data_file"]["file_path"], e["sequence_number"]) for e in ext}
     assert ext_pairs == entries_before
+
+
+def test_external_typed_float_double_partition_tuples(spark, catalog):
+    """r11 (VERDICT task #1, retires the r6 ADR): float/double identity
+    partitions ride the Avro wire as typed float/double — made exact by
+    canonicalizing the ENGINE's partition strings at path-derivation time
+    (write.canonicalize_partition_values), so the Java dir rendering
+    (``1.23456792E8``) never enters metadata. A spec-only reader decodes
+    the numeric value with no engine code; tuple-only pruning matches the
+    engine scan; the avro round-trip reproduces the canonical dict."""
+    from go_iceberg_spark.table.metadata import PartitionField, PartitionSpec
+
+    # 123456792.0 is float32-exact and Java renders it "1.23456792E8";
+    # 1e22 renders "1.0E22" in Java vs "1e+22" in repr — both exercise
+    # the rendering gap the canonicalization closes. One NaN partition
+    # exercises the special spellings.
+    rows = []
+    for i in range(12):
+        f = [123456792.0, 0.25, float("nan")][i % 3]
+        g = [1e22, 0.5][i % 2]
+        rows.append(Row(ok=i, f=f, g=g))
+    df = spark.createDataFrame(rows).selectExpr(
+        "ok", "cast(f as float) f", "cast(g as double) g")
+    schema = from_spark_schema(df.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (
+        PartitionField(fid["f"], 1000, "identity", "f"),
+        PartitionField(fid["g"], 1001, "identity", "g"),
+    ))
+    t = catalog.create_table("db", "floatpart", schema, spec=spec,
+                             properties={"manifest-format": "avro"})
+    t.append(df)
+
+    # engine dict is canonical (repr / special spellings), never Java text
+    native = {e.partition["f"] for e in t.scan().plan_files() for e in [e.file]}
+    assert native == {"123456792.0", "0.25", "NaN"}, native
+    gvals = {e.file.partition["g"] for e in t.scan().plan_files()}
+    assert gvals == {"1e+22", "0.5"}, gvals
+
+    # wire schema is typed; values decode as plain JSON numbers
+    md, _snap, mfs, entries = external_table_state(spark, t.location)
+    mschema, _, recs = _jocf(
+        spark, os.path.join(t.location, mfs[0]["manifest_path"]))
+    dfield = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    pfield = next(f for f in dfield["type"]["fields"] if f["name"] == "partition")
+    ptypes = {f["name"]: f["type"] for f in pfield["type"]["fields"]}
+    assert ptypes["f"] == ["null", "float"]
+    assert ptypes["g"] == ["null", "double"]
+    data_entries = [e for e in entries if e["data_file"]["content"] == 0]
+    ext_f = {e["data_file"]["partition"]["f"] for e in data_entries}
+    finite_f = {v for v in ext_f if isinstance(v, float) and v == v}
+    assert finite_f == {123456792.0, 0.25}
+    # the NaN partition: Java's JSON rendering of a float NaN is the quoted
+    # token "NaN" (the BINARY wire value is a true Avro float NaN — the
+    # engine round-trip below proves that); accept either spelling here
+    assert any(v == "NaN" or (isinstance(v, float) and v != v) for v in ext_f)
+    assert {e["data_file"]["partition"]["g"] for e in data_entries} == {1e22, 0.5}
+
+    # avro read path reproduces the canonical engine dict bit-for-bit
+    t._manifest_cache.clear()
+    ents = t.live_entries()
+    assert {e.partition["f"] for e in ents} == {"123456792.0", "0.25", "NaN"}
+    assert {e.partition["g"] for e in ents} == {"1e+22", "0.5"}
+
+    # tuple-only pruning agrees with the engine scan (float + double).
+    # The engine keeps NaN-bound files under eq() (stats-based pruning is
+    # conservative: NaN bounds are unprunable; Catalyst filters the rows),
+    # so tuple pruning may be strictly TIGHTER — assert the engine set is
+    # the tuple set plus only NaN-partition files.
+    ext_sel = {e["data_file"]["file_path"] for e in data_entries
+               if e["data_file"]["partition"]["f"] == 0.25}
+    eng_sel = {task.file.file_path
+               for task in t.scan().filter(gi.eq("f", 0.25)).plan_files()}
+    assert ext_sel and ext_sel <= eng_sel
+    assert all("_p_f=NaN" in p for p in eng_sel - ext_sel)
+    assert t.scan().filter(gi.eq("g", 0.5)).count() == 6
+    assert t.scan().filter(gi.eq("f", 0.25)).to_df().count() == 4
+
+
+def test_binary_fixed_partition_tuples_roundtrip(spark, tmp_path):
+    """r11 (VERDICT task #1, second half): binary/fixed partition values —
+    which only arise via constructed specs, Spark cannot partitionBy
+    binary — serialize as typed bytes/fixed on the Avro wire (engine dict
+    convention: hex, the stat space), decode externally without engine
+    code, and round-trip exactly."""
+    import go_iceberg_spark.table.manifest_avro as ma
+    from go_iceberg_spark.schema import (
+        BINARY, FixedType, NestedField, PrimitiveType, Schema, StructType,
+    )
+    from go_iceberg_spark.table.metadata import (
+        DataFileEntry, PartitionField, PartitionSpec,
+    )
+
+    schema = Schema(0, StructType((
+        NestedField(1, "id", PrimitiveType("long")),
+        NestedField(2, "b", BINARY),
+        NestedField(3, "fx", FixedType(4)),
+    )))
+    spec = PartitionSpec(0, (
+        PartitionField(2, 1000, "identity", "b"),
+        PartitionField(3, 1001, "identity", "fx"),
+    ))
+    entry = DataFileEntry(
+        content=0, file_path="data/f1.parquet", file_format="parquet",
+        spec_id=0, schema_id=0, record_count=10, file_size=1000,
+        partition={"b": "0a0bff", "fx": "00112233"},
+        column_stats={}, sequence_number=1, equality_ids=(),
+    )
+    loc = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(loc, "metadata"))
+    rel = ma.write_avro_manifests(
+        loc, "metadata", [entry], snapshot_id=7, sequence_number=1,
+        spec=spec, schemas_by_id={0: schema})
+
+    # spec-only: writer schema declares bytes / fixed(4); values decode
+    # to the raw bytes with latin-1 recovery, no engine serde
+    lst_schema, _, lst = _jocf(spark, os.path.join(loc, rel))
+    mschema, _, recs = _jocf(spark, os.path.join(loc, lst[0]["manifest_path"]))
+    dfield = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    pfield = next(f for f in dfield["type"]["fields"] if f["name"] == "partition")
+    ptypes = {f["name"]: f["type"] for f in pfield["type"]["fields"]}
+    assert ptypes["b"] == ["null", "bytes"]
+    assert ptypes["fx"][1]["type"] == "fixed" and ptypes["fx"][1]["size"] == 4
+    p = recs[0]["data_file"]["partition"]
+    assert _raw(p["b"]) == bytes.fromhex("0a0bff")
+    # Java's JSON rendering of an Avro fixed is an int array
+    assert bytes(p["fx"]) == bytes.fromhex("00112233")
+
+    # engine read path round-trips the hex dict exactly
+    back = ma.read_avro_manifest_tree(loc, rel)
+    assert len(back) == 1
+    assert back[0].partition == {"b": "0a0bff", "fx": "00112233"}
