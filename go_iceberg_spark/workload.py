@@ -3439,6 +3439,67 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     return hh
 
 
+def _cms_merge_oracle(d: int = 4, w: int = 256, threshold: int = 10) -> str:
+    """CMS shard-merge in DuckDB SQL: two sketches built INDEPENDENTLY on
+    disjoint order shards, SUM-merged cell-wise, estimates served from the
+    merged counters — the merge itself is in the oracle, so a wrong merge
+    (e.g. max instead of sum, or dropped cells) hash-mismatches."""
+    probe = ("('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || ':' || "
+             "CAST({v} AS VARCHAR)), 1, 15))::BIGINT % " + str(w))
+    return f"""
+    WITH src AS (SELECT o_orderkey, (o_custkey % 97) AS v
+                 FROM orders WHERE o_custkey IS NOT NULL),
+    rows AS (SELECT j FROM generate_series(0, {d - 1}) t(j)),
+    cells_a AS (
+      SELECT j, {probe.format(j='j', v='v')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src CROSS JOIN rows WHERE o_orderkey % 2 = 0 GROUP BY j, bucket),
+    cells_b AS (
+      SELECT j, {probe.format(j='j', v='v')} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src CROSS JOIN rows WHERE o_orderkey % 2 = 1 GROUP BY j, bucket),
+    merged AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM (SELECT * FROM cells_a UNION ALL SELECT * FROM cells_b)
+      GROUP BY j, bucket),
+    cand AS (SELECT DISTINCT v FROM src),
+    looked AS (
+      SELECT cand.v, rows.j, {probe.format(j='rows.j', v='cand.v')} AS bucket
+      FROM cand CROSS JOIN rows),
+    est AS (
+      SELECT looked.v, min(coalesce(merged.cnt, 0)) AS est_n
+      FROM looked LEFT JOIN merged
+        ON merged.j = looked.j AND merged.bucket = looked.bucket
+      GROUP BY looked.v)
+    SELECT v AS ck_mod, est_n FROM est WHERE est_n >= {threshold}
+    """
+
+
+@query("sketch_cms_merge", _cms_merge_oracle())
+def sketch_cms_merge_q(spark, sf):
+    """CMS shard-merge as its own graded row (r11, VERDICT task #6 —
+    promotes the inline mergeability assert to a first-class query): two
+    Count-Min sketches built INDEPENDENTLY over disjoint halves of orders
+    (even/odd o_orderkey — on a cluster these are different table
+    partitions that never co-reside), combined by cell-wise SUM
+    (``groupBy(row, bucket).sum(cnt)`` — the 100 TB combine: shard
+    sketches are d*w rows each, so the merge shuffles KILOBYTES however
+    big the table is), then point estimates served from the MERGED
+    counters. The DuckDB oracle replays the same two-shard build and sum,
+    so a broken merge hash-mismatches rather than passing by accident."""
+    from .operators import sketch as K
+
+    d, w, threshold = 4, 256, 10
+    o = load(spark, sf, "orders").filter(F.col("o_custkey").isNotNull())
+    src = o.select("o_orderkey", (F.col("o_custkey") % 97).alias("ck_mod"))
+    lo = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 0), "ck_mod", d=d, w=w)
+    hi = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 1), "ck_mod", d=d, w=w)
+    merged = (lo.unionByName(hi).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    est = K.cms_estimate(merged, src, "ck_mod", d=d, w=w)
+    return est.filter(F.col("est_n") >= threshold)
+
+
 @query(
     "sketch_kmv_set_ops",
     """
@@ -6393,6 +6454,11 @@ def bench_queries() -> dict[str, QuerySpec]:
 # more green round, then pass-prior rows cycling back so no query goes
 # many rounds ungraded. Displaced: rows driver-green in ≥2 recent rounds.
 _GRADED_FIRST = [
+    # --- r11 VERDICT r10 task #6: the CMS shard-merge as its own row —
+    #     two disjoint-shard sketches SUM-merged, estimates from the
+    #     merged counters, merge replayed in the oracle SQL (displaced:
+    #     text_hashing_vectorize — green r6..r10, path untouched r11) ---
+    "sketch_cms_merge",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6514,7 +6580,6 @@ _GRADED_FIRST = [
     "maintenance_expire_scan",
     "join_hot_key_isolated",
     "cluster_kmeans_topics",
-    "text_hashing_vectorize",
 ]
 
 
