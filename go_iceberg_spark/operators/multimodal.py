@@ -96,11 +96,136 @@ def extract_features(df: DataFrame, id_col: str, bytes_col: str = "media_bytes")
             .mapInPandas(process, out_schema))
 
 
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL (format, width, height) from container header bytes — stdlib
+    ``struct`` only, no codec (r11, VERDICT task #5): PNG IHDR, JPEG SOFn
+    segment walk, GIF logical-screen descriptor, BMP info header. Returns
+    (None, None, None) for unrecognized/truncated payloads — metadata
+    extraction over a 100 TB media crawl must tolerate garbage rows, not
+    throw. Pixel decode stays honestly NotImplemented (``decode_image``)."""
+    import struct as _s
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = _s.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn (C0-CF minus the
+        # non-frame C4/C8/CC); dimensions live 5 bytes into its payload
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _s.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = _s.unpack(">H", b[i + 2 : i + 4])
+            i += 2 + seg_len
+        return "jpeg", None, None  # JPEG magic but no parseable frame
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _s.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = _s.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    return None, None, None
+
+
+def decode_image_metadata(df: DataFrame, id_col: str, bytes_col: str = "media_bytes") -> DataFrame:
+    """mapInPandas header-metadata decode: (id, media_meta) where
+    ``media_meta`` is the MEDIA_META_SCHEMA struct with REAL format/width/
+    height parsed from PNG/JPEG/GIF/BMP header bytes (``parse_image_header``
+    — stdlib struct, no codecs). Arrow-batched; NULL payloads dropped
+    before the batch (fetch failures are routine in media tables)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media_meta", MEDIA_META_SCHEMA, False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[bytes_col]:
+                fmt, w, h = parse_image_header(bytes(payload))
+                metas.append({"media_type": "image", "format": fmt,
+                              "width": w, "height": h, "duration_ms": None})
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "media_meta": metas})
+
+    return (df.select(id_col, bytes_col)
+            .filter(F.col(bytes_col).isNotNull())
+            .mapInPandas(process, out_schema))
+
+
+def synth_image_bytes(kind: str, width: int, height: int) -> bytes:
+    """Fixture builder: REAL container header bytes (valid PNG signature +
+    IHDR / JPEG APP0 + SOF0 walk / GIF89a screen descriptor) carrying the
+    given dimensions, with no pixel data — what a header-only metadata
+    parser sees of a real file. Deterministic, stdlib-only."""
+    import struct as _s
+
+    if kind == "png":
+        ihdr = _s.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+        return (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR" + ihdr
+                + b"\x00\x00\x00\x00")  # CRC placeholder — parser ignores it
+    if kind == "jpeg":
+        app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = (b"\xff\xc0" + _s.pack(">H", 17) + b"\x08"
+                + _s.pack(">HH", height, width)
+                + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + sof0
+    if kind == "gif":
+        return b"GIF89a" + _s.pack("<HH", width, height) + b"\xf7\x00\x00"
+    raise ValueError(f"unknown fixture kind {kind!r}")
+
+
+def attach_synthetic_images(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture: derive a real-headered image payload per row from the id —
+    format cycles png/jpeg/gif by id%3, dimensions are id arithmetic
+    (1 + id*37 % 4096 wide, 1 + id*59 % 4096 tall), and every id%13==0 row
+    is GARBAGE bytes (no recognizable container) so parsers' tolerance
+    paths stay exercised. Built inside mapInPandas: at scale the payloads
+    are generated executor-side, never on the driver."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("media_bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                d = int(rid)
+                if d % 13 == 0:
+                    payloads.append(b"\x00garbage-not-an-image\x00" + bytes([d % 251]))
+                else:
+                    kind = ("png", "jpeg", "gif")[d % 3]
+                    payloads.append(synth_image_bytes(
+                        kind, 1 + (d * 37) % 4096, 1 + (d * 59) % 4096))
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "media_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(process, out_schema)
+
+
 def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes"):
-    """Real image decode — requires PIL/opencv, absent in this container."""
+    """PIXEL decode — requires PIL/opencv, absent in this container. Header
+    metadata (format/width/height) needs no codec: use
+    ``decode_image_metadata``; deterministic fake features: ``extract_features``."""
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use extract_features() "
-        "for the deterministic stub pipeline"
+        "image pixel codecs unavailable in this environment; "
+        "decode_image_metadata() extracts real header metadata and "
+        "extract_features() provides the deterministic stub pipeline"
     )
 
 

@@ -742,3 +742,43 @@ def test_mmr_rerank_trades_relevance_for_diversity(spark):
     assert mmr[0] == topk[0]
     assert any(i >= 10 for i in mmr), mmr
     assert len(set(mmr)) == 4
+
+
+def test_parse_image_header_real_containers(spark):
+    """r11: header parsing must recover exact dimensions from real PNG/
+    JPEG/GIF/BMP header bytes (stdlib struct, no codecs), walk past
+    leading JPEG segments to the first SOFn, and degrade to NULLs on
+    garbage/truncation instead of raising."""
+    import struct
+
+    from go_iceberg_spark.operators.multimodal import (
+        decode_image_metadata,
+        parse_image_header,
+        synth_image_bytes,
+    )
+
+    assert parse_image_header(synth_image_bytes("png", 640, 480)) == ("png", 640, 480)
+    assert parse_image_header(synth_image_bytes("jpeg", 123, 4567)) == ("jpeg", 123, 4567)
+    assert parse_image_header(synth_image_bytes("gif", 65535, 1)) == ("gif", 65535, 1)
+    # BMP: handcrafted info header, negative height = top-down rows
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200) + b"\x00" * 10)
+    assert parse_image_header(bmp) == ("bmp", 320, 200)
+    # a PROGRESSIVE jpeg (SOF2) parses too
+    prog = synth_image_bytes("jpeg", 10, 20).replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_image_header(prog) == ("jpeg", 10, 20)
+    # garbage / truncation tolerance
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"garbage bytes here") == (None, None, None)
+    assert parse_image_header(synth_image_bytes("png", 9, 9)[:15]) == (None, None, None)
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04") == ("jpeg", None, None)
+
+    # the DataFrame path: Arrow batch + struct output, NULL payloads dropped
+    df = spark.createDataFrame(
+        [(1, synth_image_bytes("png", 64, 32)),
+         (2, synth_image_bytes("jpeg", 800, 600)),
+         (3, b"junk"), (4, None)],
+        "img_id long, media_bytes binary")
+    got = {r.img_id: (r.media_meta.format, r.media_meta.width, r.media_meta.height)
+           for r in decode_image_metadata(df, "img_id").collect()}
+    assert got == {1: ("png", 64, 32), 2: ("jpeg", 800, 600),
+                   3: (None, None, None)}
