@@ -1709,3 +1709,163 @@ def test_metadata_min_max_across_partition_evolution(spark, catalog):
         [(50, "us", float("nan"), "mid")], df1.schema))
     assert t.scan().metadata_min_max("x") is None
     assert t.scan().metadata_min_max("k") == (-3, 50)
+
+
+def test_rewrite_position_deletes_invisible_to_incremental_and_changelog(spark, catalog):
+    """r11 probe (VERDICT r10 task #7b): a tombstone compaction
+    (``rewrite_position_deletes``, a rows-preserved REPLACE) must be
+    INVISIBLE to row-level consumers — the changelog's semantic live→dead
+    diff must net to zero at the rewrite's ordinal, the incremental append
+    scan must skip it without ignore_non_append, and a REAL delete after
+    the rewrite must still surface (the merged tombstone file is now the
+    parent-delete baseline the diff reads through)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(200)])
+    t = catalog.create_table("db", "rpdcdc", from_spark_schema(df.schema))
+    t.append(df)
+    s0 = t.current_snapshot().snapshot_id
+    # three separate MoR deletes -> three tombstone files
+    t.delete(gi.lt("k", 10), mode="merge-on-read")
+    t.delete(gi.and_(gi.gte("k", 50), gi.lte("k", 59)), mode="merge-on-read")
+    t.delete(gi.eq("k", 100), mode="merge-on-read")
+    s_del = t.current_snapshot().snapshot_id
+    assert t.scan().count() == 179
+
+    snap_rw = t.rewrite_position_deletes()
+    assert snap_rw.summary.get("rows-preserved") == "true"
+    s_rw = t.current_snapshot().snapshot_id
+
+    # changelog across the rewrite: ZERO rows at the rewrite ordinal
+    ch = t.changes(s_del, s_rw)
+    assert ch.count() == 0, ch.collect()[:5]
+    # and the full range still shows exactly the 21 real deletes
+    full = t.changes(s0, s_rw)
+    assert full.filter(F.col("_change_type") == "delete").count() == 21
+    assert full.filter(F.col("_change_type") == "insert").count() == 0
+
+    # incremental append scan SKIPS the rows-preserved replace (no flag)
+    assert t.incremental_scan(s_del, s_rw).count() == 0
+
+    # a real delete AFTER the rewrite reads its before-state through the
+    # MERGED tombstone file and surfaces exactly its own rows
+    t.delete(gi.eq("k", 150), mode="merge-on-read")
+    s_d2 = t.current_snapshot().snapshot_id
+    got = [(r._change_type, r.k) for r in t.changes(s_rw, s_d2).collect()]
+    assert got == [("delete", 150)], got
+    assert t.scan().count() == 178
+
+
+def test_bloom_prefilter_composes_with_mor_scan(spark, catalog):
+    """r11 probe (VERDICT r10 task #7c): bloom-prefiltering a ``to_df()``
+    that carries LIVE position deletes (MoR anti-join in the plan) must
+    (a) equal the plain join exactly — tombstoned rows stay dead even
+    when their keys pass the bloom, (b) keep the bit-test below the
+    dimension join so the filter still cuts the join's input, and
+    (c) never resurface a deleted row via the prefilter's extra plan arms."""
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.joins import bloom_prefilter_join
+
+    df = spark.createDataFrame(
+        [Row(k=i % 40, seq=i, v=float(i)) for i in range(400)])
+    t = catalog.create_table("db", "bloommor", from_spark_schema(df.schema))
+    t.append(df)
+    # MoR-delete every row of keys 0..4 (their keys are IN the dim, so
+    # only the MoR apply — not the bloom — keeps them out of the result)
+    t.delete(gi.lt("k", 5), mode="merge-on-read")
+    assert any(e.content != 0 for e in t.live_entries())  # tombstones live
+
+    big = t.to_df()
+    dim = spark.createDataFrame(
+        [Row(k=i, tag=f"d{i}") for i in range(0, 40, 3)])  # includes 0,3
+    got = bloom_prefilter_join(big, dim, ["k"])
+    plain = big.join(dim, ["k"])
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0
+    # deleted keys gone although the dim contains them
+    assert got.filter(F.col("k").isin(0, 3)).count() == 0
+    assert got.count() == plain.count() > 0
+
+    # plan: the bloom bit-test sits below the dim join (above or fused
+    # with the MoR anti-join — either way the dim join's probe input is
+    # already filtered)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    join_at = min(i for i, ln in enumerate(lines)
+                  if "Join" in ln and "LeftAnti" not in ln)
+    filt_at = min(i for i, ln in enumerate(lines)
+                  if "shiftright" in ln and "Filter" in ln)
+    assert filt_at > join_at, plan
+
+
+def test_streaming_hll_view_survives_interleaved_maintenance(spark, catalog, tmp_path):
+    """r11 probe (VERDICT r10 task #7a): compaction + expiry landing on the
+    HLL register view table BETWEEN micro-batches. The r10 probes covered
+    the ADDITIVE agg sink; the register view's GREATEST merge meets
+    REPLACE snapshots differently — a compaction rewrites the register
+    FILES and expiry drops the batch-marker snapshots, but idempotent
+    max-merge means even a FULL replay against the compacted table must
+    leave the registers byte-identical. Final estimates must equal the
+    batch hll_distinct over the union of all source data."""
+    import os
+    import shutil
+
+    from go_iceberg_spark.operators.sketch import hll_distinct
+    from go_iceberg_spark.streaming.stream import hll_view_estimate, hll_view_stream
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def land(name, rows):
+        pdf = spark.createDataFrame(rows, "g string, uid long")
+        pdf.coalesce(1).write.parquet(src_dir + "/tmp")
+        for f in os.listdir(src_dir + "/tmp"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src_dir}/tmp/{f}", f"{src_dir}/{name}.parquet")
+        shutil.rmtree(src_dir + "/tmp")
+
+    land("b1", [("a", i) for i in range(60)] + [("b", i) for i in range(10)])
+
+    seed = spark.createDataFrame([], "g string, bucket int, register int")
+    t = catalog.create_table("db", "hllmx", from_spark_schema(seed.schema))
+
+    def run_stream():
+        src = (spark.readStream.schema("g string, uid long")
+               .option("pathGlobFilter", "*.parquet").parquet(src_dir))
+        q = hll_view_stream(src, t, ckpt, ["g"], "uid", trigger_once=True)
+        q.awaitTermination(120)
+        t.refresh()
+
+    run_stream()
+    # maintenance between micro-batches: the register table compacts and
+    # its marker snapshots expire
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(retain_last=1, sweep_grace_ms=0)
+
+    # overlapping users (idempotence across batches) + a new group
+    land("b2", [("a", i) for i in range(40, 80)] + [("c", i) for i in range(5)])
+    run_stream()
+
+    view_est = {r.g: r.n_estimate
+                for r in hll_view_estimate(t.to_df(), ["g"]).collect()}
+    batch = spark.createDataFrame(
+        [("a", i) for i in range(80)] + [("b", i) for i in range(10)]
+        + [("c", i) for i in range(5)], "g string, uid long")
+    want = {r.g: r.n_estimate
+            for r in hll_distinct(batch, ["g"], "uid").collect()}
+    assert view_est == want, (view_est, want)
+
+    # one more maintenance round, then a FULL same-checkpoint replay:
+    # registers must stay byte-identical (max-merge idempotence) and the
+    # estimates unchanged — regardless of whether the marker shortcut
+    # survived expiry
+    t.rewrite_data_files(min_input_files=1)
+    t.expire_snapshots(retain_last=1, sweep_grace_ms=0)
+    regs_before = sorted((r.g, r.bucket, r.register) for r in t.to_df().collect())
+    shutil.rmtree(ckpt)  # force a genuine replay of every batch
+    run_stream()
+    regs_after = sorted((r.g, r.bucket, r.register) for r in t.to_df().collect())
+    assert regs_after == regs_before
+    assert {r.g: r.n_estimate
+            for r in hll_view_estimate(t.to_df(), ["g"]).collect()} == want
