@@ -5976,6 +5976,49 @@ def partitioned_scan_pruning_q(spark, sf):
 
 
 @query(
+    "metadata_partitions_scan",
+    """
+    SELECT o_orderpriority AS part_value,
+           CAST(count(*) AS BIGINT) AS record_count
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 4000
+    GROUP BY o_orderpriority
+    """,
+)
+def metadata_partitions_scan_q(spark, sf):
+    """``partitions`` metadata table graded (r11): per-partition file/record
+    rollup aggregated from MANIFEST ENTRIES only — zero data files opened,
+    the planning input for compaction/skew decisions at 100 TB (entry
+    counts are metadata-scale, bounded by file count). The fixture appends
+    an identity-partitioned slice of orders then CoW-deletes keys < 500,
+    so the record counts must track the REWRITTEN files' footer counts,
+    not the original append. Inline-asserted: every partition has >= 1
+    file and total bytes > 0 (fields the SQL oracle cannot see)."""
+    from .catalog.catalog import FilesystemCatalog
+    from .schema import from_spark_schema
+    from .table.metadata import PartitionField, PartitionSpec
+
+    base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000).select(*_CRUD_COLS)
+    wh = _scratch_dir("gis_partmeta_")
+    cat = FilesystemCatalog(spark, wh)
+    cat.create_namespace(("scratch",))
+    schema = from_spark_schema(base.schema)
+    fid = {f.name: f.field_id for f in schema.fields}
+    spec = PartitionSpec(0, (PartitionField(
+        fid["o_orderpriority"], 1000, "identity", "o_orderpriority"),))
+    t = cat.create_table(("scratch",), "partmeta", schema, spec=spec)
+    t.append(base)
+    t.delete(C("o_orderkey").lt(500))  # CoW: rewrites touched files
+    parts = t.partitions_df()
+    bad = parts.filter((F.col("file_count") < 1)
+                       | (F.col("total_size_in_bytes") <= 0)).count()
+    if bad:
+        raise AssertionError("partitions_df reported an empty live partition")
+    return parts.select(
+        F.get_json_object("partition", "$.o_orderpriority").alias("part_value"),
+        F.col("record_count"))
+
+
+@query(
     "partition_evolution_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -6500,6 +6543,11 @@ _GRADED_FIRST = [
     #     batch; garbage rows pin the NULL-tolerance path). Displaced:
     #     cluster_kmeans_topics — green r6..r10, path untouched r11 ---
     "multimodal_header_metadata",
+    # --- r11 NEW graded row: the partitions metadata table (manifest-only
+    #     per-partition rollup; record counts tracked through a CoW
+    #     delete). Displaced: join_hot_key_isolated — green r9/r10 AND
+    #     still benched (timed + executed) every round ---
+    "metadata_partitions_scan",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6619,7 +6667,6 @@ _GRADED_FIRST = [
     "incremental_join_view_refresh",
     "changelog_cdc_scan",
     "maintenance_expire_scan",
-    "join_hot_key_isolated",
 ]
 
 
