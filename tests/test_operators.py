@@ -782,3 +782,25 @@ def test_parse_image_header_real_containers(spark):
            for r in decode_image_metadata(df, "img_id").collect()}
     assert got == {1: ("png", 64, 32), 2: ("jpeg", 800, 600),
                    3: (None, None, None)}
+
+
+def test_cms_estimate_rejects_mismatched_d_w(spark):
+    """r11 (r10 ADVICE): probing a sketch with d/w different from the
+    build's silently turned misses into est=0 (dropping true heavy
+    hitters); the plan-level guard must RAISE instead. Matching probes
+    and empty sketches stay fine."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from go_iceberg_spark.operators.sketch import cms_estimate, cms_sketch
+
+    src = spark.range(0, 3000).select((F.col("id") % 31).alias("v"))
+    sk = cms_sketch(src, "v", d=4, w=256)
+    assert cms_estimate(sk, src, "v", d=4, w=256).count() == 31
+    for d, w in ((6, 256), (2, 256), (4, 64)):
+        with _pytest.raises(Exception, match="inconsistent"):
+            cms_estimate(sk, src, "v", d=d, w=w).collect()
+    # empty sketch: every estimate is legitimately 0, no raise
+    empty = cms_sketch(src.limit(0), "v", d=4, w=256)
+    est = cms_estimate(empty, src.limit(5), "v", d=4, w=256)
+    assert all(r.est_n == 0 for r in est.collect())

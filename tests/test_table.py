@@ -933,8 +933,32 @@ def test_load_metadata_steps_back_over_truncated_newest_version(tmp_path):
     # simulate a legacy/crashed writer: v3 exists but is truncated garbage
     with open(os.path.join(loc, "metadata", "v3.metadata.json"), "w") as f:
         f.write('{"format-ver')
-    md, v = load_metadata(loc)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as wlog:
+        _w.simplefilter("always")
+        md, v = load_metadata(loc)
     assert v == 2  # stepped back to the last complete version
+    # r11 (r10 ADVICE): the step-back must be SURFACED, not silent — a
+    # permanently corrupt newest version would otherwise hide forever
+    assert any("undecodable" in str(x.message) for x in wlog)
+
+
+def test_load_metadata_corrupt_only_version_raises(tmp_path):
+    """r11 (r10 ADVICE): when v1 is the ONLY version and it is undecodable
+    there is nothing to step back to — load_metadata must raise a clear
+    error, not loop or return garbage; and a transient-looking OSError
+    must PROPAGATE rather than silently serving stale metadata."""
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.metadata import load_metadata
+
+    loc = str(tmp_path / "corrupt1")
+    os.makedirs(os.path.join(loc, "metadata"))
+    with open(os.path.join(loc, "metadata", "v1.metadata.json"), "w") as f:
+        f.write('{"trunc')
+    with _pytest.raises(ValidationError, match="undecodable"):
+        load_metadata(loc)
 
 
 def test_nan_value_counts_gate_metadata_only_float_deletes(spark, catalog):
