@@ -215,6 +215,46 @@ def append_stream(df: DataFrame, table: Table, checkpoint_dir: str, *,
     return w.start()
 
 
+def dedup_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[str], *,
+                 event_time_col: str | None = None,
+                 watermark_delay: str = "10 minutes",
+                 trigger_once: bool = False, processing_time: str | None = None):
+    """Streaming cross-batch DEDUPLICATION sink (r11): re-observed keys are
+    filtered by the streaming state store — no table read per batch — and
+    surviving first-seen rows append exactly-once (same checkpoint +
+    snapshot-marker scheme as ``append_stream``). This is the streaming
+    twin of the batch ``dedup_exact`` operator: the ingestion-time dedup a
+    training-data pipeline runs on a document firehose.
+
+    State story at 100 TB: with ``event_time_col`` the watermark BOUNDS the
+    state (``dropDuplicatesWithinWatermark`` — a key's dedup entry ages out
+    once the watermark passes it, so state is proportional to the key
+    arrival rate times the delay window, not the stream's lifetime). The
+    unbounded form (no event time) keeps one state row per distinct key —
+    exact global dedup, valid when key cardinality is bounded (entity ids),
+    wrong for an open-ended stream; callers choose explicitly."""
+    import hashlib as _hl
+
+    ckpt_id = _hl.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    if event_time_col is not None:
+        dd = (df.withWatermark(event_time_col, watermark_delay)
+              .dropDuplicatesWithinWatermark(keys))
+    else:
+        dd = df.dropDuplicates(keys)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch_exactly_once(table, batch_df, ckpt_id, batch_id)
+
+    w = dd.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[str], *,
                   trigger_once: bool = False, processing_time: str | None = None):
     """Streaming UPSERT sink (CDC-style): each micro-batch MERGEs into the

@@ -1007,6 +1007,53 @@ def streaming_upsert_sink_q(spark, sf):
 
 
 @query(
+    "streaming_dedup_sink_scan",
+    """
+    SELECT DISTINCT user_id % 50 AS uk, event_type FROM events
+    """,
+)
+def streaming_dedup_sink_q(spark, sf):
+    """Streaming cross-batch DEDUP sink (r11): ``dropDuplicates`` state in
+    the stream filters re-observed keys, survivors append exactly-once —
+    the ingestion-time exact dedup of a training-data firehose, with the
+    state store (not the table) carrying the seen-keys set. The output
+    columns are pure functions of the dedup KEY, so which physical row
+    survives (nondeterministic across partitions) cannot affect the
+    result — the KEYSET is deterministic and the oracle is DISTINCT.
+    Inline-asserted: a full same-checkpoint replay adds zero snapshots,
+    and the sunk keyset contains no duplicates."""
+    from .streaming.stream import dedup_stream
+
+    path = f"{sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sch = spark.read.parquet(path).schema
+
+    def mk_src():
+        return (spark.readStream.schema(sch)
+                .option("pathGlobFilter", "events.parquet").parquet(sf)
+                .select((F.col("user_id") % 50).alias("uk"), "event_type"))
+
+    seed = spark.createDataFrame([], "uk bigint, event_type string")
+    t = _scratch_table(spark, "dedupsink", seed)
+    wh = _scratch_dir("gis_dedupsink_ckpt_")
+    q = dedup_stream(mk_src(), t, wh + "/ckpt", ["uk", "event_type"],
+                     trigger_once=True)
+    _await_drained(q)
+    t.refresh()
+    n_snaps = len(t.snapshots())
+    q2 = dedup_stream(mk_src(), t, wh + "/ckpt", ["uk", "event_type"],
+                      trigger_once=True)
+    _await_drained(q2)
+    t.refresh()
+    if len(t.snapshots()) != n_snaps:
+        raise AssertionError("replayed dedup stream re-appended batches")
+    out = t.to_df()
+    if out.count() != out.dropDuplicates(["uk", "event_type"]).count():
+        raise AssertionError("dedup sink emitted duplicate keys")
+    return out.select("uk", "event_type")
+
+
+@query(
     "streaming_agg_view_sink_scan",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -6548,6 +6595,12 @@ _GRADED_FIRST = [
     #     delete). Displaced: join_hot_key_isolated — green r9/r10 AND
     #     still benched (timed + executed) every round ---
     "metadata_partitions_scan",
+    # --- r11 NEW operator: streaming cross-batch dedup sink (state-store
+    #     seen-keys, exactly-once survivors, watermark-bounded variant
+    #     pinned in pytest). Displaced: maintenance_expire_scan — green
+    #     r7..r10, expiry path additionally exercised this round by the
+    #     branch-expire row and three interplay probes ---
+    "streaming_dedup_sink_scan",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6666,7 +6719,6 @@ _GRADED_FIRST = [
     "incremental_agg_refresh",
     "incremental_join_view_refresh",
     "changelog_cdc_scan",
-    "maintenance_expire_scan",
 ]
 
 

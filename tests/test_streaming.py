@@ -489,3 +489,92 @@ def test_upsert_stream_key_only_batch(spark, catalog, tmp_path):
     q.awaitTermination(120)
     out.refresh()
     assert sorted(r.user_id for r in out.to_df().collect()) == [0, 1, 2]
+
+
+def test_dedup_stream_exact_and_watermark_bounded(spark, catalog, tmp_path):
+    """r11: the streaming dedup sink must (a) drop re-observed keys ACROSS
+    micro-batch runs via checkpointed state (exact mode), (b) in
+    watermarked mode drop duplicates arriving within the delay and
+    RE-ADMIT a key once the watermark has aged its state out — the
+    bounded-state contract that makes streaming dedup viable at 100 TB,
+    and (c) append survivors exactly-once (replay adds no snapshots)."""
+    import os
+    import shutil
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def land(name, rows, schema):
+        pdf = spark.createDataFrame(rows, schema)
+        pdf.coalesce(1).write.parquet(src_dir + "/tmp")
+        for f in os.listdir(src_dir + "/tmp"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src_dir}/tmp/{f}", f"{src_dir}/{name}.parquet")
+        shutil.rmtree(src_dir + "/tmp")
+
+    # ---- exact mode: state is the seen-key set, replays are no-ops ----
+    land("e1", [("a", 1.0), ("b", 2.0), ("a", 3.0)], "k string, v double")
+    seed = spark.createDataFrame([], "k string, v double")
+    t = catalog.create_table("db", "dedups", from_spark_schema(seed.schema))
+
+    def run(ck):
+        src = (spark.readStream.schema("k string, v double")
+               .option("pathGlobFilter", "*.parquet").parquet(src_dir))
+        q = ST.dedup_stream(src, t, ck, ["k"], trigger_once=True)
+        q.awaitTermination(120)
+        t.refresh()
+
+    run(ckpt)
+    assert sorted(r.k for r in t.to_df().collect()) == ["a", "b"]
+    land("e2", [("a", 9.0), ("c", 4.0)], "k string, v double")  # a is a dup
+    run(ckpt)
+    assert sorted(r.k for r in t.to_df().collect()) == ["a", "b", "c"]
+    n = len(t.snapshots())
+    run(ckpt)  # nothing new: no batch, no snapshot
+    assert len(t.snapshots()) == n
+
+    # ---- watermarked mode: dup inside the delay dropped, aged key
+    #      re-admitted after the watermark passes its state ----
+    src2_dir, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    os.makedirs(src2_dir)
+    sch = "k string, ts timestamp, v double"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    seed2 = spark.createDataFrame([], sch)
+    t2 = catalog.create_table("db", "dedupw", from_spark_schema(seed2.schema))
+
+    def run_w(name_rows):
+        src = (spark.readStream.schema(sch)
+               .option("pathGlobFilter", "*.parquet").parquet(src2_dir))
+        q = ST.dedup_stream(src, t2, ckpt2, ["k"], event_time_col="ts",
+                            watermark_delay="10 minutes", trigger_once=True)
+        q.awaitTermination(120)
+        t2.refresh()
+
+    land2 = lambda name, rows: (lambda: [
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(src2_dir + "/tmp"),
+        [shutil.move(f"{src2_dir}/tmp/{f}", f"{src2_dir}/{name}.parquet")
+         for f in os.listdir(src2_dir + "/tmp") if f.endswith(".parquet")],
+        shutil.rmtree(src2_dir + "/tmp")])()
+    land2("w1", [("a", t0, 1.0)])
+    run_w(None)
+    # duplicate 1 minute later: inside the 10-minute window -> dropped
+    land2("w2", [("a", t0 + dt.timedelta(minutes=1), 2.0)])
+    run_w(None)
+    got = [(r.k, r.v) for r in t2.to_df().collect()]
+    assert got == [("a", 1.0)], got
+    # same key 2 hours later: the watermark only advances (and state only
+    # evicts) at the END of the batch that carries the late event — Spark's
+    # contract guarantees dedup WITHIN the delay and permits extra dedup
+    # until eviction, so THIS event is still dropped...
+    land2("w3", [("a", t0 + dt.timedelta(hours=2), 3.0)])
+    run_w(None)
+    got = [(r.k, r.v) for r in t2.to_df().collect()]
+    assert got == [("a", 1.0)], got
+    # ...and the NEXT batch (watermark now 11:50, state evicted) re-admits
+    # the key: bounded state, not forever-dedup
+    land2("w4", [("a", t0 + dt.timedelta(hours=2, minutes=1), 4.0)])
+    run_w(None)
+    got = sorted((r.k, r.v) for r in t2.to_df().collect())
+    assert got == [("a", 1.0), ("a", 4.0)], got
