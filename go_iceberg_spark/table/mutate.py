@@ -637,3 +637,101 @@ def merge(table, source: DataFrame, on: list[str], *,
                                       properties_extra=properties_extra)
 
     return table._retrying(build_and_commit)
+
+
+def scd2_apply(table, updates: DataFrame, key_cols: list[str], *,
+               seq_col: str, attr_cols: list[str] | None = None,
+               start_col: str = "valid_from_seq",
+               end_col: str = "valid_to_seq",
+               current_col: str = "is_current",
+               drop_unchanged: bool = False):
+    """Slowly-Changing-Dimension TYPE 2 maintenance (r11): apply a batch of
+    versioned updates ``(key..., attrs..., seq)`` to a history table whose
+    rows carry ``[start_col, end_col)`` validity sequence bounds and an
+    ``is_current`` flag. One call = ONE snapshot: the key's open row closes
+    at the batch's first new sequence and every update inserts a version
+    row, chained within the batch by ``lead(seq)`` — the dimension-history
+    shape training pipelines join facts against as-of a sequence.
+
+    ``drop_unchanged=True`` collapses versions whose attributes are
+    null-safe-equal to their sequence-PREDECESSOR (the current row heads
+    the comparison chain), so no-op updates create no versions.
+
+    Contract: ``seq`` values must be unique per key within the batch
+    (raises) and newer than the key's current ``start_col`` across batches
+    (older batches are ignored for closing and no-op on replay — a full
+    replay of an applied batch commits nothing new, which makes the op
+    safe under at-least-once delivery).
+
+    Scale shape: the per-key window runs over the UPDATE batch (not the
+    table); the close-set is one join of current rows against per-key batch
+    minima; everything lands in a single MERGE whose candidate files are
+    stats-pruned by the key range. No per-row Python anywhere."""
+    from pyspark.sql import Window
+
+    book = {start_col, end_col, current_col}
+    tcols = [f.name for f in table.schema.fields]
+    for c in (start_col, end_col, current_col):
+        if c not in tcols:
+            raise ValidationError(f"scd2 bookkeeping column {c!r} not in table")
+    if attr_cols is None:
+        attr_cols = [c for c in tcols if c not in book and c not in key_cols]
+    dup = (updates.groupBy(*key_cols, seq_col).count()
+           .filter(F.col("count") > 1).count())
+    if dup:
+        raise ValidationError(
+            f"scd2_apply: {dup} duplicate (key, {seq_col}) pairs in the batch")
+
+    cand = updates.select(
+        *key_cols, *attr_cols, F.col(seq_col).cast("long").alias(start_col))
+    cur = table.to_df().filter(F.col(current_col))
+    if drop_unchanged:
+        exist = cur.select(*key_cols, *attr_cols, start_col).withColumn(
+            "_scd_exist", F.lit(True))
+        combined = exist.unionByName(cand.withColumn("_scd_exist", F.lit(False)))
+        w_lag = Window.partitionBy(*key_cols).orderBy(start_col)
+        changed = F.lit(False)
+        for a in attr_cols:
+            changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w_lag))
+        cand = (combined
+                .withColumn("_chg", changed)
+                .filter(F.col("_scd_exist")
+                        | F.coalesce(F.col("_chg"), F.lit(True)))
+                .filter(~F.col("_scd_exist"))
+                .drop("_scd_exist", "_chg"))
+
+    w = Window.partitionBy(*key_cols).orderBy(start_col)
+    versions = (cand
+                .withColumn(end_col, F.lead(start_col).over(w).cast("long"))
+                .withColumn(current_col, F.col(end_col).isNull()))
+
+    firsts = versions.groupBy(*key_cols).agg(F.min(start_col).alias("_scd_new_end"))
+    closes = (cur.select(*key_cols, start_col)
+              .join(firsts, key_cols)
+              # a replayed/stale batch (seq <= the open row's start) must
+              # not rewire history: only genuinely newer versions close it
+              .filter(F.col("_scd_new_end") > F.col(start_col)))
+    from ..schema import to_spark_type
+
+    spark_type = {f.name: to_spark_type(f.type) for f in table.schema.fields}
+    null_attrs = [F.lit(None).cast(spark_type[a]).alias(a) for a in attr_cols]
+    # close rows carry the NEW END in end_col itself — no carrier columns
+    # (merge aligns the source to the table schema); the matched-update
+    # rule "end = coalesce(s.end, t.end)" then covers every case: a close
+    # row sets the bound, a REPLAYED intermediate version rewrites its own
+    # identical bound, and a replayed open version (s.end null) leaves a
+    # later batch's close untouched — no reopen on at-least-once delivery
+    src = versions.unionByName(
+        closes.select(
+            *key_cols, *null_attrs, F.col(start_col),
+            F.col("_scd_new_end").alias(end_col),
+            F.lit(False).alias(current_col)))
+    final_end = F.coalesce(F.col(f"s.{end_col}"), F.col(f"t.{end_col}"))
+    return merge(
+        table, src, [*key_cols, start_col],
+        when_matched_update={
+            end_col: final_end,
+            current_col: final_end.isNull(),
+        },
+        when_not_matched_insert=True,
+    )

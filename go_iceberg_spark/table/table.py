@@ -677,6 +677,20 @@ class Table:
                       properties_extra=properties_extra,
                       pre_commit_check=pre_commit_check)
 
+    def scd2_apply(self, updates: DataFrame, key_cols: list[str], *,
+                   seq_col: str, attr_cols: list[str] | None = None,
+                   start_col: str = "valid_from_seq",
+                   end_col: str = "valid_to_seq",
+                   current_col: str = "is_current",
+                   drop_unchanged: bool = False) -> Snapshot:
+        """Slowly-Changing-Dimension type 2 maintenance — see mutate.scd2_apply."""
+        from .mutate import scd2_apply as _scd2
+
+        return _scd2(self, updates, key_cols, seq_col=seq_col,
+                     attr_cols=attr_cols, start_col=start_col,
+                     end_col=end_col, current_col=current_col,
+                     drop_unchanged=drop_unchanged)
+
     # -- properties & schema evolution ------------------------------------
     def set_properties(self, props: dict[str, str]) -> None:
         """Reference: table/table.go:186-195."""

@@ -6066,6 +6066,66 @@ def metadata_partitions_scan_q(spark, sf):
 
 
 @query(
+    "crud_scd2_history_scan",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS cust, round(o_totalprice, 2) AS attr,
+             CAST(o_orderkey AS BIGINT) AS seq
+      FROM orders WHERE o_custkey < 200 AND o_orderkey < 6000),
+    base AS (
+      -- seed strictly BEFORE every update sequence (orders include
+      -- o_orderkey = 0, so the seed sits at -1)
+      SELECT c_custkey AS cust, round(c_acctbal, 2) AS attr,
+             CAST(-1 AS BIGINT) AS seq
+      FROM customer WHERE c_custkey < 200),
+    chain AS (
+      SELECT cust, attr, seq AS valid_from_seq,
+             lead(seq) OVER (PARTITION BY cust ORDER BY seq) AS valid_to_seq
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+    SELECT cust, attr, valid_from_seq, valid_to_seq,
+           valid_to_seq IS NULL AS is_current
+    FROM chain
+    """,
+)
+def crud_scd2_history_scan_q(spark, sf):
+    """SCD TYPE 2 dimension maintenance (r11): versioned updates close the
+    key's open row and insert chained version rows — ONE merge snapshot
+    per batch. The fixture seeds customer balances as version 0, then
+    applies order-derived updates in TWO batches split by sequence, so
+    the graded chain must be IDENTICAL to a single-shot window chain
+    (the oracle's lead() over the full update stream) — any cross-batch
+    seam (wrong close bound, dangling is_current, dropped version) breaks
+    the hash. Scale shape: per-key windows run over the update BATCH, the
+    close-set is one join against per-key minima, and the merge prunes
+    candidate files by key-range stats."""
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") < 200)
+    base = cust.select(
+        F.col("c_custkey").alias("cust"),
+        F.round("c_acctbal", 2).alias("attr"),
+        F.lit(-1).cast("long").alias("valid_from_seq"),
+        F.lit(None).cast("long").alias("valid_to_seq"),
+        F.lit(True).alias("is_current"))
+    t = _scratch_table(spark, "scd2dim", base)
+    upd = (load(spark, sf, "orders")
+           .filter((F.col("o_custkey") < 200) & (F.col("o_orderkey") < 6000))
+           .select(F.col("o_custkey").alias("cust"),
+                   F.round("o_totalprice", 2).alias("attr"),
+                   F.col("o_orderkey").cast("long").alias("seq")))
+    snap1 = t.scd2_apply(upd.filter(F.col("seq") < 3000), ["cust"], seq_col="seq")
+    snap2 = t.scd2_apply(upd.filter(F.col("seq") >= 3000), ["cust"], seq_col="seq")
+    if snap1.operation != "overwrite" and snap2.operation != "overwrite":
+        raise AssertionError("scd2_apply must commit merge snapshots")
+    # exactly one open row per key (fields the chain hash also covers,
+    # but this pins the invariant even for keys with no updates)
+    bad = (t.to_df().filter(F.col("is_current"))
+           .groupBy("cust").count().filter(F.col("count") != 1).count())
+    if bad:
+        raise AssertionError(f"{bad} keys with != 1 open SCD2 row")
+    return t.to_df().select("cust", "attr", "valid_from_seq",
+                            "valid_to_seq", "is_current")
+
+
+@query(
     "partition_evolution_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -6601,6 +6661,12 @@ _GRADED_FIRST = [
     #     r7..r10, expiry path additionally exercised this round by the
     #     branch-expire row and three interplay probes ---
     "streaming_dedup_sink_scan",
+    # --- r11 NEW operator: SCD type-2 dimension maintenance (one MERGE
+    #     per batch; cross-batch chain == the oracle's single-shot window
+    #     chain; replay/no-op/duplicate contracts pinned in pytest).
+    #     Displaced: incremental_join_view_refresh — green r6..r10 and the
+    #     harder counting-semantics variant stays in the window ---
+    "crud_scd2_history_scan",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6717,7 +6783,6 @@ _GRADED_FIRST = [
     "wap_branch_publish_scan",
     "incremental_append_scan",
     "incremental_agg_refresh",
-    "incremental_join_view_refresh",
     "changelog_cdc_scan",
 ]
 

@@ -2149,3 +2149,57 @@ def test_metadata_min_max_string_exact_bounds_marker(spark, catalog):
     t.add_files([os.path.join(ext_dir, f) for f in os.listdir(ext_dir)
                  if f.endswith(".parquet")])
     assert t.scan().metadata_min_max("s") is None
+
+
+def test_scd2_apply_chains_drops_noops_and_survives_replay(spark, catalog):
+    """r11: SCD2 maintenance must (a) chain versions across batches exactly
+    as a single-shot window chain would, (b) with drop_unchanged collapse
+    versions null-safe-equal to their sequence predecessor, (c) no-op on a
+    full replay of an applied batch (at-least-once safety: no reopen, no
+    duplicate versions), and (d) reject duplicate (key, seq) pairs."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+
+    base = spark.createDataFrame(
+        [Row(k=1, a="x", valid_from_seq=0, valid_to_seq=None, is_current=True),
+         Row(k=2, a="y", valid_from_seq=0, valid_to_seq=None, is_current=True)],
+        "k long, a string, valid_from_seq long, valid_to_seq long, is_current boolean")
+    t = catalog.create_table("db", "scd2t", from_spark_schema(base.schema))
+    t.append(base)
+
+    b1 = spark.createDataFrame(
+        [Row(k=1, a="x2", seq=10), Row(k=1, a="x3", seq=20)], "k long, a string, seq long")
+    t.scd2_apply(b1, ["k"], seq_col="seq")
+    rows = sorted((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                  for r in t.to_df().collect())
+    assert rows == [(1, "x", 0, 10, False), (1, "x2", 10, 20, False),
+                    (1, "x3", 20, None, True), (2, "y", 0, None, True)]
+
+    # replay the SAME batch: nothing changes (no reopen of (1, x2))
+    t.scd2_apply(b1, ["k"], seq_col="seq")
+    assert sorted((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                  for r in t.to_df().collect()) == rows
+
+    # drop_unchanged: a no-op update (same attrs as the open row) creates
+    # no version; an a->b->b->c chain collapses the middle duplicate; NULL
+    # attrs compare null-safely
+    b2 = spark.createDataFrame(
+        [Row(k=1, a="x3", seq=30),          # == current -> dropped
+         Row(k=2, a=None, seq=30), Row(k=2, a=None, seq=40),  # second dropped
+         Row(k=2, a="z", seq=50)], "k long, a string, seq long")
+    t.scd2_apply(b2, ["k"], seq_col="seq", drop_unchanged=True)
+    rows2 = sorted(((r.k, r.a or "", r.valid_from_seq, r.valid_to_seq, r.is_current)
+                    for r in t.to_df().collect()),
+                   key=lambda x: (x[0], x[2]))
+    assert rows2 == [(1, "x", 0, 10, False), (1, "x2", 10, 20, False),
+                     (1, "x3", 20, None, True),
+                     (2, "y", 0, 30, False), (2, "", 30, 50, False),
+                     (2, "z", 50, None, True)], rows2
+
+    # duplicate (key, seq) in one batch rejected
+    dup = spark.createDataFrame(
+        [Row(k=1, a="p", seq=60), Row(k=1, a="q", seq=60)], "k long, a string, seq long")
+    with _pytest.raises(ValidationError, match="duplicate"):
+        t.scd2_apply(dup, ["k"], seq_col="seq")
