@@ -35,11 +35,16 @@ def main() -> None:
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    # the UI must exist BEFORE get_spark's getOrCreate freezes the config
+    # the UI must exist BEFORE get_spark's getOrCreate freezes the config —
+    # and so must every pre-JVM setting getOrCreate would otherwise apply:
+    # creating the session here with the default 1g driver heap OOMs the
+    # sf1 sort/agg stages (local mode: driver == executors)
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     (SparkSession.builder.master(f"local[{cpus}]")
+     .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+     .config("spark.sql.shuffle.partitions", cpus)
      .config("spark.ui.enabled", "true")
      .config("spark.ui.port", "4049").getOrCreate())
 
