@@ -804,3 +804,36 @@ def test_cms_estimate_rejects_mismatched_d_w(spark):
     empty = cms_sketch(src.limit(0), "v", d=4, w=256)
     est = cms_estimate(empty, src.limit(5), "v", d=4, w=256)
     assert all(r.est_n == 0 for r in est.collect())
+
+
+def test_cosine_topk_gemm_matches_fold_and_bounds_queries(spark):
+    """r11: the GEMM top-k must reproduce the expression-fold path exactly
+    on margin-separated data (same neighbors, same ranks, self-matches
+    and zero-norm vectors excluded), and refuse a query set past the
+    driver-boundedness cap instead of silently collecting it."""
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.operators.similarity import cosine_topk, cosine_topk_gemm
+
+    rng = random.Random(7)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(300)]
+    rows.append(Row(vec_id=900, embedding=[0.0] * 16))  # zero-norm corpus row
+    df = spark.createDataFrame(rows).repartition(8)
+    q = df.filter(F.col("vec_id") % 29 == 0)
+
+    a = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in cosine_topk(df, q, k=7).collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in cosine_topk_gemm(df, q, k=7).collect())
+    assert a == b and a
+    assert all(qid != nid for qid, _, nid in b)      # no self-matches
+    assert all(nid != 900 for _, _, nid in b)        # zero-norm never a neighbor
+    assert not any(qid == 900 for qid, _, _ in b)    # zero-norm query dropped
+
+    with _pytest.raises(ValidationError, match="max_queries"):
+        cosine_topk_gemm(df, df, k=3, max_queries=10)
