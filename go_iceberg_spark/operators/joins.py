@@ -298,6 +298,48 @@ def fuzzy_match_join(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    on: list[str],
+    *,
+    seq_col: str,
+    start_col: str = "valid_from_seq",
+    end_col: str = "valid_to_seq",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 history (r11): each
+    fact joins the version row whose validity interval
+    ``[start_col, end_col)`` contains the fact's ``seq_col`` — the
+    consumer side of ``Table.scd2_apply`` (reproducible training joins:
+    the feature value AS OF the example's event, not today's).
+
+    Intervals are disjoint per key by SCD2 construction, so every fact
+    matches at most one version; facts before the key's first version (or
+    with no key) come back with NULL dimension columns under
+    ``how="left"``. Scale shape: an EQUI hash join on the keys with the
+    interval test as a join filter — no range explosion, no extra
+    shuffle beyond the join's own; the history side is usually the small
+    one and broadcasts."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"scd2_lookup supports left/inner, got {how!r}")
+    f, h = facts.alias("_scd_f"), history.alias("_scd_h")
+    key_eq = None
+    for c in on:
+        e = F.col(f"_scd_f.{c}").eqNullSafe(F.col(f"_scd_h.{c}"))
+        key_eq = e if key_eq is None else key_eq & e
+    seq = F.col(f"_scd_f.{seq_col}")
+    in_interval = (
+        (seq >= F.col(f"_scd_h.{start_col}"))
+        & (F.col(f"_scd_h.{end_col}").isNull()
+           | (seq < F.col(f"_scd_h.{end_col}")))
+    )
+    dim_cols = [c for c in history.columns if c not in on]
+    return (f.join(h, key_eq & in_interval, how)
+            .select(*[F.col(f"_scd_f.{c}") for c in facts.columns],
+                    *[F.col(f"_scd_h.{c}").alias(c) for c in dim_cols]))
+
+
 _BLOOM_MIN_BITS = 1 << 17  # 16 KB of words — below any plan-bloat concern
 _BLOOM_MAX_BITS = 1 << 26  # 8 MB of words — broadcast-variable territory
 _BLOOM_BITS_PER_KEY = 16   # 4 hashes: FP ~ (1-e^(-4/16))^4 ~ 0.24%

@@ -6148,6 +6148,67 @@ def crud_scd2_history_scan_q(spark, sf):
 
 
 @query(
+    "join_scd2_asof_lookup",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS cust, round(o_totalprice, 2) AS attr,
+             CAST(o_orderkey AS BIGINT) AS seq
+      FROM orders WHERE o_custkey < 200 AND o_orderkey < 6000),
+    base AS (
+      SELECT c_custkey AS cust, round(c_acctbal, 2) AS attr,
+             CAST(-1 AS BIGINT) AS seq
+      FROM customer WHERE c_custkey < 200),
+    chain AS (
+      SELECT cust, attr, seq AS vf,
+             lead(seq) OVER (PARTITION BY cust ORDER BY seq) AS vt
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)),
+    facts AS (
+      SELECT o_orderkey AS fact_key, o_custkey AS cust,
+             CAST(o_orderkey AS BIGINT) AS seq
+      FROM orders WHERE o_orderkey < 9000)
+    SELECT f.fact_key, f.cust, c.attr AS attr_asof,
+           c.vf AS version_from
+    FROM facts f LEFT JOIN chain c
+      ON c.cust = f.cust AND f.seq >= c.vf AND (c.vt IS NULL OR f.seq < c.vt)
+    """,
+)
+def join_scd2_asof_lookup_q(spark, sf):
+    """Point-in-time dimension lookup against SCD2 history (r11 — the
+    consumer side of ``scd2_apply``): each fact order joins the balance
+    version VALID AT its own sequence, not today's — the reproducible
+    training join (features as-of the example's event). Facts span the
+    history (mid-chain sequences hit CLOSED versions, later ones the open
+    row; out-of-dimension keys come back NULL), so a wrong interval bound
+    on either side of [start, end) breaks the hash. One equi hash join
+    with the interval test as a join filter — no range explosion."""
+    from .operators import joins as J
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") < 200)
+    base = cust.select(
+        F.col("c_custkey").alias("cust"),
+        F.round("c_acctbal", 2).alias("attr"),
+        F.lit(-1).cast("long").alias("valid_from_seq"),
+        F.lit(None).cast("long").alias("valid_to_seq"),
+        F.lit(True).alias("is_current"))
+    t = _scratch_table(spark, "scd2asof", base)
+    upd = (load(spark, sf, "orders")
+           .filter((F.col("o_custkey") < 200) & (F.col("o_orderkey") < 6000))
+           .select(F.col("o_custkey").alias("cust"),
+                   F.round("o_totalprice", 2).alias("attr"),
+                   F.col("o_orderkey").cast("long").alias("seq")))
+    t.scd2_apply(upd, ["cust"], seq_col="seq")
+    facts = (load(spark, sf, "orders").filter(F.col("o_orderkey") < 9000)
+             .select(F.col("o_orderkey").alias("fact_key"),
+                     F.col("o_custkey").alias("cust"),
+                     F.col("o_orderkey").cast("long").alias("seq")))
+    hist = t.to_df().select("cust", "attr", "valid_from_seq", "valid_to_seq")
+    out = J.scd2_lookup(facts, hist, ["cust"], seq_col="seq")
+    return out.select("fact_key", "cust",
+                      F.col("attr").alias("attr_asof"),
+                      F.col("valid_from_seq").alias("version_from"))
+
+
+@query(
     "partition_evolution_scan",
     """
     SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
@@ -6695,6 +6756,11 @@ _GRADED_FIRST = [
     #     incremental_agg_refresh — green r6..r10, and the harder
     #     minmax/mutable IVM variants stay in the window ---
     "similarity_knn_gemm",
+    # --- r11 NEW operator: point-in-time SCD2 lookup (interval-filtered
+    #     equi join; facts hit closed AND open versions). Displaced:
+    #     incremental_append_scan — green r6..r10, exercised inside the
+    #     IVM rows still in the window ---
+    "join_scd2_asof_lookup",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6809,7 +6875,6 @@ _GRADED_FIRST = [
     "crud_delete_eq_scan",
     "partition_evolution_scan",
     "wap_branch_publish_scan",
-    "incremental_append_scan",
     "changelog_cdc_scan",
 ]
 
