@@ -255,6 +255,37 @@ def dedup_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[st
     return w.start()
 
 
+def scd2_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[str], *,
+                seq_col: str, drop_unchanged: bool = False,
+                trigger_once: bool = False, processing_time: str | None = None):
+    """Streaming SCD TYPE-2 sink (r11): each micro-batch of versioned
+    updates applies through ``scd2_apply`` — one merge snapshot per batch,
+    versions chained within the batch, the key's open row closed at the
+    batch's first new sequence. Exactly-once leans on TWO layers: the
+    checkpoint dedups delivered batches, and ``scd2_apply`` itself no-ops
+    on a replayed batch by construction (replayed inserts match their own
+    rows, replayed closes filter to genuinely-newer sequences) — so unlike
+    the additive agg sink, correctness here does not hinge on the marker.
+    Contract inherited from scd2_apply: sequences unique per key within a
+    batch and non-decreasing across batches (source ordering)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.refresh()
+        from ..table.mutate import scd2_apply
+
+        scd2_apply(table, batch_df, keys, seq_col=seq_col,
+                   drop_unchanged=drop_unchanged)
+
+    w = df.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def upsert_stream(df: DataFrame, table: Table, checkpoint_dir: str, keys: list[str], *,
                   trigger_once: bool = False, processing_time: str | None = None):
     """Streaming UPSERT sink (CDC-style): each micro-batch MERGEs into the

@@ -472,3 +472,24 @@ def test_cms_sketch_map_side_combines(spark):
     assert partials >= 1, "no map-side combine before the counter exchange"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 1, "CMS build should shuffle exactly once"
+
+
+def test_scd2_lookup_is_equi_join_with_interval_filter(spark):
+    """r11 contract: the point-in-time lookup must execute as an EQUI hash
+    join on the keys (interval test riding as a join condition/filter) —
+    never a cartesian/nested-loop over facts x versions."""
+    from go_iceberg_spark.operators.joins import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, 10), (1, "b", 10, None), (2, "c", 0, None)],
+        "k long, attr string, valid_from_seq long, valid_to_seq long")
+    facts = spark.range(0, 100000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("seq"))
+    out = scd2_lookup(facts, hist, ["k"], seq_col="seq")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    # and the semantics: interval containment, left-null out-of-dim keys
+    got = {(r.k, r.seq): r.attr for r in out.filter(F.col("seq").isin(5, 15, 50)).collect()}
+    assert got[(2, 5)] == "c" and got[(0, 15)] is None
+    assert got[(1, 16)] == "b" if (1, 16) in got else True

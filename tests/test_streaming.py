@@ -578,3 +578,57 @@ def test_dedup_stream_exact_and_watermark_bounded(spark, catalog, tmp_path):
     run_w(None)
     got = sorted((r.k, r.v) for r in t2.to_df().collect())
     assert got == [("a", 1.0), ("a", 4.0)], got
+
+
+def test_scd2_stream_chains_versions_across_batches_and_replays(spark, catalog, tmp_path):
+    """r11: the SCD2 sink must chain versions across MICRO-BATCH runs
+    exactly as one batch apply would, and a same-checkpoint replay plus a
+    checkpoint-wipe full replay must both leave the history untouched
+    (scd2_apply's replay no-op carries correctness, not the marker)."""
+    import os
+    import shutil
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def land(name, rows):
+        pdf = spark.createDataFrame(rows, "k long, a string, seq long")
+        pdf.coalesce(1).write.parquet(src_dir + "/tmp")
+        for f in os.listdir(src_dir + "/tmp"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src_dir}/tmp/{f}", f"{src_dir}/{name}.parquet")
+        shutil.rmtree(src_dir + "/tmp")
+
+    base = spark.createDataFrame(
+        [(1, "x", -1, None, True)],
+        "k long, a string, valid_from_seq long, valid_to_seq long, is_current boolean")
+    t = catalog.create_table("db", "scd2stream", from_spark_schema(base.schema))
+    t.append(base)
+
+    def run():
+        src = (spark.readStream.schema("k long, a string, seq long")
+               .option("pathGlobFilter", "*.parquet").parquet(src_dir))
+        q = ST.scd2_stream(src, t, ckpt, ["k"], seq_col="seq", trigger_once=True)
+        q.awaitTermination(120)
+        t.refresh()
+
+    land("b1", [(1, "x2", 10), (2, "y", 5)])
+    run()
+    land("b2", [(1, "x3", 20), (2, "y2", 25)])
+    run()
+    want = [(1, "x", -1, 10, False), (1, "x2", 10, 20, False),
+            (1, "x3", 20, None, True),
+            (2, "y", 5, 25, False), (2, "y2", 25, None, True)]
+    got = sorted((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                 for r in t.to_df().collect())
+    assert got == want, got
+
+    # same-checkpoint replay: no new data -> no change
+    run()
+    assert sorted((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                  for r in t.to_df().collect()) == want
+    # checkpoint wiped: every batch REPLAYS, scd2_apply must no-op them all
+    shutil.rmtree(ckpt)
+    run()
+    assert sorted((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                  for r in t.to_df().collect()) == want
