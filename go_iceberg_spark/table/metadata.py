@@ -146,8 +146,9 @@ def validate_partition_spec(schema: Schema, spec: PartitionSpec) -> None:
             if tname in ("binary", "fixed"):
                 raise ValidationError(
                     f"partition field {pf.name!r}: identity over {tname} is not "
-                    f"supported (Spark cannot partition by binary columns; see "
-                    f"manifest_avro.py ADR)")
+                    f"supported (Spark cannot partitionBy binary columns; the "
+                    f"Avro wire form exists (r11) but no write path can "
+                    f"produce such layouts)")
             continue
         m = _BUCKET_TRANSFORM_RE.match(tr)
         if m:
@@ -780,6 +781,50 @@ def load_metadata(location: str, io=None) -> tuple[TableMetadata, int]:
     ) from last_err
 
 
+PREVIOUS_VERSIONS_MAX_PROP = "write.metadata.previous-versions-max"
+DELETE_AFTER_COMMIT_PROP = "write.metadata.delete-after-commit.enabled"
+
+
+def _previous_versions_max(md: TableMetadata) -> int:
+    try:
+        return max(1, int(md.properties.get(PREVIOUS_VERSIONS_MAX_PROP, "100")))
+    except (TypeError, ValueError):
+        return 100
+
+
+def _delete_old_metadata(location: str, md: TableMetadata, new_v: int, io=None) -> None:
+    """Iceberg ``write.metadata.delete-after-commit.enabled``: after a
+    successful commit, physically delete metadata versions older than the
+    newest ``previous-versions-max`` — without it a long-lived table
+    accumulates one metadata file PER COMMIT forever. Keeps v(new-N)..v(new),
+    so the corrupt-newest step-back reader (one version) and the commit
+    zombie guard (the expected version) always find their files. Best
+    effort: a failed unlink never fails the already-durable commit."""
+    if str(md.properties.get(DELETE_AFTER_COMMIT_PROP, "false")).lower() != "true":
+        return
+    # the property counts PREVIOUS versions (current excluded), so
+    # v(new-N)..v(new) survive and everything at or below new-N-1 goes
+    cutoff = new_v - _previous_versions_max(md) - 1
+    if cutoff < 1:
+        return
+    mdir = metadata_dir(location)
+    try:
+        names = ([os.path.basename(p) for p in io.list(mdir)] if io is not None
+                 else os.listdir(mdir))
+    except OSError:
+        return
+    for name in names:
+        v = _version_of(name)
+        if v is not None and v <= cutoff:
+            try:
+                if io is not None:
+                    io.delete(os.path.join(mdir, name))
+                else:
+                    os.unlink(os.path.join(mdir, name))
+            except OSError:
+                pass
+
+
 def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=None) -> int:
     """Atomically commit metadata as version ``expected_version + 1``.
 
@@ -791,12 +836,18 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=
     mdir = metadata_dir(location)
     new_v = expected_version + 1
     path = os.path.join(mdir, f"v{new_v}.metadata.json")
-    md = replace(
-        md,
-        metadata_log=md.metadata_log + ({"timestamp-ms": now_ms(), "metadata-file": f"v{expected_version}.metadata.json"},)
-        if expected_version > 0
-        else md.metadata_log,
-    )
+    # metadata-log retention (Iceberg write.metadata.previous-versions-max,
+    # default 100): without the trim the log array grows by one entry PER
+    # COMMIT inside every new metadata file — quadratic metadata bytes over
+    # a table's life (a 10^6-commit table would carry a 10^6-entry array in
+    # each of 10^6 files). The trim keeps the newest N entries, matching
+    # Iceberg's TableMetadata.addPreviousFile behavior.
+    prev_max = _previous_versions_max(md)
+    new_log = (md.metadata_log
+               + ({"timestamp-ms": now_ms(),
+                   "metadata-file": f"v{expected_version}.metadata.json"},)
+               if expected_version > 0 else md.metadata_log)
+    md = replace(md, metadata_log=new_log[-prev_max:])
     if io is not None:
         # S3: conditional PUT (If-None-Match: *) gives the same exclusive-
         # create primitive as O_EXCL locally (io/fileio.py S3FileIO.create).
@@ -816,6 +867,7 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=
             io.create(os.path.join(mdir, "version-hint.text"), str(new_v).encode(), overwrite=True)
         except OSError:
             pass
+        _delete_old_metadata(location, md, new_v, io=io)
         return new_v
     if expected_version == 0:
         os.makedirs(mdir, exist_ok=True)  # first commit creates the tree
@@ -854,4 +906,5 @@ def commit_metadata(location: str, md: TableMetadata, expected_version: int, io=
             f.write(str(new_v))
     except OSError:
         pass
+    _delete_old_metadata(location, md, new_v)
     return new_v

@@ -206,3 +206,20 @@ def test_s3_member_bounds_skip_reads_only_matching_manifests(spark, s3cat):
 
     # full scan afterwards still sees everything (cache consistency)
     assert t.to_df().count() == 35
+
+
+def test_s3_metadata_version_retention(spark, s3cat):
+    """r11: delete-after-commit retention must work through the S3 FileIO
+    path too (listing + delete on the object store)."""
+    cat, io = s3cat
+    t = cat.create_table(
+        "db", "mdret", from_spark_schema(_proto(spark).schema),
+        properties={"write.metadata.previous-versions-max": "2",
+                    "write.metadata.delete-after-commit.enabled": "true"})
+    for i in range(6):
+        t.append(_proto(spark, n=3, off=i * 10))
+    names = [p for p in io.list(t.location + "/metadata")
+             if p.endswith(".metadata.json")]
+    vs = sorted(int(n.rsplit("/v", 1)[1].split(".")[0]) for n in names)
+    assert vs == [max(vs) - 2, max(vs) - 1, max(vs)], vs
+    assert t.scan().count() == 18

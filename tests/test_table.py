@@ -2203,3 +2203,57 @@ def test_scd2_apply_chains_drops_noops_and_survives_replay(spark, catalog):
         [Row(k=1, a="p", seq=60), Row(k=1, a="q", seq=60)], "k long, a string, seq long")
     with _pytest.raises(ValidationError, match="duplicate"):
         t.scd2_apply(dup, ["k"], seq_col="seq")
+
+
+def test_metadata_version_retention_and_log_trim(spark, catalog):
+    """r11 (Iceberg write.metadata.previous-versions-max /
+    delete-after-commit.enabled): without retention a long-lived table
+    keeps one metadata FILE per commit forever and grows the metadata-log
+    array inside every new file — quadratic bytes over the table's life.
+    With delete-after-commit on, only the newest N previous versions
+    survive a commit; the log is trimmed to N ALWAYS; time travel (which
+    reads snapshots from CURRENT metadata) is unaffected; the
+    corrupt-newest step-back reader still finds v-1."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.table.metadata import load_metadata
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    t = catalog.create_table("db", "mdret", from_spark_schema(df.schema),
+                             properties={
+                                 "write.metadata.previous-versions-max": "3",
+                                 "write.metadata.delete-after-commit.enabled": "true",
+                             })
+    snaps = []
+    for i in range(8):
+        t.append(spark.createDataFrame([Row(k=i, v=float(i))]))
+        snaps.append(t.current_snapshot().snapshot_id)
+    files = sorted(glob.glob(os.path.join(t.location, "metadata", "v*.metadata.json")))
+    vs = sorted(int(os.path.basename(p)[1:-len(".metadata.json")]) for p in files)
+    newest = max(vs)
+    assert vs == list(range(newest - 3, newest + 1)), vs  # current + 3 previous
+    disk_md, _ = load_metadata(t.location)
+    assert 0 < len(disk_md.metadata_log) <= 3
+    # the log's newest entry points at the immediately-previous version
+    assert disk_md.metadata_log[-1]["metadata-file"] == f"v{newest - 1}.metadata.json"
+    # time travel to the FIRST snapshot still works (snapshots live in
+    # current metadata; old metadata FILES are not needed)
+    assert t.scan().use_snapshot(snaps[0]).count() == 1
+    # step-back reader: corrupt the newest version; v-1 must exist
+    with open(os.path.join(t.location, "metadata", f"v{newest}.metadata.json"), "w") as f:
+        f.write('{"broken')
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _, v = load_metadata(t.location)
+    assert v == newest - 1
+
+    # default (delete disabled): every version file survives
+    df2 = spark.createDataFrame([Row(k=1, v=1.0)])
+    t2 = catalog.create_table("db", "mdret2", from_spark_schema(df2.schema))
+    for i in range(5):
+        t2.append(df2)
+    files2 = glob.glob(os.path.join(t2.location, "metadata", "v*.metadata.json"))
+    assert len(files2) == 6  # create + 5 appends
