@@ -687,3 +687,112 @@ def history_df(table) -> DataFrame:
         for e in table.history()
     ]
     return table.spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Incremental table statistics: per-column NDV sketches (the role Iceberg
+# delegates to Puffin theta-sketch blobs + ANALYZE TABLE)
+# ---------------------------------------------------------------------------
+
+NDV_STATS_PROP_PREFIX = "stats.kmv-ndv.col."
+NDV_STATS_SNAPSHOT_PROP = "stats.kmv-ndv.snapshot-id"
+_NDV_HASH_SPACE = float(1 << 60)
+
+
+def _kmv_estimate(mins: list[int], k: int) -> float:
+    """Same estimator as operators.sketch.kmv_distinct: (k-1)/(h_k/2^60)
+    when the sketch filled, else the sketch IS the exact distinct count."""
+    if len(mins) >= k:
+        return round((k - 1) / (mins[k - 1] / _NDV_HASH_SPACE), 2)
+    return float(len(mins))
+
+
+def refresh_ndv_stats(table, columns: list[str], *, k: int = 64) -> dict[str, float]:
+    """Refresh per-column DISTINCT-COUNT sketches stored in table
+    properties, INCREMENTALLY (r11): the first call scans the table once;
+    subsequent calls scan only rows appended since the stamped snapshot
+    and merge k-min sets (the KMV property: k smallest of a union == the
+    union of sketches' k smallest — so the incremental result is
+    bit-identical to a full recompute). A non-append lineage step
+    (overwrite/CoW delete — NDV can shrink) falls back to a full
+    recompute automatically; rows-preserved maintenance replaces are
+    skipped by the incremental scan and cost nothing.
+
+    This is the engine's ANALYZE TABLE: optimizer-grade NDV available
+    metadata-only via ``approx_ndv`` — at 100 TB the refresh cost tracks
+    the APPEND RATE, not the table size. Sketches use the portable md5
+    hash, so external engines (and the DuckDB oracle) reproduce every
+    estimate bit-for-bit. Returns {column: estimate}."""
+    import json as _json
+
+    from ..operators.dedup import portable_hash60
+    from .incremental import incremental_append_scan
+
+    cur = table.current_snapshot()
+    if cur is None:
+        raise ValidationError("refresh_ndv_stats: table has no snapshot")
+    for c in columns:
+        if table.schema.find_field(c) is None:
+            raise ValidationError(f"refresh_ndv_stats: column {c!r} not in schema")
+    props = table.metadata.properties
+    stamped = props.get(NDV_STATS_SNAPSHOT_PROP)
+    old: dict[str, list[int]] = {}
+    if stamped is not None:
+        for c in columns:
+            raw = props.get(NDV_STATS_PROP_PREFIX + c)
+            if raw is None:
+                stamped = None  # a new column joined the stat set: full pass
+                break
+            doc = _json.loads(raw)
+            if doc.get("k") != k:
+                stamped = None  # sketch parameter changed: full pass
+                break
+            old[c] = doc["mins"]
+    if stamped is not None and int(stamped) == cur.snapshot_id:
+        return {c: _kmv_estimate(old[c], k) for c in columns}
+    if stamped is not None:
+        try:
+            delta = incremental_append_scan(table, int(stamped), cur.snapshot_id)
+        except ValidationError:
+            stamped = None  # overwrite/delete in range: NDV may shrink
+    if stamped is None:
+        delta, old = table.to_df(), {}
+    if len(columns) > 1:
+        delta = delta.persist()
+    try:
+        new_props: dict[str, str] = {NDV_STATS_SNAPSHOT_PROP: str(cur.snapshot_id)}
+        out: dict[str, float] = {}
+        for c in columns:
+            mins = [
+                r["_h"]
+                for r in (delta.filter(F.col(c).isNotNull())
+                          .select(portable_hash60(F.col(c).cast("string")).alias("_h"))
+                          .distinct().orderBy("_h").limit(k).collect())
+            ]
+            merged = sorted(set(old.get(c, [])) | set(mins))[:k]
+            new_props[NDV_STATS_PROP_PREFIX + c] = _json.dumps({"k": k, "mins": merged})
+            out[c] = _kmv_estimate(merged, k)
+        table.set_properties(new_props)
+        return out
+    finally:
+        if len(columns) > 1:
+            delta.unpersist()
+
+
+def approx_ndv(table, column: str) -> tuple[float, bool]:
+    """(estimate, fresh) from the stored sketch — NO data scan. ``fresh``
+    is False when commits landed after the stamped snapshot (the estimate
+    still reflects the stamped state; call ``refresh_ndv_stats`` to catch
+    up incrementally). Raises if the column was never analyzed."""
+    import json as _json
+
+    raw = table.metadata.properties.get(NDV_STATS_PROP_PREFIX + column)
+    if raw is None:
+        raise ValidationError(
+            f"no NDV sketch for {column!r}: run refresh_ndv_stats first")
+    doc = _json.loads(raw)
+    stamped = table.metadata.properties.get(NDV_STATS_SNAPSHOT_PROP)
+    cur = table.current_snapshot()
+    fresh = (stamped is not None and cur is not None
+             and int(stamped) == cur.snapshot_id)
+    return _kmv_estimate(doc["mins"], doc["k"]), fresh

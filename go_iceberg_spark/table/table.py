@@ -995,6 +995,18 @@ class Table:
 
         return rewrite_position_deletes(self)
 
+    def refresh_ndv_stats(self, columns: list[str], *, k: int = 64) -> dict[str, float]:
+        """Incremental per-column NDV sketches — see maintenance.refresh_ndv_stats."""
+        from .maintenance import refresh_ndv_stats
+
+        return refresh_ndv_stats(self, columns, k=k)
+
+    def approx_ndv(self, column: str) -> tuple[float, bool]:
+        """(estimate, fresh) from the stored sketch, metadata-only."""
+        from .maintenance import approx_ndv
+
+        return approx_ndv(self, column)
+
     def rewrite_manifests(self, target_entries_per_manifest: int | None = None
                           ) -> Snapshot:
         """Iceberg rewrite_manifests procedure: reorganize the current

@@ -644,3 +644,52 @@ def test_cherrypick_double_pick_rejected_after_rewrite(spark, catalog):
     with pytest.raises(ValidationError, match="double-pick"):
         t.cherrypick(b1.snapshot_id)
     assert sorted(r.id for r in t.to_df().collect()).count(100) == 1
+
+
+def test_ndv_stats_incremental_merge_and_fallbacks(spark, catalog):
+    """r11: NDV sketch refresh must (a) merge incrementally to the exact
+    same sketch a full pass produces, (b) report staleness after new
+    commits without a scan, (c) fall back to a full recompute across a
+    non-append step (CoW delete shrinks NDV — a merge could never shrink),
+    and (d) invalidate on a changed sketch parameter."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.schema import from_spark_schema
+    from go_iceberg_spark.table.maintenance import (
+        NDV_STATS_PROP_PREFIX,
+        refresh_ndv_stats,
+    )
+
+    df1 = spark.createDataFrame([Row(g=i % 7, s=f"v{i % 11}") for i in range(300)])
+    t = catalog.create_table("db", "ndvt", from_spark_schema(df1.schema))
+    t.append(df1)
+    est1 = refresh_ndv_stats(t, ["g", "s"])
+    assert est1 == {"g": 7.0, "s": 11.0}  # < k: the sketch is exact
+
+    # incremental: new values appear only in the delta
+    t.append(spark.createDataFrame([Row(g=100 + i, s="v100") for i in range(5)]))
+    est2 = refresh_ndv_stats(t, ["g", "s"])
+    assert est2 == {"g": 12.0, "s": 12.0}
+    # merged sketch == full-recompute sketch, bit for bit
+    import json
+    merged = json.loads(t.metadata.properties[NDV_STATS_PROP_PREFIX + "g"])
+    t.set_properties({"stats.kmv-ndv.snapshot-id": "-1"})  # force full pass
+    refresh_ndv_stats(t, ["g", "s"])
+    full = json.loads(t.metadata.properties[NDV_STATS_PROP_PREFIX + "g"])
+    assert merged == full
+
+    # staleness: a commit after the stamp flips fresh to False, value keeps
+    est, fresh = t.approx_ndv("g")
+    assert est == 12.0 and fresh
+    t.append(spark.createDataFrame([Row(g=500, s="zzz")]))
+    est, fresh = t.approx_ndv("g")
+    assert est == 12.0 and not fresh
+
+    # CoW delete: refresh must full-recompute (merge can never shrink)
+    import go_iceberg_spark as gi
+    t.delete(gi.gte("g", 100))
+    est3 = refresh_ndv_stats(t, ["g", "s"])
+    assert est3 == {"g": 7.0, "s": 11.0}, est3  # back to the originals
+    # changed k: sketches invalidate, fresh pass at the new parameter
+    est4 = refresh_ndv_stats(t, ["g"], k=8)
+    assert est4["g"] == 7.0
