@@ -831,9 +831,9 @@ def knn_classify(
     ``method``: ``"fold"`` scores with the oracle-replayable sequential
     expression fold; ``"gemm"`` scores with ``cosine_topk_gemm`` (one BLAS
     matrix product per corpus batch) — same answer whenever top-k margins
-    exceed float summation-order noise, and measured 3.8x faster at sf1
-    (21.5 s -> 5.7 s, identical vote output) since the per-pair fold is
-    the wall-time term.
+    exceed float summation-order noise, and measured 22x faster at sf1
+    on an idle box (fold 18.2 s -> 0.8 s, identical vote output) since
+    the per-pair fold is the wall-time term.
 
     Scale shape: both methods scan the corpus ONCE for scoring without
     shuffling it; the label join broadcasts the (queries x k)-row neighbor

@@ -1996,8 +1996,8 @@ def knn_classify_gemm_q(spark, sf):
     is ONE numpy matrix product per Arrow corpus batch (each batch emits
     <= k candidates per query; global reduce is a window over
     partitions x queries x k rows) instead of the per-pair expression
-    fold — measured 3.8x faster at sf1 (21.5 s -> 5.7 s, identical
-    output). Grading it against the SAME oracle pins that the BLAS path's
+    fold — measured 22x faster at sf1 on an idle box (18.2 s -> 0.8 s,
+    identical output). Grading it against the SAME oracle pins that the BLAS path's
     summation-order noise (~1e-15) never crosses a top-k margin on this
     corpus — the fold row stays as the bit-exact reference."""
     emb = load(spark, sf, "embeddings")
