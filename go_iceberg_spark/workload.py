@@ -1604,6 +1604,64 @@ def timeseries_resample_q(spark, sf):
 
 
 @query(
+    "timeseries_resample_interpolate",
+    """
+    WITH src AS (SELECT event_type, ts, value FROM events WHERE user_id % 97 = 0),
+    agg AS (
+      SELECT event_type AS _k, date_trunc('hour', ts) AS _b,
+             round(avg(value), 4) AS avg_v
+      FROM src GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS _lo, date_trunc('hour', max(ts)) AS _hi
+               FROM src),
+    spine AS (
+      SELECT k._k, unnest(generate_series(b._lo, b._hi, INTERVAL 1 HOUR)) AS _b
+      FROM (SELECT DISTINCT event_type AS _k FROM src) k CROSS JOIN bounds b),
+    grid AS (
+      SELECT s._k, s._b, a.avg_v FROM spine s
+      LEFT JOIN agg a ON s._k = a._k AND s._b = a._b),
+    nbr AS (
+      SELECT _k, _b, avg_v,
+        last_value(avg_v IGNORE NULLS) OVER (PARTITION BY _k ORDER BY _b
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        first_value(avg_v IGNORE NULLS) OVER (PARTITION BY _k ORDER BY _b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN avg_v IS NOT NULL THEN _b END IGNORE NULLS)
+          OVER (PARTITION BY _k ORDER BY _b ROWS UNBOUNDED PRECEDING) AS pt,
+        first_value(CASE WHEN avg_v IS NOT NULL THEN _b END IGNORE NULLS)
+          OVER (PARTITION BY _k ORDER BY _b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid)
+    SELECT _k AS event_type, _b AS bucket_ts, avg_v,
+           CASE WHEN avg_v IS NOT NULL THEN avg_v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  floor((pv + (nv - pv) *
+                        ((CAST(epoch(_b) AS BIGINT) - CAST(epoch(pt) AS BIGINT))
+                         / (CAST(epoch(nt) AS BIGINT) - CAST(epoch(pt) AS BIGINT))))
+                        * 10000 + 0.5) / 10000
+           END AS interp_v
+    FROM nbr
+    """,
+)
+def timeseries_interpolate_q(spark, sf):
+    """Linear gap interpolation on the hourly grid (r11 — the numeric
+    complement of LOCF): interior gaps take the time-weighted value
+    between their nearest observed neighbors; edges stay NULL
+    (interpolation, never extrapolation). The stream is THINNED
+    (user_id % 97) so the grid genuinely has interior gaps —
+    inline-asserted: at least one cell is interpolated (filled while
+    unobserved), or the fixture is not testing the operator."""
+    from .operators.timeseries import resample_interpolate
+
+    src = load(spark, sf, "events").filter(F.col("user_id") % 97 == 0)
+    out = resample_interpolate(src, "ts", "event_type", "value")
+    n_interp = out.filter(F.col("avg_v").isNull()
+                          & F.col("interp_v").isNotNull()).count()
+    if n_interp == 0:
+        raise AssertionError("no interior gaps interpolated — fixture too dense")
+    return out
+
+
+@query(
     "hopping_window_counts",
     """
     WITH starts AS (
@@ -6823,6 +6881,11 @@ _GRADED_FIRST = [
     #     r6..r10, and the harder eq-delete changelog variant plus three
     #     changelog-consuming IVM rows stay in the window ---
     "metadata_ndv_stats_scan",
+    # --- r11 NEW operator: linear gap interpolation on the resample grid
+    #     (floor-based cross-engine rounding; thinned fixture guarantees
+    #     interior gaps). Displaced: text_repetition_scores — green
+    #     r6..r10, path untouched r11 ---
+    "timeseries_resample_interpolate",
     # --- r10 VERDICT r9 tasks #2/#3: the generic (agg_fn) aggregate-IVM
     #     strategy (MIN/MAX view whose standing max a delete KILLS) and
     #     DROP BRANCH -> expiry reclamation (ancestor-based retain_last).
@@ -6920,8 +6983,6 @@ _GRADED_FIRST = [
     "sketch_histogram_quantiles",
     "timeseries_merge_intervals",
     "similarity_hybrid_rrf",
-    # --- r6 VERDICT task #3: degenerate-input fixes never freshly graded ---
-    "text_repetition_scores",
     "multimodal_extract_features",
     "multimodal_feature_ann_topk",
     # --- r7 NEW operators: manifest-list bounds + member-clustering

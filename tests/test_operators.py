@@ -837,3 +837,36 @@ def test_cosine_topk_gemm_matches_fold_and_bounds_queries(spark):
 
     with _pytest.raises(ValidationError, match="max_queries"):
         cosine_topk_gemm(df, df, k=3, max_queries=10)
+
+
+def test_resample_interpolate_interior_only(spark):
+    """r11: linear interpolation must fill INTERIOR gaps with the
+    time-weighted value between nearest observed neighbors, leave edge
+    cells NULL (no extrapolation), pass observed cells through untouched,
+    and keep NULL keys as a legal group (null-safe spine join)."""
+    import datetime as dt
+
+    from go_iceberg_spark.operators.timeseries import resample_interpolate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 10.0),                                  # hour 0
+        ("a", t0 + dt.timedelta(hours=4), 30.0),          # hour 4 (gap 1-3)
+        ("b", t0 + dt.timedelta(hours=2), 5.0),           # single obs
+        (None, t0 + dt.timedelta(hours=1), 7.0),          # NULL key group
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r.k, r.bucket_ts.hour): (r.avg_v, r.interp_v)
+           for r in resample_interpolate(df, "ts", "k", "v").collect()}
+    # observed cells pass through
+    assert out[("a", 0)] == (10.0, 10.0) and out[("a", 4)] == (30.0, 30.0)
+    # interior gap: linear in time (hours 1..3 of a 0->4 ramp 10->30)
+    assert out[("a", 1)][1] == 15.0
+    assert out[("a", 2)][1] == 20.0
+    assert out[("a", 3)][1] == 25.0
+    # edges (grid spans the GLOBAL bounds): before b's first obs and after
+    # its last -> NULL both sides
+    assert out[("b", 0)] == (None, None) and out[("b", 4)] == (None, None)
+    assert out[("b", 2)] == (5.0, 5.0)
+    # NULL key is a real group, not silently dropped
+    assert out[(None, 1)] == (7.0, 7.0)
