@@ -317,7 +317,10 @@ def scd2_lookup(
     Intervals are disjoint per key by SCD2 construction, so every fact
     matches at most one version; facts before the key's first version (or
     with no key) come back with NULL dimension columns under
-    ``how="left"``. Scale shape: an EQUI hash join on the keys with the
+    ``how="left"``. Keys compare NULL-SAFELY — consistent with
+    ``scd2_apply``'s null-safe merge keys, and deliberately unlike SQL
+    ``=`` (a NULL fact key DOES find a NULL-keyed dimension history).
+    Scale shape: an EQUI hash join on the keys with the
     interval test as a join filter — no range explosion, no extra
     shuffle beyond the join's own; the history side is usually the small
     one and broadcasts."""

@@ -198,7 +198,14 @@ def cosine_topk_gemm(
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int")
-    Q = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    try:
+        Q = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+        if Q.ndim != 2:
+            raise ValueError("inhomogeneous")
+    except (ValueError, TypeError) as ex:
+        raise ValidationError(
+            f"{vec_col!r} query vectors are ragged/non-numeric: all vectors "
+            "must share one dimension for GEMM top-k") from ex
     qn = np.linalg.norm(Q, axis=1)
     keep = qn > 0  # zero-norm queries have no neighbors (fold-path parity)
     Q, qn = Q[keep], qn[keep]
