@@ -188,6 +188,10 @@ def cosine_topk_gemm(
     from ..errors import ValidationError
 
     qid = query_id_col or id_col
+    # result column types follow the fold path: query_id takes the QUERY
+    # side's id type, neighbor_id the corpus side's (they may differ)
+    qid_t = queries.schema[qid].dataType.simpleString()
+    id_t = corpus.schema[id_col].dataType.simpleString()
     q_rows = (queries.select(F.col(qid).alias("_qid"), F.col(vec_col).alias("_qv"))
               .filter(F.col("_qv").isNotNull()).limit(max_queries + 1).collect())
     if len(q_rows) > max_queries:
@@ -197,7 +201,7 @@ def cosine_topk_gemm(
             f"(broadcast join) or raise the cap deliberately")
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int")
+            [], f"query_id {qid_t}, neighbor_id {id_t}, rank int")
     try:
         Q = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
         if Q.ndim != 2:
@@ -209,7 +213,9 @@ def cosine_topk_gemm(
     qn = np.linalg.norm(Q, axis=1)
     keep = qn > 0  # zero-norm queries have no neighbors (fold-path parity)
     Q, qn = Q[keep], qn[keep]
-    qids = np.array([r["_qid"] for r in q_rows], dtype=np.int64)[keep]
+    # dtype follows the id column's actual type (string ids stay strings;
+    # int/long infer to int64) — a forced int64 would crash on string ids
+    qids = np.array([r["_qid"] for r in q_rows])[keep]
     Qn = Q / qn[:, None]
 
     def score(batches):
@@ -247,9 +253,12 @@ def cosine_topk_gemm(
                 "_cos": np.concatenate(out_c),
             })
 
-    id_t = corpus.schema[id_col].dataType.simpleString()
-    cands = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"query_id {id_t}, neighbor_id {id_t}, _cos double")
+    # NULL vectors carry no neighbors on the fold path (its norm>0 filter
+    # drops them); filter here too — a None inside the batch would turn
+    # np.array(tolist()) into a misleading ragged-batch error
+    cands = (corpus.select(id_col, vec_col)
+             .filter(F.col(vec_col).isNotNull())
+             .mapInPandas(score, schema=f"query_id {qid_t}, neighbor_id {id_t}, _cos double"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (cands.withColumn("rank", F.row_number().over(w))

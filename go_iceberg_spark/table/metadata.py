@@ -763,6 +763,19 @@ def load_metadata(location: str, io=None) -> tuple[TableMetadata, int]:
         except json.JSONDecodeError as e:
             last_err = e
             time.sleep(0.01 * (attempt + 1))
+        except FileNotFoundError:
+            # retention race (delete-after-commit + small previous-versions
+            # -max): the version we listed was trimmed by a commit that
+            # landed between our list and open — re-list; a NEWER current
+            # version provably exists, so this converges
+            nv = current_metadata_version(location, io)
+            if nv <= v:
+                raise ValidationError(
+                    f"metadata v{v} at {location!r} vanished without a newer "
+                    f"version (current={nv}) — not a retention race; retry "
+                    "or repair the metadata directory")
+            v = nv
+            path = os.path.join(metadata_dir(location), f"v{v}.metadata.json")
     if v > 1:
         import warnings
 
@@ -774,8 +787,17 @@ def load_metadata(location: str, io=None) -> tuple[TableMetadata, int]:
             stacklevel=2,
         )
         prev = os.path.join(metadata_dir(location), f"v{v - 1}.metadata.json")
-        with open(prev) as f:
-            return TableMetadata.from_json(json.load(f)), v - 1
+        try:
+            with open(prev) as f:
+                return TableMetadata.from_json(json.load(f)), v - 1
+        except FileNotFoundError:
+            # v-1 trimmed by retention while v is undecodable: a commit is
+            # in flight (or just landed) — tell the caller to retry rather
+            # than crash with a bare FileNotFoundError
+            raise ValidationError(
+                f"metadata v{v} at {location!r} undecodable and v{v - 1} "
+                f"already retention-trimmed — a commit is in flight; retry "
+                "the read") from last_err
     raise ValidationError(
         f"metadata v{v} at {location!r} undecodable after retries: {last_err}"
     ) from last_err

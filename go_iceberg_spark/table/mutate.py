@@ -690,7 +690,10 @@ def scd2_apply(table, updates: DataFrame, key_cols: list[str], *,
             "_scd_exist", F.lit(True))
         combined = exist.unionByName(cand.withColumn("_scd_exist", F.lit(False)))
         w_lag = Window.partitionBy(*key_cols).orderBy(start_col)
-        changed = F.lit(False)
+        # a chain-head row (no predecessor) is never a no-op: without this,
+        # a brand-new key whose attrs are ALL NULL null-safe-equals the
+        # lag's NULLs and the key's first version silently vanishes
+        changed = F.lag(F.lit(1)).over(w_lag).isNull()
         for a in attr_cols:
             changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w_lag))
         cand = (combined
@@ -706,11 +709,17 @@ def scd2_apply(table, updates: DataFrame, key_cols: list[str], *,
                 .withColumn(current_col, F.col(end_col).isNull()))
 
     firsts = versions.groupBy(*key_cols).agg(F.min(start_col).alias("_scd_new_end"))
-    closes = (cur.select(*key_cols, start_col)
-              .join(firsts, key_cols)
+    # close-set join is null-safe, like merge's key handling and the window
+    # partitioning above — a NULL-keyed dimension's open row must close too,
+    # or the exactly-one-open-row invariant scd2_lookup depends on breaks
+    cur_open = cur.select(*key_cols, start_col)
+    closes = (cur_open
+              .join(firsts, [cur_open[k].eqNullSafe(firsts[k]) for k in key_cols])
               # a replayed/stale batch (seq <= the open row's start) must
               # not rewire history: only genuinely newer versions close it
-              .filter(F.col("_scd_new_end") > F.col(start_col)))
+              .filter(F.col("_scd_new_end") > cur_open[start_col])
+              .select(*[cur_open[k].alias(k) for k in key_cols],
+                      cur_open[start_col].alias(start_col), "_scd_new_end"))
     from ..schema import to_spark_type
 
     spark_type = {f.name: to_spark_type(f.type) for f in table.schema.fields}

@@ -839,6 +839,54 @@ def test_cosine_topk_gemm_matches_fold_and_bounds_queries(spark):
         cosine_topk_gemm(df, df, k=3, max_queries=10)
 
 
+def test_cosine_topk_gemm_null_vectors_and_id_types(spark):
+    """r12 (ADVICE r11): (a) NULL embedding vectors in the CORPUS are
+    filtered like the fold path's norm>0 filter, never a crash; (b) the
+    empty-query fallback schema and the qids dtype derive from the actual
+    id column types — int ids and string ids both work, on both paths,
+    empty and non-empty."""
+    import random
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.similarity import cosine_topk, cosine_topk_gemm
+
+    rng = random.Random(3)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    rows.append(Row(vec_id=500, embedding=None))  # NULL corpus vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter((F.col("vec_id") % 13 == 0) & F.col("embedding").isNotNull())
+
+    a = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in cosine_topk(df, q, k=4).collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in cosine_topk_gemm(df, q, k=4).collect())
+    assert a == b and a
+    assert all(nid != 500 for _, _, nid in b)  # NULL vector never a neighbor
+
+    # int (not long) ids: empty query set returns the CORPUS id type
+    df_int = df.withColumn("vec_id", F.col("vec_id").cast("int"))
+    empty = cosine_topk_gemm(df_int, df_int.limit(0), k=3)
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "int", "int", "int"]
+    assert empty.count() == 0
+
+    # string ids: both paths agree, populated and empty
+    df_s = df.filter(F.col("embedding").isNotNull()).withColumn(
+        "vec_id", F.concat(F.lit("d"), F.col("vec_id")))
+    q_s = df_s.filter(F.col("vec_id").isin("d0", "d13", "d26"))
+    a_s = sorted((r.query_id, r.rank, r.neighbor_id)
+                 for r in cosine_topk(df_s, q_s, k=4).collect())
+    b_s = sorted((r.query_id, r.rank, r.neighbor_id)
+                 for r in cosine_topk_gemm(df_s, q_s, k=4).collect())
+    assert a_s == b_s and a_s
+    assert all(isinstance(qid, str) and isinstance(nid, str)
+               for qid, _, nid in b_s)
+    empty_s = cosine_topk_gemm(df_s, df_s.limit(0), k=3)
+    assert empty_s.schema.fields[0].dataType.simpleString() == "string"
+
+
 def test_resample_interpolate_interior_only(spark):
     """r11: linear interpolation must fill INTERIOR gaps with the
     time-weighted value between nearest observed neighbors, leave edge

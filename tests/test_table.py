@@ -2205,6 +2205,111 @@ def test_scd2_apply_chains_drops_noops_and_survives_replay(spark, catalog):
         t.scd2_apply(dup, ["k"], seq_col="seq")
 
 
+def test_scd2_apply_null_keys_and_null_attr_first_version(spark, catalog):
+    """r12 (ADVICE r11): (a) a NULL-keyed dimension's open row must CLOSE
+    when an update for key NULL arrives — the close-set join is null-safe
+    like merge and the window, so exactly one is_current row per key
+    (including the NULL key) survives; (b) with drop_unchanged, a brand-new
+    key whose attrs are all NULL keeps its FIRST version (a chain head has
+    no predecessor, so it is never a no-op)."""
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(k=None, a="n0", valid_from_seq=0, valid_to_seq=None, is_current=True),
+         Row(k=1, a="x", valid_from_seq=0, valid_to_seq=None, is_current=True)],
+        "k long, a string, valid_from_seq long, valid_to_seq long, is_current boolean")
+    t = catalog.create_table("db", "scd2null", from_spark_schema(base.schema))
+    t.append(base)
+
+    b1 = spark.createDataFrame(
+        [Row(k=None, a="n1", seq=10),   # updates the NULL key
+         Row(k=7, a=None, seq=10)],     # NEW key, all-NULL attrs
+        "k long, a string, seq long")
+    t.scd2_apply(b1, ["k"], seq_col="seq", drop_unchanged=True)
+
+    rows = sorted(((r.k, r.a, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                   for r in t.to_df().collect()),
+                  key=lambda x: (x[0] if x[0] is not None else -1, x[2]))
+    assert rows == [
+        (None, "n0", 0, 10, False),   # NULL key's open row CLOSED
+        (None, "n1", 10, None, True),
+        (1, "x", 0, None, True),
+        (7, None, 10, None, True),    # new key's all-NULL first version kept
+    ], rows
+    # exactly one open row per key, NULL key included
+    open_rows = t.to_df().filter("is_current").collect()
+    assert sorted((r.k if r.k is not None else -1) for r in open_rows) == [-1, 1, 7]
+
+    # a genuine no-op on the NULL key still drops (null-safe predecessor
+    # comparison works THROUGH the null-safe close machinery)
+    before = t.current_snapshot().snapshot_id
+    t.scd2_apply(spark.createDataFrame([Row(k=None, a="n1", seq=20)],
+                                       "k long, a string, seq long"),
+                 ["k"], seq_col="seq", drop_unchanged=True)
+    assert t.to_df().filter("is_current and k is null").collect()[0].valid_from_seq == 10
+    assert t.to_df().count() == 4
+
+
+def test_load_metadata_survives_retention_trim_race(spark, catalog):
+    """r12 (ADVICE r11, low): with delete-after-commit + small
+    previous-versions-max, a reader that listed version v can race commits
+    that trim v — load_metadata must re-list and serve the newer current
+    version, not crash with FileNotFoundError; and a version that vanishes
+    with NO newer version is a clear ValidationError."""
+    import glob
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.table.metadata import load_metadata, metadata_dir
+
+    df = spark.createDataFrame([Row(k=1)])
+    t = catalog.create_table("db", "mdrace", from_spark_schema(df.schema),
+                             properties={
+                                 "write.metadata.previous-versions-max": "1",
+                                 "write.metadata.delete-after-commit.enabled": "true",
+                             })
+    for _ in range(4):
+        t.append(df)
+    mdir = metadata_dir(t.location)
+    vs = sorted(int(os.path.basename(p)[1:-len(".metadata.json")])
+                for p in glob.glob(os.path.join(mdir, "v*.metadata.json")))
+    newest = max(vs)
+    # simulate the race: reader listed v(newest-1); retention trimmed it —
+    # keep a copy of the newest so we can also test the no-newer case
+    trimmed = os.path.join(mdir, f"v{newest - 1}.metadata.json")
+    if os.path.exists(trimmed):
+        os.unlink(trimmed)
+    import go_iceberg_spark.table.metadata as mdmod
+    orig = mdmod.current_metadata_version
+    calls = {"n": 0}
+
+    def stale_then_real(location, io=None):
+        calls["n"] += 1
+        return newest - 1 if calls["n"] == 1 else orig(location, io)
+
+    mdmod.current_metadata_version = stale_then_real
+    try:
+        md, v = load_metadata(t.location)
+        assert v == newest
+    finally:
+        mdmod.current_metadata_version = orig
+
+    # vanished WITHOUT a newer version: clear error, not FileNotFoundError
+    gone = os.path.join(mdir, f"v{newest}.metadata.json")
+    saved = gone + ".bak"
+    shutil.move(gone, saved)
+    mdmod.current_metadata_version = lambda location, io=None: newest
+    try:
+        with _pytest.raises(ValidationError, match="vanished"):
+            load_metadata(t.location)
+    finally:
+        mdmod.current_metadata_version = orig
+        shutil.move(saved, gone)
+
+
 def test_metadata_version_retention_and_log_trim(spark, catalog):
     """r11 (Iceberg write.metadata.previous-versions-max /
     delete-after-commit.enabled): without retention a long-lived table
