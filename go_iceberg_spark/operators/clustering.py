@@ -126,6 +126,43 @@ def kmeans_assign(
     a few dozen centroids; "gemm" (``_assign_clusters_gemm``) computes the
     row x centroid distance matrix with Arrow-batched numpy — the path a
     100 TB topic-clustering run with k in the hundreds needs."""
+    cents = kmeans_train(df, id_col=id_col, vec_col=vec_col, k=k,
+                         updates=iters - 1, assignment=assignment)
+    if not cents:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cluster long")
+    return _assign(df, id_col, vec_col, cents, assignment).select(id_col, "cluster")
+
+
+def _assign(df: DataFrame, id_col: str, vec_col: str,
+            cents: list[tuple[int, list[float]]], assignment: str) -> DataFrame:
+    if assignment == "gemm":
+        return _assign_clusters_gemm(df, id_col, vec_col, cents)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_argmin_cluster_sql(cents, vec_col)).alias("cluster"),
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    updates: int = 1,
+    assignment: str = "literal",
+) -> list[tuple[int, list[float]]]:
+    """Run Lloyd's algorithm for ``updates`` centroid-update rounds and
+    return the FINAL centroid list ``[(cid, vector)]`` — the trainer behind
+    ``kmeans_assign``, exposed (r12, VERDICT r11 task #4) so other indexes
+    (Lloyd-trained IVF lists in ``similarity.ivf_topk``) can reuse the
+    bit-reproducible training loop. Seeds are the ``k`` rows whose md5(id)
+    sorts lowest, cid = seed rank 0..k-1; each update aggregates fixed-point
+    longs over a (k x dim) key space (bounded at any corpus size) and a
+    cluster that loses all members is dropped — identical semantics to the
+    DuckDB oracle's CTE chain, so downstream literal assignments stay
+    hash-matchable. ``updates=0`` returns the raw seeds."""
     seeds = (
         df.orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
         .limit(k)
@@ -133,20 +170,10 @@ def kmeans_assign(
         .collect()
     )
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    if not cents:
-        return df.sparkSession.createDataFrame([], f"{id_col} long, cluster long")
-
-    for it in range(iters):
-        if assignment == "gemm":
-            assigned = _assign_clusters_gemm(df, id_col, vec_col, cents)
-        else:
-            assigned = df.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.expr(_argmin_cluster_sql(cents, vec_col)).alias("cluster"),
-            )
-        if it == iters - 1:
-            return assigned.select(id_col, "cluster")
+    for _ in range(updates):
+        if not cents:
+            break
+        assigned = _assign(df, id_col, vec_col, cents, assignment)
         # deterministic update: fixed-point sums per (cluster, dim) — the
         # key space is k x dim, independent of corpus size
         rows = (
@@ -164,4 +191,4 @@ def kmeans_assign(
         cents = [
             (cid, [dims[i] for i in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
-    raise AssertionError("unreachable")  # pragma: no cover
+    return cents

@@ -523,8 +523,8 @@ def keep_best_quality(
     best-quality representative of each duplicate cluster, not an
     arbitrary one.
 
-    Scale shape: components come from bounded-iteration min-label
-    propagation (``connected_components``); the winner election is one
+    Scale shape: components come from O(log n)-round star contraction
+    (``connected_components``); the winner election is one
     row_number window partitioned by component (clusters are small by
     construction); the keep-list lands as a single anti-join of the drop
     set. Scores are ranked at 6-decimal precision so the election is
@@ -578,38 +578,88 @@ def pagerank(pairs: DataFrame, *, iterations: int = 3, damping: float = 0.85) ->
     return pr.select(F.col("src").alias("id"), "pr")
 
 
-def connected_components(pairs: DataFrame, *, max_iterations: int = 15) -> DataFrame:
-    """Connected components over a near-dup pair graph by min-label
-    propagation: every node ends labeled with the smallest id reachable from
-    it. Returns (id, component).
+# iterations the most recent connected_components call needed to converge —
+# observability for the O(log n) claim (tests and the scaling audit read it;
+# a plain int module global, set per call, never read by the algorithm)
+LAST_CC_ITERATIONS = 0
 
-    Each iteration is one shuffle (groupBy on node id) propagating labels
-    across edges both directions; iterations needed = graph diameter in
-    min-label steps (near-dup clusters are shallow stars — converges in 2-3).
-    The driver-side loop only checks a per-iteration convergence count;
-    labels stay distributed. Spark-first shape of the union-find the
-    reference never had."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    both = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # materialize once: every propagation step references the edge list, and
-    # an unmaterialized plan re-runs the upstream pair pipeline per iteration
-    both = both.localCheckpoint(eager=True)
-    labels = both.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
-    for _ in range(max_iterations):
-        neighbor_min = (
-            both.join(labels, both.dst == labels.id)
-            .groupBy("src").agg(F.min("component").alias("_nbr"))
-            .withColumnRenamed("src", "id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))).alias("component"))
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component")).count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth per iteration
-        if changed == 0:
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): every node u attaches its STRICTLY LARGER neighbors to
+    m(u) = min(N(u) + {u}). One groupBy + one co-partitioned join on u."""
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = both.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("src"))
+    return (both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint, then
+    each node k re-attaches its smaller neighbors (and itself) to the
+    smallest of them. One groupBy + one co-partitioned join on k."""
+    g = edges.select(F.greatest("src", "dst").alias("_k"),
+                     F.least("src", "dst").alias("_w"))
+    mins = g.groupBy("_k").agg(F.min("_w").alias("_mn"))
+    reattach = (g.join(mins, "_k")
+                .filter(F.col("_w") != F.col("_mn"))
+                .select(F.col("_w").alias("src"), F.col("_mn").alias("dst")))
+    selfedge = mins.select(F.col("_k").alias("src"), F.col("_mn").alias("dst"))
+    return reattach.unionByName(selfedge)
+
+
+def connected_components(pairs: DataFrame, *, max_iterations: int = 15) -> DataFrame:
+    """Connected components over a near-dup pair graph by ALTERNATING
+    large-star / small-star contraction (Kiveris et al., MapReduce CC):
+    every node ends labeled with the smallest id reachable from it.
+    Returns (id, component).
+
+    r12 (VERDICT r11 task #3): replaces min-label propagation, whose round
+    count is the graph DIAMETER — a 50-hop chain blew the 15-iteration cap
+    and the cap failed SILENTLY (stale labels). Star contraction converges
+    in O(log n) rounds regardless of diameter (a 50-hop chain lands in ~6,
+    a 10k-degree hub in 2), each round is two groupBy+co-partitioned-join
+    pairs on the CURRENT edge set (which only shrinks toward one star per
+    component), and hitting the cap without a fixpoint now RAISES instead
+    of returning wrong labels. The fixpoint is exactly one star per
+    component rooted at its minimum id, so labels fall out of the final
+    edge list with no extra pass. Labels and edges stay distributed; the
+    driver sees only per-round convergence counts."""
+    from ..errors import ValidationError
+
+    global LAST_CC_ITERATIONS
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    # materialize once: every contraction references the edge list, and an
+    # unmaterialized plan re-runs the upstream pair pipeline per iteration
+    edges = edges.distinct().localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    if edges.isEmpty():
+        LAST_CC_ITERATIONS = 0
+        return nodes.withColumn("component", F.col("id"))
+    converged = False
+    for it in range(1, max_iterations + 1):
+        new_edges = (_small_star(_large_star(edges))
+                     .distinct().localCheckpoint(eager=True))
+        # fixpoint test on deduped sets: same size and nothing left behind
+        if (new_edges.count() == edges.count()
+                and new_edges.subtract(edges).isEmpty()):
+            edges = new_edges
+            LAST_CC_ITERATIONS = it
+            converged = True
             break
-    return labels
+        edges = new_edges
+    if not converged:
+        raise ValidationError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (star contraction needs "
+            "O(log n) rounds, so this graph is far larger than the cap "
+            "assumed)")
+    # fixpoint edges are (node -> component root) stars; roots label themselves
+    return (nodes.join(edges.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.coalesce(F.col("dst"), F.col("id")).alias("component")))

