@@ -218,25 +218,142 @@ def attach_synthetic_images(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).mapInPandas(process, out_schema)
 
 
-def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes"):
-    """PIXEL decode — requires PIL/opencv, absent in this container. Header
-    metadata (format/width/height) needs no codec: use
-    ``decode_image_metadata``; deterministic fake features: ``extract_features``."""
-    raise NotImplementedError(
-        "image pixel codecs unavailable in this environment; "
-        "decode_image_metadata() extracts real header metadata and "
-        "extract_features() provides the deterministic stub pipeline"
-    )
+def synth_bmp_bytes(width: int, height: int, seed: int) -> bytes:
+    """Fixture builder (r12): a REAL uncompressed 24-bit BMP —
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, bottom-up rows padded to 4
+    bytes — whose pixel (x, y) is the closed form
+    R=(7x+13y+seed)%256, G=(3x+5y+seed)%256, B=(x+y+seed)%256, so any
+    engine can recompute every byte arithmetically (the DuckDB oracle for
+    ``multimodal_bmp_resize_checksum`` does exactly that)."""
+    import struct as _s
+
+    row_pad = (-(width * 3)) % 4
+    pix = bytearray()
+    for y in range(height - 1, -1, -1):  # file rows are bottom-up
+        for x in range(width):
+            r = (7 * x + 13 * y + seed) % 256
+            g = (3 * x + 5 * y + seed) % 256
+            b = (x + y + seed) % 256
+            pix += bytes((b, g, r))  # BGR on the wire
+        pix += b"\x00" * row_pad
+    fh = b"BM" + _s.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+    ih = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                 2835, 2835, 0, 0)
+    return bytes(fh + ih + pix)
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit bottom-up/top-down BMP to
+    (width, height, RGB24 row-major top-down bytes) with stdlib ``struct``
+    alone — the one mainstream raster format that needs NO codec library.
+    Raises ValueError for anything else (compressed, paletted, non-BMP)."""
+    import struct as _s
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = _s.unpack("<I", b[10:14])
+    hdr_size, w, h_signed = _s.unpack("<Iii", b[14:26])
+    planes, bpp, compression = _s.unpack("<HHI", b[26:34])
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMPs decode codec-free "
+            f"(got bpp={bpp}, compression={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if len(b) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    out = bytearray(w * h * 3)
+    for yo in range(h):
+        src_row = yo if top_down else (h - 1 - yo)
+        base = data_off + src_row * stride
+        row = b[base:base + w * 3]
+        o = yo * w * 3
+        # BGR -> RGB
+        out[o + 0:o + w * 3:3] = row[2::3]
+        out[o + 1:o + w * 3:3] = row[1::3]
+        out[o + 2:o + w * 3:3] = row[0::3]
+    return w, h, bytes(out)
+
+
+def attach_synthetic_bmps(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture: one real uncompressed 24-bit BMP per row, dimensions and
+    pixel seed derived from the id (w = 4 + id%13, h = 4 + id%11,
+    seed = id%97) — generated executor-side inside mapInPandas."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("media_bytes", T.BinaryType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_bmp_bytes(4 + int(d) % 13, 4 + int(d) % 11,
+                                        int(d) % 97) for d in pdf[id_col]]
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "media_bytes": payloads})
+
+    return df.select(id_col).mapInPandas(process, out_schema)
+
+
+def decode_image(df: DataFrame, id_col: str, bytes_col: str = "media_bytes",
+                 *, skip_unsupported: bool = False) -> DataFrame:
+    """PIXEL decode (r12, VERDICT r11 task #7): uncompressed 24-bit BMP
+    decodes for REAL with stdlib ``struct`` (``decode_bmp_pixels`` — BGR
+    flip, bottom-up flip, stride un-padding); PNG/JPEG/GIF still need
+    codec libraries absent in this container, so those payloads RAISE
+    NotImplementedError (or are dropped under ``skip_unsupported=True`` —
+    the posture of a 100 TB crawl job that routes undecodable formats to a
+    quarantine sink). Returns (id, width, height, pixels) with pixels as
+    RGB24 row-major top-down bytes. Header-only metadata needs no pixels:
+    ``decode_image_metadata``."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(payload)
+                try:
+                    w, h, rgb = decode_bmp_pixels(b)
+                except ValueError:
+                    fmt = parse_image_header(b)[0]
+                    if skip_unsupported:
+                        continue
+                    raise NotImplementedError(
+                        f"pixel decode for format {fmt!r} requires a codec "
+                        "library unavailable in this environment; only "
+                        "uncompressed 24-bit BMP decodes codec-free — pass "
+                        "skip_unsupported=True to drop such rows")
+                ids.append(int(rid))
+                ws.append(w)
+                hs.append(h)
+                px.append(rgb)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32"),
+                                "pixels": px})
+
+    return (df.select(id_col, bytes_col)
+            .filter(F.col(bytes_col).isNotNull())
+            .mapInPandas(process, out_schema))
 
 
 def resize_images(
     df: DataFrame, id_col: str, bytes_col: str = "media_bytes", *, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Image resize over mapInPandas. The pixel resample is a deterministic
-    stub (codecs absent here): output payload is a truncated/cycled byte
-    buffer of exactly width*height*3 bytes, so downstream batch shapes,
-    memory budgeting, and schema are production-real. Swap `_stub_resize`
-    for a PIL/cv2 call where codecs exist."""
+    """Image resize over mapInPandas. Uncompressed 24-bit BMP payloads get a
+    REAL nearest-neighbor resample (r12: decode via ``decode_bmp_pixels``,
+    source index sx = xo*src_w//out_w — pure integer arithmetic, pinned
+    byte-for-byte by the ``multimodal_bmp_resize_checksum`` oracle); other
+    formats fall back to the deterministic byte-cycle stub (codecs absent
+    here), keeping batch shapes, memory budgeting, and schema
+    production-real. Swap the stub for a PIL/cv2 call where codecs exist.
+    Output payload is RGB24 row-major, exactly width*height*3 bytes."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -253,12 +370,27 @@ def resize_images(
         reps = target // len(payload) + 1
         return (payload * reps)[:target]
 
+    def _resize(payload: bytes) -> bytes:
+        try:
+            sw, sh, rgb = decode_bmp_pixels(payload)
+        except ValueError:
+            return _stub_resize(payload)
+        out = bytearray(target)
+        for yo in range(height):
+            sy = yo * sh // height
+            for xo in range(width):
+                sx = xo * sw // width
+                s = (sy * sw + sx) * 3
+                o = (yo * width + xo) * 3
+                out[o:o + 3] = rgb[s:s + 3]
+        return bytes(out)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
-                    "media_bytes": pdf[bytes_col].map(lambda b: _stub_resize(bytes(b))),
+                    "media_bytes": pdf[bytes_col].map(lambda b: _resize(bytes(b))),
                     "width": width,
                     "height": height,
                 }

@@ -121,6 +121,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self.skip_non_append = str(options.get("skip-non-append", "false")).lower() == "true"
         start = options.get("start-snapshot-id")
         self.start_snapshot_id = int(start) if start is not None else None
+        # r12 (VERDICT r11 task #8): maxFilesPerTrigger-style backpressure.
+        # Offsets carry (snapshot_id, file_cursor): cursor K means "the
+        # first K ADDED files of that snapshot are delivered", None means
+        # the snapshot is complete — so one compaction-sized snapshot
+        # splits across triggers instead of becoming one giant batch.
+        mft = options.get("max-files-per-trigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValidationError("max-files-per-trigger must be >= 1")
+        # last frontier this reader planned or committed; None until the
+        # first initialOffset/latestOffset/partitions call observes one
+        # (see latestOffset for the fresh-vs-restart derivation).
+        self._progress: dict | None = None
         # Pin the stream's schema ONCE at reader construction: Spark fixed the
         # declared schema via DataSource.schema() at start, so every batch for
         # the stream's lifetime must align to it. Re-resolving current_schema
@@ -135,75 +148,125 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"snapshot_id": self.start_snapshot_id}
+        self._progress = {"snapshot_id": self.start_snapshot_id, "file_cursor": None}
+        return dict(self._progress)
 
     def latestOffset(self) -> dict:
-        # NOTE: no per-batch snapshot cap here on purpose: under the
+        # Without a cap: no per-batch limit on purpose — under the
         # availableNow trigger Spark captures this offset ONCE and drains
         # exactly to it, so a rate-limited latestOffset would silently
-        # truncate the drain instead of splitting it into batches.
+        # truncate the drain instead of splitting it into batches. WITH
+        # max-files-per-trigger the split IS the point: each trigger
+        # advances the frontier by at most that many files (run repeated
+        # triggers — processingTime or successive availableNow runs — to
+        # drain a backlog).
         md, _ = load_metadata(self.location)
         cur = md.current_snapshot()
         if cur is None:
-            return {"snapshot_id": self.start_snapshot_id}
-        return {"snapshot_id": cur.snapshot_id}
+            return {"snapshot_id": self.start_snapshot_id, "file_cursor": None}
+        full = {"snapshot_id": cur.snapshot_id, "file_cursor": None}
+        if self.max_files is None:
+            self._progress = full
+            return dict(full)
+        # frontier: on a fresh query the first latestOffset precedes
+        # initialOffset (probed empirically), so fall back to the stream's
+        # configured start; on a checkpoint RESTART Spark replays
+        # partitions(start, end) of the last batch before asking for a new
+        # offset, and partitions() records that end here — the fallback is
+        # never a stale start-of-stream on restart.
+        base = self._progress or {"snapshot_id": self.start_snapshot_id,
+                                  "file_cursor": None}
+        base_id = base.get("snapshot_id")
+        base_cur = base.get("file_cursor")
+        by_id = {s.snapshot_id: s for s in md.snapshots}
+        memo: dict[int, set[str]] = {}
+        budget = self.max_files
+        last_complete = {"snapshot_id": base_id, "file_cursor": None}
+        if base_cur is not None:
+            base_snap = by_id.get(base_id)
+            if base_snap is None:
+                raise ValidationError(
+                    f"stream offset snapshot {base_id} has been expired from "
+                    "the table's history; restart the stream with a fresh "
+                    "checkpoint")
+            added = self._added_entries(md, by_id, base_snap, memo)
+            remaining = len(added) - base_cur
+            if remaining > budget:
+                end = {"snapshot_id": base_id, "file_cursor": base_cur + budget}
+                self._progress = end
+                return dict(end)
+            budget -= remaining
+        for snap in _lineage(md, base_id, cur.snapshot_id):
+            added = self._added_entries(md, by_id, snap, memo)
+            if len(added) > budget:
+                end = ({"snapshot_id": snap.snapshot_id, "file_cursor": budget}
+                       if budget > 0 else last_complete)
+                self._progress = end
+                return dict(end)
+            budget -= len(added)
+            last_complete = {"snapshot_id": snap.snapshot_id, "file_cursor": None}
+        self._progress = full
+        return dict(full)
 
-    def commit(self, end: dict) -> None:  # checkpoint-managed; nothing to clean
-        pass
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        self._progress = {"snapshot_id": end.get("snapshot_id"),
+                          "file_cursor": end.get("file_cursor")}
 
     # -- planning ---------------------------------------------------------
+    def _added_entries(self, md: TableMetadata, by_id: dict[int, Snapshot],
+                       snap: Snapshot, memo: dict[int, set[str]]) -> list[DataFileEntry]:
+        """The ordered data-file entries snapshot ``snap`` ADDS over its
+        parent (manifest order — the deterministic order file_cursor
+        offsets index into). Non-row-bearing replaces and (under the skip
+        option) non-append snapshots contribute []."""
+        if (snap.operation == OP_REPLACE
+                and snap.summary.get("rows-preserved") == "true"):
+            # compaction / manifest rewrite mid-stream: file-level
+            # reorganization, no new rows — skip instead of killing the
+            # stream (UPDATE's replace lacks the marker and still
+            # raises; see incremental.py for the full rationale)
+            return []
+        if snap.operation != OP_APPEND:
+            if self.skip_non_append:
+                return []
+            raise ValidationError(
+                f"snapshot {snap.snapshot_id} is {snap.operation!r}; an append-only "
+                "stream cannot represent it — set .option('skip-non-append', 'true') "
+                "to skip, or consume table.changes() for row-level CDC")
+        if snap.parent_snapshot_id is not None:
+            parent = by_id.get(snap.parent_snapshot_id)
+            if parent is None:
+                # An expired parent means we cannot diff this snapshot
+                # against its predecessor; treating it as table-start would
+                # replay the snapshot's FULL cumulative live set as "added"
+                # files, breaking the committed-only/exactly-once contract.
+                # Mirror incremental._entry_diff / snapshot_by_id.
+                raise ValidationError(
+                    f"parent snapshot {snap.parent_snapshot_id} of "
+                    f"{snap.snapshot_id} is no longer retained; cannot compute "
+                    "an incremental diff — restart the stream from a retained "
+                    "snapshot (start-snapshot-id) or from latest")
+        else:
+            parent = None
+        if parent is not None and parent.snapshot_id not in memo:
+            memo[parent.snapshot_id] = {
+                e.file_path for e in _manifest_entries(self.location, parent)}
+        before = memo[parent.snapshot_id] if parent is not None else set()
+        return [e for e in _manifest_entries(self.location, snap)
+                if e.content == CONTENT_DATA and e.file_path not in before]
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         md, _ = load_metadata(self.location)
-        chain = _lineage(md, start.get("snapshot_id"), end.get("snapshot_id"))
+        s_id, s_cur = start.get("snapshot_id"), start.get("file_cursor")
+        e_id, e_cur = end.get("snapshot_id"), end.get("file_cursor")
         cur_schema = self._pinned_schema
         target = self._pinned_target
-
-        prev_paths: dict[int, set[str]] = {}
-
-        def live_paths(snap: Snapshot | None) -> set[str]:
-            if snap is None:
-                return set()
-            if snap.snapshot_id not in prev_paths:
-                prev_paths[snap.snapshot_id] = {
-                    e.file_path for e in _manifest_entries(self.location, snap)}
-            return prev_paths[snap.snapshot_id]
-
         by_id = {s.snapshot_id: s for s in md.snapshots}
+        memo: dict[int, set[str]] = {}
         parts: list[InputPartition] = []
-        for snap in chain:
-            if (snap.operation == OP_REPLACE
-                    and snap.summary.get("rows-preserved") == "true"):
-                # compaction / manifest rewrite mid-stream: file-level
-                # reorganization, no new rows — skip instead of killing the
-                # stream (UPDATE's replace lacks the marker and still
-                # raises; see incremental.py for the full rationale)
-                continue
-            if snap.operation != OP_APPEND:
-                if self.skip_non_append:
-                    continue
-                raise ValidationError(
-                    f"snapshot {snap.snapshot_id} is {snap.operation!r}; an append-only "
-                    "stream cannot represent it — set .option('skip-non-append', 'true') "
-                    "to skip, or consume table.changes() for row-level CDC")
-            if snap.parent_snapshot_id is not None:
-                parent = by_id.get(snap.parent_snapshot_id)
-                if parent is None:
-                    # An expired parent means we cannot diff this snapshot
-                    # against its predecessor; treating it as table-start would
-                    # replay the snapshot's FULL cumulative live set as "added"
-                    # files, breaking the committed-only/exactly-once contract.
-                    # Mirror incremental._entry_diff / snapshot_by_id.
-                    raise ValidationError(
-                        f"parent snapshot {snap.parent_snapshot_id} of "
-                        f"{snap.snapshot_id} is no longer retained; cannot compute "
-                        "an incremental diff — restart the stream from a retained "
-                        "snapshot (start-snapshot-id) or from latest")
-            else:
-                parent = None
-            before = live_paths(parent)
-            for e in _manifest_entries(self.location, snap):
-                if e.content != CONTENT_DATA or e.file_path in before:
-                    continue
+
+        def emit(entries: list[DataFileEntry]) -> None:
+            for e in entries:
                 file_schema = _schema_by_id(md, e.schema_id) or cur_schema
                 src_cols: list[str | None] = []
                 for f in cur_schema.fields:
@@ -211,6 +274,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     src_cols.append(old.name if old is not None else None)
                 parts.append(_FilePartition(
                     os.path.join(self.location, e.file_path), src_cols, target))
+
+        if s_cur is not None:
+            # the start snapshot was split by the cap: deliver its tail
+            s_snap = by_id.get(s_id)
+            if s_snap is None:
+                raise ValidationError(
+                    f"stream offset snapshot {s_id} has been expired from the "
+                    "table's history; cannot compute an incremental diff — "
+                    "restart the stream with a fresh checkpoint")
+            added = self._added_entries(md, by_id, s_snap, memo)
+            hi = e_cur if (e_id == s_id and e_cur is not None) else len(added)
+            emit(added[s_cur:hi])
+        for snap in _lineage(md, s_id, e_id):
+            added = self._added_entries(md, by_id, snap, memo)
+            if snap.snapshot_id == e_id and e_cur is not None:
+                added = added[:e_cur]
+            emit(added)
+        # remember the frontier so a capped latestOffset resumes from here
+        # (covers WAL replay right after a restart, when commit() has not
+        # run yet in this reader instance)
+        self._progress = {"snapshot_id": e_id, "file_cursor": e_cur}
         return parts
 
     # -- execution (runs on executors) ------------------------------------
