@@ -48,6 +48,12 @@ LSH_ROWS = MINHASH_K // LSH_BANDS  # 4 rows per band
 # join contribution to cap^2. Mirrored verbatim in the DuckDB oracle.
 JACCARD_MAX_SHINGLE_DF = 128
 
+# Candidate pairs at or below this count get an EXPLICIT broadcast into the
+# verification join (2 exploded rows x ~30 B per pair: 1M pairs ~ 60 MB on
+# each executor); above it the join degrades to a partitioned shuffle join
+# — correct for adversarial corpora, one signature-table exchange.
+MINHASH_BROADCAST_CAND_MAX = 1_000_000
+
 SIMHASH_BITS = 60  # fits in the 15-hex-digit md5 prefix
 SIMHASH_BAND_BITS = 15
 SIMHASH_NUM_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
@@ -236,6 +242,21 @@ def _minhash_signature_table(df: DataFrame, id_col: str, text_col: str, n: int, 
     )
 
 
+def _minhash_slim_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
+    """Per-doc signature rows (_id, mh_0..mh_{k-1}) WITHOUT the shingle-hash
+    set payload — the banding path needs only the k minhash values, and at
+    corpus scale a collect_set per doc dominates the signature stage's CPU
+    and makes the materialized table ~4x larger (measured at sf3: 106 MB
+    checkpointed with _hs vs ~25 MB without). Verification recomputes
+    shingle sets for CANDIDATE members only (see minhash_lsh_pairs)."""
+    sh = _shingle_table(df, id_col, text_col, n, mode)
+    hp = F.col("_h") % MINHASH_PRIME
+    return sh.groupBy("_id").agg(*[
+        F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ])
+
+
 def _band_rows(sig: DataFrame, payload: tuple[str, ...] = ()) -> DataFrame:
     """Explode a signature table to (_id, *payload, _band, _bh) — one
     explode over an array of band structs, so the signature subtree appears
@@ -293,21 +314,28 @@ def minhash_lsh_pairs(
     mode: str = "word",
     threshold: float = 0.6,
     materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: ids sharing any band of the
     signature become candidates; candidates are verified with exact Jaccard.
 
-    Scale shape (r4, payload-free band join): the expensive shingle+minhash
-    subtree evaluates once into a PERSISTED signature table; candidate
-    generation is a band-keyed self-join over (_band, _bh, _id) ONLY — the
-    band shuffle carries 3 small columns, never the shingle-hash sets (the
-    r3 shape shuffled every doc's full shingle set x4 bands x2 sides, which
-    inverted at sf1: ~8x the shingle data moved per run when candidates are
-    sparse). The deduped id pairs then join BACK to the persisted signature
-    table twice for _hs/_sz, so verification payload volume is proportional
-    to CANDIDATES, not corpus; AQE broadcasts the pair side when it is
-    small, leaving the signature table unshuffled. Hot band buckets are
-    still skew-splittable by AQE in the id-only join.
+    Scale shape (r4 payload-free band join; r12 candidate-proportional
+    verification): the shingle+minhash subtree evaluates once into a
+    checkpointed SLIM signature table (_id + k minhash values, no per-doc
+    shingle-set payload); candidate generation is a band-keyed self-join
+    over (_band, _bh, _id) ONLY — the band shuffle carries 3 small columns,
+    never shingle-hash sets (the r3 shape shuffled every doc's full shingle
+    set x4 bands x2 sides, which inverted at sf1: ~8x the shingle data moved
+    per run when candidates are sparse). Verification recomputes shingle
+    sets for CANDIDATE MEMBERS only (broadcast semi-join on the input while
+    the checkpointed candidate count is <= MINHASH_BROADCAST_CAND_MAX, then
+    the same shingle pass), explodes each pair to two (pair, member, side)
+    rows, joins that candidate-scale set table once, and reassembles both
+    shingle sets with a pair-keyed groupBy — every post-banding exchange is
+    proportional to CANDIDATES, not corpus. Past the cap the semi-join and
+    set join degrade to partitioned shuffles (still candidate-bounded
+    payloads). Hot band buckets remain skew-splittable by AQE in the
+    id-only join.
 
     ``materialize=True`` (default) computes the result eagerly
     (localCheckpoint — executor-local blocks, freed by GC, no CacheManager
@@ -315,9 +343,37 @@ def minhash_lsh_pairs(
     long-lived sessions running many queries do not accumulate corpus-sized
     shingle caches. Pass ``materialize=False`` to get the lazy plan (for
     plan audits / composition); the caller then owns cleanup via
-    ``spark.catalog.clearCache()``."""
-    sig = _minhash_signature_table(df, id_col, text_col, n, mode).persist()
+    ``spark.catalog.clearCache()``.
+
+    ``max_bucket`` (r12): drop band buckets holding more than this many
+    docs before the self-join. A bucket of size c emits c(c-1)/2 candidate
+    pairs, so one boilerplate/templated cluster of 10k docs costs 50M
+    candidate rows — measured live in the r12 scaling audit, where
+    copy-count-sized clusters shuffled 7.5 GB and OOM'd a 24 GB heap at
+    sf10. Dropping a giant bucket is a bounded approximation: any pair it
+    held still becomes a candidate through any OTHER band the two docs
+    share, and clusters that big are better served by exact dedup or
+    cluster-level policies than by materializing their quadratic pair
+    list. Default None keeps exact graded behavior."""
+    sig = _minhash_slim_signatures(df, id_col, text_col, n, mode)
+    if materialize:
+        # Eager checkpoint, not persist: the signature table is referenced
+        # from both sides of the band self-join, and under AQE those
+        # exchange subtrees materialize CONCURRENTLY from the coordinator's
+        # thread pool — a lazily-populated cache races itself, and the r12
+        # scaling audit measured the subtree recomputed from parquet twice
+        # (two extra full-corpus scans + duplicate exchanges per run).
+        # Checkpointing materializes it exactly once; executor-local blocks,
+        # freed by GC, no CacheManager entry.
+        sig = sig.localCheckpoint(eager=True)
+    else:
+        sig = sig.persist()
     bands = _band_rows(sig)
+    if max_bucket is not None:
+        bucket_sizes = bands.groupBy("_band", "_bh").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        bands = (bands.join(bucket_sizes, ["_band", "_bh"])
+                 .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = bands.select(F.col("_id").alias("id_a"), "_band", "_bh")
     b = bands.select(F.col("_id").alias("id_b"), "_band", "_bh")
     cand = (
@@ -326,15 +382,59 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    siga = sig.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa"),
-                      F.col("_sz").alias("_sza"))
-    sigb = sig.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb"),
-                      F.col("_sz").alias("_szb"))
-    pairs = cand.join(siga, "id_a").join(sigb, "id_b")
+    # Verification payload ∝ CANDIDATES by construction (r12): explode each
+    # pair to two (pair, member, side) rows, join the candidate-members-only
+    # shingle-set table ONCE, then reassemble both shingle sets with a
+    # pair-keyed groupBy whose exchange carries candidate-proportional rows.
+    # The previous shape — two id-keyed joins against a signature table that
+    # carried every doc's collect_set(_h), relying on AQE to broadcast the
+    # pair side — planned as sort-merge once the signature table passed the
+    # broadcast threshold, and because AQE submits sibling exchanges
+    # concurrently, the corpus-sized _hs payload was shuffled TWICE before
+    # the runtime broadcast decision could apply (measured in SCALING_r12:
+    # 3x the corpus exchange at sf3/sf10, a 2.0 step exponent).
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+        n_cand = cand.count()
+    else:
+        # the pair set is referenced twice below (member semi-join + pair
+        # explode) — cache it in the lazy path too so neither the plan nor
+        # a lazy execution duplicates the band self-join subtree
+        cand = cand.persist()
+    small = materialize and n_cand <= MINHASH_BROADCAST_CAND_MAX
+    # Shingle sets are recomputed for CANDIDATE MEMBERS ONLY (a broadcast
+    # semi-join on the input, then the same shingle pass): one extra scan of
+    # the input restricted to matched docs, instead of a collect_set over
+    # the whole corpus whose output is a corpus-sized state table. Requires
+    # ``df`` to be deterministic under recomputation (parquet/table scans
+    # are; a lineage with non-deterministic columns is not).
+    mem = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    if small:
+        mem = F.broadcast(mem)
+    csets = _shingle_table(
+        df.join(mem, id_col, "leftsemi"), id_col, text_col, n, mode
+    ).groupBy("_id").agg(F.collect_set("_h").alias("_hs"))
+    cexp = cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("_jid"), F.lit("a").alias("_side")),
+            F.struct(F.col("id_b").alias("_jid"), F.lit("b").alias("_side")),
+        )).alias("_e"),
+    ).select("id_a", "id_b", F.col("_e._jid").alias("_jid"),
+             F.col("_e._side").alias("_side"))
+    if small:
+        # candidate count is KNOWN (checkpointed) — broadcast explicitly so
+        # the candidate-set table is never exchanged, instead of hoping
+        # AQE's runtime flip lands before the sibling exchanges run
+        cexp = F.broadcast(cexp)
+    j = cexp.join(csets.select(F.col("_id").alias("_jid"), "_hs"), "_jid")
+    pairs = j.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("_side") == "a", F.col("_hs")), ignorenulls=True).alias("_hsa"),
+        F.first(F.when(F.col("_side") == "b", F.col("_hs")), ignorenulls=True).alias("_hsb"),
+    ).withColumn("_sza", F.size("_hsa")).withColumn("_szb", F.size("_hsb"))
     out = _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
     if materialize:
         out = out.localCheckpoint(eager=True)
-        sig.unpersist()
     return out
 
 
@@ -413,6 +513,89 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         fp_expr = term if fp_expr is None else fp_expr + term
     return agg.select(F.col("_id").alias(id_col), fp_expr.alias("simhash"))
+
+
+def simhash_wide(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """120-bit SimHash as TWO 60-bit words (r12): word votes come from md5
+    hex digits 1-15 (``portable_hash60``) and 16-30 of the same token md5 —
+    still one md5 per token occurrence, still reproducible in DuckDB.
+    Returns (id, simhash_hi, simhash_lo). One groupBy(id) shuffle, 121
+    longs wide (120 ones-counts + token count) regardless of doc length.
+
+    Why 120 bits exist at all: banding a 60-bit fingerprint gives 15-bit
+    band keys — 32,768 buckets per band — so once the corpus outgrows the
+    keyspace, RANDOM band collisions produce ~n²·4·2⁻¹⁵ candidate pairs
+    (measured in SCALING_r12: sf3→sf10 candidates grew quadratically and
+    the fixed-key banding became the audit's one super-linear query).
+    30-bit bands push the random-collision constant down by 2¹⁵ (~1e-9 per
+    pair), keeping candidates linear to corpora ~2¹⁵x larger."""
+    hlo = F.conv(F.substring(F.md5(F.col("_tok")), 16, 15), 16, 10).cast("long")
+    toks = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("_tok"),
+    ).select("_id", portable_hash60(F.col("_tok")).alias("_h"), hlo.alias("_h2"))
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_s{i}")
+        for i in range(SIMHASH_BITS)
+    ] + [
+        F.sum(F.shiftright(F.col("_h2"), i).bitwiseAND(F.lit(1))).alias(f"_t{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
+
+    def word(prefix: str) -> F.Column:
+        expr = None
+        for i in range(SIMHASH_BITS):
+            term = F.when(
+                F.lit(2) * F.col(f"{prefix}{i}") > F.col("_n"), F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            expr = term if expr is None else expr + term
+        return expr
+
+    return agg.select(F.col("_id").alias(id_col),
+                      word("_s").alias("simhash_hi"), word("_t").alias("simhash_lo"))
+
+
+def simhash_wide_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming over the 120-bit
+    wide fingerprint — the saturation-proof scale path (see
+    ``simhash_wide``). Candidates share one of four 30-bit bands (two per
+    word; pigeonhole holds: <= 3 differing bits over 4 disjoint bands leave
+    one band identical); verification is the exact two-word bit_count. Same
+    persisted-fingerprint band self-join shape as ``simhash_pairs``."""
+    fp = simhash_wide(df, id_col, text_col).persist()
+    half = SIMHASH_BITS // 2  # 30-bit band keys
+    mask = (1 << half) - 1
+    band_structs = F.array(
+        F.struct(F.lit(0).alias("_band"), F.col("simhash_hi").bitwiseAND(F.lit(mask)).alias("_bh")),
+        F.struct(F.lit(1).alias("_band"), F.shiftright(F.col("simhash_hi"), half).bitwiseAND(F.lit(mask)).alias("_bh")),
+        F.struct(F.lit(2).alias("_band"), F.col("simhash_lo").bitwiseAND(F.lit(mask)).alias("_bh")),
+        F.struct(F.lit(3).alias("_band"), F.shiftright(F.col("simhash_lo"), half).bitwiseAND(F.lit(mask)).alias("_bh")),
+    )
+    bandrows = fp.select(
+        F.col(id_col).alias("_id"), F.col("simhash_hi").alias("_fh"),
+        F.col("simhash_lo").alias("_fl"), F.explode(band_structs).alias("_b"),
+    ).select("_id", "_fh", "_fl", F.col("_b._band").alias("_band"), F.col("_b._bh").alias("_bh"))
+    a = bandrows.select(F.col("_id").alias("id_a"), F.col("_fh").alias("_fha"),
+                        F.col("_fl").alias("_fla"), "_band", "_bh")
+    b = bandrows.select(F.col("_id").alias("id_b"), F.col("_fh").alias("_fhb"),
+                        F.col("_fl").alias("_flb"), "_band", "_bh")
+    out = (
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("_fha").bitwiseXOR(F.col("_fhb")))
+                    + F.bit_count(F.col("_fla").bitwiseXOR(F.col("_flb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        fp.unpersist()
+    return out
 
 
 def simhash_pairs(

@@ -1443,6 +1443,9 @@ PLAN_VARIANTS = {
     "dedup_simhash": lambda spark, sf: D.simhash_pairs(
         _corpus(spark, sf), "doc_id", "text", max_hamming=3, materialize=False
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")),
+    "dedup_simhash_wide": lambda spark, sf: D.simhash_wide_pairs(
+        _corpus(spark, sf), "doc_id", "text", max_hamming=3, materialize=False
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")),
     # r10: the default MMR path localCheckpoints each greedy round (the
     # lazy tree doubles per round — ~1300 exchanges); audits see the lazy
     # unrolled plan
@@ -1971,6 +1974,58 @@ def _simhash_oracle_sql() -> str:
 @query("dedup_simhash", _simhash_oracle_sql(), bench=True)
 def simhash_q(spark, sf):
     out = D.simhash_pairs(_corpus(spark, sf), "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_wide_oracle_sql() -> str:
+    B = D.SIMHASH_BITS
+    half = B // 2
+    mask = (1 << half) - 1
+    bands = "\n      UNION ALL ".join([
+        f"SELECT _id, hi, lo, 0 AS _band, hi & {mask} AS _bh FROM fp",
+        f"SELECT _id, hi, lo, 1 AS _band, (hi >> {half}) & {mask} AS _bh FROM fp",
+        f"SELECT _id, hi, lo, 2 AS _band, lo & {mask} AS _bh FROM fp",
+        f"SELECT _id, hi, lo, 3 AS _band, (lo >> {half}) & {mask} AS _bh FROM fp",
+    ])
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT DISTINCT doc_id AS _id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS _h,
+             ('0x' || substr(md5(tok), 16, 15))::BIGINT AS _h2
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM corpus)),
+    votes AS (
+      SELECT _id, i AS bit,
+             sum(CASE WHEN (_h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v,
+             sum(CASE WHEN (_h2 >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v2
+      FROM toks, generate_series(0, {B - 1}) AS gs(i) GROUP BY 1, 2),
+    fp AS (
+      SELECT _id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS hi,
+             sum(CASE WHEN v2 > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS lo
+      FROM votes GROUP BY _id),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+             a.hi AS fha, a.lo AS fla, b.hi AS fhb, b.lo AS flb
+      FROM bands a JOIN bands b ON a._band = b._band AND a._bh = b._bh AND a._id < b._id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fha, fhb)) + bit_count(xor(fla, flb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(fha, fhb)) + bit_count(xor(fla, flb)) <= 3
+    """
+
+
+@query("dedup_simhash_wide", _simhash_wide_oracle_sql())
+def simhash_wide_q(spark, sf):
+    """120-bit SimHash near-dup pairs (r12, the SCALING_r12 named fix):
+    dedup_simhash's 15-bit band keys saturate at ~2^15 docs — beyond that,
+    RANDOM band collisions grow candidates quadratically (measured sf3→sf10,
+    the audit's one super-linear query). The wide variant votes two 60-bit
+    words from the same per-token md5 and bands at 30 bits, cutting the
+    random-collision constant by 2^15 — candidate growth stays linear to
+    corpora ~32,768x larger. Same oracle recipe, both words replayed in
+    DuckDB."""
+    out = D.simhash_wide_pairs(_corpus(spark, sf), "doc_id", "text", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 

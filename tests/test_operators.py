@@ -784,6 +784,60 @@ def test_parse_image_header_real_containers(spark):
                    3: (None, None, None)}
 
 
+def test_minhash_lsh_max_bucket_caps_candidate_blowup(spark):
+    """r12: max_bucket drops oversized band buckets (quadratic candidate
+    cost) while pairs co-bucketed in any small band survive; default None
+    is exact. A planted 40-doc identical-text cluster (every band bucket
+    holds all 40) disappears under max_bucket=10; a planted 2-doc near-dup
+    pair is untouched."""
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [Row(doc_id=i, text="the same boilerplate template text repeated " * 4)
+              for i in range(40)]
+    shared = ("a unique document about rivers and mountains and forests "
+              "and valleys and meadows and glaciers near the northern coast ")
+    pair = [Row(doc_id=100, text=shared + "side a"),
+            Row(doc_id=101, text=shared + "side b")]
+    df = spark.createDataFrame(boiler + pair)
+
+    exact = minhash_lsh_pairs(df, "doc_id", "text", n=3, mode="word", threshold=0.6)
+    assert exact.count() == 40 * 39 // 2 + 1  # full clique + the pair
+
+    capped = minhash_lsh_pairs(df, "doc_id", "text", n=3, mode="word",
+                               threshold=0.6, max_bucket=10)
+    rows = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert rows == [(100, 101)], rows  # clique dropped, small pair kept
+
+
+def test_simhash_wide_banding_is_exact_to_hamming_3(spark):
+    """r12: simhash_wide_pairs' four disjoint 30-bit bands are EXACT for
+    hamming <= 3 (pigeonhole: <= 3 differing bits across 4 disjoint bands
+    leave at least one band identical) — banded output must equal the
+    brute-force all-pairs hamming filter over the same wide fingerprints,
+    and the reported hamming must equal the two-word XOR popcount."""
+    from go_iceberg_spark.operators.dedup import simhash_wide, simhash_wide_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    banded = {(r.id_a, r.id_b): r.hamming
+              for r in simhash_wide_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+
+    fp = {r.doc_id: (r.simhash_hi, r.simhash_lo)
+          for r in simhash_wide(docs, "doc_id", "text").collect()}
+    ids = sorted(fp)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = (bin(fp[a][0] ^ fp[b][0]).count("1")
+                 + bin(fp[a][1] ^ fp[b][1]).count("1"))
+            if h <= 3:
+                brute[(a, b)] = h
+    assert brute, "fixture should contain at least one wide near-dup pair"
+    assert banded == brute
+
+
 def test_bmp_pixel_decode_and_real_resize(spark):
     """r12 (VERDICT r11 task #7): uncompressed 24-bit BMP decodes for REAL
     with stdlib struct — exact pixel values out (BGR flip + bottom-up flip

@@ -87,16 +87,23 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_minhash_plan_single_shingle_subtree(spark):
-    """The LSH pipeline computes the explode+md5 shingle stage once; the old
-    union-of-bands self-join shape duplicated it 24x. (Uses the lazy
-    PLAN_VARIANT — the public query checkpoints eagerly, hiding the plan.)"""
+    """The LSH pipeline runs the explode+md5 shingle stage once per corpus
+    pass (slim signatures + candidates-only verification sets = two passes);
+    the old union-of-bands self-join shape duplicated it 24x — once per band
+    per side. (Uses the lazy PLAN_VARIANT — the public query checkpoints
+    sig/cand eagerly, which both hides the plan AND collapses the shared
+    subtrees that formatted-explain re-expands per reference here, so the
+    lazy counts OVERSTATE the executed plan; the caps below bound the
+    per-band pathology, not the exact executed count.)"""
     from go_iceberg_spark.workload import PLAN_VARIANTS
 
     df = PLAN_VARIANTS["dedup_minhash_lsh"](spark, SF)
     try:
-        # Generate nodes: shingle explode + band explode + pair double-explode
-        P.assert_max_op(df, "Generate", 5)
-        assert P.count_op(df, "Scan parquet") <= 3, "documents scanned more than 3x"
+        # lazy-plan Generates: shingle explode (sig pass + candidate-set
+        # pass) + band explode x2 sides + member/pair explodes, some shown
+        # once per cached-subtree reference — per-band duplication would be 24+
+        P.assert_max_op(df, "Generate", 10)
+        assert P.count_op(df, "Scan parquet") <= 6, "documents scanned more than 6x"
     finally:
         spark.catalog.clearCache()
 
