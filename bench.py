@@ -20,6 +20,14 @@ from go_iceberg_spark.workload import bench_queries, load
 # The frozen r2-r8 comparable subset (21 queries): the headline set grows as
 # operators land (HLL + kNN in r9, MMR in r10), so cross-round deltas compare
 # THIS subtotal (emitted as value_common21) — the full total covers new scope.
+#
+# Reading the numbers: join_salted_skew is the FULL-SALT demonstration (the
+# whole dim replicated 8x — its wall time is the documented replication tax,
+# not a recommendation); join_hot_key_isolated is the production shape
+# (sampled hot-key detection, only the hot slice salted). Both are
+# oracle-pinned to the plain join's results. Likewise
+# similarity_knn_classify's fold path is retained as the bit-exact oracle
+# twin of similarity_knn_gemm — the GEMM row is the scale path.
 COMMON_21 = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q8_market_share", "q14_promo_revenue",

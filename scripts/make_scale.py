@@ -4,19 +4,19 @@ region/nation dims), generalized to ANY copy count and rewritten to stream
 one copy per row group through a ParquetWriter instead of concatenating all
 copies in memory (100 copies of sf0.1 would otherwise hold ~10x sf1 in RAM).
 
-Document-text copy markers are STRONGER than make_sf1's trailing " c{k}"
-suffix: measured in the r12 scaling audit, a 2-token suffix on a ~54-word
-doc leaves cross-copy 3-gram Jaccard ~0.94, so every doc near-dup-matches
-every copy of itself — near-dup clusters grow with the copy count and pair
-output grows QUADRATICALLY (sf10 minhash shuffled 7.5 GB and OOM'd a 24 GB
-heap; that output is genuinely quadratic in cluster size — a fixture
-artifact, not an algorithm property). This script instead inserts a
-per-copy marker token after every MARK_EVERY words: ~3/(MARK_EVERY+1) of
-each copy's 3-gram shingles become copy-specific, cross-copy Jaccard drops
-far below the banding's candidate floor and simhash fingerprints split buckets,
-so near-dup structure stays WITHIN copies and dedup output scales linearly
-— the property the scaling audit needs so it measures ALGORITHM growth,
-not output growth.
+Document-text copy isolation is TOTAL, not dilutive: every word gets a
+per-copy suffix (see mark_text), making copy vocabularies disjoint —
+cross-copy shingle/token Jaccard is exactly 0 while within-copy structure
+is preserved bit-exactly. The two weaker recipes this replaced were both
+measured to fake super-linear growth in the scaling audit: make_sf1's
+trailing " c{k}" suffix left cross-copy 3-gram Jaccard ~0.94 (every doc
+near-dup-matched every copy of itself: quadratic pair output, 7.5 GB
+shuffled, 24 GB heap OOM at sf10), and marker INSERTION every 3rd word
+still left J ~ 0.14, whose 4*J^4 ~ 0.2% banding rate turned the quadratic
+cross-copy pair count into a shuffle term that dominated by sf10. Near-dup
+structure must stay WITHIN copies so dedup output scales linearly — the
+property the scaling audit needs to measure ALGORITHM growth, not
+fixture-output growth.
 
 sf1 itself stays on make_sf1.py so its on-disk layout (and therefore every
 round-over-round BENCH_sf1 number) is bit-stable; this script is for the
@@ -37,10 +37,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 STRIDE = 10_000_000
-MARK_EVERY = 3  # marker after every 3rd word: cross-copy J ~ 0.14, so the
-# 4x4 LSH banding's candidate probability 4*J^4 is ~0.2% — without this,
-# J ~ 0.46 (marker every 6) still made ~18% of cross-copy pairs CANDIDATES
-# (shuffled and verified even though verification rejects them): quadratic
 
 KEYS = {
     "customer": ["c_custkey", "c_nationkey"],
@@ -57,14 +53,27 @@ SMALL_KEYS = {"c_nationkey", "s_nationkey"}  # reference shared dims — no offs
 
 
 def mark_text(text: str, k: int) -> str:
-    """Insert the copy-k marker token after every MARK_EVERY words."""
-    words = text.split(" ")
-    out: list[str] = []
-    for i, w in enumerate(words, 1):
-        out.append(w)
-        if i % MARK_EVERY == 0:
-            out.append(f"c{k}x")
-    return " ".join(out)
+    """Suffix EVERY word with a per-copy tag ("w" -> "wc{k}q"): the copy-k
+    token vocabulary is disjoint from every other copy's, so cross-copy
+    shingle/token Jaccard is EXACTLY 0 while within-copy similarity
+    structure is preserved bit-exactly (the token set maps bijectively per
+    copy — two docs in the same copy have the same shingle-match structure
+    as their base-corpus originals).
+
+    Why not marker INSERTION (the first r12 recipe, a marker token after
+    every MARK_EVERY words): it only dilutes cross-copy Jaccard (J ~ 0.14
+    at MARK_EVERY=3), and the 4x4 LSH banding turns ~4*J^4 ~ 0.2% of the
+    QUADRATICALLY-growing cross-copy pair count into candidates. Measured
+    in the r12 scaling audit: within-copy candidates exactly linear (256
+    per copy at 10/30/100 copies), cross-copy candidates exactly quadratic
+    (701 -> 6,115 -> 69,356; ratios 8.7 and 11.3 vs 9 and 11.1 predicted)
+    — by sf10 the fixture artifact dominated the verification join's
+    shuffle and faked a super-linear exponent (1.18 on the last step) for
+    a query that is linear on corpora whose near-dup cluster sizes do not
+    grow with corpus size. Word-suffixing removes the artifact at the
+    root: J = 0 means the candidate floor is the banding's RANDOM
+    collision rate, which 60-bit band keys make negligible."""
+    return " ".join(w + f"c{k}q" for w in text.split(" "))
 
 
 def make_copy(base: pa.Table, name: str, k: int) -> pa.Table:

@@ -57,30 +57,30 @@ def main() -> None:
     app_id = _rest(base, "/applications")[0]["id"]
 
     results: dict[str, dict] = {}
-    sc = spark.sparkContext
+
+    def _stages():
+        return _rest(base, f"/applications/{app_id}/stages?status=complete")
+
     for name, spec in bench_queries().items():
-        sc.setJobGroup(name, name, interruptOnCancel=False)
+        # attribute by stage-id watermark, not job group (r12 fix): AQE
+        # materializes exchange stages from its own thread pool, which does
+        # not inherit the thread-local job group — group attribution
+        # silently dropped the largest shuffles. Queries run sequentially,
+        # so stages above the pre-run watermark belong to this query.
+        lo = max((s["stageId"] for s in _stages()), default=-1)
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        sc.setJobGroup("idle", "idle")
-        # attribute stages to this query via its job group
-        jobs = _rest(base, f"/applications/{app_id}/jobs")
-        stage_ids = set()
-        for j in jobs:
-            if j.get("jobGroup") == name:
-                stage_ids.update(j.get("stageIds", []))
-        stages = _rest(base, f"/applications/{app_id}/stages?status=complete")
         agg = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
-               "input_bytes": 0, "output_rows": 0}
-        for s in stages:
-            if s["stageId"] in stage_ids:
+               "input_bytes": 0, "output_rows": 0, "n_stages": 0}
+        for s in _stages():
+            if s["stageId"] > lo:
                 agg["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
                 agg["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
                 agg["input_bytes"] += s.get("inputBytes", 0)
                 agg["output_rows"] += s.get("outputRecords", 0) or 0
+                agg["n_stages"] += 1
         agg["wall_sec"] = round(wall, 3)
-        agg["n_stages"] = len(stage_ids)
         results[name] = agg
 
     artifact = {
