@@ -26,16 +26,36 @@ MAX_LSH_DIM = 1024  # planes precomputed up to this embedding dimension
 # query set would OOM executors as a forced broadcast, so it falls back to a
 # shuffle join and AQE picks the strategy
 MAX_BROADCAST_QUERY_BYTES = 64 << 20
+MAX_BROADCAST_QUERY_ROWS = 16384
 
 
 def _broadcast_if_small(q: DataFrame) -> DataFrame:
-    """Broadcast hint guarded by the optimizer's size estimate (no job is
-    triggered). Identical results either way — only the join strategy moves."""
+    """Broadcast hint for the small (query) side of ANN joins. Identical
+    results either way — only the join strategy moves.
+
+    Fast path: the optimizer's size estimate (no job triggered). But
+    Catalyst scales a filter's output estimate with the INPUT table's
+    size, so a 5-row query set filtered from a 10x corpus gets a 10x
+    estimate and silently loses its broadcast exactly at the scales where
+    the partitioned join hurts most (caught by the r12 scaling audit:
+    similarity_ivf_topk shuffled ~1 KB of top-k rows through sf3, then
+    54 MB of probed corpus at sf10 — the guard's estimate flipped, not the
+    data). When the estimate is too big, VERIFY with a bounded count that
+    reads at most MAX_BROADCAST_QUERY_ROWS + 1 rows of ``q`` — real ANN
+    query sets are tiny, so the false-negative estimate is corrected by
+    one small job; a genuinely large side still falls back to the
+    partitioned join."""
     try:
         est = int(q._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001 - estimate unavailable -> be safe, no hint
         return q
-    return F.broadcast(q) if est <= MAX_BROADCAST_QUERY_BYTES else q
+    if est <= MAX_BROADCAST_QUERY_BYTES:
+        return F.broadcast(q)
+    try:
+        n = q.limit(MAX_BROADCAST_QUERY_ROWS + 1).count()
+    except Exception:  # noqa: BLE001 - uncountable side -> no hint
+        return q
+    return F.broadcast(q) if n <= MAX_BROADCAST_QUERY_ROWS else q
 
 
 def dot_expr(a, b) -> F.Column:
@@ -497,6 +517,7 @@ def ivf_near_dup_pairs(
     n_lists: int = 8,
     n_probe: int = 2,
     assignment: str = "literal",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-dup pairs at scale: the IVF-bucketed
     counterpart of ``dedup.embedding_near_dup_pairs`` (which is an explicit
@@ -519,8 +540,20 @@ def ivf_near_dup_pairs(
     rule of thumb n_lists ≈ corpus_size / 200. Past a few dozen lists use
     ``assignment="gemm"`` (Arrow-batched numpy, see _assign_lists_gemm);
     the default "literal" mode is the bit-exact oracle-reproducible path
-    the graded gate uses at small n_lists."""
-    cent_rows = _collect_centroids(emb, id_col, vec_col, n_lists)
+    the graded gate uses at small n_lists.
+
+    ``train_iters`` (r12): refine the hash-spread seed centroids with that
+    many Lloyd rounds (``clustering.kmeans_train``) before bucketing —
+    SemDeDup-shaped semantic dedup: trained lists track the corpus
+    distribution, so at equal n_probe more true near-dup pairs land
+    co-bucketed. Same bit-reproducible trainer as ``ivf_topk``."""
+    if train_iters > 0:
+        from .clustering import kmeans_train
+
+        cent_rows = kmeans_train(emb, id_col=id_col, vec_col=vec_col,
+                                 k=n_lists, updates=train_iters)
+    else:
+        cent_rows = _collect_centroids(emb, id_col, vec_col, n_lists)
     if not cent_rows:
         return emb.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
     # Zero-norm vectors (undefined cosine) leave before the self-join; each

@@ -3364,6 +3364,45 @@ def emb_ivf_dedup_q(spark, sf):
     )
 
 
+def _ivf_near_dup_trained_oracle_sql(threshold: float = 0.4, n_probe: int = 2,
+                                     updates: int = 2) -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.cv")
+    cos_ab = _cosine_sql("a.ev", "b.ev")
+    return f"""
+    WITH {_kmeans_cents_cte(updates)},
+    cents AS (SELECT cid AS cent_id, cv FROM c{updates}),
+    assigned AS (
+      SELECT vec_id, ev, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS ev, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c) WHERE r <= {n_probe})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cos_ab}, 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE round({cos_ab}, 6) >= {threshold}
+    """
+
+
+@query("dedup_embedding_ivf_trained", _ivf_near_dup_trained_oracle_sql())
+def emb_ivf_dedup_trained_q(spark, sf):
+    """SemDeDup-shaped semantic dedup (r12): the IVF-bucketed near-dup query
+    with a Lloyd-TRAINED coarse quantizer (2 ``kmeans_train`` rounds, the
+    bit-reproducible trainer behind cluster_kmeans_topics and
+    similarity_ivf_trained_topk) instead of raw hash-spread seeds — cluster
+    the embedding space, then verify exact cosine within probed lists.
+    Trained lists track the corpus distribution, so at equal n_probe more
+    true near-dup pairs are co-bucketed (the same recall mechanism pinned
+    for top-k in test_ivf_trained_recall_not_below_untrained). Assignment
+    stays a shuffle-free literal-centroid projection; the oracle replays
+    the identical Lloyd chain and bucketing in DuckDB."""
+    return S.ivf_near_dup_pairs(
+        load(spark, sf, "embeddings"),
+        id_col="vec_id", vec_col="embedding", threshold=0.4, n_lists=8, n_probe=2,
+        train_iters=2,
+    )
+
+
 @query("dedup_embedding_ivf_gemm", _ivf_near_dup_oracle_sql())
 def emb_ivf_dedup_gemm_q(spark, sf):
     """r5 (VERDICT r4 task #6): the SAME IVF near-dup query executed through

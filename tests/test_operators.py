@@ -1030,6 +1030,28 @@ def test_ivf_trained_recall_not_below_untrained(spark):
         assert got[2] >= got[0], (sf_dir, got)
 
 
+def test_ivf_near_dup_trained_not_below_untrained(spark):
+    """r12: the SemDeDup-shaped trained bucketing must co-locate at least
+    as many TRUE near-dup pairs as the hash-seed lists at equal n_probe —
+    both outputs are subsets of the exact O(n^2) pair set (IVF never
+    invents pairs, it only misses cross-bucket ones), and the trained
+    subset must not be smaller."""
+    from go_iceberg_spark.operators.dedup import embedding_near_dup_pairs
+    from go_iceberg_spark.operators.similarity import ivf_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = set((r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4).collect())
+    got = {}
+    for iters in (0, 2):
+        pairs = set((r.id_a, r.id_b) for r in ivf_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+            n_lists=8, n_probe=2, train_iters=iters).collect())
+        assert pairs <= exact, "IVF bucketing must never invent pairs"
+        got[iters] = len(pairs)
+    assert got[2] >= got[0], got
+
+
 def test_resample_interpolate_interior_only(spark):
     """r11: linear interpolation must fill INTERIOR gaps with the
     time-weighted value between nearest observed neighbors, leave edge
