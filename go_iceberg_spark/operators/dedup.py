@@ -337,6 +337,15 @@ def minhash_lsh_pairs(
     payloads). Hot band buckets remain skew-splittable by AQE in the
     id-only join.
 
+    Worst-case bound of the candidates-only recompute: on a corpus where
+    nearly EVERY doc is a candidate member (e.g. the legacy sf1 bench
+    fixture, where every doc sits in a 10-copy near-dup cluster) the
+    second pass approaches a full re-scan + re-shingle — a bounded <= 2x
+    shingle-CPU constant, paid instead of the old design's corpus-sized
+    per-doc collect_set state (~4x the slim table, measured 106 MB vs
+    25 MB checkpointed at sf3) and its double-shuffle pathology. On
+    sparse-candidate corpora the second pass is proportionally tiny.
+
     ``materialize=True`` (default) computes the result eagerly
     (localCheckpoint — executor-local blocks, freed by GC, no CacheManager
     entry) and unpersists the signature cache before returning, so
