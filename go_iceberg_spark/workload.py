@@ -5518,7 +5518,8 @@ def q8(spark, sf):
 @query(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS amount
@@ -5534,7 +5535,18 @@ def q8(spark, sf):
 def q9(spark, sf):
     """TPC-H Q9-style product-type profit (no partsupp table exists, so unit
     cost is modeled as 0.1 * p_retailprice): dims broadcast, lineitem's only
-    shuffle is the (nation, year) aggregate."""
+    shuffle is the (nation, year) aggregate.
+
+    The per-row amount (a double) accumulates in EXACT decimal arithmetic
+    in BOTH engines (r12): a parallel double sum is summation-order-
+    dependent, and with 175 (nation, year) groups a round(·, 2) boundary
+    row eventually lands on opposite sides in the two engines (measured at
+    sf0.001/local[32]: one group off by one cent). double→DECIMAL(38,10)
+    can never tie (a dyadic rational can't terminate in 5 at digit 11), so
+    both engines cast identically, sum exactly (order-free), and round
+    half-up identically — the hash-match is deterministic at every SF and
+    core count. The rounded 2-digit total converts back to double exactly
+    (< 2^52/100)."""
     l = load(spark, sf, "lineitem")
     p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
     s = load(spark, sf, "supplier")
@@ -5548,7 +5560,8 @@ def q9(spark, sf):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount.cast("decimal(38,10)")), 2)
+             .cast("double").alias("sum_profit"))
     )
 
 
@@ -6610,8 +6623,14 @@ def partition_evolution_scan_q(spark, sf):
     generations (old entries keep spec 0, new carry spec 1) while pruning
     the new generation by partition value — asserted, then hash-matched."""
     base = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000).select(*_CRUD_COLS)
-    b1 = base.filter(F.col("o_orderkey") < 2000)
-    b2 = base.filter(F.col("o_orderkey") >= 2000)
+    # split point derived from the data, not hard-coded (r12): at sf0.001
+    # orders holds keys 0..1499, so a fixed >= 2000 second batch was EMPTY
+    # and the mixed-specs assertion below could never pass at that SF. The
+    # OUTPUT is invariant to the split (b1 ∪ b2 == base either way); only
+    # the two generations' row assignment moves.
+    mid = (base.agg(F.max("o_orderkey")).first()[0] or 0) // 2  # 1-row scalar
+    b1 = base.filter(F.col("o_orderkey") < mid)
+    b2 = base.filter(F.col("o_orderkey") >= mid)
     t = _scratch_table(spark, "pevol", b1)
     t.update_partition_spec("o_orderpriority")
     t.append(b2)
