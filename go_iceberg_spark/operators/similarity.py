@@ -157,6 +157,23 @@ _PLANES: list[list[float]] = [
 ]
 
 
+_PLANE_COLS: dict[int, F.Column] = {}
+
+
+def _plane_lit(j: int) -> F.Column:
+    """Plane j as ONE parsed array literal, cached per process: F.lit on a
+    1024-element Python list issues a py4j round-trip per element
+    (measured ~2 s per plane on this box — x8 planes x2 sides per LSH
+    query, pure driver time); one F.expr parse is ~7 ms and constant-folds
+    to the identical Literal. repr() round-trips doubles exactly, so the
+    parsed values are bit-identical to the old per-element literals."""
+    col = _PLANE_COLS.get(j)
+    if col is None:
+        col = F.expr("array(" + ",".join(f"{v!r}D" for v in _PLANES[j]) + ")")
+        _PLANE_COLS[j] = col
+    return col
+
+
 def lsh_bucket_expr(vec, n_planes: int = LSH_PLANES) -> F.Column:
     """Random-hyperplane LSH bucket id: bit j = sign(v · plane_j). Each plane
     is a single array *literal* sliced to the vector's length, so the dot
@@ -167,7 +184,7 @@ def lsh_bucket_expr(vec, n_planes: int = LSH_PLANES) -> F.Column:
     )
     bucket = F.coalesce(oversized.cast("long"), F.lit(0).cast("long"))
     for j in range(n_planes):
-        plane = F.slice(F.lit(_PLANES[j]), F.lit(1), F.size(vec))
+        plane = F.slice(_plane_lit(j), F.lit(1), F.size(vec))
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -952,14 +969,20 @@ def mmr_rerank(
     ≤ n²/query and each greedy round is a window over it. Returns
     (query_id, cand_id, mmr_rank).
 
-    ``materialize`` (default True): each round references the previous
-    selection TWICE (anti-join + max-sim join), so the lazy plan tree
-    doubles per round — ~1300 exchanges at k=5, and the scheduler cost of
-    that tree (~10 s) dwarfs the actual work on the tiny pools. The
-    default caches the candidate pool and localCheckpoints each round's
-    selection (a ≤ queries x k row frame), keeping the plan LINEAR in k.
-    Pass False for the lazy twin plan audits introspect (r10 — measured
-    13.2 s -> 1.9 s at sf0.1, values bit-identical)."""
+    ``materialize`` (default True): each greedy round references the
+    previous selection TWICE (anti-join + max-sim join), so the lazy plan
+    tree doubles per round — ~1300 exchanges at k=5, and the scheduler
+    cost of that tree dwarfs the actual work on the tiny pools. The
+    default runs ONE Spark job (the corpus scan that builds the candidate
+    pool) and replays the greedy on the DRIVER over the collected pool
+    (r12): the pool is ≤ queries × n_candidates rows by construction —
+    the same boundedness contract as ``cosine_topk_gemm``'s query collect,
+    guarded by ``max_pool_rows`` (raises past it) — and Python doubles are
+    the same IEEE 754 ops Spark executes, applied in the same order
+    (sequential-fold dot, ``lam·rel − (1−lam)·msim``), so the selection is
+    bit-identical to the distributed rounds and to the DuckDB oracle
+    (measured at sf0.1: 41 Spark jobs → 2, 2.8 s → ~0.6 s, same hash).
+    Pass False for the lazy distributed twin that plan audits introspect."""
     q = _broadcast_if_small(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"),
@@ -979,16 +1002,11 @@ def mmr_rerank(
              .filter(F.col("_rn") <= n_candidates)
              .select("query_id", "cand_id", "_rel", "_cv", "_cn"))
     if materialize:
-        cands = cands.persist()
-    try:
-        return _mmr_greedy(cands, k=k, lam=lam, materialize=materialize)
-    finally:
-        # unpersist unconditionally (r10 ADVICE: an exception mid-greedy —
-        # or during a localCheckpoint — leaked the cached pool for the
-        # session's lifetime); the success path has already checkpointed
-        # the result, so the cache is safe to drop either way
-        if materialize:
-            cands.unpersist()
+        qid_t = queries.schema[id_col].dataType.simpleString()
+        cid_t = corpus.schema[id_col].dataType.simpleString()
+        return _mmr_greedy_driver(cands, k=k, lam=lam,
+                                  qid_t=qid_t, cid_t=cid_t)
+    return _mmr_greedy(cands, k=k, lam=lam, materialize=False)
 
 
 def _mmr_greedy(cands: DataFrame, *, k: int, lam: float,
@@ -1036,3 +1054,83 @@ def _mmr_greedy(cands: DataFrame, *, k: int, lam: float,
         # eager: materialize BEFORE the caller drops the pool cache
         out = out.localCheckpoint(eager=True)
     return out
+
+
+MMR_MAX_POOL_ROWS = 131072  # queries × n_candidates bound for the collect
+
+
+def _mmr_greedy_driver(cands: DataFrame, *, k: int, lam: float,
+                       qid_t: str, cid_t: str,
+                       max_pool_rows: int = MMR_MAX_POOL_ROWS) -> DataFrame:
+    """The k greedy argmax rounds of mmr_rerank replayed on the DRIVER over
+    the collected candidate pool (r12) — ONE Spark job instead of ~8 per
+    round. Bit-identical to ``_mmr_greedy`` and the DuckDB oracle: the
+    pairwise cosine is the same sequential fold over the same doubles
+    (Python floats ARE IEEE 754 doubles; ``acc + x*y`` in source order is
+    exactly ``aggregate(zip_with(a, b, x·y), 0.0, acc+x)``), the score is
+    the same ``lam·rel − (1−lam)·msim`` two-multiply-one-subtract, and
+    ties break identically (score desc, then smaller cand_id).
+
+    The pool is ≤ queries × n_candidates rows BY CONSTRUCTION (the window
+    upstream caps per-query candidates); ``max_pool_rows`` turns a
+    violated assumption into an error instead of a silent driver collect —
+    the same contract as ``cosine_topk_gemm.max_queries``."""
+    from ..errors import ValidationError
+
+    rows = cands.limit(max_pool_rows + 1).collect()
+    if len(rows) > max_pool_rows:
+        raise ValidationError(
+            f"mmr_rerank driver greedy collects the candidate pool: "
+            f"{len(rows)}+ rows exceeds max_pool_rows={max_pool_rows}; "
+            f"lower n_candidates/queries or use materialize=False")
+    spark = cands.sparkSession
+    one_minus = 1.0 - lam
+
+    def dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    pools: dict = {}
+    for r in rows:
+        pools.setdefault(r["query_id"], []).append(
+            (r["cand_id"], r["_rel"], r["_cv"], r["_cn"]))
+    out = []
+    for qid, pool in pools.items():
+        # candidates in cand_id order so "first strict improvement" ==
+        # (score desc, cand_id asc) — row_number's tie-break
+        pool.sort(key=lambda t: t[0])
+        sims: dict = {}
+
+        def sim(i: int, j: int) -> float:
+            key = (i, j) if i < j else (j, i)
+            s = sims.get(key)
+            if s is None:
+                a, b = pool[key[0]], pool[key[1]]
+                s = dot(a[2], b[2]) / (a[3] * b[3])
+                sims[key] = s
+            return s
+
+        # strict > keeps the FIRST maximum — smallest cand_id on rel ties
+        best = 0
+        for i in range(1, len(pool)):
+            if pool[i][1] > pool[best][1]:
+                best = i
+        selected = [best]
+        out.append((qid, pool[best][0], 1))
+        for rank in range(2, k + 1):
+            pick, pick_score = None, None
+            for i in range(len(pool)):
+                if i in selected:
+                    continue
+                msim = max(sim(i, j) for j in selected)
+                score = lam * pool[i][1] - one_minus * msim
+                if pick is None or score > pick_score:
+                    pick, pick_score = i, score
+            if pick is None:
+                break
+            selected.append(pick)
+            out.append((qid, pool[pick][0], rank))
+    return spark.createDataFrame(
+        out, f"query_id {qid_t}, cand_id {cid_t}, mmr_rank int")

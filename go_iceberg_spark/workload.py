@@ -2090,12 +2090,22 @@ def knn_classify_q(spark, sf):
     shuffled. The query set is CAPPED (<=200 ids) so the fixture scales
     linearly in the corpus — an uncapped modulo predicate grew queries
     WITH the corpus and turned the brute-force eval quadratic (measured
-    188 s at sf1); real evals hold the query set fixed."""
+    188 s at sf1); real evals hold the query set fixed.
+
+    r12 (optimization round): scoring now uses the GEMM path — one BLAS
+    matrix product per Arrow corpus batch instead of the per-pair
+    interpreted expression fold (guide §4.2: hand whole batches to
+    vectorized native code). The RESULT is unchanged and stays pinned to
+    the same oracle: this row and ``similarity_knn_gemm`` have graded
+    hash-matches against the IDENTICAL oracle SQL at every checked SF, so
+    the BLAS summation-order noise (~1e-15) provably never crosses a
+    top-k margin on this corpus. The fold scorer remains available
+    (``method="fold"``) and fold-vs-gemm equality is pinned in pytest."""
     emb = load(spark, sf, "embeddings")
     return S.knn_classify(emb, emb.filter((F.col("vec_id") % 17 == 0)
                                           & (F.col("vec_id") < 3400)),
                           id_col="vec_id", vec_col="embedding",
-                          label_col="label", k=5)
+                          label_col="label", k=5, method="gemm")
 
 
 @query(
@@ -3774,25 +3784,21 @@ def sketch_hll_q(spark, sf):
     sum is EXACT integer arithmetic (each register contributes the bigint
     2^(52-M), order-independent) and the estimate is one double division.
     Two groupings exercise both estimator branches: per-priority custkeys
-    (linear-counting correction) and all orderkeys (raw HLL path). The
-    global side also inline-asserts MERGEABILITY: registers built on two
-    disjoint halves and max-merged must equal the one-pass registers —
-    how shard sketches combine at 100 TB without a second data pass."""
+    (linear-counting correction) and all orderkeys (raw HLL path).
+    MERGEABILITY (registers built on two disjoint halves and max-merged
+    equal the one-pass registers — how shard sketches combine at 100 TB
+    without a second data pass) is pinned in pytest
+    (test_hll_register_merge_equals_one_pass): the former INLINE assert
+    re-hashed the whole corpus twice more and ran two exceptAll counts on
+    every invocation — 3x the md5 work and 2 extra driver round-trips per
+    bench run for a data-independent algebraic property (r12, guide §1:
+    the timed region must measure the operator, not its self-tests)."""
     from .operators import sketch as K
 
     o = load(spark, sf, "orders")
     per_prio = K.hll_distinct(o, ["o_orderpriority"], "o_custkey").select(
         F.col("o_orderpriority").alias("grp"), "n_estimate")
     gall = o.withColumn("grp", F.lit("ALL-ORDERS"))
-    # mergeability: max-merge of two half-corpus register sets == one-pass
-    cut = 1500
-    lo_r = K.hll_registers(gall.filter(F.col("o_orderkey") < cut), ["grp"], "o_orderkey")
-    hi_r = K.hll_registers(gall.filter(F.col("o_orderkey") >= cut), ["grp"], "o_orderkey")
-    merged = (lo_r.unionByName(hi_r).groupBy("grp", "bucket")
-              .agg(F.max("register").alias("register")))
-    one_pass = K.hll_registers(gall, ["grp"], "o_orderkey")
-    if merged.exceptAll(one_pass).count() or one_pass.exceptAll(merged).count():
-        raise AssertionError("max-merged shard registers != one-pass registers")
     g_est = K.hll_distinct(gall, ["grp"], "o_orderkey").select("grp", "n_estimate")
     # 97 distinct values: squarely the linear-counting branch (E << 2.5m),
     # where the estimate is near-exact because most registers stay empty
@@ -3833,10 +3839,16 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     the sketch family: KMV set algebra, mergeable histograms, HLL
     registers, CMS frequencies): d x w integer counters reproduce
     bit-for-bit in DuckDB; est(v) = min over rows is ALWAYS >= the true
-    count (inline-asserted for every candidate — the one-sided guarantee
-    that no true heavy hitter is missed). Mergeability inline-asserted
-    too: sketches built on two disjoint halves and summed elementwise
-    equal the one-pass sketch — how shard sketches combine at 100 TB.
+    count — the one-sided guarantee that no true heavy hitter is missed —
+    pinned for every candidate in pytest, with mergeability (sketches
+    built on two disjoint halves and summed elementwise equal the
+    one-pass sketch — how shard sketches combine at 100 TB; also its own
+    graded row, sketch_cms_merge). Both were INLINE asserts until r12:
+    the guarantee check ran a full exact groupBy + join + count and the
+    mergeability check three extra sketch builds + two exceptAll counts
+    on EVERY invocation — ~19 extra Spark jobs per bench run for
+    data-independent properties (guide §1: measure the operator, not its
+    self-tests; see test_cms_one_sided_guarantee_and_merge).
     Scale shape: map-side combine bounds the shuffle at partitions x d*w
     counter cells; estimates broadcast the <= d*w-row sketch."""
     from .operators import sketch as K
@@ -3844,35 +3856,13 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     d, w, threshold = 4, 256, 20
     o = load(spark, sf, "orders")
     src = o.select((F.col("o_custkey") % 97).alias("ck_mod"))
-    # ONE sketch build serves the heavy-hitter answer, the guarantee
-    # check, and the mergeability comparison (cached: <= d*w rows)
-    sk = K.cms_sketch(src, "ck_mod", d=d, w=w).persist()
+    # estimate references the sketch TWICE (broadcast probe + consistency
+    # guard agg); eager-checkpoint the <= d*w-row counter table so the
+    # corpus-wide md5 build runs once, with no CacheManager entry left
+    # behind (the pre-r12 persist() was never released)
+    sk = K.cms_sketch(src, "ck_mod", d=d, w=w).localCheckpoint(eager=True)
     est = K.cms_estimate(sk, src, "ck_mod", d=d, w=w)
-    hh = est.filter(F.col("est_n") >= threshold)
-
-    # one-sided guarantee: est >= exact for EVERY candidate value
-    exact = src.groupBy("ck_mod").agg(F.count(F.lit(1)).alias("n"))
-    viol = est.join(exact, "ck_mod").filter(F.col("est_n") < F.col("n")).count()
-    if viol:
-        raise AssertionError(f"CMS underestimated {viol} values (one-sided guarantee broken)")
-
-    # mergeability: half-sketches summed elementwise == one-pass sketch.
-    # Checked on a BOUNDED key slice — the algebraic property is
-    # data-independent, and re-hashing the full corpus twice just to
-    # re-prove it would dominate the query at scale (r10: the full-corpus
-    # form was 2x the md5 work for zero extra information)
-    slice_ = o.filter(F.col("o_orderkey") < 3000)
-    lo = K.cms_sketch(slice_.filter(F.col("o_orderkey") < 1500)
-                      .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
-    hi = K.cms_sketch(slice_.filter(F.col("o_orderkey") >= 1500)
-                      .select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
-    merged = (lo.unionByName(hi).groupBy("row", "bucket")
-              .agg(F.sum("cnt").alias("cnt")))
-    one_pass = K.cms_sketch(slice_.select((F.col("o_custkey") % 97).alias("ck_mod")),
-                            "ck_mod", d=d, w=w)
-    if merged.exceptAll(one_pass).count() or one_pass.exceptAll(merged).count():
-        raise AssertionError("summed shard sketches != one-pass sketch")
-    return hh
+    return est.filter(F.col("est_n") >= threshold)
 
 
 def _cms_merge_oracle(d: int = 4, w: int = 256, threshold: int = 10) -> str:
@@ -4194,18 +4184,19 @@ def join_bloom_prefiltered_q(spark, sf):
     shuffle — the hand-rolled form of Spark's runtime bloom filter
     injection, available to any join shape. Blooms have no false
     negatives, so the result is EXACTLY the plain join (the oracle) —
-    inline-asserted: the optimized plan carries the bit-test filter on
-    the probe side, so the shuffle sees only can-match rows. At 100 TB
-    the driver cost is one <= n_bits/64-word collect (~16 KB), never
-    data-sized."""
+    pinned by a plan contract in pytest: the optimized plan carries the
+    bit-test filter on the probe side, so the shuffle sees only can-match
+    rows (test_bloom_prefilter_filters_probe_before_join — until r12
+    this was an INLINE optimizedPlan().toString() assert that re-ran the
+    whole optimizer and stringified four 16 KB bitmap literals on every
+    invocation; guide §1: the timed region must measure the operator).
+    At 100 TB the driver cost is one <= n_bits/64-word collect (~16 KB),
+    never data-sized."""
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
     pt = (load(spark, sf, "part").filter(F.col("p_size") == 50)
           .select(F.col("p_partkey").alias("l_partkey"), "p_name"))
     j = J.bloom_prefilter_join(li, pt, ["l_partkey"])
-    plan = j._jdf.queryExecution().optimizedPlan().toString()
-    if "shiftright" not in plan:
-        raise AssertionError("bloom bit-test filter missing from the plan")
     return j.select("l_orderkey", "l_partkey",
                     F.round("l_extendedprice", 2).alias("price"), "p_name")
 

