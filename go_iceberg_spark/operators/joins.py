@@ -205,21 +205,34 @@ def hot_key_isolated_join(
         sample = left.select(*on)
         if sample_fraction is not None:
             sample = sample.sample(fraction=sample_fraction, seed=7)
-        # persist the (key,count) table across the two detection actions
-        # (mean, then top-k filter) — without it the corpus-wide groupBy
-        # recomputes for each, doubling the detection pass (measured ~2x
-        # at sf1); the cached payload is one row per DISTINCT key, spills
-        # to disk, and is dropped before the join runs
+        # ONE detection action (r12; was two — mean, then top-k filter —
+        # over a persisted count table): union the global-mean row with
+        # the overall top max_hot_keys rows and collect once; the persist
+        # still makes the corpus-wide groupBy evaluate once inside that
+        # job (both union branches read it). Thresholding client-side is
+        # EQUIVALENT to filter-then-top-k because the predicate
+        # (count > mean*factor) is monotone in the ordering key: any
+        # survivor outside the overall top-k is outranked by k rows that
+        # all survive too, so survivors-top-k == top-k ∩ survivors.
         cnt = sample.groupBy(*on).count().persist()
         try:
-            mean = cnt.agg(F.avg("count")).collect()[0][0]  # 1-row scalar
-            if mean is None:
-                return left.join(right, on, how)
-            hot_rows = (cnt.filter(F.col("count") > F.lit(float(mean) * hot_factor))
-                        .orderBy(F.desc("count")).limit(max_hot_keys).collect())
+            top = (cnt.orderBy(F.desc("count")).limit(max_hot_keys)
+                   .withColumn("_mean", F.lit(None).cast("double")))
+            mean_row = (cnt.agg(F.avg("count").alias("_mean"))
+                        .select(*[F.lit(None).cast(cnt.schema[c].dataType).alias(c)
+                                  for c in on],
+                                F.lit(None).cast("long").alias("count"), "_mean"))
+            rows = top.unionByName(mean_row).collect()
         finally:
             cnt.unpersist()
-        hot_keys = [tuple(r[c] for c in on) for r in hot_rows]
+        # the mean row is the single row with a NULL count (count(*) >= 1
+        # on every real group, NULL-keyed groups included)
+        mean = next(r["_mean"] for r in rows if r["count"] is None)
+        if mean is None:
+            return left.join(right, on, how)
+        thr = float(mean) * hot_factor
+        hot_keys = [tuple(r[c] for c in on) for r in rows
+                    if r["count"] is not None and r["count"] > thr]
     else:
         hot_keys = [k if isinstance(k, tuple) else (k,) for k in hot_keys]
     if not hot_keys:
