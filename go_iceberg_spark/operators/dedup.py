@@ -339,13 +339,14 @@ def minhash_lsh_pairs(
     per run when candidates are sparse). Verification recomputes shingle
     sets for CANDIDATE MEMBERS only (broadcast semi-join on the input while
     the checkpointed candidate count is <= MINHASH_BROADCAST_CAND_MAX, then
-    the same shingle pass), explodes each pair to two (pair, member, side)
-    rows, joins that candidate-scale set table once, and reassembles both
-    shingle sets with a pair-keyed groupBy — every post-banding exchange is
-    proportional to CANDIDATES, not corpus. Past the cap the semi-join and
-    set join degrade to partitioned shuffles (still candidate-bounded
-    payloads). Hot band buckets remain skew-splittable by AQE in the
-    id-only join.
+    the same shingle pass), checkpoints that MEMBERS-scale set table once,
+    and attaches each pair's two sets with two plain joins (pair side
+    broadcast while small) — every post-banding exchange is proportional
+    to CANDIDATES, not corpus (r12: this replaced an explode-to-(pair,
+    member, side) + pair-keyed groupBy reassembly whose exchange carried
+    both set arrays per pair). Past the cap the joins degrade to
+    partitioned shuffles (still candidate-bounded payloads). Hot band
+    buckets remain skew-splittable by AQE in the id-only join.
 
     Worst-case bound of the candidates-only recompute: on a corpus where
     nearly EVERY doc is a candidate member (e.g. the legacy sf1 bench
@@ -433,24 +434,27 @@ def minhash_lsh_pairs(
     csets = _shingle_table(
         df.join(mem, id_col, "leftsemi"), id_col, text_col, n, mode
     ).groupBy("_id").agg(F.collect_set("_h").alias("_hs"))
-    cexp = cand.select(
-        "id_a", "id_b",
-        F.explode(F.array(
-            F.struct(F.col("id_a").alias("_jid"), F.lit("a").alias("_side")),
-            F.struct(F.col("id_b").alias("_jid"), F.lit("b").alias("_side")),
-        )).alias("_e"),
-    ).select("id_a", "id_b", F.col("_e._jid").alias("_jid"),
-             F.col("_e._side").alias("_side"))
+    # The pair's two shingle sets attach via TWO plain joins against the
+    # members-only set table (r12; was an explode-to-(pair, member, side)
+    # + pair-keyed groupBy reassembly whose exchange carried both set
+    # arrays per pair — measured +0.6 s at sf0.1 and an extra
+    # array-payload exchange at every scale). The set table is
+    # MEMBERS-scale (bounded by candidates), so materializing it once and
+    # streaming it through both joins keeps every post-banding exchange
+    # candidate-proportional; the pair side broadcasts while the
+    # checkpointed candidate count is known-small.
+    if materialize:
+        csets = csets.localCheckpoint(eager=True)
+    else:
+        csets = csets.persist()
+    p = cand
     if small:
-        # candidate count is KNOWN (checkpointed) — broadcast explicitly so
-        # the candidate-set table is never exchanged, instead of hoping
-        # AQE's runtime flip lands before the sibling exchanges run
-        cexp = F.broadcast(cexp)
-    j = cexp.join(csets.select(F.col("_id").alias("_jid"), "_hs"), "_jid")
-    pairs = j.groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("_side") == "a", F.col("_hs")), ignorenulls=True).alias("_hsa"),
-        F.first(F.when(F.col("_side") == "b", F.col("_hs")), ignorenulls=True).alias("_hsb"),
-    ).withColumn("_sza", F.size("_hsa")).withColumn("_szb", F.size("_hsb"))
+        p = F.broadcast(p)
+    p = p.join(csets.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa")), "id_a")
+    if small:
+        p = F.broadcast(p)
+    pairs = (p.join(csets.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb")), "id_b")
+             .withColumn("_sza", F.size("_hsa")).withColumn("_szb", F.size("_hsb")))
     out = _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
     if materialize:
         out = out.localCheckpoint(eager=True)
