@@ -37,6 +37,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineite
 
 
 _NS_COLS_CACHE: dict[str, list[str]] = {}
+_LOAD_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,8 +45,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are read as long and truncated to microseconds — exactly what DuckDB 1.0
     does on read, so both engines see identical values. The driver-side
     footer inspection is cached per path (it would otherwise add a local
-    metadata read to every query invocation)."""
+    metadata read to every query invocation).
+
+    The returned DataFrame — a LAZY PLAN, no data, never .cache()d — is
+    memoized per (session, path) (r12): each ``spark.read.parquet`` call
+    pays ~0.1 s of JVM file-listing + schema inference, and a 7-join query
+    re-paid it 8x on EVERY invocation (profiled: 0.79 s of q8's 1.23 s
+    construction was re-reading the same footers). Executions still scan
+    the parquet from disk every run — only the plan object is reused, the
+    same lifetime contract as ``register_views``."""
     path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _LOAD_DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     ns_cols = _NS_COLS_CACHE.get(path)
     if ns_cols is None:
         import pyarrow.parquet as pq
@@ -54,11 +67,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
         _NS_COLS_CACHE[path] = ns_cols
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _LOAD_DF_CACHE[key] = df
     return df
 
 
@@ -3860,7 +3875,10 @@ def sketch_cms_heavy_hitters_q(spark, sf):
     # guard agg); eager-checkpoint the <= d*w-row counter table so the
     # corpus-wide md5 build runs once, with no CacheManager entry left
     # behind (the pre-r12 persist() was never released)
-    sk = K.cms_sketch(src, "ck_mod", d=d, w=w).localCheckpoint(eager=True)
+    # pre_aggregate: ck_mod is a KNOWN 97-value domain (built by the %97
+    # right above), so hash each value once, not once per row (r12)
+    sk = K.cms_sketch(src, "ck_mod", d=d, w=w,
+                      pre_aggregate=True).localCheckpoint(eager=True)
     est = K.cms_estimate(sk, src, "ck_mod", d=d, w=w)
     return est.filter(F.col("est_n") >= threshold)
 
@@ -3918,8 +3936,10 @@ def sketch_cms_merge_q(spark, sf):
     d, w, threshold = 4, 256, 10
     o = load(spark, sf, "orders").filter(F.col("o_custkey").isNotNull())
     src = o.select("o_orderkey", (F.col("o_custkey") % 97).alias("ck_mod"))
-    lo = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 0), "ck_mod", d=d, w=w)
-    hi = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 1), "ck_mod", d=d, w=w)
+    lo = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 0), "ck_mod",
+                      d=d, w=w, pre_aggregate=True)  # known 97-value domain
+    hi = K.cms_sketch(src.filter(F.col("o_orderkey") % 2 == 1), "ck_mod",
+                      d=d, w=w, pre_aggregate=True)
     merged = (lo.unionByName(hi).groupBy("row", "bucket")
               .agg(F.sum("cnt").alias("cnt")))
     est = K.cms_estimate(merged, src, "ck_mod", d=d, w=w)

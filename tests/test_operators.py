@@ -1202,3 +1202,20 @@ def test_knn_classify_gemm_matches_fold_on_graded_fixture(spark):
     gemm = sorted((r.query_id, r.predicted_label, r.votes)
                   for r in knn_classify(emb, q, method="gemm", **kw).collect())
     assert fold == gemm and fold
+
+
+def test_cms_pre_aggregate_identical_counters(spark):
+    """r12: cms_sketch(pre_aggregate=True) hashes each DISTINCT value once
+    (for caller-known bounded domains) — the counter table must be
+    cell-for-cell identical to the per-row build, weighted counts
+    included."""
+    from go_iceberg_spark.operators.sketch import cms_sketch
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("v"), (F.col("id") % 3 + 1).alias("wgt"))
+    for cc in (None, "wgt"):
+        a = {(r.row, r.bucket): r.cnt for r in cms_sketch(
+            df, "v", d=4, w=64, count_col=cc).collect()}
+        b = {(r.row, r.bucket): r.cnt for r in cms_sketch(
+            df, "v", d=4, w=64, count_col=cc, pre_aggregate=True).collect()}
+        assert a == b and a, cc
