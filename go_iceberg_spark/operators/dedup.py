@@ -587,7 +587,8 @@ def simhash_wide_pairs(
     ``simhash_wide``). Candidates share one of four 30-bit bands (two per
     word; pigeonhole holds: <= 3 differing bits over 4 disjoint bands leave
     one band identical); verification is the exact two-word bit_count. Same
-    persisted-fingerprint band self-join shape as ``simhash_pairs``."""
+    persisted-fingerprint band self-join shape as ``simhash_pairs`` (incl.
+    the r13 persist-vs-checkpoint A/B note there)."""
     fp = simhash_wide(df, id_col, text_col).persist()
     half = SIMHASH_BITS // 2  # 30-bit band keys
     mask = (1 << half) - 1
@@ -643,7 +644,17 @@ def simhash_pairs(
 
     ``materialize=True`` (default) computes the result eagerly
     (localCheckpoint) and unpersists the fingerprint cache before returning
-    — see minhash_lsh_pairs for the session-cache rationale."""
+    — see minhash_lsh_pairs for the session-cache rationale.
+
+    r13 NOTE (examined, left alone): replacing this lazy persist with an
+    eager localCheckpoint — the fix that recovered hot-key detection and
+    the minhash signature table from the AQE concurrent-materialization
+    race — was A/B'd interleaved at sf0.1 and LOST consistently (best-of-6
+    1.18 s persist vs 1.28 s checkpoint, persist won 5/6 rounds): here the
+    doubly-referenced subtree is the WHOLE query's input, both references
+    are the same band-explode scan, and BlockManager's per-block loading
+    locks bound the duplicated work, while the checkpoint adds a full
+    materialization barrier before the self-join can start."""
     fp = simhash(df, id_col, text_col).persist()
     band_structs = F.array(
         *[

@@ -205,26 +205,33 @@ def hot_key_isolated_join(
         sample = left.select(*on)
         if sample_fraction is not None:
             sample = sample.sample(fraction=sample_fraction, seed=7)
-        # ONE detection action (r12; was two — mean, then top-k filter —
-        # over a persisted count table): union the global-mean row with
-        # the overall top max_hot_keys rows and collect once; the persist
-        # still makes the corpus-wide groupBy evaluate once inside that
-        # job (both union branches read it). Thresholding client-side is
+        # ONE detection collect (r12; was two — mean, then top-k filter —
+        # over the recomputed count table): union the global-mean row with
+        # the overall top max_hot_keys rows. Thresholding client-side is
         # EQUIVALENT to filter-then-top-k because the predicate
         # (count > mean*factor) is monotone in the ordering key: any
         # survivor outside the overall top-k is outranked by k rows that
         # all survive too, so survivors-top-k == top-k ∩ survivors.
-        cnt = sample.groupBy(*on).count().persist()
-        try:
-            top = (cnt.orderBy(F.desc("count")).limit(max_hot_keys)
-                   .withColumn("_mean", F.lit(None).cast("double")))
-            mean_row = (cnt.agg(F.avg("count").alias("_mean"))
-                        .select(*[F.lit(None).cast(cnt.schema[c].dataType).alias(c)
-                                  for c in on],
-                                F.lit(None).cast("long").alias("count"), "_mean"))
-            rows = top.unionByName(mean_row).collect()
-        finally:
-            cnt.unpersist()
+        #
+        # r13: the count table is EAGERLY localCheckpoint'ed before the
+        # union — the r12 shape used a lazy persist() read by BOTH union
+        # branches, and under AQE sibling subtrees materialize concurrently
+        # from the coordinator pool, so both branches could miss the
+        # still-empty cache and run the corpus-wide groupBy twice inside
+        # the one job (the same race dedup.py:388 documents for the minhash
+        # signature self-join; the r12 driver bench measured this query
+        # 25% SLOWER than the two-action r11 shape). The checkpoint
+        # materializes the distinct-keys-sized count table exactly once
+        # (executor-local blocks, freed by GC); both branches then read
+        # blocks, not lineage.
+        cnt = sample.groupBy(*on).count().localCheckpoint(eager=True)
+        top = (cnt.orderBy(F.desc("count")).limit(max_hot_keys)
+               .withColumn("_mean", F.lit(None).cast("double")))
+        mean_row = (cnt.agg(F.avg("count").alias("_mean"))
+                    .select(*[F.lit(None).cast(cnt.schema[c].dataType).alias(c)
+                              for c in on],
+                            F.lit(None).cast("long").alias("count"), "_mean"))
+        rows = top.unionByName(mean_row).collect()
         # the mean row is the single row with a NULL count (count(*) >= 1
         # on every real group, NULL-keyed groups included)
         mean = next(r["_mean"] for r in rows if r["count"] is None)
