@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,7 +54,28 @@ JACCARD_MAX_SHINGLE_DF = 128
 # verification join (2 exploded rows x ~30 B per pair: 1M pairs ~ 60 MB on
 # each executor); above it the join degrades to a partitioned shuffle join
 # — correct for adversarial corpora, one signature-table exchange.
+# r13 (ADVICE): this gate is sized for ID-ONLY rows and now hints only the
+# id-only frames (the member semi-join and the pair side of the FIRST set
+# join); frames carrying shingle-set arrays are never force-broadcast —
+# near the cap, 1M pairs x a multi-KB set array is a multi-GB payload.
 MINHASH_BROADCAST_CAND_MAX = 1_000_000
+
+# r13 budgeted shingle-row reuse (guide §1.2/§2.3 — don't compute twice what
+# fits materialized once): when Catalyst's size estimate of the INPUT corpus
+# is at or below this budget, the (_id, _h) shingle table from pass 1 is
+# localCheckpoint'ed and REUSED for candidate verification, removing the
+# second scan+explode+md5 pass entirely. Past the budget the two-pass shape
+# runs unchanged: at 100 TB a corpus-sized shingle checkpoint (~2-3x the
+# text bytes in executor storage) is exactly the state blow-up the
+# candidate-proportional design exists to avoid, while under the budget the
+# blocks are bounded (<= ~4x the budget in practice) and the reuse wins both
+# CPU and a full input scan. The estimate errs LARGE on filtered inputs
+# (Catalyst scales filter output with the input table), which only costs the
+# extra pass — never a blow-up. Env-overridable for clusters with more
+# executor storage; the default keeps local runs and the sf3/sf10 scaling
+# audits on the same paths they measured (sf<=1 reuses, sf>=3 stays 2-pass).
+MINHASH_SHINGLE_REUSE_MAX_INPUT_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_MINHASH_REUSE_MAX_INPUT_BYTES", str(64 << 20)))
 
 SIMHASH_BITS = 60  # fits in the 15-hex-digit md5 prefix
 SIMHASH_BAND_BITS = 15
@@ -252,6 +275,17 @@ def _minhash_signature_table(df: DataFrame, id_col: str, text_col: str, n: int, 
     )
 
 
+def _slim_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """The k-permutation min aggregation over a prepared (_id, _h) shingle
+    table — shared by the direct path and the r13 shingle-reuse path so
+    both provably apply the identical arithmetic."""
+    hp = F.col("_h") % MINHASH_PRIME
+    return sh.groupBy("_id").agg(*[
+        F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ])
+
+
 def _minhash_slim_signatures(df: DataFrame, id_col: str, text_col: str, n: int, mode: str) -> DataFrame:
     """Per-doc signature rows (_id, mh_0..mh_{k-1}) WITHOUT the shingle-hash
     set payload — the banding path needs only the k minhash values, and at
@@ -259,12 +293,7 @@ def _minhash_slim_signatures(df: DataFrame, id_col: str, text_col: str, n: int, 
     and makes the materialized table ~4x larger (measured at sf3: 106 MB
     checkpointed with _hs vs ~25 MB without). Verification recomputes
     shingle sets for CANDIDATE members only (see minhash_lsh_pairs)."""
-    sh = _shingle_table(df, id_col, text_col, n, mode)
-    hp = F.col("_h") % MINHASH_PRIME
-    return sh.groupBy("_id").agg(*[
-        F.min((F.lit(a) * hp + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    ])
+    return _slim_signatures_from_shingles(_shingle_table(df, id_col, text_col, n, mode))
 
 
 def _band_rows(sig: DataFrame, payload: tuple[str, ...] = ()) -> DataFrame:
@@ -336,17 +365,21 @@ def minhash_lsh_pairs(
     over (_band, _bh, _id) ONLY — the band shuffle carries 3 small columns,
     never shingle-hash sets (the r3 shape shuffled every doc's full shingle
     set x4 bands x2 sides, which inverted at sf1: ~8x the shingle data moved
-    per run when candidates are sparse). Verification recomputes shingle
-    sets for CANDIDATE MEMBERS only (broadcast semi-join on the input while
-    the checkpointed candidate count is <= MINHASH_BROADCAST_CAND_MAX, then
-    the same shingle pass), checkpoints that MEMBERS-scale set table once,
-    and attaches each pair's two sets with two plain joins (pair side
-    broadcast while small) — every post-banding exchange is proportional
-    to CANDIDATES, not corpus (r12: this replaced an explode-to-(pair,
+    per run when candidates are sparse). Verification needs shingle sets
+    for CANDIDATE MEMBERS only: under the r13 reuse budget
+    (``MINHASH_SHINGLE_REUSE_MAX_INPUT_BYTES``) they filter the
+    checkpointed pass-1 shingle rows; past it they are recomputed
+    (broadcast semi-join on the input while the checkpointed candidate
+    count is <= MINHASH_BROADCAST_CAND_MAX, then the same shingle pass).
+    Either way that MEMBERS-scale set table is checkpointed once and each
+    pair's two sets attach via two plain joins — the id-only pair side
+    broadcast into the first while small, the array-carrying second join
+    left to AQE's runtime-bytes decision (r12 replaced an explode-to-(pair,
     member, side) + pair-keyed groupBy reassembly whose exchange carried
-    both set arrays per pair). Past the cap the joins degrade to
-    partitioned shuffles (still candidate-bounded payloads). Hot band
-    buckets remain skew-splittable by AQE in the id-only join.
+    both set arrays per pair; r13 dropped the forced broadcast of the
+    array-carrying side). Every post-banding exchange is proportional to
+    CANDIDATES, not corpus. Hot band buckets remain skew-splittable by AQE
+    in the id-only join.
 
     Worst-case bound of the candidates-only recompute: on a corpus where
     nearly EVERY doc is a candidate member (e.g. the legacy sf1 bench
@@ -363,7 +396,8 @@ def minhash_lsh_pairs(
     long-lived sessions running many queries do not accumulate corpus-sized
     shingle caches. Pass ``materialize=False`` to get the lazy plan (for
     plan audits / composition); the caller then owns cleanup via
-    ``spark.catalog.clearCache()``.
+    ``spark.catalog.clearCache()`` — the lazy path persist()s THREE frames
+    (sig, cand, csets), all released by that one call.
 
     ``max_bucket`` (r12): drop band buckets holding more than this many
     docs before the self-join. A bucket of size c emits c(c-1)/2 candidate
@@ -375,7 +409,27 @@ def minhash_lsh_pairs(
     share, and clusters that big are better served by exact dedup or
     cluster-level policies than by materializing their quadratic pair
     list. Default None keeps exact graded behavior."""
-    sig = _minhash_slim_signatures(df, id_col, text_col, n, mode)
+    # r13 budgeted shingle-row reuse: under the input-size budget (and only
+    # on the eager path — the lazy twin keeps the pure two-pass lineage for
+    # plan audits), pass 1's (_id, _h) rows are checkpointed once and feed
+    # BOTH the signature aggregation and candidate verification, removing
+    # the second scan+explode+md5 pass. Identical rows by construction:
+    # verification filters the SAME shingle table to candidate members
+    # instead of re-deriving it from a semi-joined input scan.
+    sh_reuse = None
+    if materialize:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 - no estimate -> safe two-pass shape
+            est = None
+        if est is not None and est <= MINHASH_SHINGLE_REUSE_MAX_INPUT_BYTES:
+            sh_reuse = _shingle_table(df, id_col, text_col, n, mode) \
+                .localCheckpoint(eager=True)
+    if sh_reuse is not None:
+        sig = _slim_signatures_from_shingles(sh_reuse)
+    else:
+        sig = _minhash_slim_signatures(df, id_col, text_col, n, mode)
     if materialize:
         # Eager checkpoint, not persist: the signature table is referenced
         # from both sides of the band self-join, and under AQE those
@@ -422,18 +476,26 @@ def minhash_lsh_pairs(
         # a lazy execution duplicates the band self-join subtree
         cand = cand.persist()
     small = materialize and n_cand <= MINHASH_BROADCAST_CAND_MAX
-    # Shingle sets are recomputed for CANDIDATE MEMBERS ONLY (a broadcast
-    # semi-join on the input, then the same shingle pass): one extra scan of
-    # the input restricted to matched docs, instead of a collect_set over
-    # the whole corpus whose output is a corpus-sized state table. Requires
-    # ``df`` to be deterministic under recomputation (parquet/table scans
-    # are; a lineage with non-deterministic columns is not).
-    mem = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    # Shingle sets come from CANDIDATE MEMBERS ONLY. Under the reuse budget
+    # the members filter the checkpointed pass-1 shingle rows (no second
+    # scan, no second md5 pass); past it they are recomputed via a broadcast
+    # semi-join on the input + the same shingle pass — one extra scan of the
+    # input restricted to matched docs, instead of a collect_set over the
+    # whole corpus whose output is a corpus-sized state table. The fallback
+    # requires ``df`` to be deterministic under recomputation (parquet/table
+    # scans are; a lineage with non-deterministic columns is not — the reuse
+    # path has no such requirement, its rows are materialized blocks).
+    mem_col = "_id" if sh_reuse is not None else id_col
+    mem = cand.select(F.explode(F.array("id_a", "id_b")).alias(mem_col)).distinct()
     if small:
         mem = F.broadcast(mem)
-    csets = _shingle_table(
-        df.join(mem, id_col, "leftsemi"), id_col, text_col, n, mode
-    ).groupBy("_id").agg(F.collect_set("_h").alias("_hs"))
+    if sh_reuse is not None:
+        csets = (sh_reuse.join(mem, "_id", "leftsemi")
+                 .groupBy("_id").agg(F.collect_set("_h").alias("_hs")))
+    else:
+        csets = _shingle_table(
+            df.join(mem, id_col, "leftsemi"), id_col, text_col, n, mode
+        ).groupBy("_id").agg(F.collect_set("_h").alias("_hs"))
     # The pair's two shingle sets attach via TWO plain joins against the
     # members-only set table (r12; was an explode-to-(pair, member, side)
     # + pair-keyed groupBy reassembly whose exchange carried both set
@@ -451,8 +513,14 @@ def minhash_lsh_pairs(
     if small:
         p = F.broadcast(p)
     p = p.join(csets.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_hsa")), "id_a")
-    if small:
-        p = F.broadcast(p)
+    # The SECOND join is deliberately UNHINTED (r13, ADVICE): its pair side
+    # now carries the full _hsa array per row, so a forced broadcast gated
+    # on the id-only pair COUNT would ship up to 1M pairs x multi-KB sets —
+    # a multi-GB relation and a driver/executor OOM on adversarial corpora.
+    # AQE decides from the REAL runtime bytes instead: small pair tables
+    # still flip to a broadcast join at stage boundaries, large ones stay a
+    # partitioned join whose exchanges are candidate-proportional (the
+    # documented contract).
     pairs = (p.join(csets.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hsb")), "id_b")
              .withColumn("_sza", F.size("_hsa")).withColumn("_szb", F.size("_hsb")))
     out = _verified_jaccard(pairs, threshold).select("id_a", "id_b", "jaccard")
