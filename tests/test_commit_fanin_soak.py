@@ -18,6 +18,8 @@ from __future__ import annotations
 import threading
 
 import pytest
+
+pytestmark = pytest.mark.soak  # r13: soak lane (see pytest.ini)
 from pyspark.sql import Row
 
 import go_iceberg_spark as gi

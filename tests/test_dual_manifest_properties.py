@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import random
 
+import pytest
 from pyspark.sql import Row
 
 import go_iceberg_spark as gi
@@ -46,6 +47,7 @@ def _assert_trees_agree(t, snap):
     )
 
 
+@pytest.mark.soak
 def test_dialects_agree_across_random_crud(spark, catalog):
     rng = random.Random(SEED)
     proto = spark.createDataFrame([Row(id=0, v=0.0, tag="s")])
@@ -109,6 +111,7 @@ def test_dialects_agree_across_random_crud(spark, catalog):
     assert len(set(ops_run)) >= 4, f"seed exercised too few op kinds: {ops_run}"
 
 
+@pytest.mark.soak
 def test_avro_tree_compacts_past_threshold(spark, catalog):
     """Many appends: the avro member list is bounded by the compaction
     threshold, and the compacted tree still matches the parquet dialect."""

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+
+pytestmark = pytest.mark.soak  # r13: soak lane (see pytest.ini)
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from go_iceberg_spark.expr import (

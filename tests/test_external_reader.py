@@ -489,6 +489,7 @@ def test_uuid_and_binary_bounds_on_avro_wire(spark, catalog):
     assert saw_uuid and saw_binary, "uuid/binary bounds missing from the Avro wire"
 
 
+@pytest.mark.soak
 def test_avro_compaction_preserves_spec_generations(spark, catalog):
     """r4 regression: compacting the avro tree must NOT relabel old-spec
     entries under the default spec — the pre-fix behavior rewrote a

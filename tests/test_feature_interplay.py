@@ -768,6 +768,7 @@ def test_partition_pruning_survives_source_column_rename(spark, catalog):
     assert t.scan().filter(gi.eq("zone", "ap")).count() == 1
 
 
+@pytest.mark.soak
 def test_every_mutation_retries_past_concurrent_append(spark, catalog):
     """r6 probe BUG FIX (systemic): only append paths wrapped commits in
     _retrying — delete (CoW + MoR), update, merge, delete_equality,
@@ -852,6 +853,7 @@ def test_every_mutation_retries_past_concurrent_append(spark, catalog):
     assert sorted(r.k for r in t.to_df().collect()) == list(range(10)) + [100]
 
 
+@pytest.mark.soak
 def test_mutations_follow_concurrent_column_rename(spark, catalog):
     """r6 probe BUG FIX: user-supplied names bind to FIELD IDS at operation
     entry and re-bind per retry attempt. Before, a retry re-aligned the
@@ -1606,6 +1608,7 @@ def test_cherrypick_double_pick_rejected_after_selective_compaction(spark, catal
     assert sorted((r.k, r.tag) for r in t.to_df().collect()) == rows
 
 
+@pytest.mark.soak
 def test_streaming_agg_view_sink_survives_interleaved_maintenance(spark, catalog, tmp_path):
     """r10 probe (VERDICT r9 task #6b): compaction AND expiry landing on the
     agg-view table BETWEEN micro-batches must disturb neither the additive
@@ -1799,6 +1802,7 @@ def test_bloom_prefilter_composes_with_mor_scan(spark, catalog):
     assert filt_at > join_at, plan
 
 
+@pytest.mark.soak
 def test_streaming_hll_view_survives_interleaved_maintenance(spark, catalog, tmp_path):
     """r11 probe (VERDICT r10 task #7a): compaction + expiry landing on the
     HLL register view table BETWEEN micro-batches. The r10 probes covered

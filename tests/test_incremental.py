@@ -334,6 +334,7 @@ def test_changelog_nets_manifest_rewrite_and_compaction(spark, catalog):
         == [("delete", 2), ("insert", 100)]
 
 
+@pytest.mark.soak
 def test_incremental_join_refresh_changelog_mutable_bases(spark, catalog):
     """r8: counting-semantics delta-join IVM over MUTABLE bases — the
     changelog (insert/delete signed multisets) rides through both join
@@ -438,6 +439,7 @@ def test_mor_delete_writer_skips_already_dead_rows(spark, catalog):
     assert dels == [(4, 2), (5, 2), (6, 1), (7, 1)], dels
 
 
+@pytest.mark.soak
 def test_mutable_ivm_across_wap_maintenance_and_expiry(spark, catalog):
     """r8 probe pin: the changelog-driven join-view refresh stays exact
     when the range contains a WAP fast_forward publish, rewrite_manifests,

@@ -434,6 +434,7 @@ def test_cherrypick_single_audit_commit(spark, catalog):
     assert {r.id for r in inc.collect()} == {100}
 
 
+@pytest.mark.soak
 def test_selective_compaction_binpack_and_filter(spark, catalog):
     """r9: selective rewrite_data_files — the 100 TB form. binpack rewrites
     only files outside the 75%-180% band (untouched files carry verbatim,
@@ -519,6 +520,7 @@ def test_zorder_clusters_string_columns(spark, catalog):
     del n_total
 
 
+@pytest.mark.soak
 def test_rewrite_position_deletes_merges_and_drops_dangling(spark, catalog):
     """r10: rewrite_position_deletes (Iceberg rewrite_position_delete_files
     parity) — merges N tombstone files into one, drops rows referencing

@@ -788,11 +788,14 @@ def _walk(spark, catalog, seed: int, steps: int, partitioned: bool = False,
     _check_agg_view(steps - 1, "walk-end")
 
 
-@pytest.mark.parametrize("seed", [20260815, 977])
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(20260815, marks=pytest.mark.soak), 977])
 def test_mutation_walk_matches_model(spark, catalog, seed):
     _walk(spark, catalog, seed, steps=14)
 
 
+@pytest.mark.soak
 def test_mutation_walk_matches_model_bucket_partitioned(spark, catalog):
     """Same walk over a bucket[4]-partitioned table: every op then exercises
     partitioned writes, per-spec partition tuples, and bucket pruning."""
@@ -807,6 +810,7 @@ def test_mutation_walk_matches_model_avro_manifests(spark, catalog):
           properties={"manifest-format": "avro"})
 
 
+@pytest.mark.soak
 def test_mutation_walk_matches_model_stat_properties(spark, catalog):
     """r10: the walk with write.exact-bounds-columns (string v) and
     write.nan-count-columns (double x) ON — the metadata MIN/MAX consumer
@@ -819,6 +823,7 @@ def test_mutation_walk_matches_model_stat_properties(spark, catalog):
                       "write.nan-count-columns": "x"})
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [7001, 7002])
 def test_mutation_walk_new_vocabulary(spark, catalog, seed):
     """r7: longer walks weighted toward the new ops (spec evolution, WAP,
@@ -826,6 +831,7 @@ def test_mutation_walk_new_vocabulary(spark, catalog, seed):
     _walk(spark, catalog, seed, steps=20)
 
 
+@pytest.mark.soak
 def test_mutation_walk_matches_model_rest_catalog(spark, tmp_path):
     """r7: the extended walk (spec evolution, WAP, add_files, widening +
     the r6 ops) through the REST catalog — every mutation then rides the

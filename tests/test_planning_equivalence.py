@@ -26,6 +26,8 @@ import os
 import random
 
 import pytest
+
+pytestmark = pytest.mark.soak  # r13: soak lane (see pytest.ini)
 from pyspark.sql import Row
 
 from go_iceberg_spark.expr import Op, col, might_match, ColumnStats

@@ -491,6 +491,7 @@ def test_upsert_stream_key_only_batch(spark, catalog, tmp_path):
     assert sorted(r.user_id for r in out.to_df().collect()) == [0, 1, 2]
 
 
+@pytest.mark.soak
 def test_dedup_stream_exact_and_watermark_bounded(spark, catalog, tmp_path):
     """r11: the streaming dedup sink must (a) drop re-observed keys ACROSS
     micro-batch runs via checkpointed state (exact mode), (b) in
