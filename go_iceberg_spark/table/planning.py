@@ -522,6 +522,31 @@ def summary_bounds(entries: list[DataFileEntry]) -> str:
     return json.dumps({str(fid): {"min": a["min"], "max": a["max"]} for fid, a in agg.items()})
 
 
+def merge_summary_bounds(bounds_jsons: list[str]) -> str:
+    """Merge per-member bounds summaries into the snapshot-level summary
+    (r13): a commit already computes ``summary_bounds`` once per written
+    member (``_member_dict``), so the snapshot-wide aggregate is a merge of
+    those JSON dicts — O(members x fields) instead of a second
+    O(live entries) python pass per commit. Identical result by
+    associativity of min/max with the same None-poisoning: a field absent
+    from a member contributes nothing, exactly as its entries contributed
+    nothing to the global pass."""
+    agg: dict[str, dict[str, Any]] = {}
+    for bj in bounds_jsons:
+        for fid_s, mm in json.loads(bj).items():
+            a = agg.get(fid_s)
+            if a is None:
+                agg[fid_s] = {"min": mm.get("min"), "max": mm.get("max")}
+                continue
+            mn, mx = mm.get("min"), mm.get("max")
+            try:
+                a["min"] = None if (mn is None or a["min"] is None) else min(a["min"], mn)
+                a["max"] = None if (mx is None or a["max"] is None) else max(a["max"], mx)
+            except TypeError:
+                a["min"] = a["max"] = None
+    return json.dumps(agg)
+
+
 def summary_might_match(bounds_json: str, flt: Expression, schema: Schema) -> bool:
     """Check the filter against snapshot-wide bounds; False means NO file in
     the snapshot can match, so planning skips the manifest read entirely."""

@@ -303,6 +303,7 @@ class ScanBuilder:
         # the pyarrow/Spark manifest tiers read local paths; object-storage
         # metadata (table._mio set) goes through the FileIO full read below
         if not cached and table._mio is None and not snap.manifest_path.endswith(".avro"):
+            skipped = False
             if snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX):
                 from .planning import summary_might_match
 
@@ -311,11 +312,13 @@ class ScanBuilder:
                 # filter is never READ — planning I/O scales with matching
                 # members, not commits. Members holding delete entries
                 # (nd > 0) or without stamped bounds are always read.
+                all_members = read_manifest_list(path)
                 members = [
-                    m for m in read_manifest_list(path)
+                    m for m in all_members
                     if m.get("nd", 1) or "bounds" not in m
                     or summary_might_match(m["bounds"], enc, proj)
                 ]
+                skipped = len(members) < len(all_members)
                 n = sum(m["n"] for m in members)
                 mpaths = [os.path.join(table.location, m["path"]) for m in members]
             else:
@@ -333,6 +336,30 @@ class ScanBuilder:
                 for p in mpaths:
                     out.extend(prune_manifest_driver(p, enc, proj))
                 return out
+            if skipped:
+                # r13: honor the member-level skip on the SMALL path too —
+                # this used to fall through to manifest_entries(snap), which
+                # reads EVERY member and drove a whole-snapshot python prune
+                # (profiled: a 550k-entry snapshot whose huge member was
+                # bounds-skipped still paid a 550k-entry driver loop per
+                # planning call). Entries of a skipped member provably fail
+                # the per-entry might_match (each entry's interval is inside
+                # the member's aggregate bounds), so reading only the kept
+                # members is result-identical — the same logic the FileIO
+                # branch below already applies. Members cache individually
+                # (immutable), same as everywhere else.
+                from .metadata import read_manifest
+
+                entries: list[DataFileEntry] = []
+                for mpath in mpaths:
+                    if mpath not in table._manifest_cache:
+                        table._manifest_cache[mpath] = read_manifest(mpath)
+                    entries.extend(table._manifest_cache[mpath])
+                return [
+                    e for e in entries
+                    if e.content != CONTENT_DATA
+                    or might_match(enc, _stats_for_pruning(e, proj))
+                ]
         elif (not cached and table._mio is not None
               and snap.manifest_path.endswith(MANIFEST_LIST_SUFFIX)):
             # object-store tables (FileIO): the same member-level bounds

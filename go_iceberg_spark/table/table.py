@@ -229,12 +229,14 @@ class Table:
                 parent_list_rel=parent_avro,
                 io=self._mio,
             )
+        members_out: list[dict] | None = None
         if fmt == "avro":
             manifest_rel = avro_rel
         else:
-            manifest_rel = self._write_manifest_tree(parent, entries, sid,
-                                                     force_compact=compact_manifests,
-                                                     groups=manifest_groups)
+            manifest_rel, members_out = self._write_manifest_tree(
+                parent, entries, sid,
+                force_compact=compact_manifests,
+                groups=manifest_groups)
 
         prev = {e.file_path for e in (self.manifest_entries(parent) if parent else [])}
         cur = {e.file_path for e in entries}
@@ -250,10 +252,17 @@ class Table:
         # snapshot-wide column bounds: the manifest-list-level summary that
         # lets scans skip the manifest read when the filter is out of range
         # (planning.py; reference keeps per-manifest partition summaries,
-        # spec/manifest.go:152-205)
-        from .planning import summary_bounds
+        # spec/manifest.go:152-205). r13: merged from the per-member bounds
+        # the tree write just computed — drops a second O(live entries)
+        # driver pass per commit; the avro-only format (no member dicts)
+        # keeps the direct aggregate.
+        from .planning import merge_summary_bounds, summary_bounds
 
-        summary["bounds"] = summary_bounds(entries)
+        if members_out is not None and all("bounds" in m for m in members_out):
+            summary["bounds"] = merge_summary_bounds(
+                [m["bounds"] for m in members_out])
+        else:
+            summary["bounds"] = summary_bounds(entries)
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=parent.snapshot_id if parent else None,
@@ -303,7 +312,8 @@ class Table:
     def _write_manifest_tree(self, parent: Snapshot | None,
                              entries: list[DataFileEntry], sid: int,
                              force_compact: bool = False,
-                             groups: list[list[DataFileEntry]] | None = None) -> str:
+                             groups: list[list[DataFileEntry]] | None = None,
+                             ) -> tuple[str, list[dict]]:
         """Write the snapshot's manifests incrementally: parent members whose
         entries all survive are REUSED (no I/O), partially-surviving members
         are rewritten filtered, and added files land in one new member —
@@ -322,7 +332,7 @@ class Table:
                 members.append(self._member_dict(rel, grp))
             manifest_rel = os.path.join("metadata", f"snap-{sid}{MANIFEST_LIST_SUFFIX}")
             write_manifest_list(os.path.join(self.location, manifest_rel), members, self._mio)
-            return manifest_rel
+            return manifest_rel, members
         cur_by_path = {e.file_path: e for e in entries}
         members: list[dict] = []
         covered: set[str] = set()
@@ -364,7 +374,7 @@ class Table:
 
         manifest_rel = os.path.join("metadata", f"snap-{sid}{MANIFEST_LIST_SUFFIX}")
         write_manifest_list(os.path.join(self.location, manifest_rel), members, self._mio)
-        return manifest_rel
+        return manifest_rel, members
 
     def _retrying(self, build_and_commit) -> Snapshot:
         """Optimistic retry for commutable commits (reference: config.go:93-94

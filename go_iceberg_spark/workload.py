@@ -4431,10 +4431,24 @@ def distributed_plan_scan_q(spark, sf):
         )
         for i in range(DISTRIBUTED_THRESHOLD + 50_000)
     ]
-    t._commit_snapshot("append", real + phantoms)
+    # ONE manifest group holding real + phantom entries (r13): in separate
+    # members the phantom member's aggregate bounds (all >= 10M) contradict
+    # the o_orderkey < 2000 filter, so the member-level summary skip would
+    # plan from the real member alone and the DISTRIBUTED tier this query
+    # exists to pin would never run (it silently degraded to a driver loop
+    # when member summaries landed). Mixing real entries into the member
+    # makes its bounds overlap the filter, so planning must face all
+    # >500k entries at once — and must take the Spark-job tier.
+    t._commit_snapshot("append", real + phantoms,
+                       manifest_groups=[real + phantoms])
     mp = t.current_snapshot().manifest_path
     if mp.endswith(MANIFEST_LIST_SUFFIX):
-        n = sum(m["n"] for m in read_manifest_list(_os.path.join(t.location, mp)))
+        members = read_manifest_list(_os.path.join(t.location, mp))
+        n = sum(m["n"] for m in members)
+        if len(members) != 1:
+            raise AssertionError(
+                f"fixture expects ONE mixed member (bounds overlap the "
+                f"filter -> unskippable), got {len(members)}")
     else:
         import pyarrow.parquet as _pq
         n = _pq.read_metadata(_os.path.join(t.location, mp)).num_rows
